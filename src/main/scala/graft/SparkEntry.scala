@@ -1,13 +1,183 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables.T
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator family from SURVEY.md §2;
+  * `oracleSql` holds the DuckDB-equivalent SQL the driver hash-compares
+  * against at sf0.01. Column names and rounding are kept bit-identical on
+  * both sides (see graft.operators.Relational scaladoc for the FP rules).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01PricingSummary(T(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => Relational.q01PricingSummary(T(s, d))),
+    "q02_weighted_avg"    -> ((s, d) => Relational.q02WeightedAvg(T(s, d))),
+    "q03_top_customers"   -> ((s, d) => Relational.q03TopCustomers(T(s, d))),
+    "q04_market_share"    -> ((s, d) => Relational.q04MarketShare(T(s, d))),
+    "q05_lag_trend"       -> ((s, d) => Relational.q05LagTrend(T(s, d))),
+    "q06_moving_avg"      -> ((s, d) => Relational.q06MovingAvg(T(s, d))),
+    "q07_latest_event_per_user" -> ((s, d) => Relational.q07LatestEventPerUser(T(s, d))),
+    "q08_nth_value"       -> ((s, d) => Relational.q08NthValue(T(s, d))),
+    "q09_global_rank"     -> ((s, d) => Relational.q09GlobalRank(T(s, d))),
+    "q10_semi_anti"       -> ((s, d) => Relational.q10SemiAnti(T(s, d))),
+    "q11_union_distinct"  -> ((s, d) => Relational.q11UnionDistinct(T(s, d))),
+    "q12_event_counts"    -> ((s, d) => Relational.q12EventCounts(T(s, d))),
+    "q13_distinct_pairs"  -> ((s, d) => Relational.q13DistinctPairs(T(s, d))),
+    "q14_percentiles"     -> ((s, d) => Relational.q14Percentiles(T(s, d))),
+    "q15_mode_tiebreak"   -> ((s, d) => Relational.q15ModeTiebreak(T(s, d))),
+    "q16_recency_buckets" -> ((s, d) => Relational.q16RecencyBuckets(T(s, d))),
+    "q17_price_tiers"     -> ((s, d) => Relational.q17PriceTiers(T(s, d))),
+    "q18_json_extract"    -> ((s, d) => Relational.q18JsonExtract(T(s, d))),
+    "q19_date_parts"      -> ((s, d) => Relational.q19DateParts(T(s, d))),
+    "q20_string_funcs"    -> ((s, d) => Relational.q20StringFuncs(T(s, d))),
+  )
+
+  /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
+    * same rounding, same total ordering). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  count(*) AS cnt,
+        |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
+        |  count(CASE WHEN l_quantity > 25 THEN 1 END) AS big_qty_cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity), 2) / round(sum(l_quantity), 2) AS wavg_price,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q04_market_share" ->
+      """WITH per_cust AS (
+        |  SELECT c_mktsegment, c_custkey, round(sum(o_totalprice), 2) AS cust_rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_custkey, cust_rev,
+        |  cust_rev * 100.0 / round(sum(cust_rev) OVER (PARTITION BY c_mktsegment), 2) AS share_pct
+        |FROM per_cust ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q05_lag_trend" ->
+      """SELECT event_id, user_id, value, prev_value,
+        |  round(value - prev_value, 2) AS delta
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q06_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        |  round(sum(value) OVER w7, 2) / count(*) OVER w7 AS ma7,
+        |  count(*) OVER w30 AS cnt30
+        |FROM events
+        |WINDOW
+        |  w7 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |  w30 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q07_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q08_nth_value" ->
+      """SELECT user_id, value, prev_value FROM (
+        |  SELECT user_id, value,
+        |    nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS prev_value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q09_global_rank" ->
+      """SELECT balance_rank, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_rank,
+        |    c_custkey, c_name, c_acctbal
+        |  FROM customer)
+        |WHERE balance_rank <= 100 ORDER BY balance_rank""".stripMargin,
+    "q10_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q12_event_counts" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_distinct_pairs" ->
+      """SELECT user_id, count(*) AS n_types
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.1), 4) AS p10,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_mode_tiebreak" ->
+      """SELECT event_type, user_id, cnt FROM (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rn
+        |  FROM (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q16_recency_buckets" ->
+      """SELECT user_id,
+        |  count(CASE WHEN ts >= max_ts - INTERVAL 7 DAY THEN 1 END) AS cnt_7d,
+        |  count(CASE WHEN ts >= max_ts - INTERVAL 30 DAY THEN 1 END) AS cnt_30d,
+        |  count(*) AS cnt_all,
+        |  max(ts) AS last_seen
+        |FROM events CROSS JOIN (SELECT max(ts) AS max_ts FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_price_tiers" ->
+      """WITH tiered AS (
+        |  SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |              WHEN o_totalprice < 150000 THEN 'medium'
+        |              WHEN o_totalprice < 300000 THEN 'large'
+        |              ELSE 'jumbo' END AS tier,
+        |         o_totalprice
+        |  FROM orders),
+        |agg AS (
+        |  SELECT tier, count(*) AS cnt, round(sum(o_totalprice), 2) AS volume
+        |  FROM tiered GROUP BY 1)
+        |SELECT tier, cnt, volume,
+        |  cnt * 100.0 / sum(cnt) OVER () AS share_pct
+        |FROM agg ORDER BY tier""".stripMargin,
+    "q18_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS volume
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q20_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  p_brand || '#' || p_type AS tag,
+        |  replace(p_type, ' ', '_') AS type_slug,
+        |  substr(p_name, 1, 8) AS name_prefix
+        |FROM part ORDER BY p_partkey""".stripMargin,
+  )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * All engine operators are pure `DataFrame => DataFrame` functions; these
+  * helpers only bind a scale-factor directory to named parquet tables. At
+  * 100 TB the same call sites point at a partitioned table root instead of
+  * a single file — nothing else changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
+    // parquet reader rejects; read nanos as long and truncate to micros
+    // (exactly what DuckDB does when it reads the same file). Integer
+    // `div` — a double round-trip would lose precision above 2^53.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** Convenience bundle so query bodies read naturally. */
+  final case class T(spark: SparkSession, sfDir: String) {
+    def region: DataFrame     = load(spark, sfDir, "region")
+    def nation: DataFrame     = load(spark, sfDir, "nation")
+    def customer: DataFrame   = load(spark, sfDir, "customer")
+    def supplier: DataFrame   = load(spark, sfDir, "supplier")
+    def part: DataFrame       = load(spark, sfDir, "part")
+    def orders: DataFrame     = load(spark, sfDir, "orders")
+    def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
+    def events: DataFrame     = load(spark, sfDir, "events")
+    def documents: DataFrame  = load(spark, sfDir, "documents")
+    def embeddings: DataFrame = load(spark, sfDir, "embeddings")
+  }
+}

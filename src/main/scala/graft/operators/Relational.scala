@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators from SURVEY.md §2.2–§2.8, re-expressed as
+  * declarative DataFrame plans over the synthetic star schema.
+  *
+  * Determinism rules (every query here is hash-compared against a DuckDB
+  * oracle, SURVEY.md §5):
+  *  - every output ends in a total ORDER BY over a unique key set;
+  *  - double aggregates are rounded at a scale where the true decimal value
+  *    cannot sit on a rounding boundary (inputs are 2-dp money / quantity,
+  *    so sums are exact at 2dp, products of two 2-dp columns at 4dp) —
+  *    engine-order FP noise (~1e-9) can never flip the rounded value;
+  *  - ratios divide two already-rounded doubles, so both engines divide
+  *    bit-identical operands.
+  *
+  * Scale notes: groupBy columns here are low-cardinality (flags, types,
+  * users) → partial aggregation collapses data map-side before the shuffle;
+  * dimension joins are broadcast; the trailing orderBy exists only for the
+  * verification dump (at 100 TB you'd drop it or write sorted-within-
+  * partition output).
+  */
+object Relational {
+
+  /** A1/A2/A4 — TPC-H Q1-style pricing summary (FILTER-agg family).
+    * Mirrors dbt `daily_poll_averages.sql:18-42` aggregate shapes. */
+  def q01PricingSummary(t: T): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        count(lit(1)).as("cnt"),
+        (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        count(when(col("l_quantity") > 25, 1)).as("big_qty_cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3 — weighted average `sum(v*w)/sum(w)` (daily_poll_averages.sql:26). */
+  def q02WeightedAvg(t: T): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        (round(sum(col("l_extendedprice") * col("l_quantity")), 2) /
+          round(sum(col("l_quantity")), 2)).as("wavg_price"),
+        round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy("l_returnflag")
+
+  /** J1/O1 — fact⋈dim enrichment join + top-k. Dim side (customer) is
+    * broadcastable at any scale where dims stay small. */
+  def q03TopCustomers(t: T): DataFrame =
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** W7 — windowed share-of-total (latest_poll_standings.sql:93-95). */
+  def q04MarketShare(t: T): DataFrame = {
+    val perCust = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("cust_rev"))
+    val w = Window.partitionBy("c_mktsegment")
+    perCust
+      .withColumn("seg_rev", round(sum("cust_rev").over(w), 2))
+      .withColumn("share_pct", col("cust_rev") * lit(100.0) / col("seg_rev"))
+      .select("c_mktsegment", "c_custkey", "cust_rev", "share_pct")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** W1 — lag() previous-value trend (fact_polls.sql:69-77). */
+  def q05LagTrend(t: T): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .filter(col("prev_value").isNotNull)
+      .withColumn("delta", round(col("value") - col("prev_value"), 2))
+      .select("event_id", "user_id", "value", "prev_value", "delta")
+      .orderBy("event_id")
+  }
+
+  /** W2/W3 — moving average + rolling count over explicit ROWS frames
+    * (fact_polls.sql:80-90, daily_poll_averages.sql:71-88). */
+  def q06MovingAvg(t: T): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("ma7",
+        round(sum("value").over(w.rowsBetween(-6, 0)), 2) /
+          count(lit(1)).over(w.rowsBetween(-6, 0)))
+      .withColumn("cnt30", count(lit(1)).over(w.rowsBetween(-29, 0)))
+      .select("event_id", "user_id", "value", "ma7", "cnt30")
+      .orderBy("event_id")
+  }
+
+  /** D1/W4 — latest-row-per-key (ReplacingMergeTree read-time semantics,
+    * sql/create_dataset_topics_table.sql:14; row_number rn=1). */
+  def q07LatestEventPerUser(t: T): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** W6 — nth_value(v, 2) previous poll (latest_poll_standings.sql:25-33).
+    * Frame pinned to the whole partition — engines differ on the default. */
+  def q08NthValue(t: T): DataFrame = {
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.events
+      .withColumn("rn", row_number().over(order))
+      .withColumn("prev_value", nth_value(col("value"), 2).over(whole))
+      .filter(col("rn") === 1)
+      .select("user_id", "value", "prev_value")
+      .orderBy("user_id")
+  }
+
+  /** W5 — global ranking (latest_poll_standings.sql:87-90). Single-partition
+    * window: acceptable only because it ranks a pre-aggregated small frame. */
+  def q09GlobalRank(t: T): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t.customer
+      .withColumn("balance_rank", row_number().over(w))
+      .filter(col("balance_rank") <= 100)
+      .select("balance_rank", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("balance_rank")
+  }
+
+  /** J5 — semi + anti join composition (migrations/0011:21-31 queue rules:
+    * EXISTS claims, NOT EXISTS attributions). */
+  def q10SemiAnti(t: T): DataFrame = {
+    val withOrders = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+    val fOrders = t.orders.filter(col("o_orderstatus") === "F")
+    withOrders
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** U3 — UNION DISTINCT (follow.py:47-66, 3_Topic_Browser.py:454-462). */
+  def q11UnionDistinct(t: T): DataFrame =
+    t.customer.select(col("c_nationkey").cast("int").as("nationkey"))
+      .union(t.supplier.select(col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** A1/A5 — count + distinct count rollups (status.py:80-222). */
+  def q12EventCounts(t: T): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+
+  /** A5/A10 — distinct count over tuples (topic_classifier.py:511,644). */
+  def q13DistinctPairs(t: T): DataFrame =
+    t.events
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+
+  /** A8 — exact quantiles (quantileExact 0.1/0.5/0.9,
+    * 3_Topic_Browser.py:142-144). */
+  def q14Percentiles(t: T): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.1)), 4).as("p10"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"))
+      .orderBy("event_type")
+
+  /** A7 — mode with deterministic tie-break (anyHeavy equivalent;
+    * 3_Topic_Browser.py:132). Expressed as count-then-rank so the
+    * tie-break (highest count, then lowest user) is explicit. */
+  def q15ModeTiebreak(t: T): DataFrame = {
+    val counts = t.events.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "user_id", "cnt")
+      .orderBy("event_type")
+  }
+
+  /** A4 — conditional aggregates over recency windows relative to the
+    * dataset watermark (latest_poll_standings.sql:36-69, A9 watermark). */
+  def q16RecencyBuckets(t: T): DataFrame = {
+    val maxTs = t.events.agg(max("ts").as("max_ts"))
+    t.events
+      .crossJoin(broadcast(maxTs))
+      .groupBy("user_id")
+      .agg(
+        count(when(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"), 1))
+          .as("cnt_7d"),
+        count(when(col("ts") >= col("max_ts") - expr("INTERVAL 30 DAYS"), 1))
+          .as("cnt_30d"),
+        count(lit(1)).as("cnt_all"),
+        max("ts").as("last_seen"))
+      .orderBy("user_id")
+  }
+
+  /** P4/P5/P6 — CASE bucketing + share-of-total (stg_dawum_polls.sql:90-104,
+    * multiIf in create_datasets_unified_view.sql:8-16). */
+  def q17PriceTiers(t: T): DataFrame = {
+    val tiered = t.orders.withColumn("tier",
+      when(col("o_totalprice") < 50000, "small")
+        .when(col("o_totalprice") < 150000, "medium")
+        .when(col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo"))
+    tiered
+      .groupBy("tier")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("volume"))
+      .withColumn("share_pct",
+        col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()))
+      .orderBy("tier")
+  }
+
+  /** JSON path extraction (stg_dawum_polls.sql:29 JSONExtract; Postgres
+    * `->>` in 0005:164-174). */
+  def q18JsonExtract(t: T): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** Date-part derivations (fact_polls.sql:193-197 toYear/toMonth/...). */
+  def q19DateParts(t: T): DataFrame =
+    t.orders
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("volume"))
+      .orderBy("o_year", "o_quarter", "o_month")
+
+  /** §2.8 string family — trim/upper/lower/concat/length/replace
+    * (stg_dawum_institutes.sql:11, create_datasets_unified_view.sql:9-14). */
+  def q20StringFuncs(t: T): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_slug"),
+        substring(col("p_name"), 1, 8).as("name_prefix"))
+      .orderBy("p_partkey")
+}
