@@ -30,17 +30,20 @@ object Tables {
     }
   }
 
-  /** Convenience bundle so query bodies read naturally. */
+  /** Convenience bundle so query bodies read naturally. Tables are bound
+    * lazily ONCE per instance — a query touching the same table twice gets
+    * the identical plan subtree, which lets Spark's exchange/scan reuse
+    * kick in, and the nanos conf is set at most once per call site. */
   final case class T(spark: SparkSession, sfDir: String) {
-    def region: DataFrame     = load(spark, sfDir, "region")
-    def nation: DataFrame     = load(spark, sfDir, "nation")
-    def customer: DataFrame   = load(spark, sfDir, "customer")
-    def supplier: DataFrame   = load(spark, sfDir, "supplier")
-    def part: DataFrame       = load(spark, sfDir, "part")
-    def orders: DataFrame     = load(spark, sfDir, "orders")
-    def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
-    def events: DataFrame     = load(spark, sfDir, "events")
-    def documents: DataFrame  = load(spark, sfDir, "documents")
-    def embeddings: DataFrame = load(spark, sfDir, "embeddings")
+    lazy val region: DataFrame     = load(spark, sfDir, "region")
+    lazy val nation: DataFrame     = load(spark, sfDir, "nation")
+    lazy val customer: DataFrame   = load(spark, sfDir, "customer")
+    lazy val supplier: DataFrame   = load(spark, sfDir, "supplier")
+    lazy val part: DataFrame       = load(spark, sfDir, "part")
+    lazy val orders: DataFrame     = load(spark, sfDir, "orders")
+    lazy val lineitem: DataFrame   = load(spark, sfDir, "lineitem")
+    lazy val events: DataFrame     = load(spark, sfDir, "events")
+    lazy val documents: DataFrame  = load(spark, sfDir, "documents")
+    lazy val embeddings: DataFrame = load(spark, sfDir, "embeddings")
   }
 }

@@ -127,13 +127,19 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** W5 — global ranking (latest_poll_standings.sql:87-90). Single-partition
-    * window: acceptable only because it ranks a pre-aggregated small frame. */
+  /** W5 — global ranking (latest_poll_standings.sql:87-90). Scale-safe
+    * shape: distributed top-k first (TakeOrderedAndProject — each partition
+    * keeps only its local top 100, the driver merges), THEN a global window
+    * over the 100 surviving rows. The window never sees the base table, so
+    * the "No Partition Defined" single-task scan of `customer` is gone. */
   def q09GlobalRank(t: T): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    t.customer
-      .withColumn("balance_rank", row_number().over(w))
-      .filter(col("balance_rank") <= 100)
+    val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val top = t.customer
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(ord: _*)
+      .limit(100)
+    top
+      .withColumn("balance_rank", row_number().over(Window.orderBy(ord: _*)))
       .select("balance_rank", "c_custkey", "c_name", "c_acctbal")
       .orderBy("balance_rank")
   }
@@ -141,11 +147,15 @@ object Relational {
   /** J5 — semi + anti join composition (migrations/0011:21-31 queue rules:
     * EXISTS claims, NOT EXISTS attributions). */
   def q10SemiAnti(t: T): DataFrame = {
-    val withOrders = t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
-    val fOrders = t.orders.filter(col("o_orderstatus") === "F")
-    withOrders
-      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+    // Single pass over orders: one shuffle computes both the EXISTS and the
+    // NOT EXISTS branch as conditional aggregates, then one join back to
+    // customer — vs the naive semi+anti pair that shuffles orders twice.
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"))
+      .filter(col("n_f") === 0) // grouped rows imply >=1 order (EXISTS)
+    t.customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
