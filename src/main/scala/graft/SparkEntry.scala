@@ -38,6 +38,9 @@ object SparkEntry {
     "q18_json_extract"    -> ((s, d) => Relational.q18JsonExtract(T(s, d))),
     "q19_date_parts"      -> ((s, d) => Relational.q19DateParts(T(s, d))),
     "q20_string_funcs"    -> ((s, d) => Relational.q20StringFuncs(T(s, d))),
+    "q21_poll_unpivot"    -> ((s, d) => Polls.q21PollUnpivot(T(s, d))),
+    "q22_poll_trends"     -> ((s, d) => Polls.q22PollTrends(T(s, d))),
+    "q23_poll_standings"  -> ((s, d) => Polls.q23PollStandings(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -179,5 +182,83 @@ object SparkEntry {
         |  replace(p_type, ' ', '_') AS type_slug,
         |  substr(p_name, 1, 8) AS name_prefix
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q21_poll_unpivot" ->
+      """WITH stg AS (
+        |  SELECT l_orderkey AS poll_id, o_custkey AS institute_id,
+        |    o_orderdate AS poll_date, o_totalprice AS surveyed,
+        |    'p' || l_linenumber AS party, sum(l_quantity) AS pct
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT poll_id, institute_id, poll_date, surveyed, party, pct,
+        |  (pct >= 0 AND pct <= 100) AS pct_valid,
+        |  CASE WHEN pct < 10 THEN 'fringe'
+        |       WHEN pct < 25 THEN 'minor'
+        |       WHEN pct < 45 THEN 'major'
+        |       ELSE 'landslide' END AS quality_tier,
+        |  sha256(concat_ws('|', poll_id, party,
+        |    CAST(round(pct * 100, 0) AS BIGINT))) AS row_hash
+        |FROM stg ORDER BY poll_id, party""".stripMargin,
+    "q22_poll_trends" ->
+      """WITH stg AS (
+        |  SELECT l_orderkey AS poll_id, o_custkey AS institute_id,
+        |    o_orderdate AS poll_date, 'p' || l_linenumber AS party,
+        |    sum(l_quantity) AS pct
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3, 4),
+        |fact AS (
+        |  SELECT poll_id, party, c_name AS institute_name,
+        |    c_mktsegment AS institute_group, pct,
+        |    lag(pct, 1) OVER (PARTITION BY party, institute_id
+        |      ORDER BY poll_date, poll_id) AS prev_pct,
+        |    round(sum(pct) OVER (PARTITION BY party, institute_id
+        |      ORDER BY poll_date, poll_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) /
+        |    count(*) OVER (PARTITION BY party, institute_id
+        |      ORDER BY poll_date, poll_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+        |  FROM stg JOIN customer ON institute_id = c_custkey)
+        |SELECT poll_id, party, institute_name, institute_group, pct, prev_pct,
+        |  round(pct - prev_pct, 2) AS delta, ma3,
+        |  CASE WHEN prev_pct IS NULL THEN 'new'
+        |       WHEN pct - prev_pct > 2.0 THEN 'up'
+        |       WHEN pct - prev_pct < -2.0 THEN 'down'
+        |       ELSE 'stable' END AS trend
+        |FROM fact ORDER BY poll_id, party""".stripMargin,
+    "q23_poll_standings" ->
+      """WITH stg AS (
+        |  SELECT l_orderkey AS poll_id, o_custkey AS institute_id,
+        |    o_orderdate AS poll_date, 'p' || l_linenumber AS party,
+        |    sum(l_quantity) AS pct
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT max(poll_date) AS max_date FROM stg),
+        |cur AS (SELECT * FROM stg CROSS JOIN mx),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY party
+        |    ORDER BY poll_date DESC, poll_id DESC) AS rn
+        |  FROM cur),
+        |latest AS (SELECT party, pct AS latest_pct, poll_date AS latest_date
+        |  FROM ranked WHERE rn = 1),
+        |previous AS (SELECT party, pct AS prev_pct FROM ranked WHERE rn = 2),
+        |aggs AS (
+        |  SELECT party, count(*) AS n_polls,
+        |    count(DISTINCT institute_id) AS n_institutes,
+        |    round(sum(pct) FILTER (WHERE poll_date >= max_date - INTERVAL 180 DAY), 2) /
+        |      count(*) FILTER (WHERE poll_date >= max_date - INTERVAL 180 DAY) AS avg_180d,
+        |    round(stddev_pop(pct) FILTER (WHERE poll_date >= max_date - INTERVAL 180 DAY), 4)
+        |      AS volatility_180d
+        |  FROM cur GROUP BY party),
+        |joined AS (
+        |  SELECT l.party, latest_pct, latest_date, prev_pct,
+        |    n_polls, n_institutes, avg_180d, volatility_180d
+        |  FROM latest l
+        |  LEFT JOIN previous p ON l.party = p.party
+        |  JOIN aggs a ON l.party = a.party)
+        |SELECT row_number() OVER (ORDER BY latest_pct DESC, party ASC) AS rank,
+        |  party, latest_pct, latest_date, prev_pct, n_polls, n_institutes,
+        |  avg_180d, volatility_180d,
+        |  latest_pct * 100.0 / round(sum(CASE WHEN latest_pct >= 10
+        |    THEN latest_pct END) OVER (), 2) AS share_pct
+        |FROM joined ORDER BY rank""".stripMargin,
   )
 }

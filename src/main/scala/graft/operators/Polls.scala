@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
+
+/** The reference's signature poll pipeline, re-expressed Spark-first.
+  *
+  * Mirrors the dbt chain raw → staging → marts:
+  *  - raw_dawum_polls.sql:10-30     (projection, null/validity predicates)
+  *  - stg_dawum_polls.sql:29,54-63  (JSONExtract Map + arrayJoin unpivot)
+  *  - stg_dawum_polls.sql:90-115    (quality flags + row hash)
+  *  - fact_polls.sql:50-102         (dim joins + lag/moving-average windows)
+  *  - latest_poll_standings.sql:18-95 (argMax latest, FILTER aggs, share-of-
+  *    total window, global rank)
+  *
+  * The poll corpus is derived deterministically from the shipped star schema
+  * (orders = polls, lineitem rows = per-party results, customer = institute
+  * dim) so the DuckDB oracle can recompute every value from the same parquet.
+  * The JSON document round-trip (to_json → from_json → explode(map_entries))
+  * is real: the staging path only sees a JSON string column, exactly like the
+  * reference sees the DAWUM `Results` payload.
+  *
+  * Scale notes (100 TB): the unpivot is a narrow map-side transform (no
+  * shuffle); windows partition by (party, institute) — thousands of keys, not
+  * 7 — so no partition is ever a scale cliff; the institute dim join is an
+  * explicit broadcast; the standings output is post-aggregate (one row per
+  * party), so its single-partition share window is over a handful of rows.
+  */
+object Polls {
+
+  private val resultsSchema = MapType(StringType, DoubleType)
+
+  /** Raw poll documents: one row per poll, `results` is a JSON object
+    * `{party: pct}` — the shape of the DAWUM `Results` map
+    * (study_scraper/sources/dawum.py:3-11, FIXTURES.md §1). */
+  def rawPolls(t: T): DataFrame = {
+    // l_linenumber repeats within an order, so party pct is the SUM of its
+    // line quantities (map keys must be unique). sort_array makes map key
+    // order deterministic before to_json — collect_list order is not
+    // guaranteed after a shuffle.
+    val results = t.lineitem
+      .groupBy(
+        col("l_orderkey"),
+        concat(lit("p"), col("l_linenumber")).as("party"))
+      .agg(sum("l_quantity").as("pct"))
+      .groupBy("l_orderkey")
+      .agg(to_json(map_from_entries(sort_array(
+        collect_list(struct(col("party"), col("pct")))))).as("results"))
+    t.orders
+      .join(results, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderkey").isNotNull && col("results") =!= "") // P2
+      .select(
+        col("o_orderkey").as("poll_id"),
+        col("o_custkey").as("institute_id"),
+        col("o_orderdate").as("poll_date"),
+        col("o_totalprice").as("surveyed"),
+        col("results"))
+  }
+
+  /** Staging: parse the JSON map, unpivot to one row per (poll, party),
+    * attach validity flag + quality tier + deterministic row hash.
+    * from_json(...).isNotNull is the isValidJSON predicate
+    * (stg_dawum_polls.sql:31-32). The hash input uses pct scaled to an
+    * integer (2-dp money semantics) so both engines hash identical text —
+    * no double-to-string formatting dependency. */
+  def stgPollResults(t: T): DataFrame =
+    rawPolls(t)
+      .withColumn("rmap", from_json(col("results"), resultsSchema))
+      .filter(col("rmap").isNotNull)
+      .select(
+        col("poll_id"), col("institute_id"), col("poll_date"), col("surveyed"),
+        explode(map_entries(col("rmap"))).as("entry"))
+      .select(
+        col("poll_id"), col("institute_id"), col("poll_date"), col("surveyed"),
+        col("entry.key").as("party"),
+        col("entry.value").as("pct"))
+      .withColumn("pct_valid", col("pct") >= 0 && col("pct") <= 100)
+      .withColumn("quality_tier",
+        when(col("pct") < 10, "fringe")
+          .when(col("pct") < 25, "minor")
+          .when(col("pct") < 45, "major")
+          .otherwise("landslide"))
+      .withColumn("row_hash",
+        sha2(concat_ws("|",
+          col("poll_id"), col("party"),
+          round(col("pct") * 100, 0).cast("long")), 256))
+
+  /** q21 — the staging unpivot itself (the reference's highest-traffic
+    * transform; every poll row flows through it). */
+  def q21PollUnpivot(t: T): DataFrame =
+    stgPollResults(t).orderBy("poll_id", "party")
+
+  /** q22 — fact layer: institute dim join + per-(party, institute) trend
+    * windows (lag + 3-poll moving average + direction bucketing). */
+  def q22PollTrends(t: T): DataFrame = {
+    val institutes = t.customer.select(
+      col("c_custkey"),
+      col("c_name").as("institute_name"),
+      col("c_mktsegment").as("institute_group"))
+    val w = Window.partitionBy("party", "institute_id")
+      .orderBy(col("poll_date"), col("poll_id"))
+    stgPollResults(t)
+      .join(broadcast(institutes), col("institute_id") === col("c_custkey"))
+      .withColumn("prev_pct", lag("pct", 1).over(w))
+      // raw (unrounded) delta drives the bucket compare: the subtraction is
+      // bit-identical in both engines; the rounded column is display-only.
+      .withColumn("delta", round(col("pct") - col("prev_pct"), 2))
+      .withColumn("ma3",
+        round(sum("pct").over(w.rowsBetween(-2, 0)), 2) /
+          count(lit(1)).over(w.rowsBetween(-2, 0)))
+      .withColumn("trend",
+        when(col("prev_pct").isNull, "new")
+          .when(col("pct") - col("prev_pct") > 2.0, "up")
+          .when(col("pct") - col("prev_pct") < -2.0, "down")
+          .otherwise("stable"))
+      .select("poll_id", "party", "institute_name", "institute_group",
+        "pct", "prev_pct", "delta", "ma3", "trend")
+      .orderBy("poll_id", "party")
+  }
+
+  /** q23 — serving layer: per-party latest standings with recency-windowed
+    * FILTER aggregates, previous-poll value, share-of-total among majors,
+    * and a global rank (latest_poll_standings.sql:18-95). */
+  def q23PollStandings(t: T): DataFrame = {
+    val stg = stgPollResults(t)
+    val maxD = stg.agg(max("poll_date").as("max_date"))
+    val cur = stg.crossJoin(broadcast(maxD))
+    val recency = Window.partitionBy("party")
+      .orderBy(col("poll_date").desc, col("poll_id").desc)
+    val ranked = cur.withColumn("rn", row_number().over(recency))
+    val latest = ranked.filter(col("rn") === 1)
+      .select(col("party"), col("pct").as("latest_pct"),
+        col("poll_date").as("latest_date"))
+    val previous = ranked.filter(col("rn") === 2)
+      .select(col("party"), col("pct").as("prev_pct"))
+    val in180 = col("poll_date") >= col("max_date") - expr("INTERVAL 180 DAYS")
+    val aggs = cur.groupBy("party").agg(
+      count(lit(1)).as("n_polls"),
+      countDistinct("institute_id").as("n_institutes"),
+      (round(sum(when(in180, col("pct"))), 2) /
+        count(when(in180, 1))).as("avg_180d"),
+      round(stddev_pop(when(in180, col("pct"))), 4).as("volatility_180d"))
+    // Everything below is post-aggregate: one row per party, so the
+    // whole-frame share window runs over a handful of rows by design.
+    val joined = latest
+      .join(previous, Seq("party"), "left")
+      .join(aggs, Seq("party"))
+    val wAll = Window.partitionBy()
+    joined
+      .withColumn("share_pct",
+        col("latest_pct") * lit(100.0) /
+          round(sum(when(col("latest_pct") >= 10, col("latest_pct"))).over(wAll), 2))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("latest_pct").desc, col("party").asc)))
+      .select("rank", "party", "latest_pct", "latest_date", "prev_pct",
+        "n_polls", "n_institutes", "avg_180d", "volatility_180d", "share_pct")
+      .orderBy("rank")
+  }
+}
