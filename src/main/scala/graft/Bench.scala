@@ -35,7 +35,9 @@ object Bench {
       }
       try {
         val times = (1 to reps).map(_ => once())
-        name -> times.last // steady-state rep
+        // min across reps: the steady-state estimator most robust to GC
+        // pauses / host contention (first rep still pays JIT+codegen).
+        name -> times.min
       } catch {
         case e: Throwable =>
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -41,6 +41,12 @@ object SparkEntry {
     "q21_poll_unpivot"    -> ((s, d) => Polls.q21PollUnpivot(T(s, d))),
     "q22_poll_trends"     -> ((s, d) => Polls.q22PollTrends(T(s, d))),
     "q23_poll_standings"  -> ((s, d) => Polls.q23PollStandings(T(s, d))),
+    "q24_doc_dedup_exact" -> ((s, d) => TextDedup.q24DocDedupExact(T(s, d))),
+    "q25_ann_cosine_topk" -> ((s, d) => Similarity.q25AnnCosineTopk(T(s, d))),
+    "q26_ann_lsh"         -> ((s, d) => Similarity.q26AnnLshBucketed(T(s, d))),
+    "q27_minhash_neardup" -> ((s, d) => TextDedup.q27MinhashNearDup(T(s, d))),
+    "q28_simhash"         -> ((s, d) => TextDedup.q28Simhash(T(s, d))),
+    "q31_fingerprint"     -> ((s, d) => TextDedup.q31Fingerprint(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -260,5 +266,124 @@ object SparkEntry {
         |  latest_pct * 100.0 / round(sum(CASE WHEN latest_pct >= 10
         |    THEN latest_pct END) OVER (), 2) AS share_pct
         |FROM joined ORDER BY rank""".stripMargin,
+    "q24_doc_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT * FROM documents WHERE doc_id % 5 = 0)
+        |SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
+        |  count(*) AS dup_count, max(n_chars) AS n_chars
+        |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "q25_ann_cosine_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(vec, qvec) /
+        |      (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qvec, qvec)))
+        |      AS cosine
+        |  FROM emb CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+        |SELECT query_id, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q26_ann_lsh" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+        |  FROM emb WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, bucket, vec_id,
+        |    list_dot_product(vec, qvec) /
+        |      (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qvec, qvec)))
+        |      AS cosine
+        |  FROM emb JOIN q ON bucket = qbucket AND vec_id <> query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+        |SELECT query_id, bucket, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q27_minhash_neardup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        |hashes AS (
+        |  SELECT doc_id, seed,
+        |    min(('0x' || substr(md5(concat(seed, ':', s)), 1, 15))::BIGINT) AS mh
+        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, seed // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+        |    len(list_distinct(list_cat(x.shingles, y.shingles))) AS jaccard
+        |FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+        |WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+        |    len(list_distinct(list_cat(x.shingles, y.shingles))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q28_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(concat(99, ':', w)), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |bits AS (SELECT unnest(range(0, 60)) AS bit),
+        |perbit AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |  FROM hashed CROSS JOIN bits GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM perbit GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c.chunk,
+        |    (simhash // CAST(pow(2, c.chunk * 15) AS BIGINT)) % 32768 AS key
+        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+        |    b.doc_id AS doc_b, b.simhash AS sim_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_fingerprint" ->
+      """WITH normed AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, sha256(norm) AS content_hash,
+        |  list_aggregate(list_transform(
+        |    range(1, greatest(length(norm) - 7, 1) + 1),
+        |    i -> ('0x' || substr(md5(concat(7, ':',
+        |      substr(norm, CAST(i AS INT), 8))), 1, 15))::BIGINT),
+        |    'min') AS min_gram_hash
+        |FROM normed ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`Array[Float]`, 64-dim) —
+  * the training-data-pipeline mandate: brute-force cosine top-k as the
+  * correctness baseline, and a deterministic LSH-bucketed variant as the
+  * scale path.
+  *
+  * All arithmetic is pure column expressions (zip_with + aggregate folds,
+  * codegen-friendly, no UDFs). Vectors are cast float→double once so both
+  * engines (and any reruns) fold the same operand bits in the same order —
+  * cosine here is bit-deterministic, not just approximately stable.
+  *
+  * Scale notes (100 TB): the query side is small by construction and
+  * explicitly broadcast, so the candidate side streams map-side with no
+  * shuffle; the only shuffle is the final top-k per query (k rows per
+  * partition survive the window). For a large query side, swap the window
+  * for per-partition local top-k + merge, or the LSH variant below, whose
+  * candidate set per query is the bucket, not the corpus (recall traded for
+  * a ~2^nbits candidate reduction; IVF with learned centroids is the
+  * production upgrade and slots into the same shape — bucket id = nearest
+  * centroid id).
+  */
+object Similarity {
+
+  private val toDouble = col("embedding").cast("array<double>")
+
+  /** Sequential-fold dot product of two double arrays — same summation
+    * order as DuckDB's list_dot_product, hence bit-identical results. */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** q25 — brute-force cosine top-5 per query vector (vec_id < 10),
+    * deterministic tie-break on candidate id. */
+  def q25AnnCosineTopk(t: T): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), toDouble.as("vec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = emb
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * sqrt(dot("qvec", "qvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q26 — LSH-bucketed ANN: deterministic sign-bit bucket over the first
+    * 8 dimensions (a fixed random-hyperplane sketch with axis-aligned
+    * planes); candidates are searched only within the query's bucket.
+    * Same output shape as q25 so recall loss is directly inspectable. */
+  def q26AnnLshBucketed(t: T): DataFrame = {
+    val bucket = expr(
+      "aggregate(sequence(0, 7), 0, (acc, i) -> acc + CASE WHEN vec[i] > 0D THEN CAST(pow(2, i) AS INT) ELSE 0 END)")
+    val emb = t.embeddings
+      .select(col("vec_id"), toDouble.as("vec"))
+      .withColumn("bucket", bucket)
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("bucket").as("qbucket"))
+    val scored = emb
+      .join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * sqrt(dot("qvec", "qvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "bucket", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+}

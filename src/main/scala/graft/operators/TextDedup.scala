@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the documents table — the training-data-
+  * pipeline mandate (exact, MinHash+LSH banded, SimHash) plus the
+  * reference's content-hash change detection (D6,
+  * study_scraper/models.py:22-26, ingest.py:11-14).
+  *
+  * Design rules for 100 TB:
+  *  - NEVER all-pairs: candidate generation is always an equi-join on a
+  *    band/bucket key (`groupBy`-able, shuffle-partitionable); the exact
+  *    similarity check runs only on band-collision pairs.
+  *  - All hashes are engine-portable column expressions: a 60-bit integer
+  *    from the md5 hex prefix (conv base16→10). Not a cryptographic choice —
+  *    a deterministic one: DuckDB computes the identical value, so the
+  *    oracle can replay the whole LSH pipeline.
+  *  - Shingling/token ops are higher-order array functions (codegen), no
+  *    UDFs anywhere.
+  */
+object TextDedup {
+
+  /** 60-bit portable hash of a string expression, seeded. */
+  def h60(seed: Int, e: String): String =
+    s"CAST(conv(substring(md5(concat('$seed:', $e)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Distinct word-3-shingle array over a `words` array column. The CASE
+    * guard matters: sequence(0, size-3) DESCENDS when size < 3 — it does
+    * not produce an empty array. */
+  private val shingles = expr(
+    """CASE WHEN size(words) < 3 THEN array()
+      |ELSE array_distinct(transform(sequence(0, size(words) - 3),
+      |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) END""".stripMargin)
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("shingles", shingles)
+
+  /** q24 — exact dedup with a simulated re-crawl batch: every doc_id % 5 == 0
+    * arrives a second time; content-identical rows collapse onto the
+    * earliest doc_id (ReplacingMergeTree "first wins" flavor), carrying a
+    * duplicate count. */
+  def q24DocDedupExact(t: T): DataFrame = {
+    val recrawl = t.documents.filter(col("doc_id") % 5 === 0)
+    t.documents.unionByName(recrawl)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .groupBy("content_hash")
+      .agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("dup_count"),
+        max("n_chars").as("n_chars"))
+      .select("doc_id", "content_hash", "dup_count", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** q27 — MinHash + banded LSH near-duplicate pairs: 12 min-hashes over
+    * word-3-shingles, 4 bands × 3 rows; pairs colliding on any band are
+    * verified with exact Jaccard ≥ 0.8. The reference's trigram dedup
+    * (migrations/0006_title_dedup.sql:51-72) does this with pg_trgm + GIN;
+    * the banded equi-join is the Spark-scale equivalent. */
+  def q27MinhashNearDup(t: T): DataFrame = {
+    val sh = withShingles(t.documents)
+      .select(col("doc_id"), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val mhCols = (0 until 12).map(i => min(expr(h60(i, "s"))).as(s"mh$i"))
+    val minhashes = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = minhashes.select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+          col(s"mh${3 * b + 2}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q28 — 60-bit SimHash per document plus near-dup pairs found by
+    * 4×15-bit chunk banding (a pair within Hamming distance 3 of a 60-bit
+    * signature collides on ≥1 of 4 chunks — pigeonhole), verified with
+    * bit_count(xor) ≤ 3. */
+  def q28Simhash(t: T): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .withColumn("h", expr(h60(99, "w")))
+    val perBit = tok
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 59)")).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h div CAST(pow(2, bit) AS BIGINT)) % 2") === 1, 1)
+        .otherwise(-1)).as("s"))
+    val sim = perBit.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
+    val chunks = sim.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> named_struct('chunk', c, 'key', (simhash div CAST(pow(2, c * 15) AS BIGINT)) % 32768))")).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val pairs = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .filter(col("hamming") <= 3)
+    pairs
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q31 — document fingerprinting: whitespace-normalized content hash
+    * (D6 change detection) + the minimum rolling char-8-gram hash (the
+    * "winnowing" fingerprint a near-dup pre-filter would index). */
+  def q31Fingerprint(t: T): DataFrame =
+    t.documents
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("content_hash", sha2(col("norm"), 256))
+      .withColumn("min_gram_hash",
+        expr(s"""aggregate(
+          |  transform(sequence(1, greatest(length(norm) - 7, 1)),
+          |    i -> ${h60(7, "substring(norm, i, 8)")}),
+          |  CAST(9223372036854775807 AS BIGINT),
+          |  (acc, v) -> least(acc, v))""".stripMargin))
+      .select("doc_id", "content_hash", "min_gram_hash")
+      .orderBy("doc_id")
+}
