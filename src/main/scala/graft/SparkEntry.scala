@@ -46,7 +46,10 @@ object SparkEntry {
     "q26_ann_lsh"         -> ((s, d) => Similarity.q26AnnLshBucketed(T(s, d))),
     "q27_minhash_neardup" -> ((s, d) => TextDedup.q27MinhashNearDup(T(s, d))),
     "q28_simhash"         -> ((s, d) => TextDedup.q28Simhash(T(s, d))),
+    "q29_token_stats"     -> ((s, d) => TextAnalysis.q29TokenStats(T(s, d))),
+    "q30_quality_langid"  -> ((s, d) => TextAnalysis.q30QualityLangid(T(s, d))),
     "q31_fingerprint"     -> ((s, d) => TextDedup.q31Fingerprint(T(s, d))),
+    "q32_claims_german"   -> ((s, d) => TextAnalysis.q32ClaimsGerman(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -373,6 +376,69 @@ object SparkEntry {
         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
         |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_token_stats" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(max(n_words) AS INT) AS max_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  sum(n_words) * 1.0 / count(*) AS avg_words,
+        |  sum(n_chars) * 1.0 / sum(n_words) AS chars_per_word
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q30_quality_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars, n_punct,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_filter(words, w -> w IN ('the','and','of','to','in','a','is','that','for','it'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(words, w -> w IN ('el','la','de','que','y','en','un','es','se','no'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(words, w -> w IN ('le','la','de','et','un','est','pour','que','dans','ce'))) AS INT) AS s_fr
+        |  FROM d),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |         WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang,
+        |    s_en * 1.0 / n_words AS stop_ratio,
+        |    n_punct * 1.0 / n_chars AS punct_ratio
+        |  FROM s)
+        |SELECT doc_id, lang, predicted_lang, n_words, s_en, s_de, s_es, s_fr,
+        |  stop_ratio, punct_ratio,
+        |  least(n_chars / 400.0, 1.0) * 0.5 + least(stop_ratio * 3.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio < 0.05 THEN 0.2 ELSE 0.0 END) AS quality_score,
+        |  CASE WHEN least(n_chars / 400.0, 1.0) * 0.5 + least(stop_ratio * 3.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio < 0.05 THEN 0.2 ELSE 0.0 END) >= 0.75 THEN 'high'
+        |       WHEN least(n_chars / 400.0, 1.0) * 0.5 + least(stop_ratio * 3.0, 1.0) * 0.3 +
+        |    (CASE WHEN punct_ratio < 0.05 THEN 0.2 ELSE 0.0 END) >= 0.45 THEN 'medium'
+        |       ELSE 'low' END AS quality_tier
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q32_claims_german" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderkey % 150 AS pct_int,
+        |    o_custkey % 10 AS pct_dec, 1000 + o_orderkey % 9000 AS n_val
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |claims AS (
+        |  SELECT o_orderkey AS poll_id, 0 AS claim_idx,
+        |    pct_int + pct_dec / 10.0 AS claim_value,
+        |    CAST(n_val AS INT) AS sample_n
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, (pct_int % 50) + pct_dec / 10.0, CAST(n_val AS INT)
+        |  FROM base WHERE o_orderkey % 3 = 0)
+        |SELECT poll_id, claim_idx, claim_value, sample_n
+        |FROM claims WHERE claim_value <= 120.0
+        |ORDER BY poll_id, claim_idx""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table — the reference's §2.11
+  * family (claims regex T1, topic/quality heuristics T2/T3/T11, token + text
+  * normalisation T13) plus the training-data-pipeline mandate: language-ID,
+  * quality scoring, token counting.
+  *
+  * Everything is codegen'd column expressions (regexp_count, higher-order
+  * array functions) — no UDFs, so the whole stage stays inside
+  * WholeStageCodegen and scales linearly with input splits; there is no
+  * shuffle before the final aggregate/sort.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "and", "of", "to", "in", "a", "is", "that", "for", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+  private val stopFr = Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "ce")
+
+  private def stopHits(listName: String, words: Seq[String]) =
+    expr(s"size(filter(words, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))")
+      .as(listName)
+
+  /** q29 — per-language token statistics: whitespace tokens, a BPE-ish
+    * regex token count (letter runs / single digits / single symbols —
+    * the shape a byte-pair pre-tokenizer produces), char totals. */
+  def q29TokenStats(t: T): DataFrame =
+    t.documents
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_bpe",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9 ]")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        max("n_words").as("max_words"),
+        sum("n_bpe").as("total_bpe"),
+        sum("n_chars").as("total_chars"),
+        (sum("n_words") * lit(1.0) / count(lit(1))).as("avg_words"),
+        (sum("n_chars") * lit(1.0) / sum("n_words")).as("chars_per_word"))
+      .orderBy("lang")
+
+  /** q30 — stopword-overlap language ID + composite quality score
+    * (length / punctuation / stopword-ratio components — the reference's
+    * auto-review heuristics, study_scraper/auto_review.py:41-66, recast
+    * for corpus filtering). Deterministic tie-break order en>de>es>fr. */
+  def q30QualityLangid(t: T): DataFrame =
+    t.documents
+      .withColumn("words", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("n_words", size(col("words")))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("n_words"),
+        stopHits("s_en", stopEn), stopHits("s_de", stopDe),
+        stopHits("s_es", stopEs), stopHits("s_fr", stopFr),
+        regexp_count(lower(col("text")), lit("[^a-z0-9 ]")).as("n_punct"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .withColumn("stop_ratio", col("s_en") * lit(1.0) / col("n_words"))
+      .withColumn("punct_ratio", col("n_punct") * lit(1.0) / col("n_chars"))
+      .withColumn("quality_score",
+        least(col("n_chars") / lit(400.0), lit(1.0)) * lit(0.5) +
+          least(col("stop_ratio") * lit(3.0), lit(1.0)) * lit(0.3) +
+          when(col("punct_ratio") < 0.05, lit(0.2)).otherwise(lit(0.0)))
+      .withColumn("quality_tier",
+        when(col("quality_score") >= 0.75, "high")
+          .when(col("quality_score") >= 0.45, "medium")
+          .otherwise("low"))
+      .select("doc_id", "lang", "predicted_lang", "n_words",
+        "s_en", "s_de", "s_es", "s_fr", "stop_ratio", "punct_ratio",
+        "quality_score", "quality_tier")
+      .orderBy("doc_id")
+
+  /** q32 — claim extraction with German numerics (T1,
+    * study_scraper/claims.py:57-251): builds claim sentences from the
+    * orders table (integer parts only, so the oracle recomputes expected
+    * values independently of the regex path), then extracts percent values
+    * (`62,5 %` / `62,5 Prozent` German decimal comma) and sample sizes with
+    * German thousands dots (`n = 6.063` → 6063), with the >120% suppression
+    * rule (claims.py:173-176). Docs with no number yield no claims. */
+  def q32ClaimsGerman(t: T): DataFrame = {
+    val built = t.orders
+      .withColumn("pct_int", col("o_orderkey") % 150)
+      .withColumn("pct_dec", col("o_custkey") % 10)
+      .withColumn("n_val", lit(1000) + col("o_orderkey") % 9000)
+      .withColumn("n_fmt",
+        concat(expr("n_val div 1000"), lit("."),
+          lpad((col("n_val") % 1000).cast("string"), 3, "0")))
+      .withColumn("unit_word",
+        when(col("o_orderkey") % 2 === 0, " %").otherwise(" Prozent"))
+      .withColumn("sentence",
+        when(col("o_orderkey") % 7 === 0, lit("Studie ohne Zahlen."))
+          .otherwise(concat(
+            lit("Studie S"), col("o_orderkey"), lit(": Zustimmung bei "),
+            col("pct_int"), lit(","), col("pct_dec"), col("unit_word"),
+            lit(" (n = "), col("n_fmt"), lit(")."),
+            when(col("o_orderkey") % 3 === 0,
+              concat(lit(" Ablehnung bei "), col("pct_int") % 50, lit(","),
+                col("pct_dec"), col("unit_word"), lit(".")))
+              .otherwise(lit("")))))
+    // Doubled backslashes: this pattern is embedded in a SQL string literal
+    // (expr), whose parser consumes one escaping level before the regex.
+    val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
+    built
+      .withColumn("ints", expr(s"regexp_extract_all(sentence, '$pctRe', 1)"))
+      .withColumn("decs", expr(s"regexp_extract_all(sentence, '$pctRe', 2)"))
+      .withColumn("n_raw", regexp_extract(col("sentence"), "n\\s*=\\s*([0-9.]+)", 1))
+      .select(
+        col("o_orderkey").as("poll_id"),
+        posexplode(expr(
+          "zip_with(ints, decs, (a, b) -> CAST(a AS DOUBLE) + CAST(b AS DOUBLE) / 10)"))
+          .as(Seq("claim_idx", "claim_value")),
+        when(col("n_raw") =!= "",
+          regexp_replace(col("n_raw"), "\\.", "").cast("int")).as("sample_n"))
+      .filter(col("claim_value") <= 120.0) // >120% suppression
+      .orderBy("poll_id", "claim_idx")
+  }
+}
