@@ -50,6 +50,10 @@ object SparkEntry {
     "q30_quality_langid"  -> ((s, d) => TextAnalysis.q30QualityLangid(T(s, d))),
     "q31_fingerprint"     -> ((s, d) => TextDedup.q31Fingerprint(T(s, d))),
     "q32_claims_german"   -> ((s, d) => TextAnalysis.q32ClaimsGerman(T(s, d))),
+    "q33_sticky_merge"    -> ((s, d) => Merge.q33StickyMerge(T(s, d))),
+    "q34_title_dedup"     -> ((s, d) => Merge.q34TitleTrigramDedup(T(s, d))),
+    "q35_findings_dedup"  -> ((s, d) => Merge.q35FindingsDedup(T(s, d))),
+    "q36_delete_insert"   -> ((s, d) => Merge.q36DeleteInsertUpsert(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -439,6 +443,78 @@ object SparkEntry {
         |SELECT poll_id, claim_idx, claim_value, sample_n
         |FROM claims WHERE claim_value <= 120.0
         |ORDER BY poll_id, claim_idx""".stripMargin,
+    "q33_sticky_merge" ->
+      """WITH old AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'kept'
+        |         WHEN doc_id % 4 = 2 THEN 'rejected'
+        |         ELSE 'pending' END AS old_status,
+        |    [source] AS old_topics,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'note-' || doc_id END AS old_note,
+        |    n_chars AS old_size
+        |  FROM documents),
+        |inc AS (
+        |  SELECT doc_id AS id, 'pending' AS new_status,
+        |    ['t' || (doc_id % 5)] AS new_topics,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'auto-note' END AS new_note,
+        |    n_chars + 7 AS new_size
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'pending', ['new'], NULL, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT coalesce(o.id, i.id) AS id,
+        |  CASE WHEN old_status = 'rejected' THEN 'rejected'
+        |       WHEN old_status = 'kept' THEN 'kept'
+        |       ELSE coalesce(new_status, old_status) END AS status,
+        |  array_to_string(list_sort(list_distinct(list_cat(
+        |    coalesce(old_topics, []), coalesce(new_topics, [])))), '|') AS topics,
+        |  coalesce(old_note, new_note) AS review_note,
+        |  coalesce(new_size, old_size) AS payload_size,
+        |  (old_status IS NOT NULL AND new_status IS NOT NULL) AS was_merged
+        |FROM old o FULL OUTER JOIN inc i ON o.id = i.id
+        |ORDER BY id""".stripMargin,
+    "q34_title_dedup" ->
+      """WITH grams AS (
+        |  SELECT p_partkey, p_brand,
+        |    list_distinct(list_transform(range(1, length(lower(p_name)) - 1),
+        |      i -> substr(lower(p_name), CAST(i AS INT), 3))) AS grams
+        |  FROM part WHERE length(p_name) >= 3),
+        |pairs AS (
+        |  SELECT b.p_partkey AS key_b, a.p_partkey AS key_a,
+        |    len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |      len(list_distinct(list_cat(a.grams, b.grams))) AS sim
+        |  FROM grams a JOIN grams b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |flt AS (SELECT * FROM pairs WHERE sim >= 0.5),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY key_b
+        |  ORDER BY sim DESC, key_a ASC) AS rn FROM flt)
+        |SELECT key_b AS p_partkey, key_a AS dup_of, sim
+        |FROM best WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q35_findings_dedup" ->
+      """WITH keyed AS (
+        |  SELECT *, CAST(round(value, 0) AS BIGINT) AS val_key FROM events),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type, val_key
+        |      ORDER BY value DESC, ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type, val_key) AS dup_count,
+        |    min(event_id) OVER (PARTITION BY user_id, event_type, val_key) AS first_seen
+        |  FROM keyed)
+        |SELECT first_seen, user_id, event_type, event_id AS kept_event_id,
+        |  value AS kept_value, dup_count
+        |FROM ranked WHERE rn = 1 ORDER BY first_seen""".stripMargin,
+    "q36_delete_insert" ->
+      """WITH incoming AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.25 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |survivors AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM incoming)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  count(DISTINCT o_orderkey) AS n_keys,
+        |  round(sum(o_totalprice), 2) AS volume
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,
