@@ -54,6 +54,11 @@ object SparkEntry {
     "q34_title_dedup"     -> ((s, d) => Merge.q34TitleTrigramDedup(T(s, d))),
     "q35_findings_dedup"  -> ((s, d) => Merge.q35FindingsDedup(T(s, d))),
     "q36_delete_insert"   -> ((s, d) => Merge.q36DeleteInsertUpsert(T(s, d))),
+    "q37_jsonstat_decode" -> ((s, d) => Cube.q37JsonstatDecode(T(s, d))),
+    "q38_poll_of_polls"   -> ((s, d) => Cube.q38PollOfPolls(T(s, d))),
+    "q39_snapshot_diff"   -> ((s, d) => Views.q39SnapshotDiff(T(s, d))),
+    "q40_unified_view"    -> ((s, d) => Views.q40UnifiedView(T(s, d))),
+    "q41_catalog_argmax"  -> ((s, d) => Views.q41CatalogArgmax(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -515,6 +520,94 @@ object SparkEntry {
         |  count(DISTINCT o_orderkey) AS n_keys,
         |  round(sum(o_totalprice), 2) AS volume
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_jsonstat_decode" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  round(sum(l_quantity), 2) AS val
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q38_poll_of_polls" ->
+      """WITH stg AS (
+        |  SELECT l_orderkey AS poll_id, o_orderdate AS poll_date,
+        |    o_totalprice AS surveyed, 'p' || l_linenumber AS party,
+        |    sum(l_quantity) AS pct
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT max(poll_date) AS today FROM stg),
+        |weighted AS (
+        |  SELECT *,
+        |    pow(0.5, (date_diff('day', poll_date, today) / 365.25) / 3.0) *
+        |      least(3.0, greatest(0.3, sqrt(surveyed / 1000.0))) AS w
+        |  FROM stg CROSS JOIN mx)
+        |SELECT party,
+        |  round(sum(w * pct) / sum(w), 4) AS weighted_pct,
+        |  min(pct) AS min_pct, max(pct) AS max_pct,
+        |  count(*) AS n_findings,
+        |  CAST(min(year(poll_date)) AS INT) AS min_year,
+        |  CAST(max(year(poll_date)) AS INT) AS max_year,
+        |  round(sum(surveyed), 2) AS total_sample
+        |FROM weighted GROUP BY party ORDER BY party""".stripMargin,
+    "q39_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT event_type, user_id % 10 AS cohort,
+        |    round(sum(value), 2) / count(*) AS prev_value
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, user_id % 10 AS cohort,
+        |    round(sum(value), 2) / count(*) AS cur_value
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2)
+        |SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |  coalesce(a.cohort, b.cohort) AS cohort, prev_value, cur_value,
+        |  round(cur_value - prev_value, 4) AS delta,
+        |  CASE WHEN prev_value IS NULL THEN 'new'
+        |       WHEN cur_value IS NULL THEN 'gone'
+        |       WHEN abs(cur_value - prev_value) >= 5.0 THEN 'shift'
+        |       ELSE 'stable' END AS status
+        |FROM a FULL OUTER JOIN b
+        |  ON a.event_type = b.event_type AND a.cohort = b.cohort
+        |ORDER BY event_type, cohort""".stripMargin,
+    "q40_unified_view" ->
+      """WITH unified AS (
+        |  SELECT 'customer' AS source, CAST(c_custkey AS BIGINT) AS entity_id,
+        |    c_name AS name, CAST(c_nationkey AS INT) AS geo_key,
+        |    CAST(NULL AS INT) AS size_attr, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(s_suppkey AS BIGINT), s_name,
+        |    CAST(s_nationkey AS INT), NULL, s_acctbal FROM supplier
+        |  UNION ALL
+        |  SELECT 'part', CAST(p_partkey AS BIGINT), p_name, NULL,
+        |    CAST(p_size AS INT), p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT 'nation', CAST(n_nationkey AS BIGINT), n_name,
+        |    CAST(n_regionkey AS INT), NULL, NULL FROM nation)
+        |SELECT source, entity_id, name, geo_key, size_attr, acctbal,
+        |  CASE WHEN source = 'nation' THEN 'geo'
+        |       WHEN acctbal IS NULL THEN 'item'
+        |       WHEN acctbal < 0 THEN 'account_negative'
+        |       ELSE 'account' END AS entity_class,
+        |  coalesce(nullif(name, ''), '(unnamed)') AS display_name,
+        |  CAST(length(name) AS INT) AS name_len,
+        |  geo_key IS NOT NULL AS has_geo
+        |FROM unified ORDER BY source, entity_id""".stripMargin,
+    "q41_catalog_argmax" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |    max(ts) OVER (PARTITION BY user_id, event_type) AS last_ts
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type, event_id AS last_event_id,
+        |    value AS last_value, props AS last_props, last_ts
+        |  FROM ranked WHERE rn = 1),
+        |totals AS (
+        |  SELECT user_id, event_type, count(*) AS n_events,
+        |    round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_type, last_event_id, last_value, last_props,
+        |  last_ts, n_events, total_value
+        |FROM latest l LEFT JOIN totals t
+        |  ON l.user_id = t.user_id AND l.event_type = t.event_type
+        |ORDER BY l.user_id, l.event_type""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

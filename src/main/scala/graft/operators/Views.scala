@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Heterogeneous-source views and monitoring operators:
+  *  - U1 unified metadata view (sql/create_datasets_unified_view.sql:4-75):
+  *    four differently-shaped sources projected to one schema + unionByName,
+  *    with multiIf/coalesce derived columns.
+  *  - J2/A6 catalog query (sql/select_topic_dataset_catalog.sql:9-22):
+  *    argMax-latest row per key (9 columns at once via one max_by struct)
+  *    LEFT JOINed to an aggregate on a two-column key.
+  *  - M1/M2 snapshot diff (study_scraper/digest.py:58-139): two point-in-
+  *    time aggregates full-outer joined; shifts ≥ threshold, new and gone
+  *    keys classified.
+  */
+object Views {
+
+  /** q40 — unified entity view over customer/supplier/part/nation. */
+  def q40UnifiedView(t: T): DataFrame = {
+    def shape(src: String, id: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column,
+              geo: org.apache.spark.sql.Column, sz: org.apache.spark.sql.Column,
+              bal: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+      df.select(lit(src).as("source"), id.cast("long").as("entity_id"),
+        name.as("name"), geo.cast("int").as("geo_key"),
+        sz.cast("int").as("size_attr"), bal.cast("double").as("acctbal"))
+    val unified =
+      shape("customer", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        lit(null), col("c_acctbal"))(t.customer)
+        .unionByName(shape("supplier", col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), lit(null), col("s_acctbal"))(t.supplier))
+        .unionByName(shape("part", col("p_partkey"), col("p_name"),
+          lit(null), col("p_size"), col("p_retailprice"))(t.part))
+        .unionByName(shape("nation", col("n_nationkey"), col("n_name"),
+          col("n_regionkey"), lit(null), lit(null))(t.nation))
+    unified
+      .withColumn("entity_class", // multiIf (P5)
+        when(col("source") === "nation", "geo")
+          .when(col("acctbal").isNull, "item")
+          .when(col("acctbal") < 0, "account_negative")
+          .otherwise("account"))
+      .withColumn("display_name", // coalesce/nullif (P6)
+        coalesce(nullif(col("name"), lit("")), lit("(unnamed)")))
+      .withColumn("name_len", length(col("name")))
+      .withColumn("has_geo", col("geo_key").isNotNull)
+      .orderBy("source", "entity_id")
+  }
+
+  /** q41 — catalog latest-row query: one max_by struct carries every
+    * payload column at once (the argMax-of-9-columns pattern), joined on a
+    * two-column key to per-key totals. */
+  def q41CatalogArgmax(t: T): DataFrame = {
+    val latest = t.events
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(struct(col("event_id"), col("value"), col("props")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        max("ts").as("last_ts"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("last.props").as("last_props"),
+        col("last_ts"))
+    val totals = t.events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    latest
+      .join(totals, Seq("user_id", "event_type"), "left")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q39 — snapshot diff: first-half vs second-half aggregates per
+    * (event_type, user bucket), classified new/gone/shift/stable with a
+    * 5-point shift threshold (digest.py:97-139). */
+  def q39SnapshotDiff(t: T): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    def snap(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"))
+      .agg((round(sum("value"), 2) / count(lit(1))).as("avg_value"))
+    val a = snap(t.events.filter(col("ts") < mid))
+      .withColumnRenamed("avg_value", "prev_value")
+    val b = snap(t.events.filter(col("ts") >= mid))
+      .withColumnRenamed("avg_value", "cur_value")
+    a.join(b, Seq("event_type", "cohort"), "full_outer")
+      .withColumn("status",
+        when(col("prev_value").isNull, "new")
+          .when(col("cur_value").isNull, "gone")
+          .when(abs(col("cur_value") - col("prev_value")) >= 5.0, "shift")
+          .otherwise("stable"))
+      .withColumn("delta", round(col("cur_value") - col("prev_value"), 4))
+      .select("event_type", "cohort", "prev_value", "cur_value", "delta", "status")
+      .orderBy("event_type", "cohort")
+  }
+}
