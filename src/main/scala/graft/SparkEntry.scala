@@ -59,6 +59,10 @@ object SparkEntry {
     "q39_snapshot_diff"   -> ((s, d) => Views.q39SnapshotDiff(T(s, d))),
     "q40_unified_view"    -> ((s, d) => Views.q40UnifiedView(T(s, d))),
     "q41_catalog_argmax"  -> ((s, d) => Views.q41CatalogArgmax(T(s, d))),
+    "q42_hash_family"     -> ((s, d) => Scalars.q42HashFamily(T(s, d))),
+    "q43_date_besteffort" -> ((s, d) => Scalars.q43DateBestEffort(T(s, d))),
+    "q44_array_family"    -> ((s, d) => Scalars.q44ArrayFamily(T(s, d))),
+    "q45_search_pipe"     -> ((s, d) => Scalars.q45SearchPipeAlts(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -608,6 +612,51 @@ object SparkEntry {
         |FROM latest l LEFT JOIN totals t
         |  ON l.user_id = t.user_id AND l.event_type = t.event_type
         |ORDER BY l.user_id, l.event_type""".stripMargin,
+    "q42_hash_family" ->
+      """SELECT p_partkey, sha256(p_name) AS sha_name,
+        |  md5(concat_ws('|', p_brand, p_type)) AS md5_meta,
+        |  ('0x' || substr(md5(concat(0, ':', p_name)), 1, 15))::BIGINT % 16
+        |    AS shard_bucket
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q43_date_besteffort" ->
+      """WITH built AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%d.%m.%Y')
+        |         ELSE strftime(o_orderdate, '%m/%d/%Y') END AS raw_date
+        |  FROM orders),
+        |parsed AS (
+        |  SELECT o_orderkey, raw_date,
+        |    coalesce(try_strptime(raw_date, '%Y-%m-%d'),
+        |             try_strptime(raw_date, '%d.%m.%Y'),
+        |             try_strptime(raw_date, '%m/%d/%Y')) AS parsed
+        |  FROM built)
+        |SELECT o_orderkey, raw_date, parsed,
+        |  strftime(parsed, '%Y%m') AS part_month,
+        |  CAST(quarter(parsed) AS INT) AS q,
+        |  date_diff('day', CAST(parsed AS DATE), DATE '2002-01-01') AS days_to_ref
+        |FROM parsed ORDER BY o_orderkey""".stripMargin,
+    "q44_array_family" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(*) AS n_orders,
+        |  CAST(len(list_filter(list(o_totalprice), x -> x > 200000)) AS INT) AS n_big,
+        |  list_contains(list(DISTINCT o_orderstatus), 'F') AS has_f,
+        |  array_to_string(list_sort(list(o_totalprice), 'DESC')[1:3], ',') AS top3
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_search_pipe" ->
+      """WITH hits AS (
+        |  SELECT p_partkey, p_name, 0 AS alt_idx, 'red' AS alt FROM part
+        |  WHERE contains(lower(p_name), 'red')
+        |  UNION ALL
+        |  SELECT p_partkey, p_name, 1, 'blue' FROM part
+        |  WHERE contains(lower(p_name), 'blue')
+        |  UNION ALL
+        |  SELECT p_partkey, p_name, 2, 'small' FROM part
+        |  WHERE contains(lower(p_name), 'small'))
+        |SELECT p_partkey, p_name, min(alt_idx) AS first_alt, count(*) AS n_alts,
+        |  array_to_string(list_sort(list(DISTINCT alt)), ',') AS alts_matched
+        |FROM hits GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,
