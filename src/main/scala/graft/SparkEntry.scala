@@ -63,6 +63,10 @@ object SparkEntry {
     "q43_date_besteffort" -> ((s, d) => Scalars.q43DateBestEffort(T(s, d))),
     "q44_array_family"    -> ((s, d) => Scalars.q44ArrayFamily(T(s, d))),
     "q45_search_pipe"     -> ((s, d) => Scalars.q45SearchPipeAlts(T(s, d))),
+    // q46/q47 have no oracleSql entry: greedy single-linkage clustering is
+    // sequential by definition (not one-statement SQL) → rows-only check.
+    "q46_question_clusters" -> ((s, d) => Clustering.q46QuestionClusters(T(s, d))),
+    "q47_semantic_filter"   -> ((s, d) => Clustering.q47SemanticFilter(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic question clustering — T4–T8 (study_scraper/clustering.py).
+  *
+  * Ported semantics (not code): weighted-token cosine over folded tokens
+  * with a bilingual concept map (substring-matched, weight 2.0,
+  * clustering.py:42-122), greedy single-linkage in input order at
+  * threshold 0.72 (clustering.py:224-255), cluster labels = most frequent
+  * phrasing / shortest on ties (clustering.py:274-279), and the looser 0.35
+  * ranked-recall semantic filter with pipe alternatives
+  * (clustering.py:188-221).
+  *
+  * Scale design: the greedy linkage is INHERENTLY sequential (a question
+  * joins the first cluster with any member ≥ threshold, so assignment i
+  * depends on all assignments < i). The reference bounds the corpus to a
+  * few hundred distinct phrasings (storage/postgres.py:961-966) and so do
+  * we: distinct questions are collected to the driver, clustered in O(n²)
+  * worst case, and the (question → cluster) map broadcast-joins back onto
+  * the full row set — rows themselves never leave the cluster. At 100 TB
+  * the row side scales freely; if distinct PHRASINGS ever exploded, the
+  * faithful upgrade is LSH candidate pairs + connected components
+  * (iterated self-joins), which changes linkage semantics from
+  * "first cluster wins" to true transitive closure — documented divergence.
+  */
+object Clustering {
+
+  val ConceptWeight = 2.0
+  val ClusterThreshold = 0.72
+  val SearchThreshold = 0.35
+
+  private val stopwords: Set[String] =
+    """the a an of to in for on and or should be is are was were do does
+      |germany german germans its it this that with about more most
+      |der die das den dem des ein eine einen einem einer und oder soll
+      |sollte sollten ist sind war waren fuer mit ueber mehr sich
+      |machen werden wieder wollen will""".stripMargin.split("\\s+").toSet
+
+  /** Bilingual concept map; keys match as SUBSTRINGS of tokens so German
+    * compounds decompose ("klimaschutzgesetz" → climate, law). */
+  private val concepts: Seq[(String, Seq[String])] = Seq(
+    "atomkraft" -> Seq("nuclear"), "atomenergie" -> Seq("nuclear"),
+    "atomausstieg" -> Seq("nuclear"), "kernenergie" -> Seq("nuclear"),
+    "kernkraft" -> Seq("nuclear"), "nuclear" -> Seq("nuclear"),
+    "klima" -> Seq("climate"), "climate" -> Seq("climate"),
+    "tempolimit" -> Seq("speedlimit"), "speed" -> Seq("speedlimit"),
+    "migration" -> Seq("migration"), "einwanderung" -> Seq("migration"),
+    "zuwanderung" -> Seq("migration"), "immigration" -> Seq("migration"),
+    "asyl" -> Seq("asylum"), "asylum" -> Seq("asylum"),
+    "rente" -> Seq("pension"), "pension" -> Seq("pension"),
+    "steuer" -> Seq("tax"), "tax" -> Seq("tax"),
+    "miete" -> Seq("housing"), "wohnung" -> Seq("housing"),
+    "housing" -> Seq("housing"), "retirement" -> Seq("pension"),
+    "verteidigung" -> Seq("defense"), "defense" -> Seq("defense"),
+    "defence" -> Seq("defense"), "bundeswehr" -> Seq("defense"),
+    "military" -> Seq("military"),
+    "wehrpflicht" -> Seq("conscription"), "wehrdienst" -> Seq("conscription"),
+    "conscription" -> Seq("conscription"),
+    "gesetz" -> Seq("law"), "law" -> Seq("law"),
+    "kraftwerk" -> Seq("plant"), "plant" -> Seq("plant"),
+    "verbot" -> Seq("ban"), "ban" -> Seq("ban"),
+    "ausstieg" -> Seq("phaseout"), "phase" -> Seq("phaseout"),
+    "abschaff" -> Seq("abolish"), "abolish" -> Seq("abolish"),
+    "rückgängig" -> Seq("return"), "ruckgangig" -> Seq("return"),
+    "return" -> Seq("return"),
+    "energie" -> Seq("energy"), "energy" -> Seq("energy"),
+    "kohle" -> Seq("coal"), "coal" -> Seq("coal"),
+    "erneuerbar" -> Seq("renewable"), "renewable" -> Seq("renewable"))
+
+  /** Lowercase + fold umlauts/accents ('rückgängig' == 'ruckgangig'). */
+  def fold(text: String): String = {
+    val ss = text.toLowerCase.replace("ß", "ss")
+    val norm = java.text.Normalizer.normalize(ss, java.text.Normalizer.Form.NFKD)
+    norm.filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
+  }
+
+  def tokens(question: String): Seq[String] =
+    fold(question).split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** T4 — sparse weighted-token vector with concept folding. */
+  def questionVector(question: String): Map[String, Double] = {
+    var vec = Map.empty[String, Double]
+    for (raw <- tokens(question) if !stopwords.contains(raw) && raw.length >= 2) {
+      val tok =
+        if (raw.length > 3 && raw.endsWith("s") && !raw.endsWith("ss")) raw.dropRight(1)
+        else raw
+      val hits = concepts.collect { case (k, cs) if tok.contains(k) => cs }.flatten
+      if (hits.nonEmpty) hits.foreach(c => vec = vec.updated(c, vec.getOrElse(c, 0.0) + ConceptWeight))
+      else vec = vec.updated(tok, vec.getOrElse(tok, 0.0) + 1.0)
+    }
+    vec
+  }
+
+  /** T5 — sparse cosine. */
+  def cosineSparse(a: Map[String, Double], b: Map[String, Double]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val dot = a.iterator.map { case (t, w) => w * b.getOrElse(t, 0.0) }.sum
+    if (dot == 0.0) return 0.0
+    val na = math.sqrt(a.valuesIterator.map(w => w * w).sum)
+    val nb = math.sqrt(b.valuesIterator.map(w => w * w).sum)
+    dot / (na * nb)
+  }
+
+  def questionSimilarity(a: String, b: String): Double =
+    cosineSparse(questionVector(a), questionVector(b))
+
+  /** T6 — greedy single-linkage cluster ids (0-based, first-appearance
+    * order): a question joins the FIRST cluster containing ANY member at
+    * or above the threshold, else opens a new one. Deterministic for a
+    * fixed input order. */
+  def clusterQuestions(questions: Seq[String],
+                       threshold: Double = ClusterThreshold): Seq[Int] = {
+    val vectors = questions.map(questionVector)
+    val members = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
+    val assignments = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- questions.indices) {
+      members.indexWhere(_.exists(j => cosineSparse(vectors(i), vectors(j)) >= threshold)) match {
+        case -1 =>
+          assignments += members.size
+          members += scala.collection.mutable.ArrayBuffer(i)
+        case cid =>
+          assignments += cid
+          members(cid) += i
+      }
+    }
+    assignments.toSeq
+  }
+
+  /** T7 — cluster label: most frequent phrasing, shortest on ties. */
+  def clusterLabels(questions: Seq[String], ids: Seq[Int]): Map[Int, String] =
+    ids.zip(questions).groupBy(_._1).map { case (cid, qs) =>
+      val counts = qs.map(_._2).groupBy(identity).view.mapValues(_.size)
+      cid -> counts.minBy { case (q, n) => (-n, q.length, q) }._1
+    }
+
+  /** T8 — ranked-recall semantic filter: pipe-separated alternatives,
+    * a row scores by its BEST alternative, threshold 0.35, best-first
+    * with input order as tie-break. */
+  def semanticFilter(query: String, rows: Seq[String],
+                     threshold: Double = SearchThreshold): Seq[(String, Double)] = {
+    val alternatives = query.split("\\|").map(_.trim).filter(_.nonEmpty)
+    if (alternatives.isEmpty) return Seq.empty
+    val qvs = alternatives.map(questionVector)
+    rows.zipWithIndex
+      .map { case (r, i) => (r, qvs.map(qv => cosineSparse(qv, questionVector(r))).max, i) }
+      .filter(_._2 >= threshold)
+      .sortBy { case (_, sim, i) => (-sim, i) }
+      .map { case (r, sim, _) => (r, sim) }
+  }
+
+  /** DataFrame wrapper: cluster the DISTINCT values of `questionCol`
+    * (ordered by first appearance via `orderCol`) on the driver, then
+    * broadcast-join ids + labels back onto every row. */
+  def clusterAttributions(spark: SparkSession, df: DataFrame,
+                          questionCol: String, orderCol: String): DataFrame = {
+    import spark.implicits._
+    val distinctQs = df
+      .groupBy(questionCol).agg(min(orderCol).as("first_seen"))
+      .orderBy("first_seen")
+      .select(questionCol)
+      .as[String].collect().toSeq
+    val ids = clusterQuestions(distinctQs)
+    val labels = clusterLabels(distinctQs, ids)
+    val mapping = distinctQs.zip(ids)
+      .map { case (q, cid) => (q, cid, labels(cid)) }
+      .toDF(questionCol, "cluster_id", "cluster_label")
+    df.join(broadcast(mapping), Seq(questionCol))
+  }
+
+  /** q46 — cluster attribution-style phrasings (first six words of each
+    * document) and return per-row cluster assignments. Not expressible in
+    * one SQL statement (sequential greedy linkage) → rows-only check. */
+  def q46QuestionClusters(t: T): DataFrame = {
+    val qs = t.documents
+      .withColumn("question",
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " "))
+      .select(col("doc_id"), col("question"))
+    clusterAttributions(t.spark, qs, "question", "doc_id")
+      .select("doc_id", "question", "cluster_id", "cluster_label")
+      .orderBy("doc_id")
+  }
+
+  /** q47 — semantic filter over the same phrasings for a pipe-alternative
+    * query; scored by best alternative, ranked, thresholded. The scoring
+    * runs distributed (scores computed per distinct question on the driver
+    * are broadcast back, same shape as clusterAttributions). */
+  def q47SemanticFilter(t: T): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val qs = t.documents
+      .withColumn("question",
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " "))
+      .select(col("doc_id"), col("question"))
+    val distinctQs = qs.select("question").distinct().as[String].collect().toSeq
+    val scored = semanticFilter("table scan|hash join", distinctQs)
+      .map { case (q, sim) => (q, sim) }.toDF("question", "sim")
+    qs.join(broadcast(scored), Seq("question"))
+      .select(col("doc_id"), col("question"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+  }
+}
