@@ -33,7 +33,9 @@ object Cube {
       .filter(col("parsed").isNotNull && col("parsed.size").isNotNull)
       .select(col("parsed.size").as("size"),
         explode(map_entries(col("parsed.value"))).as("cell"))
-      .withColumn("idx", col("cell.key").cast("int"))
+      // try_cast, not cast: ANSI mode (Spark 4 default) errors on a
+      // non-numeric linear key instead of skipping the cell
+      .withColumn("idx", expr("try_cast(cell.key AS INT)"))
       .filter(col("idx").isNotNull)
       .withColumn("val", col("cell.value"))
       // stride_i = product of the sizes to the right of dimension i;

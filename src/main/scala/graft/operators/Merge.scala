@@ -60,11 +60,16 @@ object Merge {
     * policies. Topics serialize as a sorted pipe-join (array outputs don't
     * survive the comparison layer; the reference exports lists the same
     * way, study_scraper/export.py:45-86). */
-  def q33StickyMerge(t: T): DataFrame = {
-    val old = existingStudies(t).select(
+  def q33StickyMerge(t: T): DataFrame =
+    stickyMerge(existingStudies(t), incomingStudies(t)).orderBy("id")
+
+  /** The reusable sticky merge: both inputs shaped
+    * (id, status, topics, review_note, payload_size). */
+  def stickyMerge(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val old = existing.select(
       col("id"), col("status").as("old_status"), col("topics").as("old_topics"),
       col("review_note").as("old_note"), col("payload_size").as("old_size"))
-    val inc = incomingStudies(t).select(
+    val inc = incoming.select(
       col("id"), col("status").as("new_status"), col("topics").as("new_topics"),
       col("review_note").as("new_note"), col("payload_size").as("new_size"))
     old.join(inc, Seq("id"), "full_outer")
@@ -81,7 +86,6 @@ object Merge {
         coalesce(col("new_size"), col("old_size")).as("payload_size"),
         (col("old_status").isNotNull && col("new_status").isNotNull)
           .as("was_merged"))
-      .orderBy("id")
   }
 
   /** q34 — trigram title dedup: per-brand blocking, char-3-gram Jaccard,

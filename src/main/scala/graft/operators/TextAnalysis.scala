@@ -105,21 +105,30 @@ object TextAnalysis {
               concat(lit(" Ablehnung bei "), col("pct_int") % 50, lit(","),
                 col("pct_dec"), col("unit_word"), lit(".")))
               .otherwise(lit("")))))
-    // Doubled backslashes: this pattern is embedded in a SQL string literal
+    extractClaims(built.select(col("o_orderkey").as("poll_id"), col("sentence")))
+      .orderBy("poll_id", "claim_idx")
+  }
+
+  /** The reusable claim extractor (T1): input (poll_id, sentence) → one row
+    * per extracted percent claim with its sample size. German decimal
+    * commas (`62,5` → 62.5), thousands dots in n (`6.063` → 6063),
+    * `%`/`Prozent` unit alternation, >120 suppression, claim_idx in
+    * extraction order (suppressed claims keep their gap). */
+  def extractClaims(df: DataFrame): DataFrame = {
+    // Doubled backslashes: the pattern is embedded in a SQL string literal
     // (expr), whose parser consumes one escaping level before the regex.
     val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
-    built
+    df
       .withColumn("ints", expr(s"regexp_extract_all(sentence, '$pctRe', 1)"))
       .withColumn("decs", expr(s"regexp_extract_all(sentence, '$pctRe', 2)"))
       .withColumn("n_raw", regexp_extract(col("sentence"), "n\\s*=\\s*([0-9.]+)", 1))
       .select(
-        col("o_orderkey").as("poll_id"),
+        col("poll_id"),
         posexplode(expr(
           "zip_with(ints, decs, (a, b) -> CAST(a AS DOUBLE) + CAST(b AS DOUBLE) / 10)"))
           .as(Seq("claim_idx", "claim_value")),
         when(col("n_raw") =!= "",
           regexp_replace(col("n_raw"), "\\.", "").cast("int")).as("sample_n"))
       .filter(col("claim_value") <= 120.0) // >120% suppression
-      .orderBy("poll_id", "claim_idx")
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.Tables.T
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the dedup/similarity operators over the shipped
+  * sf0.001 tables (real near-duplicates planted by the data generator). */
+class DedupInvariantSpec extends SparkSpec {
+
+  private lazy val t = T(spark, "/root/testdata/sf0.001")
+
+  test("exact dedup: re-crawled ids count 2, others 1; ids preserved") {
+    val rows = TextDedup.q24DocDedupExact(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, cnt) = (r.getLong(0), r.getLong(2))
+      assert(if (id % 5 == 0) cnt == 2 else cnt == 1, s"doc $id count $cnt")
+    }
+  }
+
+  test("minhash LSH finds pairs and every pair verifies at jaccard >= 0.8") {
+    val rows = TextDedup.q27MinhashNearDup(t).collect()
+    assert(rows.nonEmpty, "generator plants near-dups; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("simhash pairs are within the claimed hamming bound") {
+    val rows = TextDedup.q28Simhash(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
+  }
+
+  test("ann top-k: 5 ranked neighbors per query, cosine in [-1,1], descending") {
+    val rows = Similarity.q25AnnCosineTopk(t).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.forall(c => c >= -1.0 && c <= 1.0))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh-bucketed ann returns a subset of candidates sharing the bucket") {
+    val rows = Similarity.q26AnnLshBucketed(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 3))
+  }
+
+  test("xxhash64 row hashes are stable and distinct across rows") {
+    // engine-side row-hash (cityHash64's role); not oracle-checkable, so
+    // pinned here: deterministic across evaluations, no collisions on ids
+    val h = t.part.select(xxhash64(col("p_partkey"), col("p_name")).as("h"))
+    val first = h.collect().map(_.getLong(0))
+    val second = h.collect().map(_.getLong(0))
+    assert(first.toSeq == second.toSeq)
+    assert(first.distinct.length == first.length)
+  }
+}

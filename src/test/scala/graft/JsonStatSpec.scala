@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Cube
+
+/** JSON-stat decode edge cases — study_scraper/jsonstat.py:30-109 and
+  * tests/study_scraper/test_jsonstat.py (sparse decode, malformed skip,
+  * unresolvable-cell skip). */
+class JsonStatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(payloads: String*): Seq[(Int, Double, Seq[Int])] =
+    Cube.decodeSparse(payloads.toDF("payload"))
+      .orderBy("idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Int](2)))
+      .toSeq
+
+  test("sparse 2x3 cube decodes row-major indices") {
+    // size [2,3]: linear 4 → dims (4 div 3 % 2, 4 div 1 % 3) = (1, 1)
+    val rows = decode("""{"size":[2,3],"value":{"0":1.0,"4":5.5,"5":9.9}}""")
+    assert(rows == Seq(
+      (0, 1.0, Seq(0, 0)),
+      (4, 5.5, Seq(1, 1)),
+      (5, 9.9, Seq(1, 2))))
+  }
+
+  test("three dimensions use products of trailing sizes as strides") {
+    // size [3,2,12]: linear 35 → (35 div 24 % 3, 35 div 12 % 2, 35 % 12) = (1,0,11)
+    val rows = decode("""{"size":[3,2,12],"value":{"35":7.0}}""")
+    assert(rows == Seq((35, 7.0, Seq(1, 0, 11))))
+  }
+
+  test("single-dimension cube: stride 1") {
+    val rows = decode("""{"size":[4],"value":{"3":2.5}}""")
+    assert(rows == Seq((3, 2.5, Seq(3))))
+  }
+
+  test("malformed payloads are skipped, valid ones survive") {
+    val rows = decode(
+      "not json at all",
+      """{"unrelated": true}""",
+      """{"size":[2],"value":{"1":8.0}}""")
+    assert(rows == Seq((1, 8.0, Seq(1))))
+  }
+
+  test("non-numeric linear keys are skipped (unresolvable cell)") {
+    val rows = decode("""{"size":[2],"value":{"x":1.0,"1":2.0}}""")
+    assert(rows == Seq((1, 2.0, Seq(1))))
+  }
+}
