@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Incremental / streaming ingest — SURVEY.md §2.13.
+  *
+  *  - ST1 incremental `since` filtering (base_connector.py:168-183): a
+  *    watermark predicate pushed into the batch read.
+  *  - ST2 watermark persistence (storage/postgres.py:1575-1594):
+  *    MAX(event time) of the processed slice becomes the next `since`.
+  *  - ST3 checkpointed micro-batches (ingest.py:30-36): Structured
+  *    Streaming file source + foreachBatch upsert with checkpointLocation —
+  *    exactly-once per micro-batch, crash-visible partial progress.
+  *
+  * The foreachBatch sink applies the ReplacingMergeTree read-time rule on
+  * every flush (latest version per key wins), so the downstream table is
+  * always query-ready without an OPTIMIZE FINAL equivalent.
+  */
+object Incremental {
+
+  /** ST1/ST2 — one incremental batch pull: rows strictly after `since`,
+    * plus the new watermark to persist (null-safe when nothing new). */
+  def incrementalSlice(df: DataFrame, tsCol: String,
+                       since: Option[java.sql.Timestamp]): (DataFrame, Option[java.sql.Timestamp]) = {
+    val slice = since.fold(df)(s => df.filter(col(tsCol) > lit(s)))
+    val next = slice.agg(max(tsCol)).collect()(0)
+    (slice, Option(next.getAs[java.sql.Timestamp](0)))
+  }
+
+  /** ST3 — file-source streaming ingest with a latest-row-per-key upsert
+    * sink. Processes everything currently available, then stops (the batch
+    * cadence of the reference's cron loop, .github/workflows/scrape.yml).
+    *
+    * @param keyCols     upsert identity
+    * @param versionCol  "latest wins" ordering column
+    */
+  def runFileUpsertStream(spark: SparkSession, inDir: String, schema: StructType,
+                          keyCols: Seq[String], versionCol: String,
+                          checkpointDir: String, outDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).json(inDir)
+    val query = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(outDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = existing.unionByName(batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc)
+        val latest = merged
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        // write to a staging dir then swap — the read path above must not
+        // observe a half-written overwrite of its own input
+        val staged = outDir + "__staged"
+        latest.coalesce(1).write.mode("overwrite").parquet(staged)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        fs.delete(outPath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staged), outPath)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** ST7-adjacent — event-time tumbling window aggregate with a watermark,
+    * the Structured Streaming shape for the rolling 7/30-day batch windows. */
+  def windowedCounts(stream: DataFrame, tsCol: String, window_ : String,
+                     watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+}

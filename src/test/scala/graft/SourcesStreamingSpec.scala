@@ -1,0 +1,116 @@
+package graft
+
+import graft.sources.Sources
+import graft.streaming.Incremental
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** File source round-trips (S7/S10) and the streaming upsert path (ST1-ST3). */
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv export joins arrays with | and writes a manifest") {
+    val dir = tmp("graft-export")
+    val df = Seq(
+      (1L, Seq("a", "b"), java.sql.Timestamp.valueOf("2026-01-02 03:04:05")),
+      (2L, Seq.empty[String], java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+      .toDF("id", "topics", "seen_at")
+    val n = Sources.exportCsv(df, s"$dir/out")
+    assert(n == 2)
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+      .orderBy("id").collect()
+    assert(back(0).getString(1) == "a|b")
+    assert(back(0).getString(2) == "2026-01-02T03:04:05")
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/out/manifest.json")))
+    assert(manifest.contains(""""rows": 2"""))
+  }
+
+  test("loadFile dispatches on extension and respects explicit schemas") {
+    val dir = tmp("graft-load")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+      .write.option("header", "true").csv(s"$dir/t.csv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val csv = Sources.loadFile(spark, s"$dir/t.csv", Some(schema))
+    assert(csv.schema == schema)
+    assert(csv.count() == 2)
+    Seq((3L, "z")).toDF("id", "name").write.json(s"$dir/t.json")
+    assert(Sources.loadFile(spark, s"$dir/t.json", Some(schema)).count() == 1)
+    intercept[IllegalArgumentException] {
+      Sources.loadFile(spark, s"$dir/t.xml")
+    }
+  }
+
+  test("incremental slice filters strictly after the watermark and advances it") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+      .toDF("id", "finished_at")
+    val (s1, w1) = Incremental.incrementalSlice(df, "finished_at", None)
+    assert(s1.count() == 3)
+    assert(w1.contains(java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    val (s2, w2) = Incremental.incrementalSlice(
+      df, "finished_at", Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+    assert(s2.as[(Long, java.sql.Timestamp)].collect().map(_._1).toSeq == Seq(3L))
+    assert(w2.contains(java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    val (s3, w3) = Incremental.incrementalSlice(
+      df, "finished_at", Some(java.sql.Timestamp.valueOf("2026-01-03 00:00:00")))
+    assert(s3.count() == 0 && w3.isEmpty)
+  }
+
+  test("streaming file upsert: two micro-batch rounds, latest version wins") {
+    val in = tmp("graft-stream-in")
+    val ckpt = tmp("graft-stream-ckpt")
+    val out = tmp("graft-stream-out") + "/table"
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("version", LongType),
+      StructField("payload", StringType)))
+
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"key":1,"version":1,"payload":"one-v1"}
+        |{"key":2,"version":1,"payload":"two-v1"}""".stripMargin)
+    Incremental.runFileUpsertStream(
+      spark, in, schema, Seq("key"), "version", ckpt, out)
+    val after1 = spark.read.parquet(out).orderBy("key").collect()
+    assert(after1.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "one-v1"), (2L, "two-v1")))
+
+    // second round: key 1 re-arrives newer, key 3 is new; checkpoint must
+    // skip the already-processed first file
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"key":1,"version":2,"payload":"one-v2"}
+        |{"key":3,"version":1,"payload":"three-v1"}""".stripMargin)
+    Incremental.runFileUpsertStream(
+      spark, in, schema, Seq("key"), "version", ckpt, out)
+    val after2 = spark.read.parquet(out).orderBy("key").collect()
+    assert(after2.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "one-v2"), (2L, "two-v1"), (3L, "three-v1")))
+  }
+
+  test("windowed counts with watermark compile to a streaming-safe plan") {
+    val dir = tmp("graft-window")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/e.json"),
+      """{"ts":"2026-01-01T00:01:00.000Z","event_type":"a","value":1.0}
+        |{"ts":"2026-01-01T00:02:00.000Z","event_type":"a","value":2.0}
+        |{"ts":"2026-01-01T01:01:00.000Z","event_type":"a","value":5.0}""".stripMargin)
+    val stream = spark.readStream.schema(schema).json(dir)
+    val agg = Incremental.windowedCounts(stream, "ts", "1 hour", "10 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("wcounts").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT n, total FROM wcounts ORDER BY total").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((2L, 3.0), (1L, 5.0)))
+  }
+}
