@@ -67,6 +67,13 @@ object SparkEntry {
     // sequential by definition (not one-statement SQL) → rows-only check.
     "q46_question_clusters" -> ((s, d) => Clustering.q46QuestionClusters(T(s, d))),
     "q47_semantic_filter"   -> ((s, d) => Clustering.q47SemanticFilter(T(s, d))),
+    "q48_topic_scoring"   -> ((s, d) => Topics.q48TopicScoring(T(s, d))),
+    "q49_eval_metrics"    -> ((s, d) => Topics.q49EvalMetrics(T(s, d))),
+    "q50_rolling_stats"   -> ((s, d) => Extras.q50RollingStats(T(s, d))),
+    "q51_hash_sample"     -> ((s, d) => Extras.q51HashSample(T(s, d))),
+    "q52_fulltext_html"   -> ((s, d) => Extras.q52FulltextHtml(T(s, d))),
+    "q53_llm_lenient"     -> ((s, d) => Extras.q53LlmLenientParse(T(s, d))),
+    "q54_citation_follow" -> ((s, d) => Extras.q54CitationFollow(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -661,6 +668,126 @@ object SparkEntry {
         |SELECT p_partkey, p_name, min(alt_idx) AS first_alt, count(*) AS n_alts,
         |  array_to_string(list_sort(list(DISTINCT alt)), ',') AS alts_matched
         |FROM hits GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin,
+    "q48_topic_scoring" ->
+      """WITH topics AS (
+        |  SELECT * FROM (VALUES
+        |    ('scans',   ['scan','table'],  ['read','page'],   []::VARCHAR[]),
+        |    ('joins',   ['join','merge'],  ['hash','bucket'], ['broken']),
+        |    ('sorting', ['sort','order'],  ['key'],           []::VARCHAR[]),
+        |    ('tuning',  ['slow','fast'],   ['cache','spill'], ['vacuum']))
+        |    AS t(topic_id, includes, synonyms, excludes)),
+        |scored AS (
+        |  SELECT doc_id, topic_id,
+        |    list_filter(excludes, x -> contains(lower(text), x)) AS exc_matched,
+        |    list_filter(includes, x -> contains(lower(text), x)) AS inc_matched,
+        |    list_filter(synonyms, s -> contains(lower(text), s)
+        |      AND NOT list_contains(includes, s)) AS syn_matched
+        |  FROM documents CROSS JOIN topics),
+        |final AS (
+        |  SELECT doc_id, topic_id,
+        |    CASE WHEN len(exc_matched) > 0 THEN 0.0
+        |         ELSE least(0.4, 0.2 * len(inc_matched)) +
+        |              least(0.2, 0.1 * len(syn_matched)) END AS score,
+        |    inc_matched, syn_matched
+        |  FROM scored)
+        |SELECT doc_id, topic_id, score,
+        |  CASE WHEN score >= 0.5 THEN 'assign' ELSE 'review' END AS route,
+        |  'matched: ' || array_to_string(list_cat(inc_matched, syn_matched), ', ')
+        |    AS rationale
+        |FROM final WHERE score > 0.0 ORDER BY doc_id, topic_id""".stripMargin,
+    "q49_eval_metrics" ->
+      """WITH topics AS (
+        |  SELECT * FROM (VALUES
+        |    ('scans',   ['scan','table'],  ['read','page'],   []::VARCHAR[]),
+        |    ('joins',   ['join','merge'],  ['hash','bucket'], ['broken']),
+        |    ('sorting', ['sort','order'],  ['key'],           []::VARCHAR[]),
+        |    ('tuning',  ['slow','fast'],   ['cache','spill'], ['vacuum']))
+        |    AS t(topic_id, includes, synonyms, excludes)),
+        |scored AS (
+        |  SELECT doc_id, topic_id,
+        |    len(list_filter(excludes, x -> contains(lower(text), x))) > 0 AS excluded,
+        |    CASE WHEN len(list_filter(excludes, x -> contains(lower(text), x))) > 0 THEN 0.0
+        |         ELSE least(0.4, 0.2 * len(list_filter(includes, x -> contains(lower(text), x)))) +
+        |              least(0.2, 0.1 * len(list_filter(synonyms, s -> contains(lower(text), s)
+        |                AND NOT list_contains(includes, s)))) END AS score,
+        |    contains(lower(text), includes[1]) AS has_first
+        |  FROM documents CROSS JOIN topics),
+        |cls AS (
+        |  SELECT topic_id,
+        |    count(CASE WHEN score >= 0.3 AND (has_first AND NOT excluded) THEN 1 END) AS tp,
+        |    count(CASE WHEN score >= 0.3 AND NOT (has_first AND NOT excluded) THEN 1 END) AS fp,
+        |    count(CASE WHEN NOT score >= 0.3 AND (has_first AND NOT excluded) THEN 1 END) AS fn
+        |  FROM scored GROUP BY 1)
+        |SELECT topic_id, tp, fp, fn,
+        |  tp * 1.0 / nullif(tp + fp, 0) AS precision,
+        |  tp * 1.0 / nullif(tp + fn, 0) AS recall,
+        |  2.0 * (tp * 1.0 / nullif(tp + fp, 0)) * (tp * 1.0 / nullif(tp + fn, 0)) /
+        |    nullif((tp * 1.0 / nullif(tp + fp, 0)) + (tp * 1.0 / nullif(tp + fn, 0)), 0) AS f1
+        |FROM cls ORDER BY topic_id""".stripMargin,
+    "q50_rolling_stats" ->
+      """SELECT event_id, user_id,
+        |  round(stddev_pop(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS vol30,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q51_hash_sample" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM (SELECT *,
+        |  ('0x' || substr(md5(concat(5, ':', CAST(event_id AS VARCHAR))), 1, 15))::BIGINT AS h
+        |  FROM events)
+        |ORDER BY h ASC, event_id ASC LIMIT 100""".stripMargin,
+    "q52_fulltext_html" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text
+        |         ELSE '<p>' || text || '</p><a href="https://' || source ||
+        |              '.example.org/d/' || doc_id || '">ref</a>' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN raw LIKE '<%' THEN 'html' ELSE 'text' END AS kind,
+        |  CASE WHEN raw LIKE '<%'
+        |    THEN regexp_extract(raw, 'https?://([^/"]+)', 1) END AS domain,
+        |  CAST(length(trim(regexp_replace(raw, '<[^>]+>', ' ', 'g'))) AS INT)
+        |    AS clean_len
+        |FROM built
+        |WHERE length(trim(regexp_replace(raw, '<[^>]+>', ' ', 'g'))) <= 20971520
+        |ORDER BY doc_id""".stripMargin,
+    "q53_llm_lenient" ->
+      """WITH built AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE user_id % 5 WHEN 0 THEN 'dafür' WHEN 1 THEN 'dagegen'
+        |      WHEN 2 THEN 'support' WHEN 3 THEN 'oppose'
+        |      ELSE 'neutral' END AS stance,
+        |    CAST(round(value / 5, 0) AS INT) AS pct_int,
+        |    event_id % 2 = 0 AS grounded
+        |  FROM events),
+        |parsed AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN stance IN ('support', 'dafür', 'dafuer') THEN 'support'
+        |         WHEN stance IN ('oppose', 'dagegen') THEN 'oppose'
+        |         ELSE 'neutral' END AS position,
+        |    least(100.0, greatest(0.0, CAST(pct_int AS DOUBLE))) AS pct,
+        |    grounded
+        |  FROM built)
+        |SELECT event_id, position, pct, grounded,
+        |  CASE WHEN grounded THEN 0.9 ELSE 0.3 END AS confidence,
+        |  sum(pct) OVER (PARTITION BY user_id, event_type) <= 6000 AS dist_ok
+        |FROM parsed ORDER BY event_id""".stripMargin,
+    "q54_citation_follow" ->
+      """WITH refs AS (
+        |  SELECT o_custkey AS ref_id, 'order' AS via FROM orders
+        |  UNION ALL
+        |  SELECT l_suppkey + 2000, 'line' FROM lineitem),
+        |known AS (
+        |  SELECT c_custkey AS ref_id FROM customer WHERE c_custkey % 3 = 0
+        |  UNION
+        |  SELECT s_suppkey + 2000 FROM supplier WHERE s_suppkey % 2 = 0)
+        |SELECT ref_id, count(*) AS n_citations, count(DISTINCT via) AS n_sources
+        |FROM refs WHERE ref_id NOT IN (SELECT ref_id FROM known)
+        |GROUP BY 1 ORDER BY n_citations DESC, ref_id ASC LIMIT 200""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

@@ -87,7 +87,12 @@ object Cube {
     * to summation order, the raw sums are not. */
   def q38PollOfPolls(t: T): DataFrame = {
     val stg = Polls.stgPollResults(t)
-    val maxD = stg.agg(max("poll_date").as("today"))
+    // watermark from a light semi scan — same set, but avoids a second
+    // reference to the expensive staging subtree (see q23)
+    val maxD = t.orders
+      .join(t.lineitem.select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(max("o_orderdate").as("today"))
     val weighted = stg.crossJoin(broadcast(maxD))
       .withColumn("age_years",
         datediff(col("today"), col("poll_date")) / lit(365.25))

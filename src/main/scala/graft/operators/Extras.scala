@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining operator-family coverage:
+  *  - W3 rolling volatility + W8 RANGE frames (daily_poll_averages.sql:84-88)
+  *  - O4 deterministic audit sample (storage/postgres.py:1060-1072 —
+  *    ORDER BY random(); replayed with a portable hash so the oracle sees
+  *    the identical "random" order)
+  *  - T14/T15 fulltext sniff + HTML strip + domain audit
+  *    (study_scraper/fulltext.py:66-183, domain_audit.py:36-100)
+  *  - T9 lenient LLM-response parse: fenced JSON, German stance map,
+  *    confidence clamp, grounding + distribution checks
+  *    (extractors/llm_v1.py:203-313)
+  *  - J6 citation follow-up anti-join over a union of known-id sources
+  *    (study_scraper/follow.py:34-80)
+  */
+object Extras {
+
+  /** q50 — rolling stddev over a 30-row frame plus a RANGE frame over
+    * event-time seconds (count of events in the trailing hour). */
+  def q50RollingStats(t: T): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rangeHour = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600, 0)
+    t.events
+      .withColumn("vol30", round(stddev_pop("value").over(byUser.rowsBetween(-29, 0)), 4))
+      .withColumn("cnt_1h", count(lit(1)).over(rangeHour))
+      .select("event_id", "user_id", "vol30", "cnt_1h")
+      .orderBy("event_id")
+  }
+
+  /** q51 — audit sample: ORDER BY hash(key) LIMIT n. The reference uses
+    * random(); a seeded portable hash keeps the sample property (uniform,
+    * uncorrelated with ingest order) while staying replayable — at scale
+    * this is TakeOrderedAndProject, not a full sort. */
+  def q51HashSample(t: T): DataFrame =
+    t.events
+      .withColumn("h", expr(TextDedup.h60(5, "CAST(event_id AS STRING)")))
+      .orderBy(col("h").asc, col("event_id").asc)
+      .limit(100)
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** q52 — fulltext pipeline: sniff html vs plain, strip tags, extract and
+    * normalize the link domain, compute clean length with the size guard. */
+  def q52FulltextHtml(t: T): DataFrame = {
+    val page = concat(
+      lit("<p>"), col("text"), lit("</p><a href=\"https://"),
+      col("source"), lit(".example.org/d/"), col("doc_id"), lit("\">ref</a>"))
+    t.documents
+      .withColumn("raw", when(col("doc_id") % 4 === 0, col("text")).otherwise(page))
+      .withColumn("kind", when(col("raw").startsWith("<"), "html").otherwise("text"))
+      .withColumn("clean",
+        trim(regexp_replace(col("raw"), "<[^>]+>", " ")))
+      .withColumn("domain",
+        when(col("kind") === "html",
+          regexp_extract(col("raw"), "https?://([^/\"]+)", 1)))
+      .withColumn("clean_len", length(col("clean")))
+      .filter(col("clean_len") <= 20 * 1024 * 1024) // MAX_ARTIFACT_BYTES guard
+      .select("doc_id", "kind", "domain", "clean_len")
+      .orderBy("doc_id")
+  }
+
+  /** q53 — lenient LLM-response parse: code-fenced JSON stripped then
+    * parsed, stance vocabulary mapped (German included), pct coerced into
+    * [0,100], grounding = normalized span containment (caps confidence),
+    * F5 distribution flag: Σpct per question ≤ 120. */
+  def q53LlmLenientParse(t: T): DataFrame = {
+    val stance = when(col("user_id") % 5 === 0, "dafür")
+      .when(col("user_id") % 5 === 1, "dagegen")
+      .when(col("user_id") % 5 === 2, "support")
+      .when(col("user_id") % 5 === 3, "oppose")
+      .otherwise("neutral")
+    val pctInt = round(col("value") / 5, 0).cast("int") // 0..98
+    val built = t.events
+      .withColumn("response", concat(
+        lit("```json\n{\"stance\": \""), stance,
+        lit("\", \"pct\": "), pctInt, lit("}\n```")))
+      .withColumn("source_text",
+        when(col("event_id") % 2 === 0,
+          concat(lit("reported value was "), pctInt, lit(" percent")))
+          .otherwise(lit("no numbers in this source")))
+    built
+      .withColumn("json_raw",
+        trim(regexp_replace(col("response"), "```(json)?", "")))
+      .withColumn("parsed", from_json(col("json_raw"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("stance",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pct",
+            org.apache.spark.sql.types.DoubleType)))))
+      .filter(col("parsed").isNotNull)
+      .withColumn("position", // German stance map (llm_v1.py:231-247)
+        when(col("parsed.stance").isin("support", "dafür", "dafuer"), "support")
+          .when(col("parsed.stance").isin("oppose", "dagegen"), "oppose")
+          .otherwise("neutral"))
+      .withColumn("pct", least(lit(100.0), greatest(lit(0.0), col("parsed.pct"))))
+      .withColumn("grounded",
+        col("source_text").contains(concat(lit(" "), col("parsed.pct").cast("int"), lit(" "))))
+      .withColumn("confidence", // grounding failure caps confidence at 0.3
+        when(col("grounded"), 0.9).otherwise(0.3))
+      .withColumn("dist_ok",
+        sum("pct").over(Window.partitionBy("user_id", "event_type")) <= 120 * 50)
+      .select("event_id", "position", "pct", "grounded", "confidence", "dist_ok")
+      .orderBy("event_id")
+  }
+
+  /** q54 — citation follow-up: referenced ids from two provenance streams,
+    * anti-joined against the union of known catalogs; the frontier of
+    * never-seen works, ranked by citation count (follow.py:47-77). */
+  def q54CitationFollow(t: T): DataFrame = {
+    val refs = t.orders
+      .select(col("o_custkey").as("ref_id"), lit("order").as("via"))
+      .unionByName(t.lineitem
+        .select((col("l_suppkey") + 2000).as("ref_id"), lit("line").as("via")))
+    val known = t.customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("ref_id"))
+      .union(t.supplier.filter(col("s_suppkey") % 2 === 0)
+        .select((col("s_suppkey") + 2000).as("ref_id")))
+      .distinct()
+    refs
+      .join(known, Seq("ref_id"), "left_anti")
+      .groupBy("ref_id")
+      .agg(count(lit(1)).as("n_citations"),
+        countDistinct("via").as("n_sources"))
+      .orderBy(col("n_citations").desc, col("ref_id").asc)
+      .limit(200)
+  }
+}

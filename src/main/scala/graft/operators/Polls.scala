@@ -125,31 +125,39 @@ object Polls {
     * FILTER aggregates, previous-poll value, share-of-total among majors,
     * and a global rank (latest_poll_standings.sql:18-95). */
   def q23PollStandings(t: T): DataFrame = {
-    val stg = stgPollResults(t)
-    val maxD = stg.agg(max("poll_date").as("max_date"))
-    val cur = stg.crossJoin(broadcast(maxD))
+    // The corpus watermark comes from a light orders⋉lineitem semi scan, NOT
+    // from stgPollResults: referencing the (expensive) staging build twice
+    // would recompute its shuffle + JSON round-trip per reference. The set
+    // is identical — max order date among orders with at least one line.
+    val maxD = t.orders
+      .join(t.lineitem.select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(max("o_orderdate").as("max_date"))
+    // Single pass over staging: one window (recency rank per party) feeds
+    // one per-party aggregate; rn=1/rn=2 rows are picked with conditional
+    // aggregates instead of separate filtered branches, so the staging
+    // subtree appears exactly ONCE in the plan. Window and groupBy hash on
+    // the same key → AQE keeps them in one exchange.
     val recency = Window.partitionBy("party")
       .orderBy(col("poll_date").desc, col("poll_id").desc)
-    val ranked = cur.withColumn("rn", row_number().over(recency))
-    val latest = ranked.filter(col("rn") === 1)
-      .select(col("party"), col("pct").as("latest_pct"),
-        col("poll_date").as("latest_date"))
-    val previous = ranked.filter(col("rn") === 2)
-      .select(col("party"), col("pct").as("prev_pct"))
     val in180 = col("poll_date") >= col("max_date") - expr("INTERVAL 180 DAYS")
-    val aggs = cur.groupBy("party").agg(
-      count(lit(1)).as("n_polls"),
-      countDistinct("institute_id").as("n_institutes"),
-      (round(sum(when(in180, col("pct"))), 2) /
-        count(when(in180, 1))).as("avg_180d"),
-      round(stddev_pop(when(in180, col("pct"))), 4).as("volatility_180d"))
-    // Everything below is post-aggregate: one row per party, so the
-    // whole-frame share window runs over a handful of rows by design.
-    val joined = latest
-      .join(previous, Seq("party"), "left")
-      .join(aggs, Seq("party"))
+    val perParty = stgPollResults(t)
+      .crossJoin(broadcast(maxD))
+      .withColumn("rn", row_number().over(recency))
+      .groupBy("party")
+      .agg(
+        max(when(col("rn") === 1, col("pct"))).as("latest_pct"),
+        max(when(col("rn") === 1, col("poll_date"))).as("latest_date"),
+        max(when(col("rn") === 2, col("pct"))).as("prev_pct"),
+        count(lit(1)).as("n_polls"),
+        countDistinct("institute_id").as("n_institutes"),
+        (round(sum(when(in180, col("pct"))), 2) /
+          count(when(in180, 1))).as("avg_180d"),
+        round(stddev_pop(when(in180, col("pct"))), 4).as("volatility_180d"))
+    // Post-aggregate: one row per party, so the whole-frame share window
+    // runs over a handful of rows by design.
     val wAll = Window.partitionBy()
-    joined
+    perParty
       .withColumn("share_pct",
         col("latest_pct") * lit(100.0) /
           round(sum(when(col("latest_pct") >= 10, col("latest_pct"))).over(wAll), 2))
