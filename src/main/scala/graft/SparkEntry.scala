@@ -348,11 +348,17 @@ object SparkEntry {
         |    list_distinct(list_transform(range(1, len(w) - 1),
         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
         |  FROM words WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+        |tok AS (SELECT doc_id,
+        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
+        |    % 2147483647 AS hb
+        |  FROM sh),
+        |seeds AS (SELECT * FROM (VALUES
+        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
+        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
+        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
+        |  (11, 24593, 17327)) AS s(seed, a, b)),
         |hashes AS (
-        |  SELECT doc_id, seed,
-        |    min(('0x' || substr(md5(concat(seed, ':', s)), 1, 15))::BIGINT) AS mh
+        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
         |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, seed // 3 AS band,
@@ -495,7 +501,7 @@ object SparkEntry {
         |ORDER BY id""".stripMargin,
     "q34_title_dedup" ->
       """WITH grams AS (
-        |  SELECT p_partkey, p_brand,
+        |  SELECT p_partkey, p_brand, length(p_name) // 8 AS len_band,
         |    list_distinct(list_transform(range(1, length(lower(p_name)) - 1),
         |      i -> substr(lower(p_name), CAST(i AS INT), 3))) AS grams
         |  FROM part WHERE length(p_name) >= 3),
@@ -504,7 +510,8 @@ object SparkEntry {
         |    len(list_intersect(a.grams, b.grams)) * 1.0 /
         |      len(list_distinct(list_cat(a.grams, b.grams))) AS sim
         |  FROM grams a JOIN grams b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |    ON a.p_brand = b.p_brand AND a.len_band = b.len_band
+        |      AND a.p_partkey < b.p_partkey),
         |flt AS (SELECT * FROM pairs WHERE sim >= 0.5),
         |best AS (SELECT *, row_number() OVER (PARTITION BY key_b
         |  ORDER BY sim DESC, key_a ASC) AS rn FROM flt)

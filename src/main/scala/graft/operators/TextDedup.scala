@@ -26,6 +26,13 @@ object TextDedup {
   def h60(seed: Int, e: String): String =
     s"CAST(conv(substring(md5(concat('$seed:', $e)), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Affine minhash permutation coefficients (fixed primes; the oracle SQL
+    * carries the same table). */
+  val MinhashA: Seq[Int] = Seq(257, 643, 1031, 1543, 2053, 3079,
+    4099, 6151, 8209, 12289, 16411, 24593)
+  val MinhashB: Seq[Int] = Seq(911, 1213, 1713, 2389, 3391, 4441,
+    5881, 7121, 9973, 11939, 14009, 17327)
+
   /** Distinct word-3-shingle array over a `words` array column. The CASE
     * guard matters: sequence(0, size-3) DESCENDS when size < 3 — it does
     * not produce an empty array. */
@@ -64,8 +71,15 @@ object TextDedup {
     val sh = withShingles(t.documents)
       .select(col("doc_id"), col("shingles"))
       .filter(size(col("shingles")) > 0)
+    // One md5-based base hash per shingle, then 12 affine permutations
+    // (a_i·h + b_i mod 2^31−1) — the classic universal-hash family. 12×
+    // cheaper than 12 independent md5 calls, and the arithmetic replays
+    // bit-identically in the oracle. Products stay < 2^46: no ANSI
+    // overflow.
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val mhCols = (0 until 12).map(i => min(expr(h60(i, "s"))).as(s"mh$i"))
+      .withColumn("hb", expr(s"${h60(0, "s")} % 2147483647"))
+    val mhCols = (0 until 12).map(i =>
+      min(expr(s"(hb * ${MinhashA(i)} + ${MinhashB(i)}) % 2147483647")).as(s"mh$i"))
     val minhashes = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bands = minhashes.select(
       col("doc_id"),
