@@ -74,6 +74,8 @@ object SparkEntry {
     "q52_fulltext_html"   -> ((s, d) => Extras.q52FulltextHtml(T(s, d))),
     "q53_llm_lenient"     -> ((s, d) => Extras.q53LlmLenientParse(T(s, d))),
     "q54_citation_follow" -> ((s, d) => Extras.q54CitationFollow(T(s, d))),
+    "q55_doi_dedup"       -> ((s, d) => Merge.q55DoiDedup(T(s, d))),
+    "q56_ilike_classify"  -> ((s, d) => Scalars.q56IlikeClassify(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -795,6 +797,44 @@ object SparkEntry {
         |SELECT ref_id, count(*) AS n_citations, count(DISTINCT via) AS n_sources
         |FROM refs WHERE ref_id NOT IN (SELECT ref_id FROM known)
         |GROUP BY 1 ORDER BY n_citations DESC, ref_id ASC LIMIT 200""".stripMargin,
+    "q55_doi_dedup" ->
+      """WITH studies AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'doi-' || (doc_id % 40) END AS doi,
+        |    source
+        |  FROM documents),
+        |doimin AS (SELECT doi, min(id) AS canonical_of_doi FROM studies
+        |  WHERE doi IS NOT NULL GROUP BY 1),
+        |redirected AS (
+        |  SELECT s.id, coalesce(d.canonical_of_doi, s.id) AS canonical_id,
+        |    coalesce(d.canonical_of_doi, s.id) <> s.id AS was_redirected,
+        |    s.source, s.doi
+        |  FROM studies s LEFT JOIN doimin d ON s.doi = d.doi)
+        |SELECT canonical_id, count(*) AS n_merged,
+        |  count(CASE WHEN was_redirected THEN 1 END) AS n_redirected,
+        |  array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
+        |  max(doi) AS doi
+        |FROM redirected GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_ilike_classify" ->
+      """WITH built AS (
+        |  SELECT p_partkey, p_type,
+        |    (CASE WHEN p_partkey % 3 = 0 THEN 'Güteklasse '
+        |          WHEN p_partkey % 3 = 1 THEN 'Maßarbeit '
+        |          ELSE 'Größe ' END) || p_type AS label
+        |  FROM part),
+        |folded AS (
+        |  SELECT *, translate(regexp_replace(lower(label), 'ß', 'ss', 'g'),
+        |    'äöü', 'aou') AS folded
+        |  FROM built)
+        |SELECT p_partkey, label, folded,
+        |  CASE WHEN label ILIKE '%güte%' THEN 'premium'
+        |       WHEN label ILIKE '%maß%' THEN 'custom'
+        |       WHEN folded ILIKE '%grosse%' THEN 'sized'
+        |       ELSE 'standard' END AS rating,
+        |  CASE WHEN p_type ILIKE '%anodized%' THEN 'coated'
+        |       WHEN p_type ILIKE '%polished%' THEN 'finished'
+        |       ELSE 'raw' END AS type_class
+        |FROM folded ORDER BY p_partkey""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

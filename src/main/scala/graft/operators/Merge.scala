@@ -144,6 +144,36 @@ object Merge {
         col("dup_count"))
       .orderBy("first_seen")
 
+  /** q55 — DOI dedup redirect (D4, storage/postgres.py:228-270): incoming
+    * studies whose DOI already exists under a different id adopt the
+    * earliest existing id as canonical and their topics merge into it.
+    * Expressed as a window-min per DOI + redirect classification — the
+    * decorrelated form of the reference's per-row lookup. */
+  def q55DoiDedup(t: T): DataFrame = {
+    val studies = t.documents.select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("doi-"), col("doc_id") % 40)).as("doi"),
+      col("source"))
+    // canonical map built only over rows WITH a doi, then joined back —
+    // a window over the full set would put every null-doi row in one
+    // partition (the classic null-key skew cliff at scale)
+    val doiMin = studies.filter(col("doi").isNotNull)
+      .groupBy("doi").agg(min("id").as("canonical_of_doi"))
+    studies
+      .join(broadcast(doiMin), Seq("doi"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("canonical_of_doi"), col("id")))
+      .withColumn("was_redirected", col("canonical_id") =!= col("id"))
+      .groupBy("canonical_id")
+      .agg(
+        count(lit(1)).as("n_merged"),
+        count(when(col("was_redirected"), 1)).as("n_redirected"),
+        array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
+        max("doi").as("doi"))
+      .orderBy("canonical_id")
+  }
+
   /** q36 — DELETE-then-INSERT upsert: incoming batch hard-replaces by key
     * (anti-join survivors ∪ incoming), checked via per-status rollup. */
   def q36DeleteInsertUpsert(t: T): DataFrame = {

@@ -65,6 +65,32 @@ object Scalars {
           .as("top3"))
       .orderBy("o_custkey")
 
+  /** q56 — ILIKE-chain classification with unicode folding (P7,
+    * stg_dawum_institutes.sql:18-45 institute ratings; umlaut folding per
+    * clustering.py:128-133 as column ops). German-ish labels are built
+    * from literals so the fold is exercised on real umlauts. */
+  def q56IlikeClassify(t: T): DataFrame =
+    t.part
+      .withColumn("label",
+        concat(
+          when(col("p_partkey") % 3 === 0, "Güteklasse ")
+            .when(col("p_partkey") % 3 === 1, "Maßarbeit ")
+            .otherwise("Größe "),
+          col("p_type")))
+      .withColumn("folded",
+        translate(regexp_replace(lower(col("label")), "ß", "ss"), "äöü", "aou"))
+      .withColumn("rating",
+        when(col("label").ilike("%güte%"), "premium")
+          .when(col("label").ilike("%maß%"), "custom")
+          .when(col("folded").ilike("%grosse%"), "sized")
+          .otherwise("standard"))
+      .withColumn("type_class",
+        when(col("p_type").ilike("%anodized%"), "coated")
+          .when(col("p_type").ilike("%polished%"), "finished")
+          .otherwise("raw"))
+      .select("p_partkey", "label", "folded", "rating", "type_class")
+      .orderBy("p_partkey")
+
   /** q45 — text search with pipe-separated alternatives
     * (storage/postgres.py:884-919): per-alternative ILIKE filter, UNION,
     * physical-row dedup on the identity tuple, first-matching-alternative
