@@ -503,7 +503,8 @@ object SparkEntry {
         |ORDER BY id""".stripMargin,
     "q34_title_dedup" ->
       """WITH grams AS (
-        |  SELECT p_partkey, p_brand, length(p_name) // 8 AS len_band,
+        |  SELECT p_partkey, p_brand, substr(lower(p_name), 1, 1) AS head,
+        |    length(p_name) // 8 AS len_band,
         |    list_distinct(list_transform(range(1, length(lower(p_name)) - 1),
         |      i -> substr(lower(p_name), CAST(i AS INT), 3))) AS grams
         |  FROM part WHERE length(p_name) >= 3),
@@ -512,8 +513,8 @@ object SparkEntry {
         |    len(list_intersect(a.grams, b.grams)) * 1.0 /
         |      len(list_distinct(list_cat(a.grams, b.grams))) AS sim
         |  FROM grams a JOIN grams b
-        |    ON a.p_brand = b.p_brand AND a.len_band = b.len_band
-        |      AND a.p_partkey < b.p_partkey),
+        |    ON a.p_brand = b.p_brand AND a.head = b.head
+        |      AND a.len_band = b.len_band AND a.p_partkey < b.p_partkey),
         |flt AS (SELECT * FROM pairs WHERE sim >= 0.5),
         |best AS (SELECT *, row_number() OVER (PARTITION BY key_b
         |  ORDER BY sim DESC, key_a ASC) AS rn FROM flt)
