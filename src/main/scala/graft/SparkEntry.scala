@@ -76,6 +76,8 @@ object SparkEntry {
     "q54_citation_follow" -> ((s, d) => Extras.q54CitationFollow(T(s, d))),
     "q55_doi_dedup"       -> ((s, d) => Merge.q55DoiDedup(T(s, d))),
     "q56_ilike_classify"  -> ((s, d) => Scalars.q56IlikeClassify(T(s, d))),
+    // rows-only: the stubbed decode feature is engine-internal by design
+    "q57_multimodal"      -> ((s, d) => Multimodal.q57MultimodalFeatures(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,

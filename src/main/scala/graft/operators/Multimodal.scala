@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables.T
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — the training-data-pipeline mandate: treat
+  * image/audio/video as opaque `binary` columns with typed metadata, and
+  * run decode / feature-extract as per-partition batch functions.
+  *
+  * In PySpark this is `mapInPandas`; the Scala-native equivalent is
+  * `mapPartitions` over an explicit Row encoder — same contract: the
+  * function sees an ITERATOR of rows (one partition = one batch), never a
+  * per-row UDF call, so a real decoder would amortize model/codec init
+  * per partition exactly like a pandas batch would.
+  *
+  * The decode step is STUBBED (this container ships no image/audio
+  * codecs): `stubDecode` produces a deterministic fake feature vector from
+  * the payload bytes. Everything around it — the media schema, the binary
+  * payload column, partition-batched execution, the output schema, the
+  * downstream joinability of features — is real and tested. Swapping the
+  * stub for a JNI/ONNX decoder changes ONE function body.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),     // image|audio|video
+    StructField("payload", BinaryType, nullable = true),   // opaque bytes
+    StructField("meta", StructType(Seq(                    // typed metadata
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Synthesize a media table from the documents corpus: text bytes stand
+    * in for the opaque payload (deterministic; same rows every run). */
+  def mediaTable(t: T): DataFrame =
+    t.documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 10L).as("duration_ms")).as("meta"))
+
+  /** STUB decoder — deterministic fake 8-dim feature from payload bytes.
+    * A real implementation decodes the payload (JPEG/PCM/container) here;
+    * the per-partition iterator contract and output schema do not change. */
+  private def stubDecode(payload: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + b)
+    Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xff).toInt - 128) / 128.0f)
+  }
+
+  /** Decode/feature-extract over partition batches (mapInPandas shape). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
+    media
+      .select("media_id", "kind", "payload")
+      .mapPartitions { rows =>
+        // batch scope: a real decoder initializes its codec/model ONCE here
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          Row(r.getLong(0), r.getString(1), payload.length,
+            stubDecode(payload).toSeq)
+        }
+      }(enc)
+  }
+
+  /** q57 — the end-to-end multimodal path: media table → partition-batched
+    * feature extraction → metadata join → per-kind rollup. Rows-only check
+    * (the stub feature is engine-internal by design). */
+  def q57MultimodalFeatures(t: T): DataFrame = {
+    val media = mediaTable(t)
+    extractFeatures(media)
+      .join(media.select(col("media_id"), col("meta")), Seq("media_id"))
+      .withColumn("f0", element_at(col("feature"), 1))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("f0"), 4).as("avg_f0"),
+        max(col("meta.duration_ms")).as("max_duration_ms"))
+      .orderBy("kind")
+  }
+}
