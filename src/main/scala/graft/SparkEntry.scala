@@ -13,9 +13,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The standings query composes the whole signature chain: JSON map
+    * unpivot → dim-joined staging → recency windows → FILTER aggregates →
+    * share-of-total → rank. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01PricingSummary(T(spark, "/root/testdata/sf0.001"))
+    Polls.q23PollStandings(T(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> ((s, d) => Relational.q01PricingSummary(T(s, d))),
@@ -78,6 +81,7 @@ object SparkEntry {
     "q56_ilike_classify"  -> ((s, d) => Scalars.q56IlikeClassify(T(s, d))),
     // rows-only: the stubbed decode feature is engine-internal by design
     "q57_multimodal"      -> ((s, d) => Multimodal.q57MultimodalFeatures(T(s, d))),
+    "q58_ann_ivf"         -> ((s, d) => Similarity.q58AnnIvf(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -818,6 +822,35 @@ object SparkEntry {
         |  array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
         |  max(doi) AS doi
         |FROM redirected GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY d) AS centroid
+        |  FROM (SELECT label, d, avg(vec[d]) AS m
+        |        FROM emb CROSS JOIN dims GROUP BY 1, 2)
+        |  GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 10),
+        |probe AS (
+        |  SELECT query_id, qvec, label FROM (
+        |    SELECT q.query_id, q.qvec, c.label,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (qvec[i] - centroid[i]) * (qvec[i] - centroid[i]))) ASC,
+        |        c.label ASC) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn = 1),
+        |cand AS (
+        |  SELECT p.query_id, p.label, e.vec_id,
+        |    list_dot_product(e.vec, p.qvec) /
+        |      (sqrt(list_dot_product(e.vec, e.vec)) *
+        |       sqrt(list_dot_product(p.qvec, p.qvec))) AS cosine
+        |  FROM probe p JOIN emb e
+        |    ON e.label = p.label AND e.vec_id <> p.query_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, vec_id ASC) AS rank FROM cand)
+        |SELECT query_id, label, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q56_ilike_classify" ->
       """WITH built AS (
         |  SELECT p_partkey, p_type,

@@ -53,6 +53,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q58 — IVF-style ANN: the label column plays the coarse quantizer's
+    * cluster id (in production: k-means centroid ids). Per-cluster
+    * centroids = element-wise means; each query probes its nearest
+    * centroid and searches ONLY that inverted list. This is the 100 TB
+    * shape — candidate count per query is corpus/nlist, the centroid table
+    * is tiny and broadcast, and the inverted lists are just a partitioned
+    * table keyed by centroid id. */
+  def q58AnnIvf(t: T): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("label"), toDouble.as("vec"))
+    // centroid per label: element-wise mean via posexplode + re-assembly
+    val centroids = emb
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), e -> e.m)")
+        .as("centroid"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    // probe: nearest centroid per query (nprobe = 1)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("label").asc)
+    val assigned = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qvec"), col("label"))
+    // search only the probed inverted list
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb
+      .join(broadcast(assigned),
+        Seq("label")) // inverted-list equi-join
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * sqrt(dot("qvec", "qvec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "label", "rank", "vec_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** q26 — LSH-bucketed ANN: deterministic sign-bit bucket over the first
     * 8 dimensions (a fixed random-hyperplane sketch with axis-aligned
     * planes); candidates are searched only within the query's bucket.
