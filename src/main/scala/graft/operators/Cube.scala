@@ -46,6 +46,26 @@ object Cube {
           |                          1, (a, x) -> a * x)) % size[i] AS INT))""".stripMargin))
       .select("idx", "val", "dims")
 
+  val densePayloadSchema: StructType = StructType(Seq(
+    StructField("size", ArrayType(IntegerType)),
+    StructField("value", ArrayType(DoubleType))))
+
+  /** Dense-form decode: `value` is a row-major list, position IS the
+    * linear index (jsonstat.py's dense branch). Null cells (JSON-stat's
+    * elision) are dropped like unresolvable sparse cells. */
+  def decodeDense(payloads: DataFrame): DataFrame =
+    payloads
+      .withColumn("parsed", from_json(col("payload"), densePayloadSchema))
+      .filter(col("parsed").isNotNull && col("parsed.size").isNotNull)
+      .select(col("parsed.size").as("size"),
+        posexplode(col("parsed.value")).as(Seq("idx", "val")))
+      .filter(col("val").isNotNull)
+      .withColumn("dims", expr(
+        """transform(sequence(0, size(size) - 1), i ->
+          |  CAST((idx div aggregate(slice(size, i + 2, size(size) - i - 1),
+          |                          1, (a, x) -> a * x)) % size[i] AS INT))""".stripMargin))
+      .select("idx", "val", "dims")
+
   /** q37 — build a 3×2×12 sparse JSON-stat payload from lineitem
     * aggregates (returnflag × linestatus × shipmonth), then decode it back
     * through the generic decoder and re-attach category labels. The oracle

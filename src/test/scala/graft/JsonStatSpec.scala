@@ -47,4 +47,24 @@ class JsonStatSpec extends SparkSpec {
     val rows = decode("""{"size":[2],"value":{"x":1.0,"1":2.0}}""")
     assert(rows == Seq((1, 2.0, Seq(1))))
   }
+
+  test("dense form decodes by position and drops elided (null) cells") {
+    val rows = Cube.decodeDense(
+      Seq("""{"size":[2,2],"value":[1.0,null,3.0,4.0]}""").toDF("payload"))
+      .orderBy("idx").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Int](2))).toSeq
+    assert(rows == Seq(
+      (0, 1.0, Seq(0, 0)),
+      (2, 3.0, Seq(1, 0)),
+      (3, 4.0, Seq(1, 1))))
+  }
+
+  test("dense and sparse forms agree on the same cube") {
+    val dense = Cube.decodeDense(
+      Seq("""{"size":[3],"value":[5.0,6.0,7.0]}""").toDF("payload"))
+      .orderBy("idx").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val sparse = decode("""{"size":[3],"value":{"0":5.0,"1":6.0,"2":7.0}}""")
+      .map(r => (r._1, r._2))
+    assert(dense == sparse)
+  }
 }
