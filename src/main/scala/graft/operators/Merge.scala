@@ -99,23 +99,22 @@ object Merge {
     // pair space ~7× (measured) — the Spark equivalent of the reference's
     // trigram GIN prefilter. The oracle blocks identically (the block key
     // is part of the spec).
-    val grams = t.part
+    // Similarity is the native TrigramSimilarity expression (registered by
+    // GraftExtensions): one pass per pair, no per-row ArrayData — and the
+    // join carries two short strings instead of two trigram arrays.
+    val named = t.part
       .withColumn("name", lower(col("p_name")))
       .filter(length(col("name")) >= 3)
       .select(col("p_partkey"), col("p_brand"),
         substring(col("name"), 1, 1).as("head"),
-        expr("length(name) div 8").as("len_band"),
-        expr("array_distinct(transform(sequence(1, length(name) - 2), i -> substring(name, i, 3)))")
-          .as("grams"))
-    val pairs = grams.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
-        col("head"), col("len_band"), col("grams").as("grams_b"))
-      .join(grams.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
-        col("head"), col("len_band"), col("grams").as("grams_a")),
+        expr("length(name) div 8").as("len_band"), col("name"))
+    val pairs = named.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
+        col("head"), col("len_band"), col("name").as("name_b"))
+      .join(named.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
+        col("head"), col("len_band"), col("name").as("name_a")),
         Seq("brand", "head", "len_band"))
       .filter(col("key_a") < col("key_b"))
-      .withColumn("sim",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))))
+      .withColumn("sim", expr("trigram_similarity(name_a, name_b)"))
       .filter(col("sim") >= 0.5)
     val best = Window.partitionBy("key_b")
       .orderBy(col("sim").desc, col("key_a").asc)
