@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.ScaleTechniques
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The scale techniques must actually deliver their plan shapes, not just
+  * run: bucketed joins shuffle neither side; salted joins return the same
+  * rows as the plain join; partitioned writes prune. */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    // drop any prior run's tables AND their warehouse dirs — the in-memory
+    // catalog forgets the table but the location survives JVM restarts
+    for (tbl <- Seq("b_orders", "b_customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    ScaleTechniques.writeBucketed(
+      t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", 8)
+    ScaleTechniques.writeBucketed(
+      t.customer.select("c_custkey", "c_name"), "b_customer", "c_custkey", 8)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+    val plainShuffles = ScaleTechniques.shuffleCount(
+      t.orders.hint("merge")
+        .join(t.customer.hint("merge"), col("o_custkey") === col("c_custkey")))
+    assert(ScaleTechniques.shuffleCount(joined) == 0,
+      "bucketed join must not shuffle")
+    assert(plainShuffles > 0, "control: unbucketed SMJ does shuffle")
+    assert(joined.count() ==
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey")).count())
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val big = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+    val small2 = t.customer.select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = big.join(small2, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    val salted = ScaleTechniques
+      .saltedJoin(big, small2, "o_custkey", "o_orderkey", 4)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("partitioned sorted write prunes partitions at read") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-partwrite").toString + "/orders"
+    ScaleTechniques.writePartitionedSorted(
+      t.orders.withColumn("o_month", date_format(col("o_orderdate"), "yyyyMM")),
+      dir, "o_month", Seq("o_orderkey"))
+    val pruned = spark.read.parquet(dir).filter(col("o_month") === "199506")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_month"),
+      "partition filter must reach the scan")
+    assert(pruned.count() ==
+      t.orders.filter(date_format(col("o_orderdate"), "yyyyMM") === "199506").count())
+  }
+}
