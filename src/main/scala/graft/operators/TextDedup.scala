@@ -33,18 +33,6 @@ object TextDedup {
   val MinhashB: Seq[Int] = Seq(911, 1213, 1713, 2389, 3391, 4441,
     5881, 7121, 9973, 11939, 14009, 17327)
 
-  /** Distinct word-3-shingle array over a `words` array column. The CASE
-    * guard matters: sequence(0, size-3) DESCENDS when size < 3 — it does
-    * not produce an empty array. */
-  private val shingles = expr(
-    """CASE WHEN size(words) < 3 THEN array()
-      |ELSE array_distinct(transform(sequence(0, size(words) - 3),
-      |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) END""".stripMargin)
-
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("words", split(trim(col("text")), "\\s+"))
-      .withColumn("shingles", shingles)
-
   /** q24 — exact dedup with a simulated re-crawl batch: every doc_id % 5 == 0
     * arrives a second time; content-identical rows collapse onto the
     * earliest doc_id (ReplacingMergeTree "first wins" flavor), carrying a
@@ -68,19 +56,32 @@ object TextDedup {
     * (migrations/0006_title_dedup.sql:51-72) does this with pg_trgm + GIN;
     * the banded equi-join is the Spark-scale equivalent. */
   def q27MinhashNearDup(t: T): DataFrame = {
-    val sh = withShingles(t.documents)
-      .select(col("doc_id"), col("shingles"))
-      .filter(size(col("shingles")) > 0)
+    // Distinct (doc, shingle) pairs via posexplode + window lead + shuffle
+    // dedup. NOT transform-over-words: CollapseProject inlines the split()
+    // into the lambda, re-tokenizing the full text three times per shingle
+    // ELEMENT (measured 12s at sf0.1 → sub-second this way). And not
+    // array_distinct, which is O(len²) per row. Row form also lets the
+    // exact-Jaccard verification run as counting joins instead of per-pair
+    // array intersections.
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = t.documents
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(wd))
+      .withColumn("w2", lead("w", 2).over(wd))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
     // One md5-based base hash per shingle, then 12 affine permutations
     // (a_i·h + b_i mod 2^31−1) — the classic universal-hash family. 12×
     // cheaper than 12 independent md5 calls, and the arithmetic replays
     // bit-identically in the oracle. Products stay < 2^46: no ANSI
     // overflow.
-    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("hb", expr(s"${h60(0, "s")} % 2147483647"))
+    val hashed = tok.withColumn("hb", expr(s"${h60(0, "s")} % 2147483647"))
     val mhCols = (0 until 12).map(i =>
       min(expr(s"(hb * ${MinhashA(i)} + ${MinhashB(i)}) % 2147483647")).as(s"mh$i"))
-    val minhashes = tok.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val minhashes = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bands = minhashes.select(
       col("doc_id"),
       explode(array((0 until 4).map(b => struct(
@@ -94,12 +95,22 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // |A∩B| by joining the two shingle streams through the candidate set;
+    // |A∪B| = |A| + |B| − |A∩B|. Identical sets → identical numbers to the
+    // oracle's list_intersect / list_distinct(list_cat) form.
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -150,12 +161,13 @@ object TextDedup {
     t.documents
       .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
       .withColumn("content_hash", sha2(col("norm"), 256))
-      .withColumn("min_gram_hash",
-        expr(s"""aggregate(
-          |  transform(sequence(1, greatest(length(norm) - 7, 1)),
-          |    i -> ${h60(7, "substring(norm, i, 8)")}),
-          |  CAST(9223372036854775807 AS BIGINT),
-          |  (acc, v) -> least(acc, v))""".stripMargin))
-      .select("doc_id", "content_hash", "min_gram_hash")
+      // explode positions → min aggregate: the same rolling min as a HOF
+      // fold, but the ~300 md5 calls per document spread across tasks as
+      // skinny rows instead of allocating a 300-string array per row
+      .select(col("doc_id"), col("content_hash"), col("norm"),
+        explode(expr("sequence(1, greatest(length(norm) - 7, 1))")).as("i"))
+      .withColumn("g", expr(h60(7, "substring(norm, i, 8)")))
+      .groupBy("doc_id", "content_hash")
+      .agg(min("g").as("min_gram_hash"))
       .orderBy("doc_id")
 }
