@@ -99,6 +99,15 @@ object Cube {
       .orderBy("returnflag", "linestatus", "ship_month")
   }
 
+  /** A11 finding weight (aggregate.py:36-51): recency half-life of 3 years
+    * against the corpus watermark, times sqrt(sample/1000) clamped to
+    * [0.3, 3.0] — small samples never vanish, huge ones never dominate. */
+  def pollWeight(pollDate: org.apache.spark.sql.Column,
+                 today: org.apache.spark.sql.Column,
+                 sample: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pow(lit(0.5), (datediff(today, pollDate) / lit(365.25)) / lit(3.0)) *
+      least(lit(3.0), greatest(lit(0.3), sqrt(sample / lit(1000.0))))
+
   /** q38 — poll-of-polls weighted aggregation (A11,
     * study_scraper/aggregate.py:36-51,94-175): recency half-life weight
     * (3 "years" here = 1095 days against the corpus watermark) times a
@@ -114,11 +123,7 @@ object Cube {
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .agg(max("o_orderdate").as("today"))
     val weighted = stg.crossJoin(broadcast(maxD))
-      .withColumn("age_years",
-        datediff(col("today"), col("poll_date")) / lit(365.25))
-      .withColumn("w",
-        pow(lit(0.5), col("age_years") / lit(3.0)) *
-          least(lit(3.0), greatest(lit(0.3), sqrt(col("surveyed") / lit(1000.0)))))
+      .withColumn("w", pollWeight(col("poll_date"), col("today"), col("surveyed")))
     weighted
       .groupBy("party")
       .agg(
