@@ -50,7 +50,10 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // estimator is declared in the artifact so cross-round comparisons are
+    // never silently apples-to-oranges (r01/r02 reported the LAST rep;
+    // r03 onward report min-of-reps)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min-of-$reps-reps","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("trigram_similarity"),
       new ExpressionInfo(classOf[TrigramSimilarity].getName, "trigram_similarity"),
-      (exprs: Seq[Expression]) => TrigramSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`trigram_similarity`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TrigramSimilarity(exprs.head, exprs(1))
+      }))
   }
 }

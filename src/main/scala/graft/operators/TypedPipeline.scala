@@ -21,7 +21,7 @@ object TypedPipeline {
   /** The poll×party record at the staging seam (stg_dawum_polls shape). */
   final case class PollResult(
       poll_id: Long, institute_id: Long, party: String,
-      pct: Double, surveyed: Double)
+      pct: Double, surveyed: Double, poll_date: java.sql.Timestamp)
 
   /** A finding after weighting (aggregate.py:36-51 weight inputs). */
   final case class WeightedFinding(party: String, pct: Double, w: Double)
@@ -48,20 +48,32 @@ object TypedPipeline {
     Polls.stgPollResults(t)
       .select(
         col("poll_id"), col("institute_id"), col("party"),
-        col("pct"), col("surveyed"))
+        col("pct"), col("surveyed"), col("poll_date"))
       .as[PollResult]
   }
 
   /** Typed poll-of-polls: weight per record, groupByKey(party), custom
-    * Aggregator — same semantics as the column-expression q38 core. */
+    * Aggregator — same weight semantics as the column-expression q38 core
+    * (Cube.pollWeight): recency half-life of 3 years against `today`,
+    * times sqrt(sample/1000) clamped to [lo, hi]. */
   def weightedByParty(spark: SparkSession, ds: Dataset[PollResult],
+                      today: java.sql.Date,
                       sizeClampLo: Double = 0.3,
                       sizeClampHi: Double = 3.0): Dataset[(String, Double)] = {
     import spark.implicits._
+    val todayEpoch = today.toLocalDate.toEpochDay
     ds.map { r =>
-        val w = math.min(sizeClampHi,
+        // truncate to the wall-clock calendar day. The staging column is
+        // TIMESTAMP_NTZ: Spark decodes it into java.sql.Timestamp through
+        // the JVM default zone, and toLocalDateTime converts back through
+        // the same zone, so the two conversions cancel and this matches
+        // what datediff() sees regardless of host timezone.
+        val pollDay = r.poll_date.toLocalDateTime.toLocalDate.toEpochDay
+        val ageDays = (todayEpoch - pollDay).toDouble
+        val recency = math.pow(0.5, (ageDays / 365.25) / 3.0)
+        val size = math.min(sizeClampHi,
           math.max(sizeClampLo, math.sqrt(r.surveyed / 1000.0)))
-        WeightedFinding(r.party, r.pct, w)
+        WeightedFinding(r.party, r.pct, recency * size)
       }
       .groupByKey(_.party)
       .agg(WeightedMean.toColumn.name("weighted_pct"))

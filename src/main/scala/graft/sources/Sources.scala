@@ -20,19 +20,27 @@ object Sources {
   /** S7 — extension-dispatched load with a required explicit schema for
     * text formats (parquet carries its own). */
   def loadFile(spark: SparkSession, path: String,
-               schema: Option[StructType] = None): DataFrame =
-    path.split('.').last.toLowerCase match {
+               schema: Option[StructType] = None): DataFrame = {
+    // extension comes from the basename only: "/data/v1.2/events" has no
+    // extension, not extension "2/events"
+    val base = path.stripSuffix("/").split('/').last
+    val ext = base.lastIndexOf('.') match {
+      case i if i > 0 && i < base.length - 1 => base.substring(i + 1).toLowerCase
+      case _ => throw new IllegalArgumentException(
+        s"no file extension on '$path' — expected .csv/.json/.jsonl/.ndjson/.parquet")
+    }
+    def required: StructType = schema.getOrElse(throw new IllegalArgumentException(
+      s".$ext requires an explicit schema — no inference in production paths (SURVEY.md §1.3)"))
+    ext match {
       case "parquet" => spark.read.parquet(path)
       case "csv" =>
-        val r = spark.read.option("header", "true")
-        schema.fold(r.option("inferSchema", "false"))(r.schema)
-          .csv(path)
+        spark.read.option("header", "true").schema(required).csv(path)
       case "json" | "jsonl" | "ndjson" =>
-        val r = spark.read
-        schema.fold(r)(r.schema).json(path)
+        spark.read.schema(required).json(path)
       case other => throw new IllegalArgumentException(
         s"unsupported extension .$other (csv/json/parquet)")
     }
+  }
 
   /** S10 — CSV export: arrays → '|' joins, timestamps/dates → ISO strings,
     * one header-ed CSV directory per call; returns the exported row count

@@ -40,16 +40,34 @@ object Incremental {
   def runFileUpsertStream(spark: SparkSession, inDir: String, schema: StructType,
                           keyCols: Seq[String], versionCol: String,
                           checkpointDir: String, outDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val stagedPath = new org.apache.hadoop.fs.Path(outDir + "__staged")
+    val oldPath = new org.apache.hadoop.fs.Path(outDir + "__old")
+    // Startup recovery after a crash mid-swap. The swap below is
+    // out→__old, __staged→out, delete __old; the only window where the
+    // live table is absent is between the two renames, and __old holds the
+    // last committed state then. Restore it — the interrupted micro-batch
+    // was never committed to the checkpoint, so it replays (idempotently:
+    // the merge is latest-per-key). Leftover __staged/__old dirs from
+    // completed or abandoned swaps are plain garbage.
+    if (!fs.exists(outPath) && fs.exists(oldPath)) fs.rename(oldPath, outPath)
+    if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
+    if (fs.exists(oldPath)) fs.delete(oldPath, true)
     val stream = spark.readStream.schema(schema).json(inDir)
     val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Explicit existence check, not a catch-all: a corrupt or
+        // unreadable table must fail the batch loudly, never be silently
+        // treated as empty (that would rewrite it with only the new rows).
         val existing =
-          try spark.read.parquet(outDir)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs.exists(outPath)) spark.read.parquet(outDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = existing.unionByName(batch)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
@@ -57,15 +75,14 @@ object Incremental {
         val latest = merged
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        // write to a staging dir then swap — the read path above must not
-        // observe a half-written overwrite of its own input
-        val staged = outDir + "__staged"
-        latest.coalesce(1).write.mode("overwrite").parquet(staged)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-        val outPath = new org.apache.hadoop.fs.Path(outDir)
-        fs.delete(outPath, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staged), outPath)
+        // Stage, then swap via rename-aside: the live table is moved, not
+        // deleted, before its replacement lands, so every crash point
+        // leaves either the old or the new state recoverable on disk.
+        latest.coalesce(1).write.mode("overwrite").parquet(stagedPath.toString)
+        if (fs.exists(oldPath)) fs.delete(oldPath, true)
+        if (fs.exists(outPath)) fs.rename(outPath, oldPath)
+        fs.rename(stagedPath, outPath)
+        fs.delete(oldPath, true)
         ()
       }
       .start()

@@ -18,11 +18,14 @@ class TypedPipelineSpec extends SparkSpec {
 
   test("typed Aggregator matches the column-expression weighted mean") {
     val ds = TypedPipeline.pollResults(t)
-    val typed = TypedPipeline.weightedByParty(spark, ds)
+    val today = java.sql.Date.valueOf(
+      ds.toDF().agg(date_format(max("poll_date"), "yyyy-MM-dd"))
+        .collect()(0).getString(0))
+    val typed = TypedPipeline.weightedByParty(spark, ds, today)
       .toDF("party", "weighted_pct")
       .withColumn("weighted_pct", round(col("weighted_pct"), 6))
       .orderBy("party").collect()
-    val w = least(lit(3.0), greatest(lit(0.3), sqrt(col("surveyed") / 1000.0)))
+    val w = graft.operators.Cube.pollWeight(col("poll_date"), lit(today), col("surveyed"))
     val exprBased = ds.toDF()
       .withColumn("w", w)
       .groupBy("party")
@@ -33,10 +36,13 @@ class TypedPipelineSpec extends SparkSpec {
   }
 
   test("zero-weight group yields NaN, not a crash") {
+    val d = java.sql.Date.valueOf("2024-01-01")
     val ds = Seq(
-      TypedPipeline.PollResult(1, 1, "px", 10.0, 0.0)).toDS()
+      TypedPipeline.PollResult(1, 1, "px", 10.0, 0.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
     // clamp floor 0.3 keeps w > 0 normally; force zero via clamp (0, 0)
-    val out = TypedPipeline.weightedByParty(spark, ds, 0.0, 0.0).collect()
+    // (today = poll_date so the recency factor is exactly 1.0)
+    val out = TypedPipeline.weightedByParty(spark, ds, d, 0.0, 0.0).collect()
     assert(out.head._2.isNaN)
   }
 }
