@@ -4,17 +4,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line on stdout for the driver.
   *
-  * Each query runs `reps` times (default 2: one warm-up that pays JIT /
-  * whole-stage-codegen compile / page-cache costs, then the steady-state
-  * rep that is reported). Failures propagate into the JSON as
-  * `"errors":{name:msg}` instead of being silently recorded as -1 —
-  * a bench over failing queries is not a bench.
+  * Reps are INTERLEAVED round-robin (rep 1 of every query, then rep 2, …)
+  * rather than back-to-back: a multi-minute host-contention window then
+  * inflates at most one rep of each query instead of poisoning every rep
+  * of whichever alphabetic block it sweeps (the r3/r4 artifact failure
+  * mode). With ≥3 reps the reported median is contention-robust, and the
+  * per-query min/max spread makes any remaining contamination visible in
+  * the artifact instead of silently distorting it. Failures propagate
+  * into the JSON as `"errors":{name:msg}` instead of being silently
+  * recorded as -1 — a bench over failing queries is not a bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,34 +30,45 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Materialize every output row (not just count()) so the measured
-      // plan includes the final projection, same work the verify dump does.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        val times = (1 to reps).map(_ => once())
-        // min across reps: the steady-state estimator most robust to GC
-        // pauses / host contention (first rep still pays JIT+codegen).
-        name -> times.min
-      } catch {
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Materialize every output row (not just count()) so the measured
+    // plan includes the final projection, same work the verify dump does.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // rep-major loop: every query's rep r runs before any query's rep r+1
+    val samples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- names if !errors.contains(name)) {
+      try samples(name) = samples(name) :+ once(fn)
+      catch {
         case e: Throwable =>
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          name -> -1.0
       }
+    }
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) =>
+      val xs = samples(name)
+      name -> (if (xs.isEmpty) (-1.0, -1.0, -1.0) else (median(xs), xs.min, xs.max))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    def fmt(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, (med, _, _)) => s""""$k":${fmt(med)}""" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, (med, mn, mx)) =>
+      s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
     // estimator is declared in the artifact so cross-round comparisons are
-    // never silently apples-to-oranges (r01/r02 reported the LAST rep;
-    // r03 onward report min-of-reps)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min-of-$reps-reps","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // never silently apples-to-oranges (r01/r02 reported the LAST rep; r03/
+    // r04 min-of-2 sequential; r05 onward median of interleaved reps, with
+    // per-query min/max spread so contention windows are visible)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"median-of-$reps-interleaved-reps","queries":$qs,"spread":$spread,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

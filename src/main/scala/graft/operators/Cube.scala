@@ -115,7 +115,7 @@ object Cube {
     * mean divides raw sums and rounds once at the end — the ratio is stable
     * to summation order, the raw sums are not. */
   def q38PollOfPolls(t: T): DataFrame = {
-    val stg = Polls.stgPollResults(t)
+    val stg = Polls.stgPollResultsTable(t)
     // watermark from a light semi scan — same set, but avoids a second
     // reference to the expensive staging subtree (see q23)
     val maxD = t.orders

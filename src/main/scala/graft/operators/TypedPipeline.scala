@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object TypedPipeline {
 
-  /** The poll×party record at the staging seam (stg_dawum_polls shape). */
+  /** The poll×party record at the staging seam (stg_dawum_polls shape).
+    * `poll_date` is `LocalDateTime` — the native encoder for the parquet
+    * TIMESTAMP_NTZ column, decoded with no timezone conversion at all, so
+    * the wall-clock day is host-TZ-independent (a `java.sql.Timestamp`
+    * field would upcast NTZ→TIMESTAMP through the session zone and then
+    * convert back through the JVM default zone, which only cancels when
+    * those two zones agree). */
   final case class PollResult(
       poll_id: Long, institute_id: Long, party: String,
-      pct: Double, surveyed: Double, poll_date: java.sql.Timestamp)
+      pct: Double, surveyed: Double, poll_date: java.time.LocalDateTime)
 
   /** A finding after weighting (aggregate.py:36-51 weight inputs). */
   final case class WeightedFinding(party: String, pct: Double, w: Double)
@@ -63,12 +69,9 @@ object TypedPipeline {
     import spark.implicits._
     val todayEpoch = today.toLocalDate.toEpochDay
     ds.map { r =>
-        // truncate to the wall-clock calendar day. The staging column is
-        // TIMESTAMP_NTZ: Spark decodes it into java.sql.Timestamp through
-        // the JVM default zone, and toLocalDateTime converts back through
-        // the same zone, so the two conversions cancel and this matches
-        // what datediff() sees regardless of host timezone.
-        val pollDay = r.poll_date.toLocalDateTime.toLocalDate.toEpochDay
+        // truncate to the wall-clock calendar day — no TZ math anywhere,
+        // matching what datediff() sees on any host.
+        val pollDay = r.poll_date.toLocalDate.toEpochDay
         val ageDays = (todayEpoch - pollDay).toDouble
         val recency = math.pow(0.5, (ageDays / 365.25) / 3.0)
         val size = math.min(sizeClampHi,

@@ -40,11 +40,22 @@ object Incremental {
   def runFileUpsertStream(spark: SparkSession, inDir: String, schema: StructType,
                           keyCols: Seq[String], versionCol: String,
                           checkpointDir: String, outDir: String): Unit = {
+    // Normalize: a trailing slash would make __staged/__old *children* of
+    // the live table dir (read back in by spark.read.parquet, and a rename
+    // into its own source).
+    val dir = outDir.stripSuffix("/")
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    val stagedPath = new org.apache.hadoop.fs.Path(outDir + "__staged")
-    val oldPath = new org.apache.hadoop.fs.Path(outDir + "__old")
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val outPath = new org.apache.hadoop.fs.Path(dir)
+    val stagedPath = new org.apache.hadoop.fs.Path(dir + "__staged")
+    val oldPath = new org.apache.hadoop.fs.Path(dir + "__old")
+    // Hadoop FileSystem.rename reports failure by returning false, not
+    // throwing — an unchecked rename in the swap would let fs.delete
+    // destroy the last committed table while the checkpoint commits.
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+                      to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename failed: $from -> $to")
     // Startup recovery after a crash mid-swap. The swap below is
     // out→__old, __staged→out, delete __old; the only window where the
     // live table is absent is between the two renames, and __old holds the
@@ -52,7 +63,7 @@ object Incremental {
     // was never committed to the checkpoint, so it replays (idempotently:
     // the merge is latest-per-key). Leftover __staged/__old dirs from
     // completed or abandoned swaps are plain garbage.
-    if (!fs.exists(outPath) && fs.exists(oldPath)) fs.rename(oldPath, outPath)
+    if (!fs.exists(outPath) && fs.exists(oldPath)) renameOrThrow(oldPath, outPath)
     if (fs.exists(stagedPath)) fs.delete(stagedPath, true)
     if (fs.exists(oldPath)) fs.delete(oldPath, true)
     val stream = spark.readStream.schema(schema).json(inDir)
@@ -65,7 +76,7 @@ object Incremental {
         // unreadable table must fail the batch loudly, never be silently
         // treated as empty (that would rewrite it with only the new rows).
         val existing =
-          if (fs.exists(outPath)) spark.read.parquet(outDir)
+          if (fs.exists(outPath)) spark.read.parquet(dir)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = existing.unionByName(batch)
@@ -80,9 +91,11 @@ object Incremental {
         // leaves either the old or the new state recoverable on disk.
         latest.coalesce(1).write.mode("overwrite").parquet(stagedPath.toString)
         if (fs.exists(oldPath)) fs.delete(oldPath, true)
-        if (fs.exists(outPath)) fs.rename(outPath, oldPath)
-        fs.rename(stagedPath, outPath)
-        fs.delete(oldPath, true)
+        if (fs.exists(outPath)) renameOrThrow(outPath, oldPath)
+        renameOrThrow(stagedPath, outPath)
+        // Drop the aside copy only once the new live table is confirmed in
+        // place — if anything above threw, __old survives for recovery.
+        if (fs.exists(outPath)) fs.delete(oldPath, true)
         ()
       }
       .start()

@@ -39,7 +39,7 @@ class TypedPipelineSpec extends SparkSpec {
     val d = java.sql.Date.valueOf("2024-01-01")
     val ds = Seq(
       TypedPipeline.PollResult(1, 1, "px", 10.0, 0.0,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDS()
+        java.time.LocalDateTime.parse("2024-01-01T00:00:00"))).toDS()
     // clamp floor 0.3 keeps w > 0 normally; force zero via clamp (0, 0)
     // (today = poll_date so the recency factor is exactly 1.0)
     val out = TypedPipeline.weightedByParty(spark, ds, d, 0.0, 0.0).collect()
