@@ -82,6 +82,10 @@ object SparkEntry {
     // rows-only: the stubbed decode feature is engine-internal by design
     "q57_multimodal"      -> ((s, d) => Multimodal.q57MultimodalFeatures(T(s, d))),
     "q58_ann_ivf"         -> ((s, d) => Similarity.q58AnnIvf(T(s, d))),
+    "q59_eval_full"       -> ((s, d) => Topics.q59EvalHarness(T(s, d))),
+    "q60_snapshot_fuzzy"  -> ((s, d) => Views.q60SnapshotFuzzy(T(s, d))),
+    "q61_auto_review"     -> ((s, d) => Topics.q61AutoReview(T(s, d))),
+    "q62_doi_normalize"   -> ((s, d) => Merge.q62DoiNormalize(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -871,6 +875,122 @@ object SparkEntry {
         |       WHEN p_type ILIKE '%polished%' THEN 'finished'
         |       ELSE 'raw' END AS type_class
         |FROM folded ORDER BY p_partkey""".stripMargin,
+    "q59_eval_full" ->
+      """WITH built AS (
+        |  SELECT event_id, event_type,
+        |    event_id % 2 = 0 AS grounded,
+        |    event_id % 7 <> 0 AS has_gold,
+        |    event_id % 5 <> 0 AS captured,
+        |    (event_id % 7 <> 0) AND (event_id % 3 <> 0) AS is_match
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) AS n,
+        |  count(CASE WHEN has_gold THEN 1 END) AS gold_n,
+        |  count(CASE WHEN is_match THEN 1 END) AS matched,
+        |  count(CASE WHEN captured THEN 1 END) AS capture_found,
+        |  count(CASE WHEN NOT grounded THEN 1 END) AS hallucinated,
+        |  count(CASE WHEN grounded THEN 1 END) AS conf_high,
+        |  count(CASE WHEN grounded AND is_match THEN 1 END) AS conf_high_correct,
+        |  CAST(count(CASE WHEN captured THEN 1 END) AS DOUBLE)
+        |    / nullif(count(*), 0) AS capture_rate,
+        |  CAST(count(CASE WHEN is_match THEN 1 END) AS DOUBLE)
+        |    / nullif(count(*), 0) AS precision,
+        |  CAST(count(CASE WHEN is_match THEN 1 END) AS DOUBLE)
+        |    / nullif(count(CASE WHEN has_gold THEN 1 END), 0) AS recall,
+        |  CAST(count(CASE WHEN NOT grounded THEN 1 END) AS DOUBLE)
+        |    / nullif(count(*), 0) AS hallucination_rate,
+        |  CAST(count(CASE WHEN grounded AND is_match THEN 1 END) AS DOUBLE)
+        |    / nullif(count(CASE WHEN grounded THEN 1 END), 0) AS calibration_at_08
+        |FROM built GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q60_snapshot_fuzzy" ->
+      """WITH base AS (
+        |  SELECT p_partkey, lower(p_name) AS name,
+        |    CASE p_partkey % 3 WHEN 0 THEN 'support' WHEN 1 THEN 'oppose'
+        |      ELSE 'neutral' END AS position,
+        |    CASE WHEN p_partkey % 4 = 0 THEN 'ost' ELSE '' END AS population,
+        |    CAST(p_partkey % 90 + 5 AS DOUBLE) AS pct_prev
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |prev AS (
+        |  SELECT p_partkey AS prev_key, position, population,
+        |    pct_prev AS prev_pct,
+        |    list_distinct(list_transform(range(1, length(name) - 1),
+        |      i -> substr(name, CAST(i AS INT), 3))) AS pg
+        |  FROM base WHERE p_partkey % 10 = 0),
+        |cur AS (
+        |  SELECT p_partkey AS cur_key, position, population,
+        |    pct_prev + CASE WHEN p_partkey % 9 = 0 THEN 7.0 ELSE 1.0 END
+        |      AS cur_pct,
+        |    list_distinct(list_transform(range(1, length(name || ' neu') - 1),
+        |      i -> substr(name || ' neu', CAST(i AS INT), 3))) AS cg
+        |  FROM base),
+        |pairs AS (
+        |  SELECT c.cur_key, p.prev_key, p.prev_pct,
+        |    len(list_intersect(c.cg, p.pg)) * 1.0 /
+        |      len(list_distinct(list_cat(c.cg, p.pg))) AS sim
+        |  FROM cur c JOIN prev p
+        |    ON c.position = p.position AND c.population = p.population),
+        |flt AS (SELECT * FROM pairs WHERE sim >= 0.72),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY cur_key
+        |  ORDER BY sim DESC, prev_key ASC) AS rn FROM flt),
+        |m AS (SELECT cur_key, prev_key, round(sim, 4) AS sim, prev_pct
+        |  FROM best WHERE rn = 1)
+        |SELECT c.cur_key, c.position, c.population, c.cur_pct,
+        |  m.prev_key, m.sim, m.prev_pct,
+        |  round(c.cur_pct - m.prev_pct, 1) AS delta,
+        |  CASE WHEN m.prev_key IS NULL THEN 'new'
+        |       WHEN abs(c.cur_pct - m.prev_pct) >= 5.0 THEN 'shift'
+        |       ELSE 'stable' END AS status
+        |FROM cur c LEFT JOIN m ON c.cur_key = m.cur_key
+        |ORDER BY c.cur_key""".stripMargin,
+    "q61_auto_review" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, CAST(doc_id % 60 AS INT)) AS title,
+        |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE substr(text, 1, 30) END
+        |      AS abstract,
+        |    CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 3 + 1 AS INT)
+        |      ELSE 0 END AS claims_count,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL
+        |      ELSE CAST(doc_id % 20 AS DOUBLE) / 100.0 END AS max_score
+        |  FROM documents),
+        |flags AS (
+        |  SELECT *,
+        |    length(coalesce(title, '') || coalesce(abstract, '')) AS text_len,
+        |    coalesce(max_score, 0.0) AS score
+        |  FROM built)
+        |SELECT doc_id, claims_count, max_score, text_len,
+        |  CASE WHEN claims_count > 0 THEN 'kept'
+        |       WHEN score >= 0.1 THEN 'kept'
+        |       WHEN text_len < 40 AND score < 0.05 THEN 'rejected'
+        |       ELSE 'kept' END AS decision,
+        |  CASE WHEN claims_count > 0
+        |         THEN 'has ' || claims_count || ' quantitative claim(s)'
+        |       WHEN score >= 0.1
+        |         THEN 'topic score ' || printf('%.2f', score) ||
+        |              ' near keep threshold'
+        |       WHEN text_len < 40 AND score < 0.05
+        |         THEN 'noise: score ' || printf('%.2f', score) ||
+        |              ' and only ' || text_len || ' chars of text'
+        |       ELSE 'coverage-first default (borderline, no disqualifier)'
+        |  END AS rationale
+        |FROM flags ORDER BY doc_id""".stripMargin,
+    "q62_doi_normalize" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN '  '
+        |         WHEN doc_id % 4 = 0 THEN 'https://doi.org/10.1515/d' || doc_id
+        |         WHEN doc_id % 4 = 1 THEN 'doi:10.1515/d' || doc_id
+        |         WHEN doc_id % 4 = 2 THEN '  10.1515/d' || doc_id || ' '
+        |         ELSE 'HTTP://doi.org/10.1515/D' || doc_id END AS raw
+        |  FROM documents),
+        |normed AS (
+        |  SELECT doc_id, raw,
+        |    nullif(regexp_replace(trim(raw),
+        |      '(?i)^(https?://doi\.org/|doi:)', ''), '') AS doi
+        |  FROM built)
+        |SELECT doc_id, raw, doi, doi IS NOT NULL AS has_doi,
+        |  coalesce(doi LIKE '10.%', FALSE) AS is_bare
+        |FROM normed ORDER BY doc_id""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

@@ -176,6 +176,35 @@ object Merge {
       .orderBy("canonical_id")
   }
 
+  /** DOI surface-form normalization (T12, study_scraper/pipeline.py:
+    * 115-131 `_normalize_doi`): trim, then strip ONE leading
+    * `https://doi.org/` / `http://doi.org/` / `doi:` prefix
+    * (case-insensitively matched, remainder case-preserved), empty → null.
+    * Pure codegen'd regexp — no UDF. */
+  def normalizeDoi(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nullif(regexp_replace(trim(c), "(?i)^(https?://doi\\.org/|doi:)", ""), lit(""))
+
+  /** q62 — the normalizer over every surface form the reference sees
+    * (pipeline.py docstring): bare, doi:-prefixed, https/HTTP url forms,
+    * padded whitespace, and blank → null. */
+  def q62DoiNormalize(t: T): DataFrame = {
+    val raw =
+      when(col("doc_id") % 11 === 0, lit("  "))
+        .when(col("doc_id") % 4 === 0,
+          concat(lit("https://doi.org/10.1515/d"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("doi:10.1515/d"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("  10.1515/d"), col("doc_id"), lit(" ")))
+        .otherwise(concat(lit("HTTP://doi.org/10.1515/D"), col("doc_id")))
+    t.documents
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("doi", normalizeDoi(col("raw")))
+      .withColumn("has_doi", col("doi").isNotNull)
+      .withColumn("is_bare", coalesce(col("doi").startsWith("10."), lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** q36 — DELETE-then-INSERT upsert: incoming batch hard-replaces by key
     * (anti-join survivors ∪ incoming), checked via per-status rollup. */
   def q36DeleteInsertUpsert(t: T): DataFrame = {

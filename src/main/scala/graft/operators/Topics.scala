@@ -91,4 +91,126 @@ object Topics {
         expr("2.0D * precision * recall / nullif(precision + recall, 0.0D)"))
       .orderBy("topic_id")
   }
+
+  /** q59 — the FULL eval harness (A14, study_scraper/eval/harness.py:83-151):
+    * beyond q49's precision/recall/F1, the reference's quality gate also
+    * reports claims capture_rate (stage 2, harness.py:85-110), attribution
+    * hallucination_rate (grounded=false share) and calibration@0.8
+    * (correctness among confidence ≥ 0.8 parses, harness.py:113-151).
+    *
+    * The eval corpus derives deterministically from `events`: each event is
+    * one gold entry with a German claim sentence, one parsed attribution
+    * (grounded / confidence per the q53 lenient-parse rules), and a gold
+    * key that mismatches on a fixed residue class. The claim side runs the
+    * REAL extractor (TextAnalysis.extractClaims) — the oracle re-derives
+    * the expected capture set arithmetically, so an extractor regression
+    * breaks the hash, exactly like q32.
+    *
+    * Scale: map-side build + one claim-extraction projection + a single
+    * groupBy(event_type) with conditional aggregates — one shuffle over
+    * five groups' partial aggregates, nothing collected. */
+  def q59EvalHarness(t: T): DataFrame = {
+    val built = t.events
+      .withColumn("pct_int", round(col("value") / 5, 0).cast("int"))
+      .withColumn("sentence",
+        when(col("event_id") % 5 === 0, lit("Studie ohne Zahlen."))
+          .otherwise(concat(
+            lit("Zustimmung bei "), col("pct_int"), lit(",0 %."))))
+      .withColumn("grounded", col("event_id") % 2 === 0)
+      .withColumn("confidence", when(col("grounded"), 0.9).otherwise(0.3))
+      // gold attribution: absent for one residue class, key-mismatched
+      // (pct off by one) for another — yields non-trivial tp/fp/fn mix
+      .withColumn("has_gold", col("event_id") % 7 =!= 0)
+      .withColumn("is_match",
+        col("has_gold") && col("event_id") % 3 =!= 0)
+    val got = TextAnalysis.extractClaims(
+        built.select(col("event_id").as("poll_id"), col("sentence")))
+      .groupBy("poll_id")
+      .agg(collect_set(col("claim_value").cast("int")).as("got_pcts"))
+    built
+      .join(got, built("event_id") === got("poll_id"), "left")
+      .withColumn("captured",
+        coalesce(array_contains(col("got_pcts"), col("pct_int")), lit(false)))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("has_gold"), 1)).as("gold_n"),
+        count(when(col("is_match"), 1)).as("matched"),
+        count(when(col("captured"), 1)).as("capture_found"),
+        count(when(!col("grounded"), 1)).as("hallucinated"),
+        count(when(col("confidence") >= 0.8, 1)).as("conf_high"),
+        count(when(col("confidence") >= 0.8 && col("is_match"), 1))
+          .as("conf_high_correct"))
+      .withColumn("capture_rate",
+        expr("CAST(capture_found AS DOUBLE) / nullif(n, 0)"))
+      .withColumn("precision", expr("CAST(matched AS DOUBLE) / nullif(n, 0)"))
+      .withColumn("recall", expr("CAST(matched AS DOUBLE) / nullif(gold_n, 0)"))
+      .withColumn("hallucination_rate",
+        expr("CAST(hallucinated AS DOUBLE) / nullif(n, 0)"))
+      .withColumn("calibration_at_08",
+        expr("CAST(conf_high_correct AS DOUBLE) / nullif(conf_high, 0)"))
+      .orderBy("event_type")
+  }
+
+  /** The auto-reviewer policy (T11, study_scraper/auto_review.py:41-66),
+    * EXACT when-chain — coverage-first, never 'pending':
+    *  1. claims_count > 0            → kept  ("has N quantitative claim(s)")
+    *  2. score ≥ 0.1                 → kept  (near the 0.2 keep threshold)
+    *  3. text < 40 chars AND < 0.05  → rejected (noise)
+    *  4. otherwise                   → kept  (coverage-first default)
+    * `score` is `max_score or 0.0`; text length counts title+abstract.
+    * Returns (decision, rationale) as two Columns, both matching the
+    * reference's strings verbatim (ported cases in AutoReviewSpec). */
+  def autoReviewDecide(title: org.apache.spark.sql.Column,
+                       abstract_ : org.apache.spark.sql.Column,
+                       claimsCount: org.apache.spark.sql.Column,
+                       maxScore: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val textLen = length(concat(coalesce(title, lit("")), coalesce(abstract_, lit(""))))
+    val score = coalesce(maxScore, lit(0.0))
+    val scoreFmt = format_string("%.2f", score)
+    val decision =
+      when(claimsCount > 0, "kept")
+        .when(score >= 0.1, "kept")
+        .when(textLen < 40 && score < 0.05, "rejected")
+        .otherwise("kept")
+    val rationale =
+      when(claimsCount > 0,
+        concat(lit("has "), claimsCount, lit(" quantitative claim(s)")))
+        .when(score >= 0.1,
+          concat(lit("topic score "), scoreFmt, lit(" near keep threshold")))
+        .when(textLen < 40 && score < 0.05,
+          concat(lit("noise: score "), scoreFmt,
+            lit(" and only "), textLen, lit(" chars of text")))
+        .otherwise(lit("coverage-first default (borderline, no disqualifier)"))
+    (decision, rationale)
+  }
+
+  /** q61 — the auto-review decision over a derived pending-studies frame:
+    * titles/abstracts cut from document text, claims counts and topic
+    * scores on fixed residue classes (NULL scores included — the
+    * `max_score or 0.0` branch). Pure map-side when-chain, no shuffle
+    * before the final sort. */
+  def q61AutoReview(t: T): DataFrame = {
+    val built = t.documents.select(
+      col("doc_id"),
+      expr("substr(text, 1, CAST(doc_id % 60 AS INT))").as("title"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .otherwise(expr("substr(text, 1, 30)")).as("abstract"),
+      when(col("doc_id") % 5 === 0, (col("doc_id") % 3 + 1).cast("int"))
+        .otherwise(lit(0)).as("claims_count"),
+      when(col("doc_id") % 13 === 0, lit(null))
+        .otherwise((col("doc_id") % 20).cast("double") / 100.0).as("max_score"))
+    val (decision, rationale) = autoReviewDecide(
+      col("title"), col("abstract"), col("claims_count"), col("max_score"))
+    built
+      .withColumn("text_len",
+        length(concat(coalesce(col("title"), lit("")),
+          coalesce(col("abstract"), lit("")))))
+      .withColumn("decision", decision)
+      .withColumn("rationale", rationale)
+      .select("doc_id", "claims_count", "max_score", "text_len",
+        "decision", "rationale")
+      .orderBy("doc_id")
+  }
 }

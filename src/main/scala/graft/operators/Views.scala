@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.T
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Heterogeneous-source views and monitoring operators:
@@ -91,5 +92,59 @@ object Views {
       .withColumn("delta", round(col("cur_value") - col("prev_value"), 4))
       .select("event_type", "cohort", "prev_value", "cur_value", "delta", "status")
       .orderBy("event_type", "cohort")
+  }
+
+  /** q60 — FUZZY snapshot matching (J13, study_scraper/digest.py:75-94
+    * `_match_prev`): a current snapshot row finds last run's row by exact
+    * (position, population) — a 55→70 "shift" across populations is sample
+    * composition, not opinion change — plus the BEST label similarity,
+    * kept only at ≥ 0.72 (the reference's DEFAULT_THRESHOLD). Unmatched
+    * rows are new questions; matched ones classify shift/stable on a
+    * 5-point delta, as in q39's keyed diff.
+    *
+    * The snapshots derive from `part`: prev labels are the part names,
+    * current labels carry a suffix mutation (the re-clustered label drift
+    * the fuzzy match exists for). Similarity is the native codegen'd
+    * TrigramSimilarity expression; the exact-key block bounds the pair
+    * space (position × population), which is exactly the reference's loop
+    * structure — candidate generation by equi-join, never all-pairs. */
+  def q60SnapshotFuzzy(t: T): DataFrame = {
+    val base = t.part
+      .filter(col("p_partkey") % 5 === 0)
+      .withColumn("position",
+        when(col("p_partkey") % 3 === 0, "support")
+          .when(col("p_partkey") % 3 === 1, "oppose")
+          .otherwise("neutral"))
+      .withColumn("population",
+        when(col("p_partkey") % 4 === 0, "ost").otherwise(""))
+      .withColumn("pct_prev", (col("p_partkey") % 90 + 5).cast("double"))
+    val prev = base.filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("prev_key"), col("position"), col("population"),
+        lower(col("p_name")).as("prev_label"), col("pct_prev").as("prev_pct"))
+    val cur = base.select(
+      col("p_partkey").as("cur_key"), col("position"), col("population"),
+      concat(lower(col("p_name")), lit(" neu")).as("cur_label"),
+      (col("pct_prev") +
+        when(col("p_partkey") % 9 === 0, 7.0).otherwise(1.0)).as("cur_pct"))
+    val best = Window.partitionBy("cur_key")
+      .orderBy(col("sim").desc, col("prev_key").asc)
+    val matched = cur
+      .join(prev, Seq("position", "population"))
+      .withColumn("sim", expr("trigram_similarity(cur_label, prev_label)"))
+      .filter(col("sim") >= 0.72)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("cur_key"), col("prev_key"),
+        round(col("sim"), 4).as("sim"), col("prev_pct"))
+    cur
+      .join(matched, Seq("cur_key"), "left")
+      .withColumn("delta", round(col("cur_pct") - col("prev_pct"), 1))
+      .withColumn("status",
+        when(col("prev_key").isNull, "new")
+          .when(abs(col("cur_pct") - col("prev_pct")) >= 5.0, "shift")
+          .otherwise("stable"))
+      .select("cur_key", "position", "population", "cur_pct",
+        "prev_key", "sim", "prev_pct", "delta", "status")
+      .orderBy("cur_key")
   }
 }
