@@ -19,13 +19,19 @@ import org.apache.spark.sql.functions._
   * joins the first cluster with any member ≥ threshold, so assignment i
   * depends on all assignments < i). The reference bounds the corpus to a
   * few hundred distinct phrasings (storage/postgres.py:961-966) and so do
-  * we: distinct questions are collected to the driver, clustered in O(n²)
-  * worst case, and the (question → cluster) map broadcast-joins back onto
-  * the full row set — rows themselves never leave the cluster. At 100 TB
-  * the row side scales freely; if distinct PHRASINGS ever exploded, the
-  * faithful upgrade is LSH candidate pairs + connected components
-  * (iterated self-joins), which changes linkage semantics from
-  * "first cluster wins" to true transitive closure — documented divergence.
+  * we: distinct questions are collected to the driver (the bound is
+  * ASSERTED — above `MaxDriverCorpus` the call fails loudly instead of
+  * silently taking hours), clustered in O(n²) worst case, and the
+  * (question → cluster) map broadcast-joins back onto the full row set —
+  * rows themselves never leave the cluster. At 100 TB the row side scales
+  * freely; when distinct PHRASINGS explode, `clusterQuestionsAtScale` is
+  * the built upgrade: inverted-index candidate pairs (exact for cosine —
+  * a nonzero dot requires a shared term) + connected components via
+  * iterated self-joins. Its linkage semantics are true transitive closure
+  * rather than "first cluster wins" — a question similar to two existing
+  * clusters MERGES them at scale but joins only the first on the driver
+  * path; ClusteringScaleSpec pins both the agreement on well-separated
+  * corpora and that documented divergence.
   */
 object Clustering {
 
@@ -152,14 +158,27 @@ object Clustering {
       .map { case (r, sim, _) => (r, sim) }
   }
 
+  /** The driver path's corpus bound: beyond this many DISTINCT phrasings
+    * the O(n²) single-threaded linkage stops being a bounded cost; callers
+    * must switch to clusterQuestionsAtScale. */
+  val MaxDriverCorpus = 10000L
+
   /** DataFrame wrapper: cluster the DISTINCT values of `questionCol`
     * (ordered by first appearance via `orderCol`) on the driver, then
-    * broadcast-join ids + labels back onto every row. */
+    * broadcast-join ids + labels back onto every row. Fails loudly above
+    * `MaxDriverCorpus` distinct phrasings (the reference's bounded-corpus
+    * contract) rather than silently degrading. */
   def clusterAttributions(spark: SparkSession, df: DataFrame,
                           questionCol: String, orderCol: String): DataFrame = {
     import spark.implicits._
-    val distinctQs = df
+    val distinctDf = df
       .groupBy(questionCol).agg(min(orderCol).as("first_seen"))
+    val n = distinctDf.count()
+    require(n <= MaxDriverCorpus,
+      s"clusterAttributions: $n distinct phrasings exceeds the driver-path " +
+        s"bound $MaxDriverCorpus — use clusterQuestionsAtScale " +
+        "(inverted-index candidates + connected components)")
+    val distinctQs = distinctDf
       .orderBy("first_seen")
       .select(questionCol)
       .as[String].collect().toSeq
@@ -170,6 +189,106 @@ object Clustering {
       .toDF(questionCol, "cluster_id", "cluster_label")
     df.join(broadcast(mapping), Seq(questionCol))
   }
+
+  /** T6 AT SCALE — fully-distributed clustering for corpora past the
+    * driver bound. Semantics: transitive closure over the "cosine ≥
+    * threshold" graph (see object scaladoc for the documented divergence
+    * from the greedy path).
+    *
+    * Shape, stage by stage, 100 TB-first:
+    *  1. distinct phrasings keyed by min(orderCol) — unique because the
+    *     mins of disjoint sets of unique ids are distinct; no global
+    *     row_number over the corpus.
+    *  2. sparse vectors as SKINNY (qid, term, w) rows (flatMap — genuine
+    *     per-row imperative tokenization), inverted-index self-join on
+    *     `term`: candidate pairs share ≥ 1 term, which for cosine is
+    *     EXACT candidate generation, never all-pairs; partial dot
+    *     products map-combine before the (qa, qb) aggregate.
+    *  3. connected components by min-label propagation over the edge
+    *     list — one equi-join per round, converges in O(graph diameter)
+    *     rounds (question-similarity components are shallow); lineage is
+    *     truncated per round with an eager localCheckpoint.
+    *  4. component roots are min first_seen, so renumbering by root keeps
+    *     the greedy path's first-appearance cluster-id order; the window
+    *     that renumbers runs over one row PER COMPONENT, not per row.
+    * Returns (questionCol, cluster_id, cluster_label) — label is the
+    * shortest-then-lexicographic phrasing, the greedy tie rule over a
+    * distinct corpus. */
+  def clusterQuestionsAtScale(spark: SparkSession, df: DataFrame,
+                              questionCol: String, orderCol: String,
+                              threshold: Double = ClusterThreshold,
+                              maxIter: Int = 30): DataFrame = {
+    import spark.implicits._
+    val distinct = df.groupBy(questionCol)
+      .agg(min(orderCol).cast("long").as("qid"))
+      .cache()
+    val terms = distinct.select(col("qid"), col(questionCol))
+      .as[(Long, String)]
+      .flatMap { case (qid, q) =>
+        questionVector(q).map { case (t, w) => (qid, t, w) } }
+      .toDF("qid", "term", "w")
+      .cache()
+    val norms = terms.groupBy("qid")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = terms.select(col("qid").as("qa"), col("term"), col("w").as("wa"))
+      .join(terms.select(col("qid").as("qb"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("qa") < col("qb"))
+      .groupBy("qa", "qb")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val edges = dots
+      .join(norms.select(col("qid").as("qa"), col("norm").as("na")), Seq("qa"))
+      .join(norms.select(col("qid").as("qb"), col("norm").as("nb")), Seq("qb"))
+      .filter(col("dot") / (col("na") * col("nb")) >= threshold)
+      .select(col("qa"), col("qb"))
+    val eb = edges.select(col("qa").as("src"), col("qb").as("dst"))
+      .union(edges.select(col("qb").as("src"), col("qa").as("dst")))
+      .cache()
+    var labels = distinct.select(col("qid"), col("qid").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = eb
+        .join(labels.select(col("qid").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy("src").agg(min("nl").as("nbr_label"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "qid"), Seq("qid"), "left")
+        .select(col("qid"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.drop("old")
+      iter += 1
+    }
+    // one row per component → the ordering window is post-aggregate-small
+    val renum = labels.select(col("label").as("root")).distinct()
+      .withColumn("cluster_id",
+        (row_number().over(Window.orderBy("root")) - 1).cast("int"))
+    val assigned = distinct
+      .join(labels, Seq("qid"))
+      .join(renum, col("label") === col("root"))
+      .select(col(questionCol), col("cluster_id"))
+    val labelPerCluster = assigned
+      .groupBy("cluster_id")
+      .agg(min(struct(length(col(questionCol)).as("l"),
+        col(questionCol).as("q"))).as("m"))
+      .select(col("cluster_id"), col("m.q").as("cluster_label"))
+    val mapping = assigned.join(labelPerCluster, Seq("cluster_id"))
+      .select(col(questionCol), col("cluster_id"), col("cluster_label"))
+      .localCheckpoint()
+    Seq(distinct, terms, eb).foreach(_.unpersist())
+    mapping
+  }
+
+  /** Row-level wrapper for the scale path, mirroring clusterAttributions'
+    * output shape (no broadcast — the mapping can itself be large). */
+  def clusterAttributionsAtScale(spark: SparkSession, df: DataFrame,
+                                 questionCol: String, orderCol: String): DataFrame =
+    df.join(clusterQuestionsAtScale(spark, df, questionCol, orderCol),
+      Seq(questionCol))
 
   /** q46 — cluster attribution-style phrasings (first six words of each
     * document) and return per-row cluster assignments. Not expressible in

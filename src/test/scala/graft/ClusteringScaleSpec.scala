@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+/** The distributed clustering path (clusterQuestionsAtScale): agreement
+  * with the driver-side greedy linkage on well-separated corpora, the
+  * DOCUMENTED divergence (transitive merge vs first-cluster-wins), and
+  * the driver path's asserted corpus bound. */
+class ClusteringScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partition(rows: Seq[(String, Int)]): Set[Set[String]] =
+    rows.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+
+  test("scale path matches the greedy partition on a well-separated corpus") {
+    val qs = Seq(
+      "Atomausstieg rückgängig machen",
+      "stricter climate laws",
+      "return to nuclear power",
+      "EU climate priority",
+      "return to nuclear power")
+    val df = qs.zipWithIndex.toDF("question", "idx")
+    val scale = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx")
+      .select("question", "cluster_id").as[(String, Int)].collect().toSeq
+
+    val distinctQs = qs.distinct
+    val greedyIds = Clustering.clusterQuestions(distinctQs)
+    assert(partition(scale) == partition(distinctQs.zip(greedyIds)))
+
+    // cluster ids follow first-appearance order, as on the driver path
+    val byQ = scale.toMap
+    assert(byQ("Atomausstieg rückgängig machen") == 0)
+    assert(byQ("stricter climate laws") == 1)
+    assert(byQ("EU climate priority") == 2)
+    assert(byQ("return to nuclear power") == 0)
+  }
+
+  test("documented divergence: a bridge question merges transitively at scale") {
+    // A and B are below threshold; C is above threshold to both.
+    val a = "nuclear kosten risiko sicherheit"
+    val b = "nuclear zukunft arbeit wirtschaft"
+    val c = "nuclear"
+    assert(Clustering.questionSimilarity(a, b) < Clustering.ClusterThreshold)
+    assert(Clustering.questionSimilarity(a, c) >= Clustering.ClusterThreshold)
+    assert(Clustering.questionSimilarity(b, c) >= Clustering.ClusterThreshold)
+
+    // greedy: C joins A's (first) cluster; B stays separate
+    assert(Clustering.clusterQuestions(Seq(a, b, c)) == Seq(0, 1, 0))
+
+    // scale: transitive closure merges all three through the bridge
+    val df = Seq(a, b, c).zipWithIndex.toDF("question", "idx")
+    val scale = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx")
+      .select("question", "cluster_id").as[(String, Int)].collect().toMap
+    assert(scale.values.toSet.size == 1)
+  }
+
+  test("scale-path labels use the shortest-then-lexicographic tie rule") {
+    val df = Seq("nuclear zukunft", "nuclear")
+      .zipWithIndex.toDF("question", "idx")
+    val out = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx")
+      .select("cluster_label").distinct().as[String].collect()
+    assert(out.toSeq == Seq("nuclear"))
+  }
+
+  test("row-level wrapper carries every input row") {
+    val df = Seq("climate", "climate", "nuclear")
+      .zipWithIndex.toDF("question", "idx")
+    val out = Clustering
+      .clusterAttributionsAtScale(spark, df, "question", "idx")
+    assert(out.count() == 3)
+  }
+
+  test("driver path asserts its corpus bound loudly") {
+    val big = spark.range(0, Clustering.MaxDriverCorpus + 1)
+      .select(concat(lit("unique phrasing nr "), col("id")).as("question"),
+        col("id").as("idx"))
+    val e = intercept[IllegalArgumentException] {
+      Clustering.clusterAttributions(spark, big, "question", "idx")
+    }
+    assert(e.getMessage.contains("clusterQuestionsAtScale"))
+  }
+}
