@@ -86,6 +86,8 @@ object SparkEntry {
     "q60_snapshot_fuzzy"  -> ((s, d) => Views.q60SnapshotFuzzy(T(s, d))),
     "q61_auto_review"     -> ((s, d) => Topics.q61AutoReview(T(s, d))),
     "q62_doi_normalize"   -> ((s, d) => Merge.q62DoiNormalize(T(s, d))),
+    "q63_status_rollup"   -> ((s, d) => Monitoring.q63StatusRollup(T(s, d))),
+    "q64_gap_report"      -> ((s, d) => Monitoring.q64GapReport(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -991,6 +993,78 @@ object SparkEntry {
         |SELECT doc_id, raw, doi, doi IS NOT NULL AS has_doi,
         |  coalesce(doi LIKE '10.%', FALSE) AS is_bare
         |FROM normed ORDER BY doc_id""".stripMargin,
+    "q63_status_rollup" ->
+      """WITH studies AS (
+        |  SELECT doc_id, source,
+        |    CASE (doc_id // 20) % 4 WHEN 0 THEN 'scans' WHEN 1 THEN 'joins'
+        |      WHEN 2 THEN 'sorting' ELSE 'tuning' END AS topic_id,
+        |    CASE WHEN (doc_id // 20) % 10 < 7 THEN 'kept'
+        |         WHEN (doc_id // 20) % 10 < 9 THEN 'pending'
+        |         ELSE 'rejected' END AS status,
+        |    (doc_id // 20) % 3 = 0 AS has_quant
+        |  FROM documents),
+        |per_st AS (
+        |  SELECT source, topic_id,
+        |    count(*) AS n_total,
+        |    count(CASE WHEN status = 'kept' THEN 1 END) AS n_kept,
+        |    count(CASE WHEN status = 'pending' THEN 1 END) AS n_pending,
+        |    count(CASE WHEN status = 'rejected' THEN 1 END) AS n_rejected,
+        |    count(CASE WHEN status = 'kept' AND has_quant THEN 1 END)
+        |      AS n_quant_kept
+        |  FROM studies GROUP BY 1, 2),
+        |shared AS (
+        |  SELECT *, CAST(n_kept AS DOUBLE) /
+        |    CAST(sum(n_kept) OVER (PARTITION BY source) AS DOUBLE)
+        |      AS kept_share_of_source
+        |  FROM per_st),
+        |runs AS (
+        |  SELECT source,
+        |    count(*) AS n_runs,
+        |    count(CASE WHEN errors = 0 AND NOT aborted THEN 1 END) AS n_success,
+        |    count(CASE WHEN errors > 0 OR aborted THEN 1 END) AS n_failed
+        |  FROM (
+        |    SELECT source,
+        |      CASE WHEN (doc_id // 20) % 7 = 0 THEN 1 ELSE 0 END AS errors,
+        |      ((doc_id // 20) % 9 = 0) AND
+        |        (CASE WHEN (doc_id // 20) % 9 = 0 AND (doc_id // 20) % 2 = 0
+        |              THEN 'aborted: 401' ELSE '' END LIKE 'aborted:%')
+        |        AS aborted
+        |    FROM documents)
+        |  GROUP BY 1)
+        |SELECT s.source, s.topic_id, s.n_total, s.n_kept, s.n_pending,
+        |  s.n_rejected, s.n_quant_kept, s.kept_share_of_source,
+        |  r.n_runs, r.n_success, r.n_failed
+        |FROM shared s JOIN runs r ON s.source = r.source
+        |ORDER BY s.source, s.topic_id""".stripMargin,
+    "q64_gap_report" ->
+      """WITH cut AS (SELECT max(year(ts)) - 3 AS stale_cut FROM events),
+        |findings AS (
+        |  SELECT event_type AS topic,
+        |    'frage ' || (event_id % 25) AS cluster_label,
+        |    'inst' || (CASE WHEN event_id % 25 = 7 THEN 0
+        |                    ELSE user_id % 5 END) AS institute,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE year(ts) - (CASE WHEN event_id % 25 < 5 THEN 5
+        |                               ELSE 0 END) END AS pub_year,
+        |    (event_id % 4 <> 0) AND (event_id % 25 <> 9) AS has_pct
+        |  FROM events),
+        |agg AS (
+        |  SELECT topic, cluster_label,
+        |    count(*) AS n_findings,
+        |    count(DISTINCT institute) AS n_institutes,
+        |    max(pub_year) AS latest,
+        |    count(CASE WHEN has_pct THEN 1 END) AS n_pct
+        |  FROM findings GROUP BY 1, 2)
+        |SELECT topic, cluster_label, n_findings, n_institutes, latest,
+        |  coalesce(nullif(array_to_string(list_filter(ARRAY[
+        |    CASE WHEN latest IS NULL THEN 'undated'
+        |         WHEN latest < stale_cut
+        |           THEN concat('stale (last ', latest, ')') END,
+        |    CASE WHEN n_institutes = 1 THEN 'single source' END,
+        |    CASE WHEN n_pct = 0 THEN 'no percentages' END],
+        |    g -> g IS NOT NULL), ', '), ''), '—') AS gaps
+        |FROM agg CROSS JOIN cut
+        |ORDER BY topic, n_findings DESC, cluster_label""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

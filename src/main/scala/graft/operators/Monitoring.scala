@@ -49,6 +49,133 @@ object Monitoring {
       .withColumn("has_gap",
         col("stale") || col("single_source") || col("no_percentages"))
 
+  /** q63 — the composed status-page rollup (status.py:80-222): per
+    * source×topic coverage counting only `kept` studies user-facing,
+    * pending/rejected surfaced via FILTER aggregates alongside, plus the
+    * per-source run classification with the #48 aborted rule — a run is
+    * failed when errors > 0 OR (finished_at IS NULL AND notes starts
+    * 'aborted:'); a healthy in-progress run (finished_at NULL, no aborted
+    * note) is NOT failed. One groupBy per grain, broadcast join on the
+    * tiny source key, share-of-source via a window over the aggregate. */
+  def q63StatusRollup(t: graft.Tables.T): DataFrame = {
+    // source is doc_id % 20 in the synthetic corpus, so per-study
+    // attributes derive from doc_id div 20 — the value that VARIES within
+    // a source (a %-derived attribute would be constant per source)
+    val k = expr("doc_id div 20")
+    val studies = t.documents.select(
+      col("doc_id"), col("source"),
+      when(k % 4 === 0, "scans")
+        .when(k % 4 === 1, "joins")
+        .when(k % 4 === 2, "sorting")
+        .otherwise("tuning").as("topic_id"),
+      when(k % 10 < 7, "kept")
+        .when(k % 10 < 9, "pending")
+        .otherwise("rejected").as("status"),
+      (k % 3 === 0).as("has_quant"))
+    val perST = studies
+      .groupBy("source", "topic_id")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("status") === "kept", 1)).as("n_kept"),
+        count(when(col("status") === "pending", 1)).as("n_pending"),
+        count(when(col("status") === "rejected", 1)).as("n_rejected"),
+        count(when(col("status") === "kept" && col("has_quant"), 1))
+          .as("n_quant_kept"))
+      .withColumn("kept_share_of_source",
+        expr("CAST(n_kept AS DOUBLE)") /
+          sum("n_kept").over(Window.partitionBy("source")))
+    val runs = t.documents.select(
+        col("source"),
+        when(k % 7 === 0, 1).otherwise(0).as("errors"),
+        (k % 9 === 0).as("fin_null"),
+        when(k % 9 === 0 && k % 2 === 0,
+          "aborted: 401").otherwise("").as("notes"))
+      .withColumn("aborted", col("fin_null") && col("notes").startsWith("aborted:"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        count(when(col("errors") === 0 && !col("aborted"), 1)).as("n_success"),
+        count(when(col("errors") > 0 || col("aborted"), 1)).as("n_failed"))
+    perST
+      .join(broadcast(runs), Seq("source"))
+      .orderBy("source", "topic_id")
+  }
+
+  /** q64 — the evidence-gap report's table body (dossier.py:228-294) as a
+    * declared query: per (topic, question-cluster) finding counts,
+    * institute breadth, latest publication year, and the gap flags in the
+    * reference's order — undated / "stale (last Y)" (cut = watermark year
+    * − 3), "single source", "no percentages" — joined ', ' with '—' when
+    * clean. The watermark year comes from a light scan, not a second
+    * reference to the aggregate subtree. */
+  def q64GapReport(t: graft.Tables.T): DataFrame = {
+    val cut = t.events.agg((max(year(col("ts"))) - 3).as("stale_cut"))
+    // gap conditions are cluster-correlated so each flag genuinely fires:
+    // clusters 0-4 publish 5 years back (stale), cluster 7 has a single
+    // institute, cluster 9 carries no percentages, %11 rows are undated
+    val findings = t.events.select(
+      col("event_type").as("topic"),
+      concat(lit("frage "), col("event_id") % 25).as("cluster_label"),
+      concat(lit("inst"),
+        when(col("event_id") % 25 === 7, lit(0))
+          .otherwise(col("user_id") % 5)).as("institute"),
+      when(col("event_id") % 11 === 0, lit(null))
+        .otherwise(year(col("ts")) -
+          when(col("event_id") % 25 < 5, 5).otherwise(0)).as("pub_year"),
+      (col("event_id") % 4 =!= 0 && col("event_id") % 25 =!= 9).as("has_pct"))
+    findings
+      .groupBy("topic", "cluster_label")
+      .agg(
+        count(lit(1)).as("n_findings"),
+        countDistinct("institute").as("n_institutes"),
+        max("pub_year").as("latest"),
+        count(when(col("has_pct"), 1)).as("n_pct"))
+      .crossJoin(broadcast(cut))
+      .withColumn("gaps", expr(
+        """coalesce(nullif(array_join(filter(array(
+          |  CASE WHEN latest IS NULL THEN 'undated'
+          |       WHEN latest < stale_cut THEN concat('stale (last ', latest, ')')
+          |  END,
+          |  CASE WHEN n_institutes = 1 THEN 'single source' END,
+          |  CASE WHEN n_pct = 0 THEN 'no percentages' END),
+          |  g -> g IS NOT NULL), ', '), ''), '—')""".stripMargin))
+      .select("topic", "cluster_label", "n_findings", "n_institutes",
+        "latest", "gaps")
+      .orderBy(col("topic"), col("n_findings").desc, col("cluster_label"))
+  }
+
+  /** The evidence-gap report PRODUCT (dossier.py:228-294
+    * `build_gap_report`): q64's aggregate rows rendered to the reference's
+    * Markdown shape — preamble, per-topic section, the five-column table,
+    * em-dash placeholders. Driver-side formatting over a handful of
+    * aggregate rows, like renderDigest. */
+  def renderGapReport(rows: Seq[Row]): String = {
+    val sb = new StringBuilder("# Evidence-gap report\n\n")
+    sb.append(
+      "_Which questions have polling data, how fresh, how broadly " +
+        "sourced — and where the holes are._\n\n")
+    if (rows.isEmpty)
+      return sb.append("**No attributed topics yet** — run the pipeline " +
+        "through `attribute` first.\n").toString
+    rows.groupBy(_.getAs[String]("topic")).toSeq.sortBy(_._1).foreach {
+      case (topic, members) =>
+        sb.append(s"## Topic: `$topic`\n\n")
+        sb.append("| question cluster | findings | institutes | latest | gaps |\n")
+        sb.append("|------------------|-----------|------------|--------|------|\n")
+        members.sortBy(r =>
+            (-r.getAs[Long]("n_findings"), r.getAs[String]("cluster_label")))
+          .foreach { r =>
+            val latest = Option(r.getAs[Integer]("latest")).fold("—")(_.toString)
+            sb.append(s"| ${r.getAs[String]("cluster_label")} " +
+              s"| ${r.getAs[Long]("n_findings")} " +
+              s"| ${r.getAs[Long]("n_institutes")} " +
+              s"| $latest | ${r.getAs[String]("gaps")} |\n")
+          }
+        sb.append("\n")
+    }
+    sb.toString
+  }
+
   /** M4 — digest rendering: collected aggregate rows → Markdown. Expects
     * rows of (label, cur_value, prev_value, status); driver-side by
     * design, bounded by the number of watches. */

@@ -55,4 +55,27 @@ class MonitoringSpec extends SparkSpec {
       .toDF("label", "cur_value", "prev_value", "status").collect()
     assert(Monitoring.renderDigest("D", rows.toSeq).contains("No significant changes."))
   }
+
+  test("gap report renders the reference's markdown table per topic") {
+    val rows = Seq(
+      ("klima", "frage 1", 10L, 3L, Integer.valueOf(2024), "—"),
+      ("klima", "frage 2", 4L, 1L, Integer.valueOf(2019),
+        "stale (last 2019), single source"),
+      ("rente", "frage 9", 2L, 2L, null.asInstanceOf[Integer], "undated"))
+      .toDF("topic", "cluster_label", "n_findings", "n_institutes",
+        "latest", "gaps").collect()
+    val md = Monitoring.renderGapReport(rows.toSeq)
+    assert(md.startsWith("# Evidence-gap report"))
+    assert(md.contains("## Topic: `klima`"))
+    assert(md.contains("| question cluster | findings | institutes | latest | gaps |"))
+    // sorted by findings desc within topic
+    assert(md.indexOf("frage 1") < md.indexOf("frage 2"))
+    assert(md.contains("| frage 2 | 4 | 1 | 2019 | stale (last 2019), single source |"))
+    assert(md.contains("| frage 9 | 2 | 2 | — | undated |"))
+  }
+
+  test("gap report without rows points at the attribute stage") {
+    assert(Monitoring.renderGapReport(Seq.empty)
+      .contains("No attributed topics yet"))
+  }
 }
