@@ -103,6 +103,11 @@ object Extras {
         col("source_text").contains(concat(lit(" "), col("parsed.pct").cast("int"), lit(" "))))
       .withColumn("confidence", // grounding failure caps confidence at 0.3
         when(col("grounded"), 0.9).otherwise(0.3))
+      // The reference's F5 rule is Σpct ≤ 120 PER QUESTION (llm_v1.py:
+      // 298-306). Here a (user, event_type) partition holds ~50 synthetic
+      // "answers", so the bound scales by that fan-out: 120 × 50. Do not
+      // "fix" the constant to 120 without also reducing the partition to
+      // one question.
       .withColumn("dist_ok",
         sum("pct").over(Window.partitionBy("user_id", "event_type")) <= 120 * 50)
       .select("event_id", "position", "pct", "grounded", "confidence", "dist_ok")

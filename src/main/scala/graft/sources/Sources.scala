@@ -42,6 +42,22 @@ object Sources {
     }
   }
 
+  /** S3 — Destatis chunked-CSV merge (connectors/destatis_connector.py:
+    * 739-762 `_merge_csv_chunks`): large cube downloads arrive in chunks
+    * that each repeat the header row; the merge keeps the FIRST chunk's
+    * header, drops every later header, and skips blank/empty chunks.
+    * Input: (chunk_idx, payload) string rows; output: one row per
+    * surviving CSV line in (chunk, line) order, header first — feed it to
+    * loadFile/from_csv with the cube's explicit schema downstream. */
+  def mergeCsvChunks(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col("chunk_idx"),
+        posexplode(split(trim(col("payload")), "\n")).as(Seq("line_idx", "line")))
+      .filter(col("line_idx") > 0 || col("chunk_idx") === 0)
+      .filter(trim(col("line")) =!= "")
+      .orderBy("chunk_idx", "line_idx")
+      .select("line")
+
   /** S10 — CSV export: arrays → '|' joins, timestamps/dates → ISO strings,
     * one header-ed CSV directory per call; returns the exported row count
     * (the manifest datum). Column order is preserved. */
