@@ -19,6 +19,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // untimed warm-up passes: JIT + whole-stage-codegen compile + page
+    // cache + the one-time staging materialization all land here, so the
+    // reported min/median/max spread measures host contention, not warm-up
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,9 +45,11 @@ object Bench {
     // rep-major loop: every query's rep r runs before any query's rep r+1
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; (name, fn) <- names if !errors.contains(name)) {
-      try samples(name) = samples(name) :+ once(fn)
-      catch {
+    for (r <- 1 to warmup + reps; (name, fn) <- names if !errors.contains(name)) {
+      try {
+        val t = once(fn)
+        if (r > warmup) samples(name) = samples(name) :+ t
+      } catch {
         case e: Throwable =>
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }

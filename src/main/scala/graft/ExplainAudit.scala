@@ -8,7 +8,9 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (name <- Seq("q03_top_customers", "q21_poll_unpivot", "q25_ann_cosine_topk", "q27_minhash_neardup", "q48_topic_scoring")) {
+    val defaults = Seq("q03_top_customers", "q21_poll_unpivot",
+      "q25_ann_cosine_topk", "q27_minhash_neardup", "q48_topic_scoring")
+    for (name <- if (args.nonEmpty) args.toSeq else defaults) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       val broadcasts = "BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop".r.findAllIn(plan).length
       val cartesian = "CartesianProduct".r.findAllIn(plan).length
