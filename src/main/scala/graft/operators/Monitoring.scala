@@ -176,6 +176,91 @@ object Monitoring {
     sb.toString
   }
 
+  private val methodNote =
+    "Aggregates are weighted means per question cluster: weight = " +
+      "recency (3-year half-life on publication date) × sqrt(n/1000) " +
+      "clamped to [0.3, 3]; undated studies are heavily discounted. " +
+      "Question clustering is lexical-semantic (v1) and can over- or " +
+      "under-group; every underlying finding is listed so the grouping " +
+      "is checkable. Findings are machine-extracted from study text; " +
+      "extraction errors are possible — follow the links before citing."
+
+  /** The research-dossier PRODUCT (dossier.py:52-146 `build_dossier`):
+    * summary bullets per (cluster, position) from the poll-of-polls
+    * aggregate (q38's weight semantics), detail tables newest-first with
+    * URL-deduped citation numbering, the method note, and the numbered
+    * source list. Driver-side formatting over aggregate rows, bounded by
+    * the answer count like renderDigest.
+    *
+    * @param summary rows (label, position, weighted_pct, n_findings,
+    *                min_pct, max_pct, year_min, year_max, total_sample)
+    * @param details rows (label, percentage, position, pub_year, sample_n,
+    *                population, institute, canonical_url, confidence)
+    *                — pre-sorted newest-first within label by the caller
+    */
+  def renderDossier(query: String, summary: Seq[Row], details: Seq[Row],
+                    since: Option[Int] = None): String = {
+    val sb = new StringBuilder(s"# Research dossier: “$query”\n\n")
+    val scope = since.fold("all ingested findings")(y => s"findings from $y onward")
+    sb.append(s"_Generated from the attribution layer; $scope._\n\n")
+    if (summary.isEmpty)
+      return sb.append("**No findings matched.** Either no ingested study " +
+        "answers this question, or the attribution pass hasn't covered it " +
+        "yet (see the evidence-gap report).\n").toString
+    sb.append("## Summary — what the polls say\n\n")
+    summary.groupBy(_.getAs[String]("label")).toSeq.sortBy(_._1).foreach {
+      case (label, positions) =>
+        sb.append(s"**$label**\n\n")
+        positions.sortBy(_.getAs[String]("position")).foreach { p =>
+          val n = p.getAs[Long]("n_findings")
+          val bits = Seq(s"$n poll${if (n != 1) "s" else ""}") ++
+            (if (n > 1)
+              Seq(f"spread ${p.getAs[Double]("min_pct")}%.0f–${p.getAs[Double]("max_pct")}%.0f%%")
+            else Nil) ++
+            Option(p.getAs[Integer]("year_min")).map { yMin =>
+              val yMax = p.getAs[Integer]("year_max")
+              if (yMin == yMax) yMax.toString else s"$yMin–$yMax"
+            }.toSeq ++
+            Option(p.getAs[java.lang.Double]("total_sample"))
+              .map(t => f"Σn=${t.toLong}%,d").toSeq
+          sb.append(f"- ${p.getAs[String]("position")}: " +
+            f"**${p.getAs[Double]("weighted_pct")}%.1f%%** (${bits.mkString(", ")})\n")
+        }
+        sb.append("\n")
+    }
+    sb.append("## Findings in detail\n\n")
+    val citations = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    details.groupBy(_.getAs[String]("label")).toSeq.sortBy(_._1).foreach {
+      case (label, members) =>
+        sb.append(s"### $label\n\n")
+        sb.append("| % | position | year | n | population | institute / source | conf |\n")
+        sb.append("|---|----------|------|---|------------|--------------------|------|\n")
+        members.foreach { m =>
+          val url = Option(m.getAs[String]("canonical_url"))
+          url.foreach(u => if (!citations.contains(u)) citations(u) = m)
+          val ref = url.fold("—")(u => s"[${citations.keysIterator.indexOf(u) + 1}]")
+          val year = Option(m.getAs[Integer]("pub_year")).fold("—")(_.toString)
+          val nStr = Option(m.getAs[java.lang.Long]("sample_n"))
+            .fold("—")(v => f"${v.toLong}%,d")
+          val conf = Option(m.getAs[java.lang.Double]("confidence"))
+            .fold("—")(c => f"${c.toDouble}%.2f")
+          sb.append(f"| ${m.getAs[Double]("percentage")}%.1f%% " +
+            s"| ${m.getAs[String]("position")} | $year | $nStr " +
+            s"| ${Option(m.getAs[String]("population")).filter(_.nonEmpty).getOrElse("—")} " +
+            s"| ${m.getAs[String]("institute")} $ref | $conf |\n")
+        }
+        sb.append("\n")
+    }
+    sb.append("## Method & caveats\n\n").append(methodNote).append("\n\n")
+    sb.append("## Sources\n\n")
+    citations.values.zipWithIndex.foreach { case (c, i) =>
+      val year = Option(c.getAs[Integer]("pub_year")).fold("—")(_.toString)
+      sb.append(s"${i + 1}. ${c.getAs[String]("institute")}, $year. " +
+        s"<${c.getAs[String]("canonical_url")}>\n")
+    }
+    sb.append("\n").toString
+  }
+
   /** M4 — digest rendering: collected aggregate rows → Markdown. Expects
     * rows of (label, cur_value, prev_value, status); driver-side by
     * design, bounded by the number of watches. */

@@ -78,4 +78,44 @@ class MonitoringSpec extends SparkSpec {
     assert(Monitoring.renderGapReport(Seq.empty)
       .contains("No attributed topics yet"))
   }
+
+  test("dossier renders summary, detail table, deduped citations, sources") {
+    val summary = Seq(
+      ("tempolimit einführen", "support", 58.4, 3L, 52.0, 63.0,
+        Integer.valueOf(2022), Integer.valueOf(2024),
+        java.lang.Double.valueOf(4500.0)),
+      ("tempolimit einführen", "oppose", 36.1, 1L, 36.1, 36.1,
+        Integer.valueOf(2024), Integer.valueOf(2024),
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("label", "position", "weighted_pct", "n_findings", "min_pct",
+        "max_pct", "year_min", "year_max", "total_sample").collect()
+    val details = Seq(
+      ("tempolimit einführen", 63.0, "support", Integer.valueOf(2024),
+        java.lang.Long.valueOf(1500L), "", "Forsa", "https://x.org/a", 0.9),
+      ("tempolimit einführen", 52.0, "support", Integer.valueOf(2022),
+        null.asInstanceOf[java.lang.Long], "ost", "Allensbach",
+        "https://x.org/b", 0.55),
+      ("tempolimit einführen", 36.1, "oppose", Integer.valueOf(2024),
+        java.lang.Long.valueOf(1500L), "", "Forsa", "https://x.org/a", 0.8))
+      .toDF("label", "percentage", "position", "pub_year", "sample_n",
+        "population", "institute", "canonical_url", "confidence").collect()
+    val md = Monitoring.renderDossier("tempolimit", summary.toSeq, details.toSeq)
+    assert(md.startsWith("# Research dossier: “tempolimit”"))
+    assert(md.contains("- support: **58.4%** (3 polls, spread 52–63%, 2022–2024, Σn=4,500)"))
+    // single poll: no spread bit, no Σn when absent
+    assert(md.contains("- oppose: **36.1%** (1 poll, 2024)"))
+    // citation [1] reused for the same url; [2] for the second
+    assert(md.contains("| 63.0% | support | 2024 | 1,500 | — | Forsa [1] | 0.90 |"))
+    assert(md.contains("| 52.0% | support | 2022 | — | ost | Allensbach [2] | 0.55 |"))
+    assert(md.contains("| 36.1% | oppose | 2024 | 1,500 | — | Forsa [1] | 0.80 |"))
+    assert(md.contains("## Method & caveats"))
+    assert(md.contains("1. Forsa, 2024. <https://x.org/a>"))
+    assert(md.contains("2. Allensbach, 2022. <https://x.org/b>"))
+  }
+
+  test("dossier with no findings is a short valid document") {
+    val md = Monitoring.renderDossier("x", Seq.empty, Seq.empty, Some(2020))
+    assert(md.contains("**No findings matched.**"))
+    assert(md.contains("findings from 2020 onward"))
+  }
 }
