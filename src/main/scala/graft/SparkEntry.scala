@@ -88,6 +88,7 @@ object SparkEntry {
     "q62_doi_normalize"   -> ((s, d) => Merge.q62DoiNormalize(T(s, d))),
     "q63_status_rollup"   -> ((s, d) => Monitoring.q63StatusRollup(T(s, d))),
     "q64_gap_report"      -> ((s, d) => Monitoring.q64GapReport(T(s, d))),
+    "q65_embedding_neardup" -> ((s, d) => Similarity.q65EmbeddingNearDup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1065,6 +1066,37 @@ object SparkEntry {
         |    g -> g IS NOT NULL), ', '), ''), '—') AS gaps
         |FROM agg CROSS JOIN cut
         |ORDER BY topic, n_findings DESC, cluster_label""".stripMargin,
+    "q65_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, vec FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(vec, x -> x * 1.01)
+        |  FROM base WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(vec, x -> -x)
+        |  FROM base WHERE vec_id % 10 = 5),
+        |bk AS (
+        |  SELECT vec_id, vec,
+        |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM all_v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+        |    list_dot_product(a.vec, b.vec) /
+        |      (sqrt(list_dot_product(a.vec, a.vec)) *
+        |       sqrt(list_dot_product(b.vec, b.vec))) AS c
+        |  FROM bk a JOIN bk b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, bucket, round(c, 6) AS cosine
+        |FROM pairs WHERE c >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     "q31_fingerprint" ->
       """WITH normed AS (
         |  SELECT doc_id,

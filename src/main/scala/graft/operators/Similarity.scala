@@ -96,6 +96,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q65 — embedding-cosine NEAR-DUP pair detection, the dedup family's
+    * embedding member (distinct from q25/q26/q58's top-k ANN: the output
+    * is duplicate PAIRS above a similarity floor, the shape a
+    * training-data pipeline dedups on). The synthetic corpus has no
+    * natural near-dups (max pairwise cosine ≈ 0.48), so deterministic
+    * copies are planted: a positively-scaled twin (cosine ≈ 1, must
+    * match) per vec_id % 10 = 0, and a negated twin (cosine −1, must NOT
+    * match — and lands in a different sign bucket) per vec_id % 10 = 5.
+    * Candidates pair WITHIN sign-bit buckets only (id_a < id_b) — at
+    * 100 TB the pair space is the bucket, never the corpus. */
+  def q65EmbeddingNearDup(t: T): DataFrame = {
+    val bucket = expr(
+      "aggregate(sequence(0, 7), 0, (acc, i) -> acc + CASE WHEN vec[i] > 0D THEN CAST(pow(2, i) AS INT) ELSE 0 END)")
+    val base = t.embeddings.select(col("vec_id"), toDouble.as("vec"))
+    // variants via one explode instead of Union branches: Spark's Union
+    // constraint rewriting trips over higher-order-function lambdas in
+    // filtered branch projections ("key not found: vec#N"), and a single
+    // generator is the cheaper plan anyway (one scan, no union exchange)
+    val all = base.select(explode(expr(
+        """concat(
+          |  array(struct(vec_id, vec)),
+          |  CASE WHEN vec_id % 10 = 0 THEN
+          |    array(struct(vec_id + 100000L AS vec_id,
+          |                 transform(vec, x -> x * 1.01D) AS vec))
+          |  ELSE array() END,
+          |  CASE WHEN vec_id % 10 = 5 THEN
+          |    array(struct(vec_id + 200000L AS vec_id,
+          |                 transform(vec, x -> -x) AS vec))
+          |  ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.vec").as("vec"))
+      .withColumn("bucket", bucket)
+    val a = all.select(col("vec_id").as("id_a"), col("vec").as("va"), col("bucket"))
+    val b = all.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dot("va", "vb") / (sqrt(dot("va", "va")) * sqrt(dot("vb", "vb"))))
+      .filter(col("cosine") >= 0.95)
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q26 — LSH-bucketed ANN: deterministic sign-bit bucket over the first
     * 8 dimensions (a fixed random-hyperplane sketch with axis-aligned
     * planes); candidates are searched only within the query's bucket.
