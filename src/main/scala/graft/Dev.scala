@@ -21,8 +21,10 @@ object Dev {
     val fn = SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[dev] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // noop write materializes every output column — count() would let
+      // Catalyst prune the very expressions being timed
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"[dev] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()

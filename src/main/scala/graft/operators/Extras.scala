@@ -85,8 +85,12 @@ object Extras {
           concat(lit("reported value was "), pctInt, lit(" percent")))
           .otherwise(lit("no numbers in this source")))
     built
+      // the fence pattern "```(json)?" is literal alternation — two
+      // non-regex replaces (```json first, then bare ```) produce the
+      // identical string without a regex scan per row
       .withColumn("json_raw",
-        trim(regexp_replace(col("response"), "```(json)?", "")))
+        trim(replace(replace(col("response"), lit("```json"), lit("")),
+          lit("```"), lit(""))))
       .withColumn("parsed", from_json(col("json_raw"),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("stance",

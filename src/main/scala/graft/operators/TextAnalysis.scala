@@ -57,7 +57,11 @@ object TextAnalysis {
         col("doc_id"), col("lang"), col("n_chars"), col("n_words"),
         stopHits("s_en", stopEn), stopHits("s_de", stopDe),
         stopHits("s_es", stopEs), stopHits("s_fr", stopFr),
-        regexp_count(lower(col("text")), lit("[^a-z0-9 ]")).as("n_punct"))
+        // character-class count via translate-removal: strictly the chars
+        // NOT in [a-z0-9 ] survive, so length(survivors) == the old
+        // regexp_count(lower(text), '[^a-z0-9 ]') — without a regex scan
+        length(translate(lower(col("text")),
+          "abcdefghijklmnopqrstuvwxyz0123456789 ", "")).as("n_punct"))
       .withColumn("predicted_lang",
         when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr")), "en")
           .when(col("s_de") >= greatest(col("s_es"), col("s_fr")), "de")
@@ -119,16 +123,23 @@ object TextAnalysis {
     // (expr), whose parser consumes one escaping level before the regex.
     val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
     df
-      .withColumn("ints", expr(s"regexp_extract_all(sentence, '$pctRe', 1)"))
-      .withColumn("decs", expr(s"regexp_extract_all(sentence, '$pctRe', 2)"))
+      // ONE regex pass per sentence (group 0); integer and decimal parts
+      // are then recovered from each ~10-char match with splits. Extracting
+      // group 1 and group 2 separately (the r5 shape) scanned every
+      // sentence twice with the same pattern — the dominant cost of the
+      // whole query.
+      .withColumn("ms", expr(s"regexp_extract_all(sentence, '$pctRe', 0)"))
       .withColumn("n_raw", regexp_extract(col("sentence"), "n\\s*=\\s*([0-9.]+)", 1))
       .select(
         col("poll_id"),
+        // m is "<int>,<dec>[ ]%|Prozent": the comma split is total by the
+        // pattern, and the leading digit run of the tail is the decimal.
         posexplode(expr(
-          "zip_with(ints, decs, (a, b) -> CAST(a AS DOUBLE) + CAST(b AS DOUBLE) / 10)"))
+          "transform(ms, m -> CAST(split(m, ',')[0] AS DOUBLE) + " +
+            "CAST(split(split(m, ',')[1], '[^0-9]+')[0] AS DOUBLE) / 10)"))
           .as(Seq("claim_idx", "claim_value")),
         when(col("n_raw") =!= "",
-          regexp_replace(col("n_raw"), "\\.", "").cast("int")).as("sample_n"))
+          replace(col("n_raw"), lit("."), lit("")).cast("int")).as("sample_n"))
       .filter(col("claim_value") <= 120.0) // >120% suppression
   }
 }
