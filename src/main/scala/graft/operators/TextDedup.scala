@@ -56,22 +56,24 @@ object TextDedup {
     * (migrations/0006_title_dedup.sql:51-72) does this with pg_trgm + GIN;
     * the banded equi-join is the Spark-scale equivalent. */
   def q27MinhashNearDup(t: T): DataFrame = {
-    // Distinct (doc, shingle) pairs via posexplode + window lead + shuffle
-    // dedup. NOT transform-over-words: CollapseProject inlines the split()
-    // into the lambda, re-tokenizing the full text three times per shingle
-    // ELEMENT (measured 12s at sf0.1 → sub-second this way). And not
-    // array_distinct, which is O(len²) per row. Row form also lets the
-    // exact-Jaccard verification run as counting joins instead of per-pair
-    // array intersections.
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // Distinct (doc, shingle) pairs: tokenize ONCE into an explicit words
+    // column, then index-shingle with a lambda over sequence(0, n-3). The
+    // r5 shape built neighbor pairs with a lead() window over (doc_id,
+    // pos), which cost a full shuffle+sort of every token before
+    // minhashing — a corpus-wide sort at 100 TB. The held `words` column
+    // keeps split() out of the lambda (CollapseProject refuses to inline a
+    // non-cheap expression referenced 4×, so the text is tokenized once
+    // per row, not per shingle element — verified in the plan). Not
+    // array_distinct, which is O(len²) per row; the row-form distinct also
+    // lets the exact-Jaccard verification run as counting joins instead of
+    // per-pair array intersections.
     val tok = t.documents
-      .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(wd))
-      .withColumn("w2", lead("w", 2).over(wd))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= 3) // <3 words → no shingles (and keeps
+      // sequence() ascending: 0 > n-3 would step DOWN into index -1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
       .distinct()
     // One md5-based base hash per shingle, then 12 affine permutations
     // (a_i·h + b_i mod 2^31−1) — the classic universal-hash family. 12×
