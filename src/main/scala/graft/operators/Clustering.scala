@@ -120,20 +120,55 @@ object Clustering {
     * fixed input order. */
   def clusterQuestions(questions: Seq[String],
                        threshold: Double = ClusterThreshold): Seq[Int] = {
-    val vectors = questions.map(questionVector)
-    val members = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
-    val assignments = scala.collection.mutable.ArrayBuffer.empty[Int]
-    for (i <- questions.indices) {
-      members.indexWhere(_.exists(j => cosineSparse(vectors(i), vectors(j)) >= threshold)) match {
-        case -1 =>
-          assignments += members.size
-          members += scala.collection.mutable.ArrayBuffer(i)
-        case cid =>
-          assignments += cid
-          members(cid) += i
+    // Exact greedy semantics, sub-quadratic in practice (r5 ran the naive
+    // O(n²) scan at 46 s for ~5k phrasings — 23% of the whole suite):
+    //  - all weights are positive, so a cosine can only reach the
+    //    threshold when the two vectors share a term → candidate earlier
+    //    questions come from an inverted index over terms, everything else
+    //    is cosine 0 without being computed;
+    //  - "join the FIRST cluster (in creation order) containing any
+    //    member ≥ threshold" is equivalently the MINIMUM cluster id over
+    //    matching earlier questions, so a candidate whose cluster id
+    //    cannot improve the running best is skipped before its cosine;
+    //  - norms are precomputed once (the r5 loop re-derived both inside
+    //    every cosine call).
+    // Dot products and norms keep cosineSparse's exact iteration order,
+    // so assignments are bit-identical to the naive loop (GoldenSpec q46
+    // is the gate).
+    val vectors = questions.map(questionVector).toArray
+    val norms = vectors.map(v => math.sqrt(v.valuesIterator.map(w => w * w).sum))
+    val postings = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    val assignments = new Array[Int](vectors.length)
+    val seen = new Array[Int](vectors.length) // marker = i+1: dedupes a
+    // candidate reached via several shared terms without per-i Set allocs
+    var nClusters = 0
+    for (i <- vectors.indices) {
+      val vi = vectors(i)
+      var best = Int.MaxValue
+      for (t <- vi.keysIterator; js <- postings.get(t)) {
+        var k = 0
+        while (k < js.length) {
+          val j = js(k)
+          if (seen(j) != i + 1) {
+            seen(j) = i + 1
+            if (assignments(j) < best) {
+              val vj = vectors(j)
+              val dot = vi.iterator.map { case (tt, w) => w * vj.getOrElse(tt, 0.0) }.sum
+              if (dot != 0.0 && dot / (norms(i) * norms(j)) >= threshold)
+                best = assignments(j)
+            }
+          }
+          k += 1
+        }
       }
+      assignments(i) =
+        if (best == Int.MaxValue) { nClusters += 1; nClusters - 1 } else best
+      for (t <- vi.keysIterator)
+        postings.getOrElseUpdate(t,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += i
     }
-    assignments.toSeq
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(assignments)
   }
 
   /** T7 — cluster label: most frequent phrasing, shortest on ties. */
