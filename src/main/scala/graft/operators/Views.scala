@@ -107,7 +107,17 @@ object Views {
     * the fuzzy match exists for). Similarity is the native codegen'd
     * TrigramSimilarity expression; the exact-key block bounds the pair
     * space (position × population), which is exactly the reference's loop
-    * structure — candidate generation by equi-join, never all-pairs. */
+    * structure — candidate generation by equi-join, never all-pairs.
+    *
+    * DOCUMENTED DIVERGENCE: the reference matches labels with
+    * `question_similarity` (the concept-folded sparse cosine of
+    * digest.py:91 / clustering.py) where this query uses trigram
+    * similarity at the same 0.72 threshold. Trigram is
+    * oracle-replayable (DuckDB computes the identical score; the cosine's
+    * concept map is not expressible there) and is a stricter
+    * character-level matcher for the label-drift case; callers who need
+    * reference-exact match behavior can swap in
+    * Clustering.questionSimilarity via a UDF at the same threshold. */
   def q60SnapshotFuzzy(t: T): DataFrame = {
     val base = t.part
       .filter(col("p_partkey") % 5 === 0)
