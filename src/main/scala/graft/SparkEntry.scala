@@ -89,6 +89,7 @@ object SparkEntry {
     "q63_status_rollup"   -> ((s, d) => Monitoring.q63StatusRollup(T(s, d))),
     "q64_gap_report"      -> ((s, d) => Monitoring.q64GapReport(T(s, d))),
     "q65_embedding_neardup" -> ((s, d) => Similarity.q65EmbeddingNearDup(T(s, d))),
+    "q66_openalex_parse"  -> ((s, d) => sources.OpenAlex.q66OpenAlexParse(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1109,5 +1110,38 @@ object SparkEntry {
         |      substr(norm, CAST(i AS INT), 8))), 1, 15))::BIGINT),
         |    'min') AS min_gram_hash
         |FROM normed ORDER BY doc_id""".stripMargin,
+    // q66: the oracle recomputes every candidate scalar straight from the
+    // documents columns — in particular the reconstructed abstract must
+    // equal the space-joined first-10-words prefix the inverted index was
+    // built from.
+    "q66_openalex_parse" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10) AS words
+        |  FROM documents
+        |  WHERE doc_id % 17 <> 0)
+        |SELECT doc_id,
+        |  'https://openalex.org/W' || doc_id AS external_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'https://openalex.org/W' || doc_id
+        |       ELSE 'https://doi.org/10.1000/g' || doc_id END AS canonical_url,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Work ' || doc_id || ' D'
+        |       ELSE 'Work ' || doc_id || ' T' END AS title,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'Journal ' || (doc_id % 13) END AS publisher,
+        |  CASE WHEN doc_id % 4 = 0 THEN DATE '2023-05-17'
+        |       WHEN doc_id % 4 = 1 THEN DATE '2022-11-01'
+        |       WHEN doc_id % 4 = 2 THEN DATE '2021-01-01'
+        |       WHEN 1950 + doc_id % 200 < 2100
+        |         THEN make_date(CAST(1950 + doc_id % 200 AS INT), 1, 1)
+        |       ELSE NULL END AS publication_date,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'de' ELSE NULL END AS language,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE array_to_string(words, ' ') END AS abstract,
+        |  array_to_string(list_transform(range(1, CAST(2 + doc_id % 3 AS INT)),
+        |    i -> 'Author ' || doc_id || '-' || i), '; ') AS authors_joined,
+        |  CAST(doc_id % 7 AS INT) AS n_refs,
+        |  5 AS n_topics,
+        |  'kw1,kw2,kw3' AS keywords_joined
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }
