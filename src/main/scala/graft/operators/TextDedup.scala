@@ -127,15 +127,22 @@ object TextDedup {
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
       .withColumn("h", expr(h60(99, "w")))
-    val perBit = tok
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 59)")).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(h div CAST(pow(2, bit) AS BIGINT)) % 2") === 1, 1)
-        .otherwise(-1)).as("s"))
-    val sim = perBit.groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L)).as("simhash"))
+    // All 60 per-bit ±1 sums in ONE aggregate over the token rows — the
+    // r5 shape exploded every token 60× (sequence(0,59)) before a
+    // (doc_id, bit) shuffle, i.e. 60× the shuffle volume for the same
+    // integer sums; here partial aggregation combines map-side and the
+    // shuffle carries one 61-column row per (partition, doc). Bit masks
+    // are exact long literals, so the sums (and the simhash) are
+    // bit-identical to the oracle's arithmetic.
+    val sums = tok.groupBy("doc_id").agg(
+      sum(when(expr(s"(h div ${1L << 0}) % 2") === 1, 1).otherwise(-1)).as("s0"),
+      (1 until 60).map(b =>
+        sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+          .as(s"s$b")): _*)
+    val sim = sums.select(col("doc_id"),
+      (0 until 60).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+        .as("simhash"))
     val chunks = sim.select(
       col("doc_id"), col("simhash"),
       explode(expr(
