@@ -17,7 +17,8 @@ import java.util.concurrent.atomic.AtomicBoolean
   *
   * DEADLINE-AWARE (r6): the r5 official run was killed at the driver's
   * time limit with nothing on stdout (rc=124, parsed=null) because 4 full
-  * passes of 65 queries exceeded the budget with no guard. Now a
+  * passes of the suite (65 queries then; 66+ now) exceeded the budget
+  * with no guard. Now a
   * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500 s —
   * comfortably under the driver limit that accommodated r4's 2524 s run)
   * bounds the pass loop: after each completed pass the next pass is
@@ -26,6 +27,14 @@ import java.util.concurrent.atomic.AtomicBoolean
   * `estimator` field declares exactly what was measured — and a JVM
   * shutdown hook emits it even on SIGTERM, so a kill mid-pass still
   * yields a usable artifact instead of an empty one.
+  *
+  * COMPACT FINAL LINE (r7): the r6 official run DID emit its JSON
+  * (rc=0) but the single ~8 KB line (queries + per-query spread) was
+  * truncated in the driver's captured stdout tail → parsed=null. The
+  * LAST stdout line is now a compact (<2 KB) parseable summary — median
+  * per query only, errors only if any — while the full detail
+  * (min/max spread, budget, pass count) goes to an EARLIER stdout line
+  * and to `bench_detail.json` in the working directory.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,7 +65,9 @@ object Bench {
     // — drop that one logger to ERROR so genuine warnings survive.
     Quiet.windowExecWarnings()
 
-    var errors = Map.empty[String, String]
+    // @volatile: the shutdown hook reads this from its own thread; a kill
+    // mid-pass must not emit a stale errors map.
+    @volatile var errors = Map.empty[String, String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // Materialize every output row (not just count()) so the measured
     // plan includes the final projection, same work the verify dump does.
@@ -73,7 +84,12 @@ object Bench {
     @volatile var passesDone = 0
     @volatile var stopReason = ""
 
-    def emitJson(): String = {
+    // Returns (compactLine, detailLine). The COMPACT line is printed LAST
+    // on stdout (the only thing guaranteed to survive the driver's
+    // captured-tail window — r6's 8 KB line was truncated there); the
+    // DETAIL line (spread/budget/pass bookkeeping) is printed before it
+    // and also written to bench_detail.json.
+    def emitJson(): (String, String) = {
       import scala.jdk.CollectionConverters._
       val byPass = samplesByPass.asScala.toMap
       val done = byPass.keys.toSeq.sorted
@@ -102,7 +118,11 @@ object Bench {
       def esc(s: String): String =
         s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
       def fmt(d: Double): String = f"$d%.3f"
-      val qs = results.map { case (k, (med, _, _)) => s""""$k":${fmt(med)}""" }.mkString("{", ",", "}")
+      // 2 decimals on the compact line: at 66 queries every byte counts
+      // toward staying inside the capture window; ms precision lives in
+      // the detail line.
+      def fmt2(d: Double): String = f"$d%.2f"
+      val qs = results.map { case (k, (med, _, _)) => s""""$k":${fmt2(med)}""" }.mkString("{", ",", "}")
       val spread = results.map { case (k, (med, mn, mx)) =>
         s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
@@ -110,13 +130,26 @@ object Bench {
       // estimator is declared in the artifact so cross-round comparisons
       // are never silently apples-to-oranges (r01/r02 reported the LAST
       // rep; r03/r04 min-of-2 sequential; r05 onward median of interleaved
-      // reps; r06 onward budget-bounded with partial-artifact fallback)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs,"spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"sf":"$sfDir"}"""
+      // reps; r06 onward budget-bounded; r07 onward compact final line)
+      val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+      val compact =
+        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart,"sf":"$sfDir"}"""
+      val detail =
+        s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
+      (compact, detail)
     }
 
     val printed = new AtomicBoolean(false)
     def emitOnce(): Unit =
-      if (printed.compareAndSet(false, true)) { println(emitJson()); System.out.flush() }
+      if (printed.compareAndSet(false, true)) {
+        val (compact, detail) = emitJson()
+        try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+          (detail + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () } // detail is best-effort; never block the compact line
+        println(detail)
+        println(compact) // LAST line: the parseable artifact
+        System.out.flush()
+      }
     // Last-resort guard: a driver kill (SIGTERM from `timeout`) mid-pass
     // still flushes the partial artifact. rc stays non-zero but parsed
     // results exist.

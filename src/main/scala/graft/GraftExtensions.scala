@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.TrigramSimilarity
+import graft.functions.{MinGramHash, TrigramSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extensions registering the engine's native Catalyst functions.
   * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -25,6 +25,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramSimilarity(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("min_gram_hash"),
+      new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"min_gram_hash $what must be an integer literal, got ${other.sql}")
+        }
+        if (exprs.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`min_gram_hash`",
+              "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        MinGramHash(exprs.head,
+          intLit(exprs(1), "seed"), intLit(exprs(2), "gram_len"))
       }))
   }
 }

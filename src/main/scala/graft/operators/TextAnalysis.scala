@@ -123,6 +123,13 @@ object TextAnalysis {
     // (expr), whose parser consumes one escaping level before the regex.
     val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
     df
+      // Cheap literal pre-filter before the regex: a claim REQUIRES a
+      // digit and a '%'/'Prozent' unit, and sentences failing either can
+      // produce no posexplode rows anyway (empty match array → no output).
+      // `contains` is a plain substring scan; the regex engine then only
+      // sees candidate sentences. Semantics identical on any corpus.
+      .filter(col("sentence").rlike("[0-9]") &&
+        (col("sentence").contains("%") || col("sentence").contains("Prozent")))
       // ONE regex pass per sentence (group 0); integer and decimal parts
       // are then recovered from each ~10-char match with splits. Extracting
       // group 1 and group 2 separately (the r5 shape) scanned every

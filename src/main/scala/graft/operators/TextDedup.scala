@@ -169,14 +169,17 @@ object TextDedup {
   def q31Fingerprint(t: T): DataFrame =
     t.documents
       .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-      .withColumn("content_hash", sha2(col("norm"), 256))
-      // explode positions → min aggregate: the same rolling min as a HOF
-      // fold, but the ~300 md5 calls per document spread across tasks as
-      // skinny rows instead of allocating a 300-string array per row
-      .select(col("doc_id"), col("content_hash"), col("norm"),
-        explode(expr("sequence(1, greatest(length(norm) - 7, 1))")).as("i"))
-      .withColumn("g", expr(h60(7, "substring(norm, i, 8)")))
-      .groupBy("doc_id", "content_hash")
-      .agg(min("g").as("min_gram_hash"))
+      // One map-side pass via the native MinGramHash expression — the same
+      // h60 value per position, min'd in a hand-written loop per row. The
+      // r6 per-position explode (~300 rows/doc, the suite's slowest query
+      // at 3.2 s) copied the whole norm string into every exploded row and
+      // shuffled 300× the rows for a min; the array_min(transform(...))
+      // fold was measured SLOWER still (4.9 s) because higher-order-
+      // function lambdas evaluate through the interpreted expression
+      // walker per element. The oracle replays the SQL composition
+      // unchanged — the expression is value-identical by construction
+      // (MinGramHashSpec pins it against the HOF form).
+      .select(col("doc_id"), sha2(col("norm"), 256).as("content_hash"),
+        expr("min_gram_hash(norm, 7, 8)").as("min_gram_hash"))
       .orderBy("doc_id")
 }
