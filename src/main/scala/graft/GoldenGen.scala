@@ -17,7 +17,8 @@ import java.nio.file.{Files, Paths}
   */
 object GoldenGen {
   val goldenNames = Seq(
-    "q46_question_clusters", "q47_semantic_filter", "q57_multimodal")
+    "q46_question_clusters", "q47_semantic_filter", "q57_multimodal",
+    "q67_clusters_at_scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

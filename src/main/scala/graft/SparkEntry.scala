@@ -90,6 +90,9 @@ object SparkEntry {
     "q64_gap_report"      -> ((s, d) => Monitoring.q64GapReport(T(s, d))),
     "q65_embedding_neardup" -> ((s, d) => Similarity.q65EmbeddingNearDup(T(s, d))),
     "q66_openalex_parse"  -> ((s, d) => sources.OpenAlex.q66OpenAlexParse(T(s, d))),
+    // q67 has no oracleSql entry: iterative connected components is not
+    // one-statement SQL → rows-only check, golden-pinned like q46.
+    "q67_clusters_at_scale" -> ((s, d) => Clustering.q67QuestionClustersAtScale(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,

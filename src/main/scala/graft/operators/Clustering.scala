@@ -254,6 +254,14 @@ object Clustering {
                               threshold: Double = ClusterThreshold,
                               maxIter: Int = 30): DataFrame = {
     import spark.implicits._
+    val t00 = System.nanoTime()
+    var tPrev = t00
+    def lap(stage: String): Unit =
+      if (sys.env.contains("GRAFT_CLUSTER_TIMING")) {
+        val now = System.nanoTime()
+        println(f"[scale-cluster] $stage ${(now - tPrev) / 1e9}%.1fs (total ${(now - t00) / 1e9}%.1fs)")
+        tPrev = now
+      }
     val distinct = df.groupBy(questionCol)
       .agg(min(orderCol).cast("long").as("qid"))
       .cache()
@@ -272,15 +280,17 @@ object Clustering {
       .groupBy("qa", "qb")
       .agg(sum(col("wa") * col("wb")).as("dot"))
     val edges = dots
-      .join(norms.select(col("qid").as("qa"), col("norm").as("na")), Seq("qa"))
-      .join(norms.select(col("qid").as("qb"), col("norm").as("nb")), Seq("qb"))
+      .join(broadcast(norms.select(col("qid").as("qa"), col("norm").as("na"))), Seq("qa"))
+      .join(broadcast(norms.select(col("qid").as("qb"), col("norm").as("nb"))), Seq("qb"))
       .filter(col("dot") / (col("na") * col("nb")) >= threshold)
       .select(col("qa"), col("qb"))
     val eb = edges.select(col("qa").as("src"), col("qb").as("dst"))
       .union(edges.select(col("qb").as("src"), col("qa").as("dst")))
       .cache()
+    lap(s"edges built (${eb.count()} directed rows)")
     var labels = distinct.select(col("qid"), col("qid").as("label"))
       .localCheckpoint()
+    lap("labels init")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -288,15 +298,31 @@ object Clustering {
         .join(labels.select(col("qid").as("dst"), col("label").as("nl")),
           Seq("dst"))
         .groupBy("src").agg(min("nl").as("nbr_label"))
-      val next = labels
+      val prop = labels
         .join(nbrMin.withColumnRenamed("src", "qid"), Seq("qid"), "left")
         .select(col("qid"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint() // referenced twice below — without this the
+        // edge join above would run twice per round (no cross-branch CSE)
+      // Pointer jump: label ← min(label, label(label)). Labels are always
+      // node qids, so every label value has a row to follow. Plain min-
+      // propagation crawls a chain one hop per round (8 rounds at sf0.1);
+      // the jump halves label depth per round, so rounds grow with
+      // log(diameter), not diameter. Both steps only ever assign a
+      // smaller qid from the same component, so the fixed point — every
+      // node labeled with its component minimum — is unchanged.
+      val next = prop
+        .join(prop.select(col("qid").as("pj"), col("label").as("pj_label")),
+          col("label") === col("pj"), "left")
+        .select(col("qid"), col("old"),
+          least(col("label"), coalesce(col("pj_label"), col("label")))
             .as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") < col("old")).count()
       labels = next.drop("old")
       iter += 1
+      lap(s"cc iter $iter changed=$changed")
     }
     // one row per component → the ordering window is post-aggregate-small
     val renum = labels.select(col("label").as("root")).distinct()
@@ -314,6 +340,7 @@ object Clustering {
     val mapping = assigned.join(labelPerCluster, Seq("cluster_id"))
       .select(col(questionCol), col("cluster_id"), col("cluster_label"))
       .localCheckpoint()
+    lap("mapping materialized")
     Seq(distinct, terms, eb).foreach(_.unpersist())
     mapping
   }
@@ -334,6 +361,24 @@ object Clustering {
         array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " "))
       .select(col("doc_id"), col("question"))
     clusterAttributions(t.spark, qs, "question", "doc_id")
+      .select("doc_id", "question", "cluster_id", "cluster_label")
+      .orderBy("doc_id")
+  }
+
+  /** q67 — the SAME corpus as q46 routed through the fully-distributed
+    * scale path (`clusterQuestionsAtScale`: inverted-index candidate
+    * pairs + min-label connected components) so the advertised 100 TB
+    * clustering shape is driver-checked like everything else, not just
+    * scalatest-covered. Semantics are transitive closure over the
+    * "cosine ≥ 0.72" graph — the documented divergence from q46's greedy
+    * first-cluster-wins (see object scaladoc) — so its golden is pinned
+    * separately from q46's. Not one-statement SQL → rows-only check. */
+  def q67QuestionClustersAtScale(t: T): DataFrame = {
+    val qs = t.documents
+      .withColumn("question",
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " "))
+      .select(col("doc_id"), col("question"))
+    clusterAttributionsAtScale(t.spark, qs, "question", "doc_id")
       .select("doc_id", "question", "cluster_id", "cluster_label")
       .orderBy("doc_id")
   }
