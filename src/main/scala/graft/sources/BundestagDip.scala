@@ -86,8 +86,11 @@ object BundestagDip {
         col("d.wahlperiode").as("wahlperiode"),
         col("d.fundstelle.herausgeber").as("herausgeber"),
         nullif(pdfUrl, lit("")).as("pdf_url"),
-        slice(coalesce(col("d.vorgangsbezug"),
-          array().cast(docSchema("vorgangsbezug").dataType)), 1, 10)
+        // [:10] then the isinstance(dict) guard — null entries dropped
+        // after the slice, as in the reference
+        filter(slice(coalesce(col("d.vorgangsbezug"),
+          array().cast(docSchema("vorgangsbezug").dataType)), 1, 10),
+          e => e.isNotNull)
           .as("vorgangsbezug")))
       .withColumn("source_id", lit("bundestag_dip"))
       .drop("__doc", "d", payloadCol)

@@ -116,8 +116,11 @@ object OpenAlex {
         col("w.primary_location.landing_page_url").as("landing_page_url"),
         col("w.primary_location.pdf_url").as("pdf_url"),
         col("w.type").as("type"),
-        transform(slice(coalesce(col("w.topics"),
+        // [:5] then the isinstance(dict) guard: null entries are dropped
+        // AFTER the slice, matching the reference's order
+        transform(filter(slice(coalesce(col("w.topics"),
             array().cast(workSchema("topics").dataType)), 1, 5),
+            t => t.isNotNull),
           t => struct(
             t.getField("display_name").as("display_name"),
             t.getField("score").as("score"),
