@@ -293,6 +293,14 @@ object Clustering {
     lap("labels init")
     var changed = 1L
     var iter = 0
+    // ONE materializing job per round: `prop` is a lazy cache and `next`
+    // a LAZY localCheckpoint — its logical plan is truncated to a
+    // LogicalRDD immediately (without truncation the self-join doubles
+    // the plan tree every round and the per-action plan description
+    // explodes exponentially), but nothing runs until the `changed`
+    // count, which materializes the checkpoint, fills prop's cache on
+    // its first branch and reads it back on the second — three
+    // materializations in r6, one here.
     while (changed > 0 && iter < maxIter) {
       val nbrMin = eb
         .join(labels.select(col("qid").as("dst"), col("label").as("nl")),
@@ -303,23 +311,23 @@ object Clustering {
         .select(col("qid"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint() // referenced twice below — without this the
-        // edge join above would run twice per round (no cross-branch CSE)
-      // Pointer jump: label ← min(label, label(label)). Labels are always
-      // node qids, so every label value has a row to follow. Plain min-
-      // propagation crawls a chain one hop per round (8 rounds at sf0.1);
-      // the jump halves label depth per round, so rounds grow with
-      // log(diameter), not diameter. Both steps only ever assign a
-      // smaller qid from the same component, so the fixed point — every
-      // node labeled with its component minimum — is unchanged.
+        .cache()
+      // Pointer jump: label ← label(label). Labels are always node qids,
+      // so every label value has a row to follow. Plain min-propagation
+      // crawls a chain one hop per round; the jump halves label depth per
+      // round, so rounds grow with log(diameter), not diameter. Both
+      // steps only ever assign a smaller qid from the same component, so
+      // the fixed point — every node labeled with its component minimum —
+      // is unchanged.
       val next = prop
         .join(prop.select(col("qid").as("pj"), col("label").as("pj_label")),
           col("label") === col("pj"), "left")
         .select(col("qid"), col("old"),
           least(col("label"), coalesce(col("pj_label"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") < col("old")).count()
+      prop.unpersist(false)
       labels = next.drop("old")
       iter += 1
       lap(s"cc iter $iter changed=$changed")
