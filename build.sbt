@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] runs executor-side shuffle/agg hash maps, broadcast
+  // blocks, and localCheckpoint storage in this one JVM; at 8g the tail
+  // of a 67-query bench pass ran against GC pressure (q67 +50% wall).
+  // The host has 128 GiB; a cluster deployment sizes executors instead.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
