@@ -31,6 +31,8 @@ object Extras {
       .withColumn("vol30", round(stddev_pop("value").over(byUser.rowsBetween(-29, 0)), 4))
       .withColumn("cnt_1h", count(lit(1)).over(rangeHour))
       .select("event_id", "user_id", "vol30", "cnt_1h")
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("event_id")
   }
 
@@ -115,6 +117,8 @@ object Extras {
       .withColumn("dist_ok",
         sum("pct").over(Window.partitionBy("user_id", "event_type")) <= 120 * 50)
       .select("event_id", "position", "pct", "grounded", "confidence", "dist_ok")
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("event_id")
   }
 

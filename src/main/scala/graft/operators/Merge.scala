@@ -122,6 +122,8 @@ object Merge {
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
       .select(col("key_b").as("p_partkey"), col("key_a").as("dup_of"), col("sim"))
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("p_partkey")
   }
 

@@ -46,6 +46,8 @@ object Scalars {
         quarter(col("parsed")).as("q"),
         datediff(lit("2002-01-01").cast("date"), col("parsed").cast("date"))
           .as("days_to_ref"))
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("o_orderkey")
   }
 

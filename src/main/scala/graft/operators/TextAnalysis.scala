@@ -80,6 +80,8 @@ object TextAnalysis {
       .select("doc_id", "lang", "predicted_lang", "n_words",
         "s_en", "s_de", "s_es", "s_fr", "stop_ratio", "punct_ratio",
         "quality_score", "quality_tier")
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("doc_id")
 
   /** q32 — claim extraction with German numerics (T1,

@@ -155,6 +155,8 @@ object Views {
           .otherwise("stable"))
       .select("cur_key", "position", "population", "cur_pct",
         "prev_key", "sim", "prev_pct", "delta", "status")
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("cur_key")
   }
 }

@@ -202,6 +202,8 @@ object OpenAlex {
         size(col("raw.referenced_works")).as("n_refs"),
         size(col("raw.topics")).as("n_topics"),
         array_join(col("raw.keywords"), ",").as("keywords_joined"))
+      // materialize once before the serving sort — see Polls.q22PollTrends
+      .localCheckpoint(false)
       .orderBy("doc_id")
   }
 }
