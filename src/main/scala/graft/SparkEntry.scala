@@ -93,6 +93,9 @@ object SparkEntry {
     // q67 has no oracleSql entry: iterative connected components is not
     // one-statement SQL → rows-only check, golden-pinned like q46.
     "q67_clusters_at_scale" -> ((s, d) => Clustering.q67QuestionClustersAtScale(T(s, d))),
+    "q68_govdata_parse"   -> ((s, d) => sources.GovData.q68GovdataParse(T(s, d))),
+    "q69_eurobarometer_parse" ->
+      ((s, d) => sources.Eurobarometer.q69EurobarometerParse(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1146,5 +1149,44 @@ object SparkEntry {
         |  5 AS n_topics,
         |  'kw1,kw2,kw3' AS keywords_joined
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q68: every GovData._build_record rule recomputed straight from part —
+    // id→name record-id fallback, name-or-id canonical url, the
+    // license_title→license_id→default chain, organization title→name
+    // publisher hint; %35 rows (id and name both absent) are skipped.
+    "q68_govdata_parse" ->
+      """SELECT
+        |  CASE WHEN p_partkey % 7 <> 0 THEN 'id-' || p_partkey
+        |       ELSE 'ds-' || p_partkey END AS source_record_id,
+        |  'https://www.govdata.de/dataset/' ||
+        |    CASE WHEN p_partkey % 5 <> 0 THEN 'ds-' || p_partkey
+        |         ELSE 'id-' || p_partkey END AS canonical_url,
+        |  CASE WHEN p_partkey % 3 = 2 THEN 'Lizenz ' || p_type
+        |       WHEN p_partkey % 3 = 1 THEN 'lic-' || (p_partkey % 4)
+        |       ELSE 'Data License Germany 2.0 (dl-de/by-2-0)' END AS license,
+        |  p_name AS title_hint,
+        |  CASE WHEN p_partkey % 2 <> 0 THEN 'Org ' || p_brand
+        |       ELSE 'org-' || p_type END AS publisher_hint
+        |FROM part
+        |WHERE p_partkey % 35 <> 0
+        |ORDER BY source_record_id""".stripMargin,
+    // q69: every Eurobarometer._build_record rule recomputed from
+    // documents — last-uri-segment record id (incl. trailing slash),
+    // literal-only title, the three DOI forms plus no-DOI, license
+    // default; blank-uri (%13) and empty-triples (%17) rows are skipped.
+    "q69_eurobarometer_parse" ->
+      """SELECT
+        |  '1.9' || doc_id AS source_record_id,
+        |  'https://data.gesis.org/datasearchkg/Dataset/10.4232/1.9' || doc_id
+        |    || CASE WHEN doc_id % 19 = 0 THEN '/' ELSE '' END AS canonical_url,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE '10.4232/1.9' || doc_id END AS doi,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'GESIS terms of use (Eurobarometer data archive)'
+        |       ELSE 'https://www.gesis.org/lic/' || (doc_id % 5) END AS license,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |       ELSE 'Eurobarometer Welle ' || doc_id END AS title_hint
+        |FROM documents
+        |WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
+        |ORDER BY source_record_id""".stripMargin,
   )
 }

@@ -127,4 +127,59 @@ object Eurobarometer {
         col("title_hint"),
         struct(col("uri"), col("sorted_triples").as("triples")).as("payload"))
   }
+
+  /** q69 — the Eurobarometer parse as a declared query: per-document
+    * synthetic KG wrappers exercise every `_build_record` rule — blank-uri
+    * and empty-triples skips, trailing-slash record-id extraction, the
+    * literal-only title rule, all three DOI extraction forms (doi.org
+    * tail / doi: prefix / bare 10.x) plus the no-DOI case, and the
+    * license default — round-tripped through to_json → records(), so the
+    * oracle recomputes every output scalar from the documents table.
+    * content_hash excluded (not SQL-recomputable, see [[records]]). */
+  def q69EurobarometerParse(t: graft.Tables.T): DataFrame = {
+    val d = col("doc_id")
+    def triple(p: Column, o: Column, typ: String): Column = struct(
+      lit(null).cast(StringType).as("datatype"),
+      lit(null).cast(StringType).as("lang"),
+      o.as("o"), p.as("p"), lit(typ).as("type"))
+    val nameTriple = triple(lit("https://schema.org/name"),
+      concat(lit("Eurobarometer Welle "), d.cast(StringType)),
+      "literal")
+    // %11 docs carry the name as a uri node — the literal-only rule must
+    // leave title_hint null for them
+    val nameT = when(d % 11 === 0,
+      triple(lit("https://schema.org/name"),
+        concat(lit("Eurobarometer Welle "), d.cast(StringType)), "uri"))
+      .otherwise(nameTriple)
+    val ds = d.cast(StringType)
+    val ident = when(d % 4 === 0,
+        triple(lit("https://schema.org/identifier"),
+          concat(lit("https://doi.org/10.4232/1.9"), ds), "uri"))
+      .when(d % 4 === 1,
+        triple(lit("https://schema.org/identifier"),
+          concat(lit("doi:10.4232/1.9"), ds), "literal"))
+      .when(d % 4 === 2,
+        triple(lit("https://schema.org/identifier"),
+          concat(lit("10.4232/1.9"), ds), "literal"))
+      .otherwise(
+        triple(lit("https://schema.org/identifier"),
+          concat(lit("urn:nbn:de:"), ds), "uri"))
+    val lic = when(d % 3 =!= 0,
+      array(triple(lit("https://schema.org/license"),
+        concat(lit("https://www.gesis.org/lic/"), (d % 5).cast(StringType)), "uri")))
+      .otherwise(array().cast(ArrayType(tripleT)))
+    val uri = when(d % 13 === 0, lit(""))
+      .otherwise(concat(lit("https://data.gesis.org/datasearchkg/Dataset/10.4232/1.9"),
+        ds, when(d % 19 === 0, lit("/")).otherwise(lit(""))))
+    val triples = when(d % 17 === 0, array().cast(ArrayType(tripleT)))
+      .otherwise(concat(array(nameT, ident), lic))
+    val payloads = t.documents.select(
+      to_json(struct(array(struct(uri.as("uri"), triples.as("triples")))
+        .as("datasets"))).as("payload"))
+    records(payloads)
+      .select("source_record_id", "canonical_url", "doi", "license",
+        "title_hint")
+      .localCheckpoint(false)
+      .orderBy("source_record_id")
+  }
 }

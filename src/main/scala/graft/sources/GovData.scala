@@ -93,6 +93,40 @@ object GovData {
           col("d.organization.name")).as("publisher_hint"),
         col("d").as("payload"))
 
+  /** q68 — the GovData CKAN parse as a declared query: per-part synthetic
+    * `package_search` payloads exercise every `_build_record` rule — the
+    * id→name fallback (and the both-blank skip), the name-or-id canonical
+    * url, the license_title→license_id→default chain, and the
+    * organization title→name publisher hint — and are round-tripped
+    * through to_json → records(), so the oracle recomputes every output
+    * scalar straight from the part table. content_hash is excluded (its
+    * canonical form is Spark's to_json, not recomputable in SQL). */
+  def q68GovdataParse(t: graft.Tables.T): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val k = col("p_partkey")
+    val ks = k.cast(StringType)
+    val ds = struct(
+      when(k % 7 =!= 0, concat(lit("id-"), ks)).cast(StringType).as("id"),
+      when(k % 5 =!= 0, concat(lit("ds-"), ks)).cast(StringType).as("name"),
+      col("p_name").as("title"),
+      when(k % 3 >= 1, concat(lit("lic-"), (k % 4).cast(StringType)))
+        .cast(StringType).as("license_id"),
+      when(k % 3 === 2, concat(lit("Lizenz "), col("p_type")))
+        .cast(StringType).as("license_title"),
+      struct(
+        concat(lit("org-"), col("p_type")).as("name"),
+        when(k % 2 =!= 0, concat(lit("Org "), col("p_brand")))
+          .cast(StringType).as("title")).as("organization"))
+    val payloads = t.part.select(
+      to_json(struct(struct(lit(1).cast("long").as("count"),
+        array(ds).as("results")).as("result"))).as("payload"))
+    records(payloads)
+      .select("source_record_id", "canonical_url", "license",
+        "title_hint", "publisher_hint")
+      .localCheckpoint(false)
+      .orderBy("source_record_id")
+  }
+
   /** Derive `package_search` terms from a topic's include_keywords
     * (govdata.py:246-268): German locale first, include_keywords only
     * (not synonyms), case-insensitive dedup, capped at `maxTerms`.
