@@ -158,14 +158,11 @@ object Polls {
     * FILTER aggregates, previous-poll value, share-of-total among majors,
     * and a global rank (latest_poll_standings.sql:18-95). */
   def q23PollStandings(t: T): DataFrame = {
-    // The corpus watermark comes from a light orders⋉lineitem semi scan, NOT
-    // from stgPollResults: referencing the (expensive) staging build twice
-    // would recompute its shuffle + JSON round-trip per reference. The set
-    // is identical — max order date among orders with at least one line.
-    val maxD = t.orders
-      .join(t.lineitem.select("l_orderkey"),
-        col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .agg(max("o_orderdate").as("max_date"))
+    // Staging is a MATERIALIZED partitioned table (stgPollResultsTable),
+    // so the corpus watermark is one cheap agg over its poll_date column —
+    // the same value as the reference's max order date among orders with
+    // at least one line, without re-scanning orders ⋉ lineitem.
+    val maxD = stgPollResultsTable(t).agg(max("poll_date").as("max_date"))
     // Single pass over staging: one window (recency rank per party) feeds
     // one per-party aggregate; rn=1/rn=2 rows are picked with conditional
     // aggregates instead of separate filtered branches, so the staging
