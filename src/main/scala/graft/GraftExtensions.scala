@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinGramHash, TrigramSimilarity}
+import graft.functions.{BigramJaccard, MinGramHash, TrigramSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -25,6 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramSimilarity(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bigram_jaccard"),
+      new ExpressionInfo(classOf[BigramJaccard].getName, "bigram_jaccard"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`bigram_jaccard`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BigramJaccard(exprs.head, exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("min_gram_hash"),

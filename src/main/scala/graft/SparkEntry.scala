@@ -96,6 +96,7 @@ object SparkEntry {
     "q68_govdata_parse"   -> ((s, d) => sources.GovData.q68GovdataParse(T(s, d))),
     "q69_eurobarometer_parse" ->
       ((s, d) => sources.Eurobarometer.q69EurobarometerParse(T(s, d))),
+    "q70_ngram_jaccard"   -> ((s, d) => TextDedup.q70NgramJaccard(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1188,5 +1189,33 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
         |ORDER BY source_record_id""".stripMargin,
+    // q70: the oracle replays the counting-join shape — distinct word
+    // bigrams over 30-word prefixes, first-3-words blocking, shared-gram
+    // pair counts, Jaccard = shared/(na+nb-shared).
+    "q70_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 30) AS words
+        |  FROM documents
+        |  WHERE len(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 30)) >= 2),
+        |base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(words, 1, 3), ' ') AS blk,
+        |    list_distinct(list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i + 1])) AS grams
+        |  FROM w),
+        |grams AS (SELECT doc_id, blk, UNNEST(grams) AS gram FROM base),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM grams a JOIN grams b ON a.blk = b.blk AND a.gram = b.gram
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+        |FROM shared
+        |JOIN (SELECT doc_id, len(grams) AS n FROM base) na ON doc_a = na.doc_id
+        |JOIN (SELECT doc_id, len(grams) AS n FROM base) nb ON doc_b = nb.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -182,4 +182,39 @@ object TextDedup {
       .select(col("doc_id"), sha2(col("norm"), 256).as("content_hash"),
         expr("min_gram_hash(norm, 7, 8)").as("min_gram_hash"))
       .orderBy("doc_id")
+
+  /** q70 — exact word-bigram Jaccard near-dup pairs over 30-word document
+    * prefixes, blocked on the first three words (the dedup family's
+    * exact-n-gram member alongside MinHash q27 / SimHash q28 / embedding
+    * q65). Candidate pairs come from a block equi-join — block sizes are
+    * data-bounded (a handful of docs share a 3-word prefix), so the pair
+    * count is Σ|block|² — and Jaccard is the native codegen'd
+    * `bigram_jaccard` over the two ≤30-word arrays, evaluated only on
+    * candidate pairs. Two rejected shapes, both measured: the
+    * counting-join (explode grams, join on (blk, gram), count pairs)
+    * shuffles every gram occurrence (~30× the rows); materializing
+    * per-doc gram arrays with `array_distinct(transform(...))` +
+    * `array_intersect` walks every element through the interpreted HOF
+    * evaluator on BOTH sides of the self-join (~6 s of the 9 s total at
+    * sf0.1 — the q31 lesson again). The 31-limit split tokenizes only
+    * the prefix, so a multi-MB document costs its first ~30 words, not a
+    * full-text split. */
+  def q70NgramJaccard(t: T): DataFrame = {
+    val base = t.documents
+      .select(col("doc_id"),
+        slice(split(trim(col("text")), "\\s+", 31), 1, 30).as("words"))
+      // <2 words → no bigrams; the oracle excludes them identically
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        array_join(slice(col("words"), 1, 3), " ").as("blk"), col("words"))
+    base.select(col("doc_id").as("doc_a"), col("blk"),
+        col("words").as("words_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("blk"),
+        col("words").as("words_b")), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", expr("bigram_jaccard(words_a, words_b)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
 }
