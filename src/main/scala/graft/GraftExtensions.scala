@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, MinGramHash, TrigramSimilarity}
+import graft.functions.{BigramJaccard, MinGramHash, SparseCosine, TrigramSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -39,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         BigramJaccard(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sparse_cosine"),
+      new ExpressionInfo(classOf[SparseCosine].getName, "sparse_cosine"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`sparse_cosine`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        SparseCosine(exprs.head, exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("min_gram_hash"),

@@ -235,10 +235,25 @@ object Clustering {
     *     mins of disjoint sets of unique ids are distinct; no global
     *     row_number over the corpus.
     *  2. sparse vectors as SKINNY (qid, term, w) rows (flatMap — genuine
-    *     per-row imperative tokenization), inverted-index self-join on
-    *     `term`: candidate pairs share ≥ 1 term, which for cosine is
-    *     EXACT candidate generation, never all-pairs; partial dot
-    *     products map-combine before the (qa, qb) aggregate.
+    *     per-row imperative tokenization), then a PREFIX-FILTERED
+    *     inverted-index self-join: joining on every term is exact but
+    *     quadratic in term frequency (a term appearing in 1/5 of
+    *     questions alone yields ~n²/50 candidate pairs — measured 7.6 M
+    *     candidates for 21 k true edges at sf0.1, and unbounded at
+    *     100 TB). Under the global (frequency asc, term asc) term order,
+    *     index only each vector's PREFIX — the rare-terms head whose
+    *     complementary tail has ‖tail‖ < τ·‖v‖. Any pair with
+    *     cos ≥ τ must share a prefix term: if every shared term of a
+    *     pair sat in one side's tail, Cauchy–Schwarz gives
+    *     cos ≤ ‖tail‖/‖v‖ < τ; and the globally smallest shared term is
+    *     position-wise in BOTH prefixes (tails are suffixes of the same
+    *     global order), so the prefix equi-join generates a provable
+    *     superset of qualifying pairs. Exact cosines are then
+    *     recomputed per candidate with the native `sparse_cosine` over
+    *     the two FULL term-sorted vectors (joined in as single array
+    *     rows, broadcast when small) — pruning changes candidate
+    *     volume, never values — and pairs dedup AFTER the threshold
+    *     filter, where the survivor count is small.
     *  3. connected components by min-label propagation over the edge
     *     list — one equi-join per round, converges in O(graph diameter)
     *     rounds (question-similarity components are shallow); lineage is
@@ -271,19 +286,49 @@ object Clustering {
         questionVector(q).map { case (t, w) => (qid, t, w) } }
       .toDF("qid", "term", "w")
       .cache()
-    val norms = terms.groupBy("qid")
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val dots = terms.select(col("qid").as("qa"), col("term"), col("w").as("wa"))
-      .join(terms.select(col("qid").as("qb"), col("term"), col("w").as("wb")),
-        Seq("term"))
+    // Prefix filter (see scaladoc): keep a row in the candidate index iff
+    // the w² mass from this term to the hot end of the global
+    // (frequency asc, term asc) order is ≥ τ²·‖v‖² — equivalently, the
+    // strictly-hotter tail is still too heavy to be discarded. The
+    // running tail sum and the whole-vector norm² share ONE qid
+    // partitioning (two window functions, no extra shuffle, ≤
+    // vector-width rows per key); the tf join is a plain equi-join that
+    // AQE broadcasts when small. The 1e-9 slack only widens the prefix —
+    // FP disagreement between the two window sums can demote a boundary
+    // row to the tail, never the reverse.
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
+    val wTail = Window.partitionBy("qid")
+      .orderBy(col("tf").desc, col("term").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixIdx = terms
+      .join(tf, Seq("term"))
+      .withColumn("tail_sq", sum(col("w") * col("w")).over(wTail))
+      .withColumn("norm_sq",
+        sum(col("w") * col("w")).over(Window.partitionBy("qid")))
+      .filter(col("tail_sq") >
+        lit(threshold * threshold) * col("norm_sq") - lit(1e-9))
+      .select(col("qid"), col("term"))
+    // Candidate pairs keep their prefix-term multiplicity here — the
+    // cosine filter is cheap per row, and dedup is far cheaper AFTER it
+    // (tens of k edges) than before it (millions of candidates).
+    val cand = prefixIdx.select(col("qid").as("qa"), col("term"))
+      .join(prefixIdx.select(col("qid").as("qb"), col("term")), Seq("term"))
       .filter(col("qa") < col("qb"))
-      .groupBy("qa", "qb")
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-    val edges = dots
-      .join(broadcast(norms.select(col("qid").as("qa"), col("norm").as("na"))), Seq("qa"))
-      .join(broadcast(norms.select(col("qid").as("qb"), col("norm").as("nb"))), Seq("qb"))
-      .filter(col("dot") / (col("na") * col("nb")) >= threshold)
+      .select("qa", "qb")
+    // Exact verification stays MAP-SIDE: each side's full vector rides in
+    // as one term-sorted array row (4.7 k rows at sf0.1 — broadcast-sized
+    // here; at larger scale AQE falls back to a shuffle join keyed by
+    // qid, still no all-pairs), and the native codegen'd `sparse_cosine`
+    // walks the two sorted arrays per candidate. Width is bounded by the
+    // question length, so a vector row is always small.
+    val vecs = terms.groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
+    val edges = cand
+      .join(vecs.select(col("qid").as("qa"), col("vec").as("va")), Seq("qa"))
+      .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
+      .filter(expr("sparse_cosine(va, vb)") >= threshold)
       .select(col("qa"), col("qb"))
+      .distinct()
     val eb = edges.select(col("qa").as("src"), col("qb").as("dst"))
       .union(edges.select(col("qb").as("src"), col("qa").as("dst")))
       .cache()
@@ -315,7 +360,10 @@ object Clustering {
       // Pointer jump: label ← label(label). Labels are always node qids,
       // so every label value has a row to follow. Plain min-propagation
       // crawls a chain one hop per round; the jump halves label depth per
-      // round, so rounds grow with log(diameter), not diameter. Both
+      // round, so rounds grow with log(diameter), not diameter. (A second
+      // jump per round was measured: it does NOT cut rounds here —
+      // convergence is bound by new labels ARRIVING over edges, not by
+      // chasing stale label chains — and it adds a join per round.) Both
       // steps only ever assign a smaller qid from the same component, so
       // the fixed point — every node labeled with its component minimum —
       // is unchanged.
