@@ -66,6 +66,36 @@ class ClusteringScaleSpec extends SparkSpec {
     assert(out.toSeq == Seq("nuclear"))
   }
 
+  test("prefix-filtered edges reproduce the brute-force transitive closure " +
+    "on a dense hot-vocabulary corpus") {
+    // Adversarial for the prefix filter: a tiny vocabulary where every
+    // term is hot, so pruning gets no help from rarity and any missed
+    // candidate would split a component. Expected partition is computed
+    // by brute-force all-pairs cosine + union-find on the driver.
+    val vocab = Vector("nuclear", "climate", "energy", "kosten", "zukunft",
+      "windkraft", "solar", "kohle", "atomkraft", "netz")
+    val rnd = new scala.util.Random(42)
+    val qs = Vector.fill(60) {
+      val n = 2 + rnd.nextInt(4)
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }.distinct
+    // union-find over pairs with cosine >= threshold
+    val parent = Array.tabulate(qs.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- qs.indices; j <- qs.indices if i < j)
+      if (Clustering.questionSimilarity(qs(i), qs(j)) >= Clustering.ClusterThreshold) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val expected = qs.indices.groupBy(find).values
+      .map(_.map(qs).toSet).toSet
+    val df = qs.zipWithIndex.toDF("question", "idx")
+    val scale = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx")
+      .select("question", "cluster_id").as[(String, Int)].collect().toSeq
+    assert(partition(scale) == expected)
+  }
+
   test("row-level wrapper carries every input row") {
     val df = Seq("climate", "climate", "nuclear")
       .zipWithIndex.toDF("question", "idx")
