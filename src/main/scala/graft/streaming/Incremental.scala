@@ -110,4 +110,20 @@ object Incremental {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
+
+  /** Streaming exact dedup — the ingestion-time member of the dedup
+    * family (batch read-time dedup is q24): drop re-deliveries of the
+    * same content keys as they stream in, keeping state only within the
+    * watermark. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is the 100 TB shape: unbounded-state dedup on an
+    * infinite stream eventually OOMs every executor, while
+    * within-watermark state is evicted as event time advances — the same
+    * bounded-state reasoning the reference applies by deduping against
+    * the STORE on upsert (storage/postgres.py:228-270) rather than
+    * keeping an in-process seen-set. */
+  def streamingDedup(stream: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

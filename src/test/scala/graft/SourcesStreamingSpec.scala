@@ -114,6 +114,29 @@ class SourcesStreamingSpec extends SparkSpec {
       Seq((2L, 3.0), (1L, 5.0)))
   }
 
+  test("streaming dedup drops within-watermark re-deliveries, keeps firsts") {
+    val dir = tmp("graft-sdedup")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("content_hash", StringType),
+      StructField("payload", StringType)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.json"),
+      """{"ts":"2026-01-01T00:01:00.000Z","content_hash":"h1","payload":"first"}
+        |{"ts":"2026-01-01T00:02:00.000Z","content_hash":"h1","payload":"redelivery"}
+        |{"ts":"2026-01-01T00:03:00.000Z","content_hash":"h2","payload":"other"}""".stripMargin)
+    val stream = spark.readStream.schema(schema).json(dir)
+    val deduped = Incremental.streamingDedup(
+      stream, "ts", "10 minutes", Seq("content_hash"))
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT content_hash, payload FROM sdedup ORDER BY content_hash").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("h1", "first"), ("h2", "other")))
+  }
+
   test("Destatis chunk merge keeps one header, drops repeats and blanks") {
     import spark.implicits._
     val chunks = Seq(
