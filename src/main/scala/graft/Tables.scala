@@ -35,12 +35,30 @@ object Tables {
       // `div` — a double round-trip would lose precision above 2^53.
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None    => df
+      val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = df0.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case None    => df0
+      }
+      // The CPU-heavy per-row tables (document text, embedding vectors)
+      // ship in the driver testdata as ONE parquet row group, so the scan
+      // is a single task no matter how small maxPartitionBytes is — and
+      // every regex/shingle/dot-product pass over them runs serially. At
+      // production scale the table root has thousands of files/row-groups
+      // and scans parallelize naturally, so restore that parallelism
+      // locally with a deterministic hash repartition on the row id —
+      // sub-MB of shuffle here, and skipped entirely for a multi-file
+      // table root where the scan already splits.
+      cpuHeavyKeys.get(name) match {
+        case Some(key) if new java.io.File(s"$sfDir/$name.parquet").isFile =>
+          df.repartition(spark.sparkContext.defaultParallelism, col(key))
+        case _ => df
       }
     })
+
+  /** Tables whose queries are dominated by per-row CPU, keyed by the id
+    * column used for the deterministic local repartition. */
+  private val cpuHeavyKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
   /** Convenience bundle so query bodies read naturally. Tables are bound
     * lazily ONCE per instance — a query touching the same table twice gets
