@@ -58,6 +58,9 @@ object Tables {
 
   /** Tables whose queries are dominated by per-row CPU, keyed by the id
     * column used for the deterministic local repartition. */
+  // events/lineitem/orders deliberately NOT here: their per-row work is
+  // cheap columnar compute, and the added exchange costs every one of
+  // their queries ~0.3 s for no win (measured both ways).
   private val cpuHeavyKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
   /** Convenience bundle so query bodies read naturally. Tables are bound
