@@ -51,6 +51,10 @@ object Tables {
       // table root where the scan already splits.
       cpuHeavyKeys.get(name) match {
         case Some(key) if new java.io.File(s"$sfDir/$name.parquet").isFile =>
+          // NOT cache()d: a cached InMemoryRelation here was measured 5-7×
+          // SLOWER for the heavy consumers (columnar-batch decode replaces
+          // the vectorized parquet reader inside the codegen pipeline);
+          // re-paying the sub-MB exchange per query is the cheaper deal.
           df.repartition(spark.sparkContext.defaultParallelism, col(key))
         case _ => df
       }
