@@ -333,7 +333,16 @@ object Clustering {
       .union(edges.select(col("qb").as("src"), col("qa").as("dst")))
       .cache()
     lap(s"edges built (${eb.count()} directed rows)")
-    var labels = distinct.select(col("qid"), col("qid").as("label"))
+    // Init fused with the first neighbor-min: from identity labels, round
+    // one's nbrMin is just min(neighbor qid), so compute it directly and
+    // save a full round's join+groupBy+count job. Fixed point unchanged —
+    // this is exactly the state plain propagation reaches after round 1
+    // (minus the pointer jump, which the next round's jump subsumes).
+    var labels = distinct.select(col("qid"))
+      .join(eb.groupBy("src").agg(min("dst").as("nd"))
+        .withColumnRenamed("src", "qid"), Seq("qid"), "left")
+      .select(col("qid"),
+        least(col("qid"), coalesce(col("nd"), col("qid"))).as("label"))
       .localCheckpoint()
     lap("labels init")
     var changed = 1L
