@@ -97,6 +97,7 @@ object SparkEntry {
     "q69_eurobarometer_parse" ->
       ((s, d) => sources.Eurobarometer.q69EurobarometerParse(T(s, d))),
     "q70_ngram_jaccard"   -> ((s, d) => TextDedup.q70NgramJaccard(T(s, d))),
+    "q71_frame_sample"    -> ((s, d) => Multimodal.q71FrameSample(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1217,5 +1218,15 @@ object SparkEntry {
         |JOIN (SELECT doc_id, len(grams) AS n FROM base) nb ON doc_b = nb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q71: the sampling arithmetic replayed on the media metadata — videos
+    // are doc_id % 3 = 2 (kind index 3), duration_ms = n_chars * 10,
+    // frames at 0, 5000, … ≤ duration.
+    "q71_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  (n_chars * 10) // 5000 + 1 AS n_frames,
+        |  ((n_chars * 10) // 5000) * 5000 AS last_ts
+        |FROM documents
+        |WHERE doc_id % 3 = 2
+        |ORDER BY media_id""".stripMargin,
   )
 }

@@ -79,6 +79,84 @@ object Multimodal {
       }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_ts", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB frame grab — deterministic fake bytes for the frame at `ts`.
+    * A real implementation seeks the container and decodes one frame. */
+  private def stubFrame(payload: Array[Byte], ts: Long): Array[Byte] = {
+    var h = 1125899906842597L ^ ts
+    payload.foreach(b => h = h * 31 + b)
+    Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xff).toByte)
+  }
+
+  /** Frame sampling over partition batches — one output row per sampled
+    * timestamp (0, everyMs, … ≤ duration), the generator-shaped batch
+    * contract (`flatMap` over the partition iterator; a real decoder
+    * opens the container once per ROW and seeks per frame, amortizing
+    * codec init per partition). Frame COUNT and timestamps are pure
+    * metadata arithmetic, so the sampling plumbing is oracle-checkable
+    * even with the frame grab stubbed. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(frameSchema))
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        col("meta.duration_ms").as("duration_ms"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val dur = math.max(r.getLong(2), 0L)
+          (0L to dur by everyMs).iterator.map(ts =>
+            Row(id, ts, stubFrame(payload, ts)))
+        }
+      }(enc)
+  }
+
+  /** STUB resize — deterministic fake bytes at the target dimensions. A
+    * real implementation decodes, scales, re-encodes. */
+  private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    var acc = (w.toLong << 32) | (h & 0xffffffffL)
+    payload.foreach(b => acc = acc * 31 + b)
+    Array.tabulate(8)(i => ((acc >>> (i * 8)) & 0xff).toByte)
+  }
+
+  /** Image resize over partition batches: image rows get the target
+    * dimensions in `meta` and a re-encoded payload; non-image rows pass
+    * through untouched (same schema in and out, so resize composes with
+    * the other media stages). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(mediaSchema))
+    media.select("media_id", "kind", "payload", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(1) != "image") r
+        else {
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val meta = r.getStruct(3)
+          Row(r.getLong(0), r.getString(1), stubResize(payload, w, h),
+            Row(w, h, meta.getLong(2)))
+        }
+      }
+    }(enc)
+  }
+
+  /** q71 — frame-sampling plumbing, oracle-checked: frames every 5 s of
+    * media duration; count and last timestamp are metadata arithmetic the
+    * oracle replays exactly (the stubbed frame bytes stay internal). */
+  def q71FrameSample(t: T): DataFrame =
+    sampleFrames(mediaTable(t), 5000L)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"), max("frame_ts").as("last_ts"))
+      .orderBy("media_id")
+
   /** q57 — the end-to-end multimodal path: media table → partition-batched
     * feature extraction → metadata join → per-kind rollup. Rows-only check
     * (the stub feature is engine-internal by design). */

@@ -34,4 +34,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("frame sampling emits one row per 5s step, deterministic bytes") {
+    val media = Multimodal.mediaTable(t)
+    val frames = Multimodal.sampleFrames(media, 5000L)
+    assert(frames.schema == Multimodal.frameSchema)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    val durations = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id", "meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == durations.keySet) // only videos, all videos
+    byId.foreach { case (id, rows) =>
+      assert(rows.length == durations(id) / 5000 + 1, s"media $id")
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (0L to durations(id) by 5000L).toSeq, s"media $id timestamps")
+    }
+    val a = frames.orderBy("media_id", "frame_ts").collect()
+      .map(_.getAs[Array[Byte]]("frame").toSeq)
+    val b = frames.orderBy("media_id", "frame_ts").collect()
+      .map(_.getAs[Array[Byte]]("frame").toSeq)
+    assert(a.toSeq == b.toSeq) // stub grab is deterministic
+  }
+
+  test("resize retargets image metadata, passes other kinds through") {
+    val media = Multimodal.mediaTable(t)
+    val resized = Multimodal.resizeImages(media, 224, 224)
+    assert(resized.count() == media.count())
+    val images = resized.filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("meta.width", "meta.height").distinct().collect()
+    assert(images.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((224, 224)))
+    // non-image rows are byte-identical to their input
+    val othersIn = media.filter(org.apache.spark.sql.functions.col("kind") =!= "image")
+      .orderBy("media_id").collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    val othersOut = resized.filter(org.apache.spark.sql.functions.col("kind") =!= "image")
+      .orderBy("media_id").collect().map(_.getAs[Array[Byte]]("payload").toSeq)
+    assert(othersIn.toSeq == othersOut.toSeq)
+  }
 }
