@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the native Catalyst expressions: each must agree
+  * exactly with the composed SQL form it replaces on RANDOM inputs, not
+  * just the curated fixture cases the unit specs pin. Generators include
+  * multi-byte text, repeated tokens, and short/empty strings — the edge
+  * shapes where a hand-written byte walk could diverge from the SQL
+  * semantics. Sampling is seeded, so failures replay deterministically.
+  */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "the", "quick", "fox", "über", "größe", "naïve", "東京", "a", "bb",
+    "stream", "hash", "x1", "ß")
+  private val textGen: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("trigram_similarity matches the HOF intersect/union form on random text") {
+    val pairs = samples(Gen.zip(textGen, textGen), 80, 17L)
+    val hof =
+      """CASE WHEN length(a) < 3 AND length(b) < 3 THEN 0.0D ELSE
+        |  CAST(size(array_intersect(ga, gb)) AS DOUBLE) /
+        |  nullif(size(ga) + size(gb) - size(array_intersect(ga, gb)), 0) END""".stripMargin
+    def grams(c: String) =
+      s"CASE WHEN length($c) < 3 THEN array() ELSE array_distinct(transform(" +
+        s"sequence(1, length($c) - 2), i -> substring($c, i, 3))) END"
+    val rows = pairs.toDF("a", "b")
+      .withColumn("ga", expr(grams("a")))
+      .withColumn("gb", expr(grams("b")))
+      .withColumn("native", expr("trigram_similarity(a, b)"))
+      .withColumn("hof", coalesce(expr(hof), lit(0.0)))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("native")) == r.getDouble(r.fieldIndex("hof")),
+        s"'${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+  }
+
+  test("bigram_jaccard matches the HOF form on random word arrays") {
+    val arrGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, wordGen))
+    val pairs = samples(Gen.zip(arrGen, arrGen), 80, 42L)
+    val hofJac =
+      """CASE WHEN size(ga) = 0 OR size(gb) = 0 THEN 0.0D ELSE
+        |  CAST(size(array_intersect(ga, gb)) AS DOUBLE) /
+        |  (size(ga) + size(gb) - size(array_intersect(ga, gb))) END""".stripMargin
+    def grams(c: String) =
+      s"CASE WHEN size($c) < 2 THEN array() ELSE array_distinct(transform(" +
+        s"sequence(1, size($c) - 1), i -> concat($c[i - 1], ' ', $c[i]))) END"
+    val rows = pairs.toDF("a", "b")
+      .withColumn("ga", expr(grams("a")))
+      .withColumn("gb", expr(grams("b")))
+      .withColumn("native", expr("bigram_jaccard(a, b)"))
+      .withColumn("hof", expr(hofJac))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("native")) == r.getDouble(r.fieldIndex("hof")),
+        s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
+  test("min_gram_hash matches the SQL md5 composition on random text") {
+    val texts = samples(textGen, 60, 7L)
+    val sqlForm =
+      "array_min(transform(sequence(1, greatest(length(s) - 7, 1)), " +
+        "i -> CAST(conv(substring(md5(concat('7:', substring(s, i, 8))), 1, 15), 16, 10) AS BIGINT)))"
+    val rows = texts.toDF("s")
+      .withColumn("native", expr("min_gram_hash(s, 7, 8)"))
+      .withColumn("sql", expr(sqlForm))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"'${r.getString(0)}'"))
+  }
+
+  test("sparse_cosine matches cosineSparse on random sparse vectors") {
+    val vecGen: Gen[Map[String, Double]] = Gen.choose(0, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(wordGen, Gen.oneOf(1.0, 2.0, 3.0))))
+      .map(_.toMap)
+    val pairs = samples(Gen.zip(vecGen, vecGen), 80, 9L)
+    val df = pairs.map { case (a, b) =>
+      (a.toSeq.sortBy(_._1), b.toSeq.sortBy(_._1),
+        graft.operators.Clustering.cosineSparse(a, b))
+    }.toDF("a", "b", "expected")
+      .withColumn("native", expr("sparse_cosine(a, b)"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("native")) == r.getDouble(r.fieldIndex("expected")))
+    }
+  }
+}
