@@ -17,7 +17,7 @@ import java.util.concurrent.atomic.AtomicBoolean
   *
   * DEADLINE-AWARE (r6): the r5 official run was killed at the driver's
   * time limit with nothing on stdout (rc=124, parsed=null) because 4 full
-  * passes of the suite (65 queries then; 66+ now) exceeded the budget
+  * passes of the suite (65 queries then; 71 now) exceeded the budget
   * with no guard. Now a
   * wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500 s —
   * comfortably under the driver limit that accommodated r4's 2524 s run)
