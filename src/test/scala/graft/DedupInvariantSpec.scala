@@ -35,6 +35,18 @@ class DedupInvariantSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
+  test("bigram jaccard pairs are ordered, thresholded, and block-consistent") {
+    val rows = TextDedup.q70NgramJaccard(t).collect()
+    assert(rows.nonEmpty, "generator plants shared-prefix docs; none found")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical orientation, no mirrors
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0, s"jaccard $j out of range")
+    }
+    // pairs are unique — the block join must not emit a pair twice
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("ann top-k: 5 ranked neighbors per query, cosine in [-1,1], descending") {
     val rows = Similarity.q25AnnCosineTopk(t).collect()
     val byQuery = rows.groupBy(_.getLong(0))
