@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Physical-plan audit over every declared query: the 100 TB rules in
+  * README ("candidate generation is an equi-join, never all-pairs") must
+  * hold structurally, not just by review. Any future edit that lets a
+  * join degrade to a cartesian or nested-loop product fails here before
+  * it ships. Queries whose CONSTRUCTION already executes jobs (driver
+  * clustering, iterative CC) are exercised by their own specs/goldens and
+  * skipped — this spec only plans, never runs, the declarative ones. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // fn() itself runs Spark jobs for these (bounded driver paths /
+  // iterative CC with checkpoints) — covered by Golden/Clustering specs.
+  private val imperative = Set(
+    "q46_question_clusters", "q47_semantic_filter", "q67_clusters_at_scale")
+
+  // Intentional non-equi broadcast joins, each against a frame that is
+  // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
+  // cannot slip in silently:
+  //   q16/q23/q38        — broadcast 1-row global aggregate (watermark /
+  //                        latest-date scalar) joined to every row
+  //   q48/q49/q64        — broadcast bounded taxonomy / gold / watch frame
+  //                        scored against each row (tens of rows)
+  //   q25                — brute-force cosine baseline: broadcast QUERY
+  //                        side × corpus is the documented all-pairs
+  //                        correctness reference for the ANN variants
+  //   q58                — broadcast centroid table probed per embedding
+  //                        (IVF nprobe=1; centroid count is fixed)
+  private val allowedNestedLoop: Set[String] = Set(
+    "q16_recency_buckets", "q23_poll_standings", "q38_poll_of_polls",
+    "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
+    "q25_ann_cosine_topk", "q58_ann_ivf")
+
+  test("no declared query plans a cartesian or nested-loop join") {
+    val failures = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => imperative(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case c: CartesianProductExec => c.nodeName
+          case b: BroadcastNestedLoopJoinExec => b.nodeName
+        }
+        if (bad.nonEmpty && !allowedNestedLoop(name)) Some(name -> bad)
+        else None
+      }
+    assert(failures.isEmpty,
+      failures.map { case (n, b) => s"$n: ${b.mkString(",")}" }.mkString("; "))
+  }
+}
