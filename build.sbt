@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH ARTIFACT CONTRACT: the driver parses the LAST stdout line of
+// `sbt runMain graft.Bench` as JSON. Two pieces of sbt log framing broke
+// that for five rounds (VERDICT r7 §wrong): (a) the forked JVM's stdout
+// was routed through sbt's logger, prefixing every line with `[info] `;
+// (b) sbt appended a `[success] Total time: …` epilogue after it. Inherit
+// stdout in the forked process (no prefix, no truncation at sbt's line
+// buffer) and suppress the success banner so the compact JSON line from
+// Bench.emitOnce() is genuinely the last, prefix-free stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task graph — the
+// lintUnused pass can't see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

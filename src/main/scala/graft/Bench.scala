@@ -144,8 +144,18 @@ object Bench {
       // rep; r03/r04 min-of-2 sequential; r05 onward median of interleaved
       // reps; r06 onward budget-bounded; r07 onward compact final line)
       val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+      // Contention self-description (r7 ask): a contaminated median is only
+      // honest if the artifact says so. Queries whose median exceeds 1.5×
+      // their min get a compact med/min entry — on a quiet host this object
+      // is empty and costs ~12 bytes; on a noisy one it names exactly the
+      // queries whose official number to distrust (r7's q27 4.03 med vs
+      // 1.70 min was visible only in bench_detail.json).
+      val hot = results.collect {
+        case (k, (med, mn, _)) if mn > 0 && med > mn * 1.5 =>
+          s""""$k":{"med":${fmt2(med)},"min":${fmt2(mn)}}"""
+      }.mkString("{", ",", "}")
       val compact =
-        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart,"contended":$hot,"sf":"$sfDir"}"""
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
       (compact, detail)
