@@ -321,8 +321,17 @@ object Clustering {
     // qid, still no all-pairs), and the native codegen'd `sparse_cosine`
     // walks the two sorted arrays per candidate. Width is bounded by the
     // question length, so a vector row is always small.
+    // cache(): vecs feeds BOTH sides of the candidate join. Measured at
+    // sf0.1 the uncached form is usually rescued by ReuseExchange (the two
+    // aggregation subtrees are identical, so the A/B difference sat inside
+    // host noise); the cache makes compute-once EXPLICIT instead of
+    // depending on a physical-planning coincidence that any later plan
+    // divergence between the two sides would silently break. One row per
+    // question, width bounded by question length — cache-sized at any
+    // corpus scale where the distinct-phrasing set itself is manageable.
     val vecs = terms.groupBy("qid")
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
+      .cache()
     val edges = cand
       .join(vecs.select(col("qid").as("qa"), col("vec").as("va")), Seq("qa"))
       .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
@@ -369,13 +378,16 @@ object Clustering {
       // Pointer jump: label ← label(label). Labels are always node qids,
       // so every label value has a row to follow. Plain min-propagation
       // crawls a chain one hop per round; the jump halves label depth per
-      // round, so rounds grow with log(diameter), not diameter. (A second
-      // jump per round was measured: it does NOT cut rounds here —
-      // convergence is bound by new labels ARRIVING over edges, not by
-      // chasing stale label chains — and it adds a join per round.) Both
-      // steps only ever assign a smaller qid from the same component, so
-      // the fixed point — every node labeled with its component minimum —
-      // is unchanged.
+      // round, so rounds grow with log(diameter), not diameter. (Two
+      // rejected variants, both measured: a second jump per round does NOT
+      // cut rounds — convergence is bound by new labels ARRIVING over
+      // edges, not by chasing stale label chains — and fusing TWO edge
+      // propagations into one materializing round (r8) cut rounds 5 → 3
+      // but tripled the per-round cost to ~1.7 s: the two extra cache
+      // materializations per round outweigh the saved fixed job overhead.)
+      // Both steps only ever assign a smaller qid from the same component,
+      // so the fixed point — every node labeled with its component
+      // minimum — is unchanged.
       val next = prop
         .join(prop.select(col("qid").as("pj"), col("label").as("pj_label")),
           col("label") === col("pj"), "left")
@@ -406,7 +418,7 @@ object Clustering {
       .select(col(questionCol), col("cluster_id"), col("cluster_label"))
       .localCheckpoint()
     lap("mapping materialized")
-    Seq(distinct, terms, eb).foreach(_.unpersist())
+    Seq(distinct, terms, vecs, eb).foreach(_.unpersist())
     mapping
   }
 

@@ -75,6 +75,14 @@ object TextDedup {
         "transform(sequence(0, size(words) - 3), " +
           "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
       .distinct()
+      // The shingle stream feeds three consumers (the minhash aggregate and
+      // both sides of the intersection join); without truncation each one
+      // re-tokenizes the corpus. A LAZY localCheckpoint materializes it
+      // once (MEMORY_AND_DISK — spills, never OOMs) and the two verify-side
+      // reads hit stored blocks. Storage cost ≈ the distinct shingle rows,
+      // the same order as the input text — the standard space/time trade a
+      // cluster deployment would also take for a 3-consumer intermediate.
+      .localCheckpoint(false)
     // One md5-based base hash per shingle, then 12 affine permutations
     // (a_i·h + b_i mod 2^31−1) — the classic universal-hash family. 12×
     // cheaper than 12 independent md5 calls, and the arithmetic replays
@@ -83,34 +91,41 @@ object TextDedup {
     val hashed = tok.withColumn("hb", expr(s"${h60(0, "s")} % 2147483647"))
     val mhCols = (0 until 12).map(i =>
       min(expr(s"(hb * ${MinhashA(i)} + ${MinhashB(i)}) % 2147483647")).as(s"mh$i"))
-    val minhashes = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // The shingle count |A| rides in the SAME aggregate as the 12 minhash
+    // mins (tok is already distinct, so count(*) is the set size): it then
+    // travels band → candidate rows for free, which deletes the r7 verify
+    // tail of three joins (cand LEFT JOIN inter + two size joins) — a pair
+    // with zero shared shingles has jaccard 0 < 0.8, so the left join
+    // existed only to carry a coalesce(0) that the filter discarded anyway.
+    val minhashes = hashed.groupBy("doc_id")
+      .agg(mhCols.head, (mhCols.tail :+ count(lit(1)).as("n")): _*)
     val bands = minhashes.select(
-      col("doc_id"),
+      col("doc_id"), col("n"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
         concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
           col(s"mh${3 * b + 2}")).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // n_a/n_b are functionally dependent on doc_a/doc_b, so widening the
+    // distinct key does not change the candidate-pair cardinality.
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("a.n").as("n_a"),
+        col("b.doc_id").as("doc_b"), col("b.n").as("n_b"))
       .distinct()
     // |A∩B| by joining the two shingle streams through the candidate set;
     // |A∪B| = |A| + |B| − |A∩B|. Identical sets → identical numbers to the
-    // oracle's list_intersect / list_distinct(list_cat) form.
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // oracle's list_intersect / list_distinct(list_cat) form. Grouping by
+    // the (functionally dependent) sizes lets jaccard evaluate inside the
+    // same aggregation output — no post-agg joins at all.
     val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_inter"))
-    cand
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    inter
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
