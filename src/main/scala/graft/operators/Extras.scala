@@ -99,7 +99,6 @@ object Extras {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("pct",
             org.apache.spark.sql.types.DoubleType)))))
-      .filter(col("parsed").isNotNull)
       .withColumn("position", // German stance map (llm_v1.py:231-247)
         when(col("parsed.stance").isin("support", "dafür", "dafuer"), "support")
           .when(col("parsed.stance").isin("oppose", "dagegen"), "oppose")
@@ -113,12 +112,24 @@ object Extras {
       // 298-306). Here a (user, event_type) partition holds ~50 synthetic
       // "answers", so the bound scales by that fan-out: 120 × 50. Do not
       // "fix" the constant to 120 without also reducing the partition to
-      // one question.
+      // one question. (An aggregate-rejoin variant that avoids the window
+      // sort was measured 2x SLOWER: the aggregate branch re-runs the
+      // whole build+parse chain, and the duplicated from_json costs far
+      // more than WindowExec's sort of the parsed rows.)
       .withColumn("dist_ok",
         sum("pct").over(Window.partitionBy("user_id", "event_type")) <= 120 * 50)
+      // Unparseable responses are dropped HERE, above the window, not right
+      // after from_json: a pre-project filter gets pushed below the parse
+      // projection, where Catalyst substitutes the alias and the plan
+      // evaluates from_json TWICE per row (Filter + Project — read in the
+      // r8 plan audit; the parse is the query's dominant per-row cost).
+      // Up here the filter tests the materialized `parsed` attribute and
+      // cannot push through the window (it is not a partition column).
+      // Value-identical placement: a null `parsed` row has null pct, which
+      // the window sum skips, so every surviving row's dist_ok — and every
+      // other output column — is byte-identical to the early-filter form.
+      .filter(col("parsed").isNotNull)
       .select("event_id", "position", "pct", "grounded", "confidence", "dist_ok")
-      // materialize once before the serving sort — see Polls.q22PollTrends
-      .localCheckpoint(false)
       .orderBy("event_id")
   }
 
