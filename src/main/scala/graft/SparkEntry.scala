@@ -98,6 +98,7 @@ object SparkEntry {
       ((s, d) => sources.Eurobarometer.q69EurobarometerParse(T(s, d))),
     "q70_ngram_jaccard"   -> ((s, d) => TextDedup.q70NgramJaccard(T(s, d))),
     "q71_frame_sample"    -> ((s, d) => Multimodal.q71FrameSample(T(s, d))),
+    "q72_streaming_dedup" -> ((s, d) => streaming.Incremental.q72StreamingDedup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1228,5 +1229,15 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 2
         |ORDER BY media_id""".stripMargin,
+    // q72: the streamed re-delivery is an exact copy of rows already in
+    // the slice, keyed by event_id, so post-dedup state == the slice and
+    // the whole streaming pipeline collapses to one batch DISTINCT in the
+    // oracle's eyes (the streaming machinery itself — watermark, state
+    // store, exactly-once sink — is what the Spark side exercises).
+    "q72_streaming_dedup" ->
+      """SELECT event_id, event_type, value
+        |FROM events
+        |WHERE event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
   )
 }

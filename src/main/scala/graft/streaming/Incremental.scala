@@ -126,4 +126,54 @@ object Incremental {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** q72 — the streaming exact-dedup path end-to-end as a declared query
+    * (r7 ask: give the last scalatest-only component a driver-checked
+    * row): a bounded events slice plus a simulated at-least-once
+    * re-delivery of half its rows is written to a file source, streamed
+    * through `streamingDedup`, sunk to parquet, and read back. Every
+    * re-delivered row is an exact copy keyed by event_id, so the deduped
+    * table equals the original slice and the whole pipeline is
+    * oracle-comparable as one DISTINCT — while the Spark side genuinely
+    * exercises watermark assignment, streaming state, and the
+    * exactly-once file sink.
+    *
+    * Determinism notes: the slice is coalesced to ONE json file so
+    * AvailableNow runs a single micro-batch (several batches would let
+    * the advancing watermark drop a later batch's old-timestamp rows as
+    * late — real streaming semantics, but batch-boundary-dependent);
+    * doubles and timestamps round-trip json exactly (Jackson
+    * shortest-round-trip doubles, ISO micros). */
+  def q72StreamingDedup(t: graft.Tables.T): DataFrame = {
+    val spark = t.spark
+    val subset = t.events.filter(col("event_id") % 20 === 0)
+      .select("event_id", "ts", "event_type", "value")
+    val input = subset.unionByName(subset.filter(col("event_id") % 40 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q72_").toString
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    input.coalesce(1).write.mode("overwrite").json(inDir)
+    val stream = spark.readStream.schema(input.schema).json(inDir)
+    // The dedup state shuffle inherits spark.sql.shuffle.partitions — at
+    // the bench's 32 that means 32 state-store instances each fsyncing
+    // delta files into the checkpoint per batch, pure fixed overhead for a
+    // bounded slice. Pin the STREAM's partitioning low for the query's
+    // duration and restore after (queries run sequentially through the
+    // driver's mains, so the temporary session conf cannot leak into a
+    // concurrently-planned query). A production deployment sizes this to
+    // its key cardinality instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
 }

@@ -137,6 +137,18 @@ class SourcesStreamingSpec extends SparkSpec {
       Seq(("h1", "first"), ("h2", "other")))
   }
 
+  test("q72 end-to-end: streamed re-deliveries collapse to the batch slice") {
+    val t = graft.Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Incremental.q72StreamingDedup(t).collect()
+    val slice = t.events
+      .filter(org.apache.spark.sql.functions.col("event_id") % 20 === 0)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id").collect()
+    // the re-delivered half really was dropped (input had slice + half again)
+    assert(out.length == slice.length && slice.nonEmpty)
+    assert(out.map(_.toSeq).toSeq == slice.map(_.toSeq).toSeq)
+  }
+
   test("Destatis chunk merge keeps one header, drops repeats and blanks") {
     import spark.implicits._
     val chunks = Seq(
