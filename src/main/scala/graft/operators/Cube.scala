@@ -4,6 +4,7 @@ import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Serve._
 
 /** JSON-stat 2.0 N-dimensional cube decode — the reference's signature
   * dataflow operator (study_scraper/jsonstat.py:30-109,
@@ -96,7 +97,7 @@ object Cube {
         when(col("rf_idx") === 0, "A").when(col("rf_idx") === 1, "N").otherwise("R"))
       .withColumn("linestatus", when(col("ls_idx") === 0, "F").otherwise("O"))
       .select("returnflag", "linestatus", "ship_month", "val")
-      .orderBy("returnflag", "linestatus", "ship_month")
+      .smallSort("returnflag", "linestatus", "ship_month")
   }
 
   /** A11 finding weight (aggregate.py:36-51): recency half-life of 3 years
@@ -134,6 +135,6 @@ object Cube {
         min(year(col("poll_date"))).as("min_year"),
         max(year(col("poll_date"))).as("max_year"),
         round(sum("surveyed"), 2).as("total_sample"))
-      .orderBy("party")
+      .smallSort("party")
   }
 }

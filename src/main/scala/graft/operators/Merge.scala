@@ -4,6 +4,7 @@ import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Upsert / dedup semantics — SURVEY.md §2.10, the reference's hardest
   * correctness pieces:
@@ -225,6 +226,6 @@ object Merge {
         count(lit(1)).as("cnt"),
         countDistinct("o_orderkey").as("n_keys"),
         round(sum("o_totalprice"), 2).as("volume"))
-      .orderBy("o_orderstatus")
+      .smallSort("o_orderstatus")
   }
 }

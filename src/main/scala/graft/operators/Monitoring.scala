@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Monitoring products — the reference's watch/digest/gap layer plus the
   * write-time compaction job:
@@ -98,7 +99,7 @@ object Monitoring {
         count(when(col("errors") > 0 || col("aborted"), 1)).as("n_failed"))
     perST
       .join(broadcast(runs), Seq("source"))
-      .orderBy("source", "topic_id")
+      .smallSort("source", "topic_id")
   }
 
   /** q64 — the evidence-gap report's table body (dossier.py:228-294) as a
@@ -141,7 +142,7 @@ object Monitoring {
           |  g -> g IS NOT NULL), ', '), ''), '—')""".stripMargin))
       .select("topic", "cluster_label", "n_findings", "n_institutes",
         "latest", "gaps")
-      .orderBy(col("topic"), col("n_findings").desc, col("cluster_label"))
+      .smallSort(col("topic"), col("n_findings").desc, col("cluster_label"))
   }
 
   /** The evidence-gap report PRODUCT (dossier.py:228-294

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Serve._
 
 /** Multimodal column plumbing — the training-data-pipeline mandate: treat
   * image/audio/video as opaque `binary` columns with typed metadata, and
@@ -171,6 +172,6 @@ object Multimodal {
         sum("n_bytes").as("total_bytes"),
         round(avg("f0"), 4).as("avg_f0"),
         max(col("meta.duration_ms")).as("max_duration_ms"))
-      .orderBy("kind")
+      .smallSort("kind")
   }
 }

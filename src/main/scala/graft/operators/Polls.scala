@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
+import graft.Serve._
 
 /** The reference's signature poll pipeline, re-expressed Spark-first.
   *
@@ -195,6 +196,6 @@ object Polls {
         row_number().over(Window.orderBy(col("latest_pct").desc, col("party").asc)))
       .select("rank", "party", "latest_pct", "latest_date", "prev_pct",
         "n_polls", "n_institutes", "avg_180d", "volatility_180d", "share_pct")
-      .orderBy("rank")
+      .smallSort("rank")
   }
 }

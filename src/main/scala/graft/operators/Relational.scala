@@ -4,6 +4,7 @@ import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Core relational operators from SURVEY.md §2.2–§2.8, re-expressed as
   * declarative DataFrame plans over the synthetic star schema.
@@ -39,7 +40,7 @@ object Relational {
         count(lit(1)).as("cnt"),
         (round(sum("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
         count(when(col("l_quantity") > 25, 1)).as("big_qty_cnt"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .smallSort("l_returnflag", "l_linestatus")
 
   /** A3 — weighted average `sum(v*w)/sum(w)` (daily_poll_averages.sql:26). */
   def q02WeightedAvg(t: T): DataFrame =
@@ -49,7 +50,7 @@ object Relational {
         (round(sum(col("l_extendedprice") * col("l_quantity")), 2) /
           round(sum(col("l_quantity")), 2)).as("wavg_price"),
         round(sum("l_quantity"), 2).as("total_qty"))
-      .orderBy("l_returnflag")
+      .smallSort("l_returnflag")
 
   /** J1/O1 — fact⋈dim enrichment join + top-k. Dim side (customer) is
     * broadcastable at any scale where dims stay small. */
@@ -141,7 +142,7 @@ object Relational {
     top
       .withColumn("balance_rank", row_number().over(Window.orderBy(ord: _*)))
       .select("balance_rank", "c_custkey", "c_name", "c_acctbal")
-      .orderBy("balance_rank")
+      .smallSort("balance_rank")
   }
 
   /** J5 — semi + anti join composition (migrations/0011:21-31 queue rules:
@@ -165,7 +166,7 @@ object Relational {
     t.customer.select(col("c_nationkey").cast("int").as("nationkey"))
       .union(t.supplier.select(col("s_nationkey").cast("int").as("nationkey")))
       .distinct()
-      .orderBy("nationkey")
+      .smallSort("nationkey")
 
   /** A1/A5 — count + distinct count rollups (status.py:80-222). */
   def q12EventCounts(t: T): DataFrame =
@@ -175,7 +176,7 @@ object Relational {
         count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"),
         round(sum("value"), 2).as("total_value"))
-      .orderBy("event_type")
+      .smallSort("event_type")
 
   /** A5/A10 — distinct count over tuples (topic_classifier.py:511,644). */
   def q13DistinctPairs(t: T): DataFrame =
@@ -194,7 +195,7 @@ object Relational {
         round(percentile(col("value"), lit(0.1)), 4).as("p10"),
         round(percentile(col("value"), lit(0.5)), 4).as("p50"),
         round(percentile(col("value"), lit(0.9)), 4).as("p90"))
-      .orderBy("event_type")
+      .smallSort("event_type")
 
   /** A7 — mode with deterministic tie-break (anyHeavy equivalent;
     * 3_Topic_Browser.py:132). Expressed as count-then-rank so the
@@ -208,7 +209,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("event_type", "user_id", "cnt")
-      .orderBy("event_type")
+      .smallSort("event_type")
   }
 
   /** A4 — conditional aggregates over recency windows relative to the
@@ -241,7 +242,7 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("volume"))
       .withColumn("share_pct",
         col("cnt") * lit(100.0) / sum("cnt").over(Window.partitionBy()))
-      .orderBy("tier")
+      .smallSort("tier")
   }
 
   /** JSON path extraction (stg_dawum_polls.sql:29 JSONExtract; Postgres
@@ -251,7 +252,7 @@ object Relational {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
-      .orderBy("k_bucket")
+      .smallSort("k_bucket")
 
   /** Date-part derivations (fact_polls.sql:193-197 toYear/toMonth/...). */
   def q19DateParts(t: T): DataFrame =
@@ -262,7 +263,7 @@ object Relational {
         month(col("o_orderdate")).as("o_month"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("volume"))
-      .orderBy("o_year", "o_quarter", "o_month")
+      .smallSort("o_year", "o_quarter", "o_month")
 
   /** §2.8 string family — trim/upper/lower/concat/length/replace
     * (stg_dawum_institutes.sql:11, create_datasets_unified_view.sql:9-14). */

@@ -4,6 +4,7 @@ import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Similarity search over the embeddings table (`Array[Float]`, 64-dim) —
   * the training-data-pipeline mandate: brute-force cosine top-k as the
@@ -50,7 +51,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "vec_id", "cosine")
-      .orderBy("query_id", "rank")
+      .smallSort("query_id", "rank")
   }
 
   /** q58 — IVF-style ANN: the label column plays the coarse quantizer's
@@ -93,7 +94,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "label", "rank", "vec_id", "cosine")
-      .orderBy("query_id", "rank")
+      .smallSort("query_id", "rank")
   }
 
   /** q65 — embedding-cosine NEAR-DUP pair detection, the dedup family's
@@ -164,6 +165,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "bucket", "rank", "vec_id", "cosine")
-      .orderBy("query_id", "rank")
+      .smallSort("query_id", "rank")
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Text-analysis operators over the documents table — the reference's §2.11
   * family (claims regex T1, topic/quality heuristics T2/T3/T11, token + text
@@ -43,7 +44,7 @@ object TextAnalysis {
         sum("n_chars").as("total_chars"),
         (sum("n_words") * lit(1.0) / count(lit(1))).as("avg_words"),
         (sum("n_chars") * lit(1.0) / sum("n_words")).as("chars_per_word"))
-      .orderBy("lang")
+      .smallSort("lang")
 
   /** q30 — stopword-overlap language ID + composite quality score
     * (length / punctuation / stopword-ratio components — the reference's

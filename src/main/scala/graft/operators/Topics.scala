@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables.T
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Serve._
 
 /** Topic classification — T3 scoring + T11 routing
   * (study_scraper/topic_filter.py:62-115, pipeline/topic_classifier.py:
@@ -89,7 +90,7 @@ object Topics {
       .withColumn("recall", expr("CAST(tp AS DOUBLE) / nullif(tp + fn, 0)"))
       .withColumn("f1",
         expr("2.0D * precision * recall / nullif(precision + recall, 0.0D)"))
-      .orderBy("topic_id")
+      .smallSort("topic_id")
   }
 
   /** q59 — the FULL eval harness (A14, study_scraper/eval/harness.py:83-151):
@@ -149,7 +150,7 @@ object Topics {
         expr("CAST(hallucinated AS DOUBLE) / nullif(n, 0)"))
       .withColumn("calibration_at_08",
         expr("CAST(conf_high_correct AS DOUBLE) / nullif(conf_high, 0)"))
-      .orderBy("event_type")
+      .smallSort("event_type")
   }
 
   /** The auto-reviewer policy (T11, study_scraper/auto_review.py:41-66),

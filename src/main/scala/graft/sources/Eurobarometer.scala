@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Serve._
 
 /** Eurobarometer lake source (S6) — the GESIS Knowledge-Graph catalog
   * filtered to Eurobarometer waves, emitted under its own `source_id`
@@ -180,6 +181,6 @@ object Eurobarometer {
       .select("source_record_id", "canonical_url", "doi", "license",
         "title_hint")
       .localCheckpoint(false)
-      .orderBy("source_record_id")
+      .smallSort("source_record_id")
   }
 }

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Serve._
 
 /** GovData.de CKAN lake source (S6) — Germany's cross-government open-data
   * catalog via CKAN `package_search`
@@ -124,7 +125,7 @@ object GovData {
       .select("source_record_id", "canonical_url", "license",
         "title_hint", "publisher_hint")
       .localCheckpoint(false)
-      .orderBy("source_record_id")
+      .smallSort("source_record_id")
   }
 
   /** Derive `package_search` terms from a topic's include_keywords

@@ -4,6 +4,7 @@ import graft.Tables.T
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Serve._
 
 /** OpenAlex discovery source (S6) — the work→candidate mapping of
   * study_scraper/discovery/openalex.py:187-287 re-expressed as column
@@ -204,6 +205,6 @@ object OpenAlex {
         array_join(col("raw.keywords"), ",").as("keywords_joined"))
       // materialize once before the serving sort — see Polls.q22PollTrends
       .localCheckpoint(false)
-      .orderBy("doc_id")
+      .smallSort("doc_id")
   }
 }
