@@ -42,7 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((
       FunctionIdentifier("sparse_cosine"),
-      new ExpressionInfo(classOf[SparseCosine].getName, "sparse_cosine"),
+      // The usage note carries the parity precondition to ANY session user
+      // (DESCRIBE FUNCTION shows it): bit-identity with the driver-path
+      // cosineSparse holds because the engine's weights are integer-valued
+      // (1.0 counts + 2.0 concept weights), making the FP sums exact in
+      // any accumulation order. Fractional weights (e.g. tf-idf) are still
+      // CORRECT cosines, but may differ from a Map-iteration-order sum in
+      // the last ulps — don't pin goldens across the two paths then.
+      new ExpressionInfo(classOf[SparseCosine].getName, null, "sparse_cosine",
+        "sparse_cosine(a, b) - cosine similarity of two term-sorted " +
+          "array<struct<term:string, w:double>> sparse vectors. " +
+          "Exactly matches graft's driver-path cosineSparse only for " +
+          "integer-valued weights (exact FP sums in any order); " +
+          "fractional weights give a correct but order-dependent value.",
+        ""),
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2)
           throw new org.apache.spark.sql.AnalysisException(

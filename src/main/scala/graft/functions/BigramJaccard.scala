@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for word-bigram Jaccard similarity between
   * two word arrays (q70, the dedup family's exact-n-gram member —
@@ -23,10 +23,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * WholeStageCodegen.
   */
 case class BigramJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bigram_jaccard"
+  // analysis-time type check: a misuse (e.g. a raw string instead of the
+  // split() word array) fails as a clean AnalysisException instead of a
+  // ClassCastException at execution. Return type left inferred —
+  // AbstractDataType is private[sql], so it cannot be NAMED here, but the
+  // covariant Seq[ArrayType] satisfies the override.
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     BigramJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

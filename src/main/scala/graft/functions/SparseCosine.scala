@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType, StructType}
 
 /** Native Catalyst expression for sparse cosine similarity between two
   * term-sorted sparse vectors, each an `array<struct<term:string,
@@ -25,6 +26,23 @@ case class SparseCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sparse_cosine"
+
+  // analysis-time shape check (name-agnostic: any array<struct<string,
+  // double>> qualifies — callers alias the fields freely): misuse fails
+  // as a clean AnalysisException, not an execution-time ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(StructType(fields), _) =>
+        fields.length == 2 &&
+          fields(0).dataType == StringType && fields(1).dataType == DoubleType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<struct<term:string, w:double>> " +
+        s"arguments, got ${left.dataType.simpleString} and " +
+        s"${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SparseCosine.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

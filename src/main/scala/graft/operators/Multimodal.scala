@@ -113,7 +113,10 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = Option(r.getAs[Array[Byte]]("payload"))
             .getOrElse(Array.emptyByteArray)
-          val dur = math.max(r.getLong(2), 0L)
+          // duration_ms is nullable in mediaSchema; mediaTable never emits
+          // null but external callers may — treat unknown duration as 0
+          // (one frame at ts 0) instead of NPE'ing inside the partition
+          val dur = if (r.isNullAt(2)) 0L else math.max(r.getLong(2), 0L)
           (0L to dur by everyMs).iterator.map(ts =>
             Row(id, ts, stubFrame(payload, ts)))
         }
@@ -142,8 +145,12 @@ object Multimodal {
           val payload = Option(r.getAs[Array[Byte]]("payload"))
             .getOrElse(Array.emptyByteArray)
           val meta = r.getStruct(3)
+          // null-safe duration passthrough (same external-caller guard as
+          // sampleFrames; the whole meta struct may also be absent)
+          val dur: Any =
+            if (meta == null || meta.isNullAt(2)) null else meta.getLong(2)
           Row(r.getLong(0), r.getString(1), stubResize(payload, w, h),
-            Row(w, h, meta.getLong(2)))
+            Row(w, h, dur))
         }
       }
     }(enc)

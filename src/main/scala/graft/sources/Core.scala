@@ -49,10 +49,13 @@ object Core {
 
   /** strptime("%Y-%m-%dT%H:%M:%S%z").date() keeps the literal date; only
     * a full offset-carrying stamp or a bare date parses at all. %z also
-    * accepts seconds-bearing offsets (+01:00:00), hence the third group;
+    * accepts seconds-bearing offsets (+01:00:00), hence the seconds
+    * groups; separators must be CONSISTENT (either ±HHMM[SS] or
+    * ±HH:MM[:SS]) — CPython's %z rejects mixed forms like +01:0000, so
+    * the alternation tracks strptime exactly instead of `:?` per field;
     * zero-padded date fields are assumed (the API emits them padded). */
   private def publishedDate(v: Column): Column =
-    when(v.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(Z|[+-]\\d{2}:?\\d{2}(:?\\d{2})?)$"),
+    when(v.rlike("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(Z|[+-]\\d{2}(\\d{2}(\\d{2})?|:\\d{2}(:\\d{2})?))$"),
       try_to_timestamp(substring(v, 1, 10), lit("yyyy-MM-dd")).cast(DateType))
       .otherwise(try_to_timestamp(v, lit("yyyy-MM-dd")).cast(DateType))
 

@@ -113,9 +113,12 @@ object Eurobarometer {
       .withColumn("doi_cand", doiCandidate)
       .select(
         lit(sourceId).as("source_id"),
-        // rstrip('/'), then last '#' segment, then last '/' segment
-        element_at(split(element_at(split(
-          regexp_replace(col("uri"), "/+$", ""), "#"), -1), "/"), -1)
+        // rstrip('/'), then last '#' segment, then last '/' segment; a uri
+        // whose last segment is empty (e.g. 'https://x.org/a#') yields
+        // None in the reference's _extract_source_record_id — nullif
+        // mirrors that 'bare or None' return instead of emitting ''
+        nullif(element_at(split(element_at(split(
+          regexp_replace(col("uri"), "/+$", ""), "#"), -1), "/"), -1), lit(""))
           .as("source_record_id"),
         col("uri").as("canonical_url"),
         lit(recordFormat).as("format"),
