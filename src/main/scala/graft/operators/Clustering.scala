@@ -308,38 +308,50 @@ object Clustering {
       .filter(col("tail_sq") >
         lit(threshold * threshold) * col("norm_sq") - lit(1e-9))
       .select(col("qid"), col("term"))
-    // Candidate pairs keep their prefix-term multiplicity here — the
-    // cosine filter is cheap per row, and dedup is far cheaper AFTER it
-    // (tens of k edges) than before it (millions of candidates).
+    // Candidate pairs are deduped BEFORE the verify join. On the r8
+    // corpus this is roughly cost-neutral (4.3 M raw rows vs 3.9 M
+    // distinct pairs — the dedup shuffle moves two longs per row and the
+    // multiplicity saved is ~10%), but it BOUNDS the verify stage at one
+    // cosine walk + one two-array join row per pair regardless of how
+    // many prefix terms a pathological pair shares — the worst case a
+    // 100 TB corpus will eventually contain. Verify output is therefore
+    // already pair-distinct; no post-filter distinct is needed.
     val cand = prefixIdx.select(col("qid").as("qa"), col("term"))
       .join(prefixIdx.select(col("qid").as("qb"), col("term")), Seq("term"))
       .filter(col("qa") < col("qb"))
       .select("qa", "qb")
+      .distinct()
     // Exact verification stays MAP-SIDE: each side's full vector rides in
     // as one term-sorted array row (4.7 k rows at sf0.1 — broadcast-sized
     // here; at larger scale AQE falls back to a shuffle join keyed by
     // qid, still no all-pairs), and the native codegen'd `sparse_cosine`
     // walks the two sorted arrays per candidate. Width is bounded by the
     // question length, so a vector row is always small.
-    // cache(): vecs feeds BOTH sides of the candidate join. Measured at
-    // sf0.1 the uncached form is usually rescued by ReuseExchange (the two
-    // aggregation subtrees are identical, so the A/B difference sat inside
-    // host noise); the cache makes compute-once EXPLICIT instead of
-    // depending on a physical-planning coincidence that any later plan
-    // divergence between the two sides would silently break. One row per
-    // question, width bounded by question length — cache-sized at any
-    // corpus scale where the distinct-phrasing set itself is manageable.
     val vecs = terms.groupBy("qid")
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
-      .cache()
     val edges = cand
       .join(vecs.select(col("qid").as("qa"), col("vec").as("va")), Seq("qa"))
       .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
       .filter(expr("sparse_cosine(va, vb)") >= threshold)
       .select(col("qa"), col("qb"))
-      .distinct()
-    val eb = edges.select(col("qa").as("src"), col("qb").as("dst"))
-      .union(edges.select(col("qb").as("src"), col("qa").as("dst")))
+    if (sys.env.contains("GRAFT_CLUSTER_TIMING")) {
+      lap(s"  [diag] distinct=${distinct.count()}")
+      lap(s"  [diag] terms=${terms.count()}")
+      lap(s"  [diag] prefixIdx=${prefixIdx.count()}")
+      lap(s"  [diag] cand=${cand.count()}")
+      lap(s"  [diag] edges=${edges.count()}")
+    }
+    // Double each undirected edge in ONE pass over the verify output via
+    // explode, instead of a two-branch union whose second branch re-ran
+    // the whole candidate+verify chain whenever ReuseExchange declined to
+    // fire under AQE (measured at sf0.1: the union form re-verified the
+    // ~4 M candidate pairs a second time, ~4 s — the most expensive
+    // silent recompute in the suite).
+    val eb = edges
+      .select(explode(array(
+        struct(col("qa").as("src"), col("qb").as("dst")),
+        struct(col("qb").as("src"), col("qa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     lap(s"edges built (${eb.count()} directed rows)")
     // Init fused with the first neighbor-min: from identity labels, round
@@ -418,7 +430,7 @@ object Clustering {
       .select(col(questionCol), col("cluster_id"), col("cluster_label"))
       .localCheckpoint()
     lap("mapping materialized")
-    Seq(distinct, terms, vecs, eb).foreach(_.unpersist())
+    Seq(distinct, terms, eb).foreach(_.unpersist())
     mapping
   }
 
