@@ -26,6 +26,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * a one-task sort of an unbounded stream is a straggler by construction.
   * The rule: use smallSort iff you can state the output bound from the
   * query shape itself.
+  *
+  * NOT directly over a narrow (shuffle-free) expensive chain: coalesce is
+  * a narrow dependency, so the one merged task would COMPUTE every parent
+  * partition serially — a lazy localCheckpoint underneath does not save
+  * you, because lazy checkpoints materialize inside the first job that
+  * reads them (measured on q66: the whole per-row JSON parse ran
+  * single-threaded, 0.96 s → 2.0 s). If there is no exchange between the
+  * heavy work and the serving sort, either checkpoint EAGERLY first or
+  * keep orderBy.
   */
 object Serve {
   implicit class ServingOps(private val df: DataFrame) extends AnyVal {
