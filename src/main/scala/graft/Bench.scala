@@ -40,7 +40,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // 5 reps (r8, was 3): this host's noisy-neighbor windows inflate
+    // single reps 2-4×; a median-of-5 survives two contaminated reps
+    // where median-of-3 survives one. The budget projection below still
+    // bounds total wall time, so a slow host degrades to fewer passes
+    // rather than a bust.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt.max(1)
     // untimed warm-up passes: JIT + whole-stage-codegen compile + page
     // cache + the one-time staging materialization all land here, so the
     // reported min/median/max spread measures host contention, not warm-up
