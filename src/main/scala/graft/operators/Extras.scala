@@ -130,6 +130,12 @@ object Extras {
       // other output column — is byte-identical to the early-filter form.
       .filter(col("parsed").isNotNull)
       .select("event_id", "position", "pct", "grounded", "confidence", "dist_ok")
+      // No pre-sort checkpoint here (unlike q22): the window's shuffle
+      // already materializes under AQE, so the range sort's sampling pass
+      // reads shuffle output rather than re-running the parse chain — a
+      // checkpoint was measured pure overhead (+0.15 s). Decomposed cost
+      // at sf0.1 (Q53Probe): scan 0.05, fence-strip+build 0.12, from_json
+      // +0.4 (the dominant per-row cost), window +0.2, sort +0.15.
       .orderBy("event_id")
   }
 
