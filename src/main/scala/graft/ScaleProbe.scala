@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 20× scale probe (scratch tooling, not part of the library surface).
+  *
+  * Synthesizes a 20×-document corpus from sf0.1 with per-copy token
+  * variation (each copy perturbs its text so near-dup families still
+  * have real work to do, not 20 exact clones), copies the other tables
+  * unchanged, then times the named queries against sf0.1 and the scaled
+  * dir. The interesting number is the GROWTH FACTOR per query — a
+  * banded/blocked/prefix-filtered family should grow roughly linearly
+  * in rows (plus candidate-density effects), never quadratically.
+  *
+  *   sbt "runMain graft.ScaleProbe q67_clusters_at_scale,q27_minhash_neardup"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val names =
+      if (args.nonEmpty) args(0).split(",").toSeq
+      else Seq("q67_clusters_at_scale", "q27_minhash_neardup",
+        "q28_simhash", "q70_ngram_jaccard")
+    val factor = if (args.length > 1) args(1).toInt else 20
+    val base = "/root/testdata/sf0.1"
+    val scaled = s"/tmp/graft_scale_${factor}x"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowExecWarnings()
+
+    if (!new java.io.File(s"$scaled/documents.parquet").exists()) {
+      new java.io.File(scaled).mkdirs()
+      // 20 copies per doc; copy 0 keeps the original text, the others get
+      // a copy-tagged token swapped in every ~7th word so shingle /
+      // minhash / bigram families see near-dups, not exact clones.
+      spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .select(
+          (col("doc_id") * factor + col("copy")).as("doc_id"),
+          when(col("copy") === 0, col("text")).otherwise(
+            array_join(
+              zip_with(
+                split(col("text"), " "),
+                sequence(lit(0), size(split(col("text"), " ")) - 1),
+                (w, i) => when(i % 7 === col("copy") % 7 && i > 0,
+                  concat(w, lit("v"), col("copy"))).otherwise(w)),
+              " ")).as("text"),
+          col("lang"), col("source"),
+          length(col("text")).as("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      // embeddings scale the same way for the ANN families: jitter one
+      // deterministic dimension per copy so vectors stay near-dups.
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .select(
+          (col("vec_id") * factor + col("copy")).as("vec_id"),
+          col("label"),
+          transform(col("embedding"),
+            (v, i) => when(i === col("copy") % 8, v * lit(1.001f)).otherwise(v))
+            .as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      for (t <- Tables.names if t != "documents" && t != "embeddings") {
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
+      }
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def best(n: String, dir: String, reps: Int): Double = {
+      noop(SparkEntry.queries(n)(spark, dir)) // warm
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(n)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    for (n <- names) {
+      val b = best(n, base, 3)
+      val s = best(n, scaled, 2)
+      println(f"[scale] $n base=${b}%.2fs ${factor}x=${s}%.2fs growth=${s / b}%.1fx")
+    }
+    spark.stop()
+  }
+}
