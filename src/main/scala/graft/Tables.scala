@@ -53,9 +53,17 @@ object Tables {
         case Some(key) if new java.io.File(s"$sfDir/$name.parquet").isFile =>
           // NOT cache()d: a cached InMemoryRelation here was measured 5-7×
           // SLOWER for the heavy consumers (columnar-batch decode replaces
-          // the vectorized parquet reader inside the codegen pipeline);
-          // re-paying the sub-MB exchange per query is the cheaper deal.
+          // the vectorized parquet reader inside the codegen pipeline).
+          // Eagerly localCheckpoint'd instead (r8): the checkpoint stores
+          // plain row blocks — no columnar re-decode on read — and every
+          // one of the ~25 document/embedding queries then skips the scan
+          // + repartition exchange entirely, reading the materialized
+          // 32-way-partitioned rows. Like the repartition itself this is
+          // single-file-local-testdata compensation only (guarded by
+          // isFile); a multi-file production root takes the `case _`
+          // branch and keeps scan pruning + pushdown.
           df.repartition(spark.sparkContext.defaultParallelism, col(key))
+            .localCheckpoint()
         case _ => df
       }
     })
