@@ -164,27 +164,48 @@ object Polls {
     // the same value as the reference's max order date among orders with
     // at least one line, without re-scanning orders ⋉ lineitem.
     val maxD = stgPollResultsTable(t).agg(max("poll_date").as("max_date"))
-    // Single pass over staging: one window (recency rank per party) feeds
-    // one per-party aggregate; rn=1/rn=2 rows are picked with conditional
-    // aggregates instead of separate filtered branches, so the staging
-    // subtree appears exactly ONCE in the plan. Window and groupBy hash on
-    // the same key → AQE keeps them in one exchange.
-    val recency = Window.partitionBy("party")
-      .orderBy(col("poll_date").desc, col("poll_id").desc)
     val in180 = col("poll_date") >= col("max_date") - expr("INTERVAL 180 DAYS")
-    val perParty = stgPollResultsTable(t)
-      .crossJoin(broadcast(maxD))
-      .withColumn("rn", row_number().over(recency))
+    // Latest / previous poll per party are picked by AGGREGATION, not a
+    // recency window: partitionBy(party) has only a handful of keys, so a
+    // row_number window is a full per-party sort — locally the dominant
+    // cost (each task sorts ~85 k rows at sf0.1), and at 100 TB a skew
+    // cliff by construction (billions of rows funneled through 7
+    // partitions). max(struct(poll_date, poll_id, pct)) is the same
+    // (date desc, id desc) recency order — struct comparison is
+    // lexicographic and (date, id) is unique per party — and partial-
+    // aggregates map-side. The previous poll is the same max over rows
+    // strictly earlier than the latest (second aggregate over the
+    // materialized staging table + a broadcast of the 7-row first pass).
+    val staged = stgPollResultsTable(t).crossJoin(broadcast(maxD))
+    val agg1 = staged
       .groupBy("party")
       .agg(
-        max(when(col("rn") === 1, col("pct"))).as("latest_pct"),
-        max(when(col("rn") === 1, col("poll_date"))).as("latest_date"),
-        max(when(col("rn") === 2, col("pct"))).as("prev_pct"),
+        max(struct(col("poll_date"), col("poll_id"), col("pct"))).as("m1"),
         count(lit(1)).as("n_polls"),
         countDistinct("institute_id").as("n_institutes"),
         (round(sum(when(in180, col("pct"))), 2) /
           count(when(in180, 1))).as("avg_180d"),
         round(stddev_pop(when(in180, col("pct"))), 4).as("volatility_180d"))
+      // one row per party — materialize the 7-row pass once, since it is
+      // read twice (broadcast into the prev-poll filter AND the final
+      // join's left side); without this the whole first aggregation runs
+      // twice
+      .localCheckpoint()
+    val prev = staged
+      .join(broadcast(agg1.select(col("party"), col("m1"))), Seq("party"))
+      .filter(struct(col("poll_date"), col("poll_id")) <
+        struct(col("m1.poll_date"), col("m1.poll_id")))
+      .groupBy("party")
+      .agg(max(struct(col("poll_date"), col("poll_id"), col("pct"))).as("m2"))
+    val perParty = agg1
+      .join(prev, Seq("party"), "left")
+      .select(
+        col("party"),
+        col("m1.pct").as("latest_pct"),
+        col("m1.poll_date").as("latest_date"),
+        col("m2.pct").as("prev_pct"),
+        col("n_polls"), col("n_institutes"),
+        col("avg_180d"), col("volatility_180d"))
     // Post-aggregate: one row per party, so the whole-frame share window
     // runs over a handful of rows by design.
     val wAll = Window.partitionBy()
