@@ -117,12 +117,11 @@ object Cube {
     * to summation order, the raw sums are not. */
   def q38PollOfPolls(t: T): DataFrame = {
     val stg = Polls.stgPollResultsTable(t)
-    // watermark from a light semi scan — same set, but avoids a second
-    // reference to the expensive staging subtree (see q23)
-    val maxD = t.orders
-      .join(t.lineitem.select("l_orderkey"),
-        col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .agg(max("o_orderdate").as("today"))
+    // watermark straight off the materialized staging table (same value
+    // as the orders ⋉ lineitem semi scan this used before staging became
+    // a real table — every staged poll has ≥1 line by construction); the
+    // semi join re-scanned both fact tables just for one max
+    val maxD = stg.agg(max("poll_date").as("today"))
     val weighted = stg.crossJoin(broadcast(maxD))
       .withColumn("w", pollWeight(col("poll_date"), col("today"), col("surveyed")))
     weighted

@@ -64,15 +64,24 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(10)
 
-  /** W7 — windowed share-of-total (latest_poll_standings.sql:93-95). */
+  /** W7 — share-of-total (latest_poll_standings.sql:93-95). The segment
+    * total comes from an aggregate re-joined by broadcast, NOT a
+    * Window.partitionBy("c_mktsegment"): the segment count is a CONSTANT
+    * (5) while the per-customer rows grow with the data, so the window
+    * form funnels billions of rows through 5 partitions at scale — a skew
+    * cliff for work a 5-row broadcast absorbs. (The windowed form of W7
+    * stays exercised where it is shape-safe: q17/q23's whole-frame share
+    * windows run over post-aggregate row counts bounded by the group
+    * space.) */
   def q04MarketShare(t: T): DataFrame = {
     val perCust = t.orders
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment", "c_custkey")
       .agg(round(sum("o_totalprice"), 2).as("cust_rev"))
-    val w = Window.partitionBy("c_mktsegment")
+    val segTotals = perCust.groupBy("c_mktsegment")
+      .agg(round(sum("cust_rev"), 2).as("seg_rev"))
     perCust
-      .withColumn("seg_rev", round(sum("cust_rev").over(w), 2))
+      .join(broadcast(segTotals), Seq("c_mktsegment"))
       .withColumn("share_pct", col("cust_rev") * lit(100.0) / col("seg_rev"))
       .select("c_mktsegment", "c_custkey", "cust_rev", "share_pct")
       .orderBy("c_mktsegment", "c_custkey")
@@ -203,12 +212,20 @@ object Relational {
   def q15ModeTiebreak(t: T): DataFrame = {
     val counts = t.events.groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("cnt").desc, col("user_id").asc)
+    // The (cnt desc, user asc) winner per type is an AGGREGATE, not a
+    // row_number window: event_type cardinality is constant while the
+    // (type, user) rows grow with the data, so the window form sorts an
+    // ever-growing partition per type at scale. min(struct(-cnt, user))
+    // is the identical ordering — lexicographic struct comparison, cnt
+    // negated to turn desc into asc — and partial-aggregates map-side;
+    // cnt rides along in the third field ((−cnt, user) is already unique
+    // per type, so it never influences the ordering).
     counts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_type", "user_id", "cnt")
+      .groupBy("event_type")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("user_id"),
+        col("cnt"))).as("m"))
+      .select(col("event_type"), col("m.user_id").as("user_id"),
+        col("m.cnt").as("cnt"))
       .smallSort("event_type")
   }
 
