@@ -78,6 +78,29 @@ class ExpressionPropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"'${r.getString(0)}'"))
   }
 
+  test("argmax-by-min-struct matches the row_number window on random counts") {
+    // q15/q23 replaced constant-key row_number windows with
+    // min/max(struct(...)) aggregates; the replacement is only sound if
+    // the lexicographic struct order reproduces (cnt desc, user asc)
+    // EXACTLY, ties included. Random multisets force tie cases.
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1L, 5L),
+      Gen.choose(1L, 4L))
+    val rows = samples(rowGen, 120, 23L)
+    val counts = rows.toDF("typ", "user", "n")
+      .groupBy("typ", "user").agg(sum("n").as("cnt"))
+    val viaAgg = counts.groupBy("typ")
+      .agg(min(struct((-col("cnt")).as("neg"), col("user"), col("cnt"))).as("m"))
+      .select(col("typ"), col("m.user").as("user"), col("m.cnt").as("cnt"))
+      .orderBy("typ").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("typ").orderBy(col("cnt").desc, col("user").asc)
+    val viaWindow = counts
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("typ", "user", "cnt")
+      .orderBy("typ").collect().toSeq
+    assert(viaAgg === viaWindow)
+  }
+
   test("sparse_cosine matches cosineSparse on random sparse vectors") {
     val vecGen: Gen[Map[String, Double]] = Gen.choose(0, 6)
       .flatMap(n => Gen.listOfN(n, Gen.zip(wordGen, Gen.oneOf(1.0, 2.0, 3.0))))
