@@ -307,20 +307,35 @@ object Clustering {
         sum(col("w") * col("w")).over(Window.partitionBy("qid")))
       .filter(col("tail_sq") >
         lit(threshold * threshold) * col("norm_sq") - lit(1e-9))
-      .select(col("qid"), col("term"))
-    // Candidate pairs are deduped BEFORE the verify join. On the r8
-    // corpus this is roughly cost-neutral (4.3 M raw rows vs 3.9 M
-    // distinct pairs — the dedup shuffle moves two longs per row and the
-    // multiplicity saved is ~10%), but it BOUNDS the verify stage at one
-    // cosine walk + one two-array join row per pair regardless of how
-    // many prefix terms a pathological pair shares — the worst case a
-    // 100 TB corpus will eventually contain. Verify output is therefore
-    // already pair-distinct; no post-filter distinct is needed.
-    val cand = prefixIdx.select(col("qid").as("qa"), col("term"))
-      .join(prefixIdx.select(col("qid").as("qb"), col("term")), Seq("term"))
-      .filter(col("qa") < col("qb"))
+      // rs² = ‖suffix(term)‖²/‖v‖² rides along so the candidate join can
+      // apply the PAIRWISE Cauchy–Schwarz bound below, not just this
+      // per-side rs > τ cut.
+      .select(col("qid"), col("term"),
+        (col("tail_sq") / col("norm_sq")).as("rs_sq"))
+    // Candidate rows are NOT deduped: a pair appears once per shared
+    // prefix term, so its verify multiplicity is bounded by the narrower
+    // prefix width — itself bounded by vector width, i.e. question
+    // length — never pathological. Measured on the r8 corpus the
+    // multiplicity is ~1.1× while the r7 dedup-first form paid a full
+    // 3.5 M-row hash-aggregate pass (partial+exchange+final) to save
+    // ~10% of the (cheaper, codegen'd) cosine walks. Downstream is
+    // duplicate-safe: CC consumes edges only through min() aggregations,
+    // for which repeated pairs are no-ops.
+    // Pairwise prune: at a pair's globally-smallest
+    // shared term every shared term sits in BOTH suffixes, so
+    // cos ≤ (‖sufa‖/‖a‖)·(‖sufb‖/‖b‖) = √(rs²a·rs²b); rows with
+    // rs²a·rs²b < τ² can be dropped. Rows joined on a LATER shared term
+    // may be dropped even when the pair qualifies — harmless, the pair
+    // still arrives via its smallest shared term, where the bound is
+    // exact. Strictly tighter than the per-side rs > τ prefix cut
+    // (both rs ≤ 1, so the product clears τ only when each side is well
+    // above it): ~11% fewer candidate rows into the cosine verify at
+    // identical edge output.
+    val cand = prefixIdx.select(col("qid").as("qa"), col("term"), col("rs_sq").as("rsa"))
+      .join(prefixIdx.select(col("qid").as("qb"), col("term"), col("rs_sq").as("rsb")), Seq("term"))
+      .filter(col("qa") < col("qb") &&
+        col("rsa") * col("rsb") >= lit(threshold * threshold) - lit(1e-9))
       .select("qa", "qb")
-      .distinct()
     // Exact verification stays MAP-SIDE: each side's full vector rides in
     // as one term-sorted array row (4.7 k rows at sf0.1 — broadcast-sized
     // here; at larger scale AQE falls back to a shuffle join keyed by
@@ -334,7 +349,7 @@ object Clustering {
       .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
       .filter(expr("sparse_cosine(va, vb)") >= threshold)
       .select(col("qa"), col("qb"))
-    if (sys.env.contains("GRAFT_CLUSTER_TIMING")) {
+    if (sys.env.contains("GRAFT_CLUSTER_DIAG")) {
       lap(s"  [diag] distinct=${distinct.count()}")
       lap(s"  [diag] terms=${terms.count()}")
       lap(s"  [diag] prefixIdx=${prefixIdx.count()}")
@@ -353,21 +368,61 @@ object Clustering {
         struct(col("qb").as("src"), col("qa").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    lap(s"edges built (${eb.count()} directed rows)")
-    // Init fused with the first neighbor-min: from identity labels, round
-    // one's nbrMin is just min(neighbor qid), so compute it directly and
-    // save a full round's join+groupBy+count job. Fixed point unchanged —
-    // this is exactly the state plain propagation reaches after round 1
-    // (minus the pointer jump, which the next round's jump subsumes).
-    var labels = distinct.select(col("qid"))
-      .join(eb.groupBy("src").agg(min("dst").as("nd"))
-        .withColumnRenamed("src", "qid"), Seq("qid"), "left")
-      .select(col("qid"),
-        least(col("qid"), coalesce(col("nd"), col("qid"))).as("label"))
-      .localCheckpoint()
-    lap("labels init")
+    val directedRows = eb.count()
+    lap(s"edges built ($directedRows directed rows)")
+    // SMALL-GRAPH FAST PATH: the iterative loop below costs ~5 fixed
+    // Spark jobs (join+agg+checkpoint+count each) regardless of data
+    // size — ~3-4 s of pure scheduling at sf0.1 for a graph whose
+    // union-find is sub-millisecond. When the materialized edge count is
+    // driver-safe (2 M directed rows ≈ 32 MB of longs), collect ONLY the
+    // edge list (never the node set — isolated nodes stay distributed
+    // and keep label = qid via the left join), union-find with
+    // point-larger-root-at-smaller so every final root is its component
+    // minimum — the same fixed point the loop reaches — and broadcast
+    // the mapping back. At 100 TB the threshold-filtered edge list can
+    // exceed the bound → the distributed loop below is the same-semantics
+    // scale path, chosen automatically by the measured count.
+    var labels: DataFrame = null
     var changed = 1L
     var iter = 0
+    if (directedRows <= 2000000L) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      val half = eb.filter(col("src") < col("dst")).as[(Long, Long)].collect()
+      for ((a, b) <- half) {
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      import scala.jdk.CollectionConverters._
+      val mapping = parent.keySet.asScala.iterator
+        .map(k => (k.longValue, find(k))).toSeq.toDF("qid", "nd")
+      labels = distinct.select(col("qid"))
+        .join(broadcast(mapping), Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("nd"), col("qid")).as("label"))
+      changed = 0L
+      lap(s"labels via driver union-find (${half.length} edges)")
+    } else {
+      // Init fused with the first neighbor-min: from identity labels, round
+      // one's nbrMin is just min(neighbor qid), so compute it directly and
+      // save a full round's join+groupBy+count job. Fixed point unchanged —
+      // this is exactly the state plain propagation reaches after round 1
+      // (minus the pointer jump, which the next round's jump subsumes).
+      labels = distinct.select(col("qid"))
+        .join(eb.groupBy("src").agg(min("dst").as("nd"))
+          .withColumnRenamed("src", "qid"), Seq("qid"), "left")
+        .select(col("qid"),
+          least(col("qid"), coalesce(col("nd"), col("qid"))).as("label"))
+        .localCheckpoint()
+      lap("labels init")
+    }
     // ONE materializing job per round: `prop` is a lazy cache and `next`
     // a LAZY localCheckpoint — its logical plan is truncated to a
     // LogicalRDD immediately (without truncation the self-join doubles
