@@ -50,6 +50,12 @@ object TermDiag {
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
       .select(countDistinct(col("vec"))).first().getLong(0)
     println(s"distinct questions = ${qs.count()}, distinct vectors = $nvec")
+    val distinctQs = qs.orderBy("qid").select("question").as[String].collect().toSeq
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val ids = Clustering.clusterQuestions(distinctQs)
+      println(f"greedy clusterQuestions(${distinctQs.size}) rep$i ${(System.nanoTime() - t0) / 1e9}%.2fs nclusters=${ids.max + 1}")
+    }
     spark.stop()
   }
 }

@@ -129,44 +129,77 @@ object Clustering {
     //  - "join the FIRST cluster (in creation order) containing any
     //    member ≥ threshold" is equivalently the MINIMUM cluster id over
     //    matching earlier questions, so a candidate whose cluster id
-    //    cannot improve the running best is skipped before its cosine;
-    //  - norms are precomputed once (the r5 loop re-derived both inside
-    //    every cosine call).
-    // Dot products and norms keep cosineSparse's exact iteration order,
-    // so assignments are bit-identical to the naive loop (GoldenSpec q46
-    // is the gate).
+    //    cannot improve the running best is skipped before its cosine,
+    //    and the scan stops outright once best = 0 (no id is smaller);
+    //  - terms are interned to dense ints and each vector flattened ONCE
+    //    to (sorted term id, weight) primitive arrays, so a dot product
+    //    is a boxing-free two-pointer merge (the r7 loop paid a hashed
+    //    Map.getOrElse per shared-vocabulary term of every candidate —
+    //    ~2 s of the suite on the dense sf0.1 corpus, 10× this form).
+    // Weights are integer-valued by construction (1.0 increments, 2.0
+    // concept weight), so every product and every ≤ vector-width partial
+    // sum is exact in Double — the merge-order dot equals cosineSparse's
+    // hash-order dot BIT FOR BIT and assignments cannot drift
+    // (GoldenSpec q46 is the gate; a property spec pins the equality).
+    val n = questions.length
     val vectors = questions.map(questionVector).toArray
-    val norms = vectors.map(v => math.sqrt(v.valuesIterator.map(w => w * w).sum))
-    val postings = scala.collection.mutable.HashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-    val assignments = new Array[Int](vectors.length)
-    val seen = new Array[Int](vectors.length) // marker = i+1: dedupes a
-    // candidate reached via several shared terms without per-i Set allocs
+    val intern = new java.util.HashMap[String, Integer]()
+    for (v <- vectors; t <- v.keysIterator)
+      if (!intern.containsKey(t)) intern.put(t, intern.size)
+    val tids = new Array[Array[Int]](n)
+    val ws = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val pairs = vectors(i).toArray
+        .map { case (t, w) => (intern.get(t).intValue, w) }.sortBy(_._1)
+      tids(i) = pairs.map(_._1)
+      ws(i) = pairs.map(_._2)
+      norms(i) = math.sqrt(pairs.iterator.map(p => p._2 * p._2).sum)
+      i += 1
+    }
+    val postings = Array.fill(intern.size)(
+      new scala.collection.mutable.ArrayBuffer[Int])
+    val assignments = new Array[Int](n)
+    val seen = new Array[Int](n) // marker = i+1: dedupes a candidate
+    // reached via several shared terms without per-i Set allocs
     var nClusters = 0
-    for (i <- vectors.indices) {
-      val vi = vectors(i)
+    i = 0
+    while (i < n) {
+      val ti = tids(i)
+      val wi = ws(i)
       var best = Int.MaxValue
-      for (t <- vi.keysIterator; js <- postings.get(t)) {
+      var p = 0
+      while (p < ti.length && best > 0) {
+        val js = postings(ti(p))
         var k = 0
-        while (k < js.length) {
+        while (k < js.length && best > 0) {
           val j = js(k)
           if (seen(j) != i + 1) {
             seen(j) = i + 1
             if (assignments(j) < best) {
-              val vj = vectors(j)
-              val dot = vi.iterator.map { case (tt, w) => w * vj.getOrElse(tt, 0.0) }.sum
+              val tj = tids(j)
+              val wj = ws(j)
+              var a = 0; var b = 0; var dot = 0.0
+              while (a < ti.length && b < tj.length) {
+                val d = ti(a) - tj(b)
+                if (d == 0) { dot += wi(a) * wj(b); a += 1; b += 1 }
+                else if (d < 0) a += 1
+                else b += 1
+              }
               if (dot != 0.0 && dot / (norms(i) * norms(j)) >= threshold)
                 best = assignments(j)
             }
           }
           k += 1
         }
+        p += 1
       }
       assignments(i) =
         if (best == Int.MaxValue) { nClusters += 1; nClusters - 1 } else best
-      for (t <- vi.keysIterator)
-        postings.getOrElseUpdate(t,
-          scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+      p = 0
+      while (p < ti.length) { postings(ti(p)) += i; p += 1 }
+      i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(assignments)
   }
@@ -208,15 +241,22 @@ object Clustering {
     import spark.implicits._
     val distinctDf = df
       .groupBy(questionCol).agg(min(orderCol).as("first_seen"))
-    val n = distinctDf.count()
-    require(n <= MaxDriverCorpus,
-      s"clusterAttributions: $n distinct phrasings exceeds the driver-path " +
-        s"bound $MaxDriverCorpus — use clusterQuestionsAtScale " +
-        "(inverted-index candidates + connected components)")
-    val distinctQs = distinctDf
+    // ONE job enforces the bound AND fetches the corpus: collect through
+    // limit(bound+1) — a map-side top-k (TakeOrderedAndProject), never a
+    // full sort — and fail if a row past the bound came back. Strictly
+    // safer than the r7 count()-then-collect() pair: the driver never
+    // holds more than bound+1 rows even when the corpus is 1000× over,
+    // and the second full scan+aggregate job disappears.
+    val rows = distinctDf
       .orderBy("first_seen")
       .select(questionCol)
-      .as[String].collect().toSeq
+      .limit(MaxDriverCorpus.toInt + 1)
+      .as[String].collect()
+    require(rows.length <= MaxDriverCorpus,
+      s"clusterAttributions: more than $MaxDriverCorpus distinct phrasings " +
+        "exceeds the driver-path bound — use clusterQuestionsAtScale " +
+        "(inverted-index candidates + connected components)")
+    val distinctQs = scala.collection.immutable.ArraySeq.unsafeWrapArray(rows)
     val ids = clusterQuestions(distinctQs)
     val labels = clusterLabels(distinctQs, ids)
     val mapping = distinctQs.zip(ids)

@@ -66,6 +66,41 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ids == Seq(0, 1, 0, 2, 0))
   }
 
+  test("interned two-pointer greedy is bit-identical to the naive " +
+    "Map-walk greedy on a random mixed corpus") {
+    // The optimized loop reorders dot-product summation (sorted term ids
+    // vs Map hash order); integer-valued weights make both sums exact, so
+    // assignments must agree EXACTLY. 400 questions drawn from a small
+    // mixed DE/EN vocabulary force dense posting lists, shared concepts,
+    // singular folding, and cluster-0 early exits.
+    val vocab = Vector(
+      "atomausstieg", "klimaschutzgesetz", "tempolimit", "rente", "steuern",
+      "mieten", "asyl", "migration", "laws", "climate", "nuclear", "power",
+      "speed", "pension", "tax", "housing", "autobahn", "strict", "policy",
+      "priority", "verbot", "kohleausstieg", "energie", "renewable",
+      "machen", "rückgängig", "der", "die", "should", "be", "more")
+    val rnd = new scala.util.Random(20260813L)
+    val qs = Vector.fill(400) {
+      Seq.fill(2 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // Naive reference: the r7 shape — inverted index over raw term
+    // strings, Map.getOrElse dots in cosineSparse's iteration order.
+    def naive(questions: Seq[String]): Seq[Int] = {
+      val vectors = questions.map(questionVector)
+      val assignments = new Array[Int](vectors.length)
+      var nClusters = 0
+      for (i <- vectors.indices) {
+        val matching = (0 until i).filter(j =>
+          cosineSparse(vectors(i), vectors(j)) >= ClusterThreshold)
+        assignments(i) =
+          if (matching.isEmpty) { nClusters += 1; nClusters - 1 }
+          else matching.map(assignments).min
+      }
+      assignments.toSeq
+    }
+    assert(clusterQuestions(qs) == naive(qs))
+  }
+
   test("cluster label: most frequent phrasing, shortest on ties") {
     val qs = Seq("aa bb", "aa bb", "aa bb cc")
     // identical phrasing twice → its cluster labels by frequency
