@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, MinGramHash, SparseCosine, TrigramSimilarity}
+import graft.functions.{BigramJaccard, Max2, MinGramHash, SparseCosine, TrigramSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -86,6 +86,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         MinGramHash(exprs.head,
           intLit(exprs(1), "seed"), intLit(exprs(2), "gram_len"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("max2"),
+      new ExpressionInfo(classOf[Max2].getName, null, "max2",
+        "max2(expr) - the two largest values of expr in one pass, as " +
+          "struct<first, second> (second is null for singleton groups; " +
+          "ties land in second). Orderable types only; structs compare " +
+          "lexicographically like Spark's own max.",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`max2`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        Max2(exprs.head).toAggregateExpression()
       }))
   }
 }

@@ -165,45 +165,33 @@ object Polls {
     // at least one line, without re-scanning orders ⋉ lineitem.
     val maxD = stgPollResultsTable(t).agg(max("poll_date").as("max_date"))
     val in180 = col("poll_date") >= col("max_date") - expr("INTERVAL 180 DAYS")
-    // Latest / previous poll per party are picked by AGGREGATION, not a
-    // recency window: partitionBy(party) has only a handful of keys, so a
-    // row_number window is a full per-party sort — locally the dominant
-    // cost (each task sorts ~85 k rows at sf0.1), and at 100 TB a skew
-    // cliff by construction (billions of rows funneled through 7
-    // partitions). max(struct(poll_date, poll_id, pct)) is the same
-    // (date desc, id desc) recency order — struct comparison is
-    // lexicographic and (date, id) is unique per party — and partial-
-    // aggregates map-side. The previous poll is the same max over rows
-    // strictly earlier than the latest (second aggregate over the
-    // materialized staging table + a broadcast of the 7-row first pass).
+    // Latest AND previous poll per party are picked in ONE aggregation
+    // pass by the native `max2` aggregate (a constant two-slot buffer —
+    // functions/Max2.scala): a row_number window over partitionBy(party)
+    // is a full per-party sort — locally the dominant cost (each task
+    // sorts ~85 k rows at sf0.1), and at 100 TB a skew cliff by
+    // construction (billions of rows funneled through 7 partitions) —
+    // while the r8.1 two-aggregate form (max, then max over rows strictly
+    // below it) re-scanned the whole staging table for the second slot.
+    // struct comparison is lexicographic and (date, id) is unique per
+    // party, so max2.first/.second are exactly the (date desc, id desc)
+    // latest/previous recency picks, partial-aggregated map-side.
     val staged = stgPollResultsTable(t).crossJoin(broadcast(maxD))
     val agg1 = staged
       .groupBy("party")
       .agg(
-        max(struct(col("poll_date"), col("poll_id"), col("pct"))).as("m1"),
+        expr("max2(struct(poll_date, poll_id, pct))").as("m12"),
         count(lit(1)).as("n_polls"),
         countDistinct("institute_id").as("n_institutes"),
         (round(sum(when(in180, col("pct"))), 2) /
           count(when(in180, 1))).as("avg_180d"),
         round(stddev_pop(when(in180, col("pct"))), 4).as("volatility_180d"))
-      // one row per party — materialize the 7-row pass once, since it is
-      // read twice (broadcast into the prev-poll filter AND the final
-      // join's left side); without this the whole first aggregation runs
-      // twice
-      .localCheckpoint()
-    val prev = staged
-      .join(broadcast(agg1.select(col("party"), col("m1"))), Seq("party"))
-      .filter(struct(col("poll_date"), col("poll_id")) <
-        struct(col("m1.poll_date"), col("m1.poll_id")))
-      .groupBy("party")
-      .agg(max(struct(col("poll_date"), col("poll_id"), col("pct"))).as("m2"))
     val perParty = agg1
-      .join(prev, Seq("party"), "left")
       .select(
         col("party"),
-        col("m1.pct").as("latest_pct"),
-        col("m1.poll_date").as("latest_date"),
-        col("m2.pct").as("prev_pct"),
+        col("m12.first.pct").as("latest_pct"),
+        col("m12.first.poll_date").as("latest_date"),
+        col("m12.second.pct").as("prev_pct"),
         col("n_polls"), col("n_institutes"),
         col("avg_180d"), col("volatility_180d"))
     // Post-aggregate: one row per party, so the whole-frame share window
