@@ -44,6 +44,30 @@ object PollsProbe {
       time(s"rep$rep full q23")(
         graft.operators.Polls.q23PollStandings(t)
           .write.mode("overwrite").format("noop").save())
+      val institutes = t.customer.select(
+        col("c_custkey"),
+        col("c_name").as("institute_name"),
+        col("c_mktsegment").as("institute_group"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("party", "institute_id")
+        .orderBy(col("poll_date"), col("poll_id"))
+      val joined = stg.join(broadcast(institutes),
+        col("institute_id") === col("c_custkey"))
+      time(s"rep$rep q22 join only")(
+        joined.write.mode("overwrite").format("noop").save())
+      val windowed = joined
+        .withColumn("prev_pct", lag("pct", 1).over(w))
+        .withColumn("ma3",
+          round(sum("pct").over(w.rowsBetween(-2, 0)), 2) /
+            count(lit(1)).over(w.rowsBetween(-2, 0)))
+      time(s"rep$rep q22 join+window")(
+        windowed.write.mode("overwrite").format("noop").save())
+      time(s"rep$rep q22 join+window+sort (no ckpt)")(
+        windowed.orderBy("poll_id", "party")
+          .write.mode("overwrite").format("noop").save())
+      time(s"rep$rep full q22")(
+        graft.operators.Polls.q22PollTrends(t)
+          .write.mode("overwrite").format("noop").save())
     }
     spark.stop()
   }

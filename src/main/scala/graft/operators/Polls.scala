@@ -146,12 +146,12 @@ object Polls {
           .otherwise("stable"))
       .select("poll_id", "party", "institute_name", "institute_group",
         "pct", "prev_pct", "delta", "ma3", "trend")
-      // Materialize the fact rows before the serving sort (the reference
-      // materializes fact_polls as a dbt table too): a bare orderBy
-      // range-samples its input, re-running the join + both windows —
-      // measured 4x this query's wall at sf0.1. The lazy localCheckpoint
-      // keeps one materialization; the global sort then reads its blocks.
-      .localCheckpoint(false)
+      // No checkpoint before the serving sort (r8.2): under AQE the range
+      // sort's sampling reads the window's ALREADY-materialized shuffle
+      // output — the join + windows run once either way — so the earlier
+      // localCheckpoint only added a second 1 M-row materialization
+      // (measured +0.5 s warm; the "4× without" note predated the AQE
+      // advisory sizing that created this shuffle boundary).
       .orderBy("poll_id", "party")
   }
 
