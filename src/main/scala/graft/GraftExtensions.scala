@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, Max2, MinGramHash, SparseCosine, TrigramSimilarity}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSimilarity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -86,6 +86,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         MinGramHash(exprs.head,
           intLit(exprs(1), "seed"), intLit(exprs(2), "gram_len"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("claim_pcts"),
+      new ExpressionInfo(classOf[ClaimPcts].getName, "claim_pcts"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`claim_pcts`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        ClaimPcts(exprs.head)
       }))
     e.injectFunction((
       FunctionIdentifier("max2"),

@@ -129,29 +129,24 @@ object TextAnalysis {
     * `%`/`Prozent` unit alternation, >120 suppression, claim_idx in
     * extraction order (suppressed claims keep their gap). */
   def extractClaims(df: DataFrame): DataFrame = {
-    // Doubled backslashes: the pattern is embedded in a SQL string literal
-    // (expr), whose parser consumes one escaping level before the regex.
-    val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
     // No literal pre-filter: on a claim-dense corpus (6 of 7 synthetic
     // sentences carry a unit) the extra digit/unit scans cost more than
-    // the rows they prune — the match regex alone is exact (no match
-    // array → no posexplode rows).
+    // the rows they prune — the scan alone is exact (empty match array →
+    // no posexplode rows).
     df
-      // ONE regex pass per sentence (group 0); integer and decimal parts
-      // are then recovered from each ~10-char match with splits. Extracting
-      // group 1 and group 2 separately (the r5 shape) scanned every
-      // sentence twice with the same pattern — the dominant cost of the
-      // whole query.
-      .withColumn("ms", expr(s"regexp_extract_all(sentence, '$pctRe', 0)"))
+      // ONE native byte-level scan per sentence (functions/ClaimPcts
+      // .scala): no regex engine, no match-string materialization, no
+      // per-match split arrays. Value-identical to the
+      // regexp_extract_all + transform/split composition the oracle
+      // replays (equivalence argued in the expression's scaladoc; pinned
+      // by ClaimsSpec and a random-sentence property test). The r5 shape
+      // scanned every sentence twice with the full pattern; the r7 shape
+      // once plus per-match splits; this is one scan, period.
+      .withColumn("ms", expr("claim_pcts(sentence)"))
       .withColumn("n_raw", regexp_extract(col("sentence"), "n\\s*=\\s*([0-9.]+)", 1))
       .select(
         col("poll_id"),
-        // m is "<int>,<dec>[ ]%|Prozent": the comma split is total by the
-        // pattern, and the leading digit run of the tail is the decimal.
-        posexplode(expr(
-          "transform(ms, m -> CAST(split(m, ',')[0] AS DOUBLE) + " +
-            "CAST(split(split(m, ',')[1], '[^0-9]+')[0] AS DOUBLE) / 10)"))
-          .as(Seq("claim_idx", "claim_value")),
+        posexplode(col("ms")).as(Seq("claim_idx", "claim_value")),
         when(col("n_raw") =!= "",
           replace(col("n_raw"), lit("."), lit("")).cast("int")).as("sample_n"))
       .filter(col("claim_value") <= 120.0) // >120% suppression

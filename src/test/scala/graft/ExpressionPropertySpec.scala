@@ -101,6 +101,33 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("claim_pcts matches the regexp_extract_all composition on adversarial text") {
+    // Fragment soup engineered for the scanner's restart logic: digit runs
+    // abutting commas, partial 'Prozent' prefixes, chained '1,2,3 %',
+    // tabs/newlines as \s, multi-byte neighbors, and plain prose.
+    val fragGen = Gen.oneOf(
+      "62,5 %", "62,5%", "7,25 Prozent", "1,2,3 %", "12,34,5 %",
+      "5,5 Proz", "9,9Prozent", "100,0\t%", "3,3\nProzent", "0,0 %",
+      ", %", "42", "x,", "99,", ",5 %", "große 33,3 % Überzahl",
+      "東京 12,1 % test", "n = 6.063", "Prozent", "%", "a1,1b2,2 %",
+      "12 , 5 %", "00,00 %", "123456,789 %")
+    val sentGen = Gen.choose(0, 6)
+      .flatMap(n => Gen.listOfN(n, fragGen)).map(_.mkString(" "))
+    val sents = samples(sentGen, 150, 20260813L)
+    val pctRe = "(\\\\d+),(\\\\d+)\\\\s*(?:%|Prozent)"
+    val rows = sents.toDF("sentence")
+      .withColumn("native", expr("claim_pcts(sentence)"))
+      .withColumn("sql", expr(
+        s"transform(regexp_extract_all(sentence, '$pctRe', 0), " +
+          "m -> CAST(split(m, ',')[0] AS DOUBLE) + " +
+          "CAST(split(split(m, ',')[1], '[^0-9]+')[0] AS DOUBLE) / 10)"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+        s"'${r.getString(0)}': native=${r.getSeq[Double](1)} sql=${r.getSeq[Double](2)}")
+    }
+  }
+
   test("sparse_cosine matches cosineSparse on random sparse vectors") {
     val vecGen: Gen[Map[String, Double]] = Gen.choose(0, 6)
       .flatMap(n => Gen.listOfN(n, Gen.zip(wordGen, Gen.oneOf(1.0, 2.0, 3.0))))
