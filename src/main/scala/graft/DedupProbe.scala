@@ -63,6 +63,23 @@ object DedupProbe {
       time(s"rep$rep full q27")(
         graft.operators.TextDedup.q27MinhashNearDup(t)
           .write.mode("overwrite").format("noop").save())
+      val tok27 = t.documents
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 3), " +
+            "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
+        .distinct()
+      time(s"rep$rep q27 tok distinct")(tok27.count())
+      val tokCk = tok27.localCheckpoint(false)
+      time(s"rep$rep q27 tok checkpoint")(tokCk.count())
+      val hashed = tokCk.withColumn("hb",
+        expr(s"(${graft.operators.TextDedup.h60(0, "s")}) % 2147483647"))
+      val mhCols = (0 until 12).map(i =>
+        min(expr(s"(hb * ${graft.operators.TextDedup.MinhashA(i)} + ${graft.operators.TextDedup.MinhashB(i)}) % 2147483647")).as(s"mh$i"))
+      val minhashes = hashed.groupBy("doc_id")
+        .agg(mhCols.head, (mhCols.tail :+ count(lit(1)).as("n")): _*)
+      time(s"rep$rep q27 minhash agg")(minhashes.count())
     }
     spark.stop()
   }
