@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSimilarity}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -100,6 +100,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         ClaimPcts(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`vec_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        VecDot(exprs.head, exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("max2"),

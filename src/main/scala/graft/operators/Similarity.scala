@@ -31,9 +31,13 @@ object Similarity {
   private val toDouble = col("embedding").cast("array<double>")
 
   /** Sequential-fold dot product of two double arrays — same summation
-    * order as DuckDB's list_dot_product, hence bit-identical results. */
+    * order as DuckDB's list_dot_product, hence bit-identical results.
+    * Native codegen'd expression (functions/VecDot.scala): one loop per
+    * pair instead of an interpreted lambda dispatch per element — the
+    * fold order (and the HOF form's null/length-mismatch semantics) are
+    * preserved exactly, pinned by ExpressionPropertySpec. */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    expr(s"vec_dot($a, $b)")
 
   /** q25 — brute-force cosine top-5 per query vector (vec_id < 10),
     * deterministic tie-break on candidate id. */

@@ -128,6 +128,24 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("vec_dot matches the aggregate/zip_with fold incl. null and length edges") {
+    val vGen: Gen[Seq[Option[Double]]] = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(-5.0, 5.0).map(Some(_)),
+        1 -> Gen.const(Option.empty[Double]))))
+    val pairs = samples(Gen.zip(vGen, vGen), 120, 7L)
+    val rows = pairs.toDF("a", "b")
+      .withColumn("native", expr("vec_dot(a, b)"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .collect()
+    rows.foreach { r =>
+      val native = if (r.isNullAt(2)) null else r.getDouble(2)
+      val hof = if (r.isNullAt(3)) null else r.getDouble(3)
+      assert(native == hof, s"${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+  }
+
   test("sparse_cosine matches cosineSparse on random sparse vectors") {
     val vecGen: Gen[Map[String, Double]] = Gen.choose(0, 6)
       .flatMap(n => Gen.listOfN(n, Gen.zip(wordGen, Gen.oneOf(1.0, 2.0, 3.0))))
