@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -100,6 +100,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         ClaimPcts(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("trigram_set"),
+      new ExpressionInfo(classOf[TrigramSet].getName, "trigram_set"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`trigram_set`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TrigramSet(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("trigram_sim_sorted"),
+      new ExpressionInfo(classOf[TrigramSimSorted].getName, null,
+        "trigram_sim_sorted",
+        "trigram_sim_sorted(ga, gb) - trigram Jaccard over two SORTED " +
+          "distinct gram arrays (the trigram_set output contract); " +
+          "value-identical to trigram_similarity on the original strings.",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`trigram_sim_sorted`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TrigramSimSorted(exprs.head, exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),

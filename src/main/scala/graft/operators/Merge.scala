@@ -103,19 +103,26 @@ object Merge {
     // Similarity is the native TrigramSimilarity expression (registered by
     // GraftExtensions): one pass per pair, no per-row ArrayData — and the
     // join carries two short strings instead of two trigram arrays.
+    // Gram sets are materialized ONCE per row (trigram_set) before the
+    // self-join; per pair the similarity is then an allocation-free
+    // sorted merge (trigram_sim_sorted) instead of rebuilding both hash
+    // sets — a row in a ~300-candidate block paid that rebuild ~300×.
+    // Value-identical to trigram_similarity(name_a, name_b) by
+    // construction (same distinct sets, same |∩|/|∪|; property-pinned).
     val named = t.part
       .withColumn("name", lower(col("p_name")))
       .filter(length(col("name")) >= 3)
       .select(col("p_partkey"), col("p_brand"),
         substring(col("name"), 1, 1).as("head"),
-        expr("length(name) div 8").as("len_band"), col("name"))
+        expr("length(name) div 8").as("len_band"),
+        expr("trigram_set(name)").as("grams"))
     val pairs = named.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
-        col("head"), col("len_band"), col("name").as("name_b"))
+        col("head"), col("len_band"), col("grams").as("grams_b"))
       .join(named.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
-        col("head"), col("len_band"), col("name").as("name_a")),
+        col("head"), col("len_band"), col("grams").as("grams_a")),
         Seq("brand", "head", "len_band"))
       .filter(col("key_a") < col("key_b"))
-      .withColumn("sim", expr("trigram_similarity(name_a, name_b)"))
+      .withColumn("sim", expr("trigram_sim_sorted(grams_a, grams_b)"))
       .filter(col("sim") >= 0.5)
     val best = Window.partitionBy("key_b")
       .orderBy(col("sim").desc, col("key_a").asc)

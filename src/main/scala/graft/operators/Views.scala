@@ -128,19 +128,22 @@ object Views {
       .withColumn("population",
         when(col("p_partkey") % 4 === 0, "ost").otherwise(""))
       .withColumn("pct_prev", (col("p_partkey") % 90 + 5).cast("double"))
+    // Per-side gram sets once per row, allocation-free merge per pair —
+    // same split as q34 (see Merge.q34TitleTrigramDedup).
     val prev = base.filter(col("p_partkey") % 10 === 0)
       .select(col("p_partkey").as("prev_key"), col("position"), col("population"),
-        lower(col("p_name")).as("prev_label"), col("pct_prev").as("prev_pct"))
+        expr("trigram_set(lower(p_name))").as("prev_grams"),
+        col("pct_prev").as("prev_pct"))
     val cur = base.select(
       col("p_partkey").as("cur_key"), col("position"), col("population"),
-      concat(lower(col("p_name")), lit(" neu")).as("cur_label"),
+      expr("trigram_set(concat(lower(p_name), ' neu'))").as("cur_grams"),
       (col("pct_prev") +
         when(col("p_partkey") % 9 === 0, 7.0).otherwise(1.0)).as("cur_pct"))
     val best = Window.partitionBy("cur_key")
       .orderBy(col("sim").desc, col("prev_key").asc)
     val matched = cur
       .join(prev, Seq("position", "population"))
-      .withColumn("sim", expr("trigram_similarity(cur_label, prev_label)"))
+      .withColumn("sim", expr("trigram_sim_sorted(cur_grams, prev_grams)"))
       .filter(col("sim") >= 0.72)
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)

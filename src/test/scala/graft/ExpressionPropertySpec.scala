@@ -128,6 +128,18 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("trigram_set + trigram_sim_sorted equals fused trigram_similarity on random text") {
+    val pairs = samples(Gen.zip(textGen, textGen), 100, 99L)
+    val rows = pairs.toDF("a", "b")
+      .withColumn("fused", expr("trigram_similarity(a, b)"))
+      .withColumn("split", expr("trigram_sim_sorted(trigram_set(a), trigram_set(b))"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"'${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+  }
+
   test("vec_dot matches the aggregate/zip_with fold incl. null and length edges") {
     val vGen: Gen[Seq[Option[Double]]] = Gen.choose(0, 9).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(
