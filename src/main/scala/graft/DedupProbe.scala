@@ -70,6 +70,13 @@ object DedupProbe {
           "transform(sequence(0, size(words) - 3), " +
             "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
         .distinct()
+      val shingleOnly = t.documents
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(words) - 3), " +
+            "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
+      time(s"rep$rep q27 shingle build (no distinct)")(shingleOnly.count())
       time(s"rep$rep q27 tok distinct")(tok27.count())
       val tokCk = tok27.localCheckpoint(false)
       time(s"rep$rep q27 tok checkpoint")(tokCk.count())
