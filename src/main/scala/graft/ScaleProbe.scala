@@ -89,7 +89,13 @@ object ScaleProbe {
     for (n <- names) {
       val b = best(n, base, 3)
       val s = best(n, scaled, 2)
-      println(f"[scale] $n base=${b}%.2fs ${factor}x=${s}%.2fs growth=${s / b}%.1fx")
+      // output rows at both scales: splits wall growth into genuine
+      // output growth (near-dup TRUE pairs grow ~copies² by construction
+      // — the probe's documented caveat) vs join-shape failure
+      val rb = SparkEntry.queries(n)(spark, base).count()
+      val rs = SparkEntry.queries(n)(spark, scaled).count()
+      println(f"[scale] $n base=${b}%.2fs ${factor}x=${s}%.2fs growth=${s / b}%.1fx " +
+        f"rows $rb%d -> $rs%d (${rs.toDouble / math.max(rb, 1)}%.0fx)")
     }
     spark.stop()
   }
