@@ -304,10 +304,17 @@ object Clustering {
     * Returns (questionCol, cluster_id, cluster_label) — label is the
     * shortest-then-lexicographic phrasing, the greedy tie rule over a
     * distinct corpus. */
+  /** Directed-edge-row bound under which CC runs as a driver union-find
+    * (~32 MB of longs; see the fast-path comment below). Package-private
+    * override so ClusteringScaleSpec can force the iterative loop on a
+    * small corpus and pin the two paths against each other. */
+  private[graft] val SmallGraphEdgeBound = 2000000L
+
   def clusterQuestionsAtScale(spark: SparkSession, df: DataFrame,
                               questionCol: String, orderCol: String,
                               threshold: Double = ClusterThreshold,
-                              maxIter: Int = 30): DataFrame = {
+                              maxIter: Int = 30,
+                              smallGraphBound: Long = SmallGraphEdgeBound): DataFrame = {
     import spark.implicits._
     val t00 = System.nanoTime()
     var tPrev = t00
@@ -425,7 +432,7 @@ object Clustering {
     var labels: DataFrame = null
     var changed = 1L
     var iter = 0
-    if (directedRows <= 2000000L) {
+    if (directedRows <= smallGraphBound) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

@@ -96,6 +96,29 @@ class ClusteringScaleSpec extends SparkSpec {
     assert(partition(scale) == expected)
   }
 
+  test("iterative min-label loop agrees exactly with the driver union-find " +
+    "fast path on the same corpus") {
+    // smallGraphBound = -1 forces the distributed loop on a corpus the
+    // fast path would otherwise take — without this, no test would
+    // exercise the at-scale CC loop at all after the r8.2 fast path.
+    val vocab = Vector("nuclear", "climate", "energy", "kosten", "zukunft",
+      "windkraft", "solar", "kohle", "atomkraft", "netz")
+    val rnd = new scala.util.Random(7)
+    val qs = Vector.fill(50) {
+      val n = 2 + rnd.nextInt(4)
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }.distinct
+    val df = qs.zipWithIndex.toDF("question", "idx")
+    val fast = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx")
+      .orderBy("question").collect().map(_.toString).toSeq
+    val loop = Clustering
+      .clusterQuestionsAtScale(spark, df, "question", "idx",
+        smallGraphBound = -1L)
+      .orderBy("question").collect().map(_.toString).toSeq
+    assert(fast == loop)
+  }
+
   test("row-level wrapper carries every input row") {
     val df = Seq("climate", "climate", "nuclear")
       .zipWithIndex.toDF("question", "idx")
