@@ -303,7 +303,20 @@ object Clustering {
     *     that renumbers runs over one row PER COMPONENT, not per row.
     * Returns (questionCol, cluster_id, cluster_label) — label is the
     * shortest-then-lexicographic phrasing, the greedy tie rule over a
-    * distinct corpus. */
+    * distinct corpus.
+    *
+    * Worst-case candidate volume, stated honestly: the prefix filter is
+    * EXACT, so on a corpus whose vocabulary does not grow with the data
+    * (every term hot) the candidate set approaches Σ_t n_t² — measured
+    * 3.5 M at sf0.1 → 484 M at 20× on the probe's bounded-vocab corpus.
+    * That is inherent to exact cosine-threshold mining, not a plan
+    * defect (the flow stays map-side: broadcast joins + codegen'd
+    * cosine at ~20 M candidate rows/s/32 threads, wall sublinear in
+    * input at 20×). Real question corpora have a rare-tail vocabulary,
+    * which is precisely what the prefix filter exploits; when a corpus
+    * is adversarially hot-vocab at 100 TB, the documented trade is to
+    * swap this EXACT stage for the approximate MinHash-banded candidate
+    * machinery (TextDedup.q27 family) at some recall cost. */
   /** Directed-edge-row bound under which CC runs as a driver union-find
     * (~32 MB of longs; see the fast-path comment below). Package-private
     * override so ClusteringScaleSpec can force the iterative loop on a
