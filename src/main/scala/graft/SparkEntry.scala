@@ -99,6 +99,8 @@ object SparkEntry {
     "q70_ngram_jaccard"   -> ((s, d) => TextDedup.q70NgramJaccard(T(s, d))),
     "q71_frame_sample"    -> ((s, d) => Multimodal.q71FrameSample(T(s, d))),
     "q72_streaming_dedup" -> ((s, d) => streaming.Incremental.q72StreamingDedup(T(s, d))),
+    "q73_repetition_signals" -> ((s, d) => TextAnalysis.q73RepetitionSignals(T(s, d))),
+    "q74_pii_scrub"       -> ((s, d) => TextAnalysis.q74PiiScrub(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1239,5 +1241,72 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+    // q73: the oracle counts the classic way (unnest + GROUP BY + max);
+    // the Spark side computes the same frequencies as longest-equal-run
+    // over the sorted array, map-side. Most-common-item frequency ==
+    // longest run after sorting, and every ratio is an int/int division,
+    // so both engines agree bit-for-bit.
+    "q73_repetition_signals" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, words,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_distinct(words)) AS INT) AS n_distinct,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        |  FROM d),
+        |tw AS (
+        |  SELECT doc_id, CAST(max(cnt) AS INT) AS top_word_count FROM (
+        |    SELECT doc_id, w, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(words) AS w FROM s)
+        |    GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |tb AS (
+        |  SELECT doc_id, CAST(max(cnt) AS INT) AS top_bigram_count FROM (
+        |    SELECT doc_id, b, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(bigrams) AS b FROM s)
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, n_words, n_distinct,
+        |  (n_words - n_distinct) * 1.0 / n_words AS dup_word_frac,
+        |  top_word_count,
+        |  top_word_count * 1.0 / n_words AS top_word_frac,
+        |  top_bigram_count,
+        |  top_bigram_count * 1.0 / greatest(n_words - 1, 1) AS top_bigram_frac,
+        |  ((n_words - n_distinct) * 1.0 / n_words <= 0.55
+        |    AND top_bigram_count * 1.0 / greatest(n_words - 1, 1) <= 0.10) AS keep
+        |FROM s
+        |JOIN tw ON s.doc_id = tw.doc_id
+        |JOIN tb ON tb.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "q74_pii_scrub" ->
+      """WITH built AS (
+        |  SELECT c_custkey AS cust_id,
+        |    CASE WHEN c_custkey % 3 = 0 THEN
+        |      'ticket from ' || c_name || ' reach me at user' || c_custkey ||
+        |      '@mail-' || (c_custkey % 5) || '.example.com thanks'
+        |    WHEN c_custkey % 3 = 1 THEN
+        |      'call ' || c_name || ' on +49-30-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |      (CASE WHEN c_custkey % 7 = 1 THEN
+        |        ' or ' || lower(c_mktsegment) || '.desk@support.example.org'
+        |       ELSE '' END) || ' after hours'
+        |    ELSE 'no contact info for segment ' || c_mktsegment END AS text
+        |  FROM customer)
+        |SELECT cust_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,6}')) AS INT) AS n_phones,
+        |  (len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,6}'))
+        |    > 0) AS has_pii,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,6}', '<PHONE>', 'g') AS redacted
+        |FROM built
+        |ORDER BY cust_id""".stripMargin,
   )
 }

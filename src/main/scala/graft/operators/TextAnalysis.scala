@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.T
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Serve._
 
@@ -84,6 +84,131 @@ object TextAnalysis {
       // materialize once before the serving sort — see Polls.q22PollTrends
       .localCheckpoint(false)
       .orderBy("doc_id")
+
+  /** Highest per-item frequency in an array, computed as the longest
+    * equal-run of its SORTED copy — one O(n log n) map-side pass per row
+    * (`array_sort` + `aggregate` fold), no explode, no shuffle. The run
+    * accumulator carries (prev item, current run, best run); frequency of
+    * the most common item == longest run after sorting because sorting
+    * groups equal items adjacently. Empty array → 0. */
+  private def maxItemCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** q73 — repetition quality signals (Gopher-style, Rae et al. 2021
+    * §A1.1): per-document duplicate-word fraction, most-frequent-word
+    * share, and most-frequent-word-bigram share, plus the keep/drop
+    * decision a training-data filter would take. Thresholds (dup ≤ 0.55,
+    * top-bigram ≤ 0.10) split the synthetic corpus ~50/50 so both flag
+    * arms stay exercised.
+    *
+    * 100 TB design: every signal is computed inside the row — `split`,
+    * `array_distinct`, `zip_with` for bigrams, and the sorted-run fold
+    * above — so the whole query is a single map-side pass with no
+    * explode, no groupBy, and no shuffle before the serving sort. The
+    * oracle replays the counts the classic way (unnest + GROUP BY +
+    * max) — value-identical because most-common-item frequency equals
+    * longest-equal-run-after-sort, and all ratios are int/int divisions
+    * (exact in IEEE754, so DuckDB and Spark agree bit-for-bit). */
+  def q73RepetitionSignals(t: T): DataFrame =
+    repetitionSignals(t.documents)
+      // row-level unbounded output: keep the distributed range sort; the
+      // lazy checkpoint materializes during its sampling pass so the sort
+      // job reads rows instead of re-running the per-doc folds (q30 shape)
+      .localCheckpoint(false)
+      .orderBy("doc_id")
+
+  /** The reusable repetition-signal stage: (doc_id, text, …) → one row per
+    * doc with the counts, fractions, and keep flag of q73. Separate from
+    * the query so specs can drive it with hand-computed corpora. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_distinct", size(array_distinct(col("words"))))
+      .withColumn("bigrams", zip_with(
+        slice(col("words"), lit(1), size(col("words")) - 1),
+        slice(col("words"), lit(2), size(col("words")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .withColumn("top_word_count", maxItemCount(col("words")))
+      .withColumn("top_bigram_count", maxItemCount(col("bigrams")))
+      .withColumn("dup_word_frac",
+        (col("n_words") - col("n_distinct")) * lit(1.0) / col("n_words"))
+      .withColumn("top_word_frac",
+        col("top_word_count") * lit(1.0) / col("n_words"))
+      // one-word doc: 0 bigrams → count 0; clamp the denominator so the
+      // fraction is 0 instead of a divide-by-zero (ANSI mode throws)
+      .withColumn("top_bigram_frac",
+        col("top_bigram_count") * lit(1.0) / greatest(col("n_words") - 1, lit(1)))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.55 && col("top_bigram_frac") <= 0.10)
+      .select("doc_id", "n_words", "n_distinct", "dup_word_frac",
+        "top_word_count", "top_word_frac", "top_bigram_count",
+        "top_bigram_frac", "keep")
+
+  // PII patterns shared by the extract and redact passes. Both engines'
+  // regex dialects (Java here, RE2 in the DuckDB oracle) treat these
+  // identically: character classes, bounded repetition, no backtracking-
+  // dependent constructs, and leftmost-greedy matching agree on every
+  // candidate in the built corpus.
+  private val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "\\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,6}"
+
+  /** q74 — PII detection + redaction, the scrub stage of a training-data
+    * pipeline (emails and phone numbers here; the pattern set extends
+    * without changing the shape). Builds deterministic "support ticket"
+    * text from the customer table (the q32/q53 synthesis pattern, so the
+    * oracle can replay the build), counts matches per kind, and emits the
+    * redacted text with `<EMAIL>`/`<PHONE>` placeholders.
+    *
+    * 100 TB design: pure map-side — two `regexp_extract_all` counts and
+    * two global `regexp_replace` passes per row, no shuffle before the
+    * serving sort; scales with input splits like q29/q30. */
+  def q74PiiScrub(t: T): DataFrame =
+    t.customer
+      .withColumn("text",
+        when(col("c_custkey") % 3 === 0, concat(
+          lit("ticket from "), col("c_name"), lit(" reach me at user"),
+          col("c_custkey"), lit("@mail-"), col("c_custkey") % 5,
+          lit(".example.com thanks")))
+          .when(col("c_custkey") % 3 === 1, concat(
+            lit("call "), col("c_name"), lit(" on +49-30-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+            when(col("c_custkey") % 7 === 1,
+              concat(lit(" or "), lower(col("c_mktsegment")),
+                lit(".desk@support.example.org"))).otherwise(lit("")),
+            lit(" after hours")))
+          .otherwise(concat(
+            lit("no contact info for segment "), col("c_mktsegment"))))
+      .transform(piiSignals)
+      .select(col("c_custkey").as("cust_id"), col("n_emails"),
+        col("n_phones"), col("has_pii"), col("redacted"))
+      .localCheckpoint(false)
+      .orderBy("cust_id")
+
+  /** The reusable scrub stage: appends n_emails / n_phones / has_pii /
+    * redacted to any frame with a `text` column. Separate from the query
+    * so specs can drive it with hand-written texts. */
+  def piiSignals(df: DataFrame): DataFrame =
+    df
+      // group 0 = the whole match: Spark's 2-arg regexp_extract_all
+      // defaults to group 1, which errors on these group-free patterns
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("text"), lit(phonePat), lit(0))))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") > 0)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
 
   /** q32 — claim extraction with German numerics (T1,
     * study_scraper/claims.py:57-251): builds claim sentences from the

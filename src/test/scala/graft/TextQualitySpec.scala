@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.Row
+
+/** Repetition signals (q73) and PII scrub (q74) on hand-computed corpora.
+  * The q73 core claim — most-common-item frequency == longest equal run of
+  * the sorted array — is exercised against brute-force counting here; the
+  * q74 patterns against texts with zero, one, and multiple hits per kind. */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rep(text: String): Row =
+    TextAnalysis.repetitionSignals(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+
+  test("repetition: counts on a dense repeat") {
+    // words: a a a b → 4 words, 2 distinct, top word a×3
+    // bigrams: "a a", "a a", "a b" → top bigram ×2 over 3 bigrams
+    val r = rep("a a a b")
+    assert(r.getAs[Int]("n_words") == 4)
+    assert(r.getAs[Int]("n_distinct") == 2)
+    assert(r.getAs[Int]("top_word_count") == 3)
+    assert(r.getAs[Int]("top_bigram_count") == 2)
+    assert(r.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r.getAs[Double]("top_bigram_frac") == 2.0 / 3.0)
+    assert(!r.getAs[Boolean]("keep")) // top_bigram_frac 0.67 > 0.10
+  }
+
+  test("repetition: all-distinct text keeps") {
+    val r = rep("one two three four five six seven eight nine ten eleven")
+    assert(r.getAs[Int]("top_word_count") == 1)
+    assert(r.getAs[Double]("dup_word_frac") == 0.0)
+    assert(r.getAs[Int]("top_bigram_count") == 1)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: longest-run == brute-force max frequency (random)") {
+    val rnd = new scala.util.Random(73)
+    (1 to 25).foreach { _ =>
+      val words = Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(6)}")
+      val expected = words.groupBy(identity).values.map(_.size).max
+      assert(rep(words.mkString(" ")).getAs[Int]("top_word_count") == expected,
+        s"corpus: ${words.mkString(" ")}")
+    }
+  }
+
+  test("repetition: run counter resets between items") {
+    // sorted: x x y y — two runs of 2; a buggy non-resetting counter says 4
+    assert(rep("x y x y").getAs[Int]("top_word_count") == 2)
+  }
+
+  private def pii(text: String): Row =
+    TextAnalysis.piiSignals(Seq(Tuple1(text)).toDF("text")).collect().head
+
+  test("pii: email and phone both found and redacted") {
+    val r = pii("mail a.b@x-y.example.com or dial +49-30-1234 today")
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_phones") == 1)
+    assert(r.getAs[Boolean]("has_pii"))
+    assert(r.getAs[String]("redacted") == "mail <EMAIL> or dial <PHONE> today")
+  }
+
+  test("pii: multiple emails counted individually") {
+    val r = pii("a@b.de then c.d@e.org end")
+    assert(r.getAs[Int]("n_emails") == 2)
+    assert(r.getAs[String]("redacted") == "<EMAIL> then <EMAIL> end")
+  }
+
+  test("pii: clean text untouched") {
+    val r = pii("nothing sensitive here, just words and 42 numbers")
+    assert(r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_phones") == 0)
+    assert(!r.getAs[Boolean]("has_pii"))
+    assert(r.getAs[String]("redacted") == "nothing sensitive here, just words and 42 numbers")
+  }
+
+  test("pii: phone needs the international +CC- prefix") {
+    assert(pii("plain 030-1234 is not matched").getAs[Int]("n_phones") == 0)
+  }
+}
