@@ -101,6 +101,9 @@ object SparkEntry {
     "q72_streaming_dedup" -> ((s, d) => streaming.Incremental.q72StreamingDedup(T(s, d))),
     "q73_repetition_signals" -> ((s, d) => TextAnalysis.q73RepetitionSignals(T(s, d))),
     "q74_pii_scrub"       -> ((s, d) => TextAnalysis.q74PiiScrub(T(s, d))),
+    "q75_mixture_sample"  -> ((s, d) => Corpus.q75MixtureSample(T(s, d))),
+    "q76_rarity_score"    -> ((s, d) => Corpus.q76RarityScore(T(s, d))),
+    "q77_sequence_pack"   -> ((s, d) => Corpus.q77SequencePack(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1308,5 +1311,71 @@ object SparkEntry {
         |    '\+[0-9]{1,3}-[0-9]{1,4}-[0-9]{3,6}', '<PHONE>', 'g') AS redacted
         |FROM built
         |ORDER BY cust_id""".stripMargin,
+    // q75: the keep decision replays the portable md5 bucket exactly; the
+    // rates CASE mirrors Corpus.keepRate.
+    "q75_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substr(md5(concat(75, ':', doc_id)), 1, 15))::BIGINT
+        |      % 1000 AS bucket,
+        |    CASE lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+        |      WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
+        |      ELSE 250 END AS rate
+        |  FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  count(*) FILTER (WHERE bucket < rate) AS n_kept,
+        |  any_value(rate) * 1.0 / 1000 AS target_rate,
+        |  count(*) FILTER (WHERE bucket < rate) * 1.0 / count(*) AS kept_frac,
+        |  CAST(coalesce(sum(CASE WHEN bucket < rate THEN n_chars ELSE 0 END),
+        |    0) AS BIGINT) AS chars_kept
+        |FROM d GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // q76: per-language corpus term frequencies joined back onto the token
+    // stream — all integer counts, exact int/int division.
+    "q76_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |lm AS (SELECT lang, w, count(*) AS wc FROM toks GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT t.w) AS BIGINT) AS vocab_seen,
+        |    CAST(sum(wc) AS BIGINT) AS sum_freq,
+        |    CAST(min(wc) AS BIGINT) AS min_freq
+        |  FROM toks t JOIN lm ON t.lang = lm.lang AND t.w = lm.w
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, vocab_seen, sum_freq, min_freq,
+        |  sum_freq * 1.0 / n_tokens AS avg_freq,
+        |  CASE WHEN sum_freq * 1.0 / n_tokens < 1300 THEN 'rare'
+        |    WHEN sum_freq * 1.0 / n_tokens < 2000 THEN 'mid'
+        |    ELSE 'common' END AS rarity_tier
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+    // q77: DuckDB replays the packing as the plain one-level per-language
+    // cumulative sum; the Spark side computes the identical offsets with
+    // the chunked two-phase scan (see Corpus.q77SequencePack scaladoc).
+    "q77_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS seq_offset
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, seq_offset,
+        |  CAST(seq_offset // 512 AS BIGINT) AS first_seq,
+        |  CAST((seq_offset + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+        |  CAST((seq_offset + n_tokens - 1) // 512 - seq_offset // 512 + 1
+        |    AS BIGINT) AS n_seqs
+        |FROM o
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables.T
+import graft.Serve._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators — the stages between a filtered document
+  * pool and a training run: mixture sampling (what fraction of each
+  * stratum to keep), model-based scoring (learn corpus statistics, apply
+  * them back per document), and sequence packing (where each document
+  * lands in the concatenated token stream). Complements the dedup
+  * (TextDedup), quality (TextAnalysis q30/q73/q74), and ANN (Similarity)
+  * families.
+  *
+  * Everything here is exact integer arithmetic or int/int division (exact
+  * in IEEE754), so the DuckDB oracle replays every value bit-for-bit —
+  * no transcendentals, no accumulation-order-dependent FP.
+  */
+object Corpus {
+
+  /** Per-language keep rates out of 1000 — the mixture weights a data
+    * recipe would assign (upsample low-resource strata, downsample the
+    * dominant one). A when-chain, not a lookup join: five literals belong
+    * in the plan, where constant folding sees them. */
+  private def keepRate(lang: Column): Column =
+    when(lang === "en", 350)
+      .when(lang === "de", 800)
+      .when(lang === "es", 600)
+      .when(lang === "fr", 500)
+      .when(lang === "zh", 900)
+      .otherwise(250)
+
+  /** q75 — stratified mixture sampling: every document draws a
+    * deterministic bucket in [0, 1000) from the portable 60-bit md5 hash
+    * of its id (the q51 replayable-sample device) and is kept iff the
+    * bucket clears its stratum's rate. Output is the per-stratum audit a
+    * mixture run logs: target rate, realized keep fraction, kept token
+    * mass.
+    *
+    * 100 TB design: the keep decision is map-side per row (hash +
+    * compare, no state); the audit aggregate shuffles five groups. The
+    * same decision column, filtered instead of aggregated, IS the
+    * sampled corpus — the audit and the sample share one scan. */
+  def q75MixtureSample(t: T): DataFrame =
+    t.documents
+      .withColumn("bucket",
+        expr(s"${TextDedup.h60(75, "CAST(doc_id AS STRING)")} % 1000"))
+      .withColumn("keep", col("bucket") < keepRate(col("lang")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("keep")).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn("target_rate", keepRate(col("lang")) * lit(1.0) / 1000)
+      .withColumn("kept_frac", col("n_kept") * lit(1.0) / col("n_docs"))
+      .select("lang", "n_docs", "n_kept", "target_rate", "kept_frac", "chars_kept")
+      .smallSort("lang")
+
+  /** q76 — token-rarity scoring, the learn-then-apply shape of a CCNet-
+    * style model filter: pass 1 learns per-language corpus term
+    * frequencies (the "language model"); pass 2 joins them back onto the
+    * token stream and scores each document by the average corpus
+    * frequency of its tokens (low average = rare vocabulary). Exact
+    * integer statistics stand in for log-probabilities so the oracle
+    * replays values bit-for-bit; the tier thresholds split the corpus the
+    * way a perplexity head/middle/tail split would.
+    *
+    * 100 TB design: the LM is a groupBy over (lang, term) — partial
+    * aggregation combines map-side, and the result is vocabulary-sized
+    * (tiny relative to the corpus), so the apply join broadcasts; the
+    * per-document score is one more groupBy on doc_id. Two shuffles
+    * total, both on high-cardinality keys. */
+  def q76RarityScore(t: T): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val lm = toks.groupBy("lang", "w").agg(count(lit(1)).as("wc"))
+    toks
+      .join(broadcast(lm), Seq("lang", "w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("w").as("vocab_seen"),
+        sum("wc").as("sum_freq"),
+        min("wc").as("min_freq"))
+      .withColumn("avg_freq", col("sum_freq") * lit(1.0) / col("n_tokens"))
+      .withColumn("rarity_tier",
+        when(col("avg_freq") < 1300, "rare")
+          .when(col("avg_freq") < 2000, "mid")
+          .otherwise("common"))
+      .select("doc_id", "n_tokens", "vocab_seen", "sum_freq", "min_freq",
+        "avg_freq", "rarity_tier")
+      .localCheckpoint(false)
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per training sequence (q77). */
+  val SeqTokens = 512
+  /** Documents per accumulation chunk (q77) — bounds every window
+    * partition; see the scaladoc below. */
+  val ChunkDocs = 1000
+
+  /** q77 — sequence packing: pretraining concatenates each language's
+    * documents in a fixed order and splits the stream at SeqTokens
+    * boundaries, so a document's training-sequence span is determined by
+    * its token offset in the stream. Emits per document the offset,
+    * first/last sequence index, and span width.
+    *
+    * 100 TB design — the whole point of this operator's shape: the naive
+    * plan is `sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)`,
+    * which shuffles the corpus into ONE task per language — a handful of
+    * stragglers each sorting terabytes. Instead the classic two-phase
+    * scan, fully declarative:
+    *   1. chunk the stream by the DATA (doc_id div ChunkDocs), so every
+    *      window partition is ≤ ChunkDocs rows — within-chunk running
+    *      sums are bounded and embarrassingly parallel;
+    *   2. per-(lang, chunk) totals are a tiny aggregate (corpus/ChunkDocs
+    *      rows); their exclusive running sum — the chunk's global offset —
+    *      is a window over that TINY relation;
+    *   3. broadcast-join the chunk offsets back and add the within-chunk
+    *      prefix. offset = chunk_offset + within_prev, exactly the value
+    *      the one-task window would have produced, at full parallelism.
+    * DuckDB replays it as the plain one-level cumulative sum — identical
+    * values, different (scale-safe) plan. */
+  def q77SequencePack(t: T): DataFrame =
+    packOffsets(
+      t.documents.select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+      SeqTokens, ChunkDocs)
+      .localCheckpoint(false)
+      .orderBy("doc_id")
+
+  /** The reusable packing core over (doc_id, lang, n_tokens) rows —
+    * parameterized so specs can shrink the chunk size and force the
+    * multi-chunk accumulation path on a small corpus. */
+  def packOffsets(docs: DataFrame, seqTokens: Int, chunkDocs: Int): DataFrame = {
+    val base = docs.withColumn("chunk", expr(s"doc_id div $chunkDocs"))
+    val wChunk = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinPrev = base
+      .withColumn("within_prev", coalesce(sum("n_tokens").over(wChunk), lit(0L)))
+    val chunkTotals = base.groupBy("lang", "chunk")
+      .agg(sum("n_tokens").as("chunk_tokens"))
+    val wStream = Window.partitionBy("lang").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = chunkTotals
+      .withColumn("chunk_offset", coalesce(sum("chunk_tokens").over(wStream), lit(0L)))
+      .select("lang", "chunk", "chunk_offset")
+    withinPrev
+      .join(broadcast(chunkOffsets), Seq("lang", "chunk"))
+      .withColumn("seq_offset", col("chunk_offset") + col("within_prev"))
+      .withColumn("first_seq", expr(s"seq_offset div $seqTokens"))
+      .withColumn("last_seq",
+        expr(s"(seq_offset + n_tokens - 1) div $seqTokens"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select("doc_id", "lang", "n_tokens", "seq_offset", "first_seq",
+        "last_seq", "n_seqs")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: the q77 two-phase packing core against
+  * the naive one-task window it replaces, and the packing arithmetic on a
+  * hand-computed stream. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packOffsets == one-level window cumsum on a multi-chunk corpus") {
+    val rnd = new scala.util.Random(77)
+    val docs = (0L until 200L).map(id =>
+      (id, Seq("en", "de", "zh")(rnd.nextInt(3)), 1L + rnd.nextInt(50)))
+      .toDF("doc_id", "lang", "n_tokens")
+    // chunkDocs = 7 forces ~29 chunks; the naive form is the spec oracle
+    val fast = Corpus.packOffsets(docs, 16, 7)
+      .select("doc_id", "seq_offset", "first_seq", "last_seq", "n_seqs")
+      .orderBy("doc_id").collect()
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("seq_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("first_seq", expr("seq_offset div 16"))
+      .withColumn("last_seq", expr("(seq_offset + n_tokens - 1) div 16"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select("doc_id", "seq_offset", "first_seq", "last_seq", "n_seqs")
+      .orderBy("doc_id").collect()
+    assert(fast.toSeq == naive.toSeq)
+  }
+
+  test("packing arithmetic: spans and boundaries") {
+    // one lang, budget 10: docs of 4, 8, 10, 25 tokens
+    // offsets 0, 4, 12, 22 → seqs [0,0], [0,1], [1,2], [2,4]
+    val docs = Seq((0L, "en", 4L), (1L, "en", 8L), (2L, "en", 10L),
+      (3L, "en", 25L)).toDF("doc_id", "lang", "n_tokens")
+    val out = Corpus.packOffsets(docs, 10, 100)
+      .orderBy("doc_id")
+      .select("seq_offset", "first_seq", "last_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L, 0L, 1L), (4L, 0L, 1L, 2L),
+      (12L, 1L, 2L, 2L), (22L, 2L, 4L, 3L)))
+  }
+
+  test("streams are independent per language") {
+    val docs = Seq((0L, "en", 9L), (1L, "de", 9L), (2L, "en", 9L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Corpus.packOffsets(docs, 10, 100)
+      .orderBy("doc_id").select("seq_offset").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 9L)) // de restarts at 0
+  }
+}
