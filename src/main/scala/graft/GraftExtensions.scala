@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -133,6 +133,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TrigramSimSorted(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("top_gram_count"),
+      new ExpressionInfo(classOf[TopGramCount].getName, null, "top_gram_count",
+        "top_gram_count(words, n) - highest occurrence count of any " +
+          "n-gram of adjacent elements in a string array (n = 1: the " +
+          "elements themselves; n >= 2: space-joined adjacent runs). " +
+          "0 when the array has fewer than n elements.",
+        ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`top_gram_count`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val n = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_gram_count gram size must be an integer literal, got ${other.sql}")
+        }
+        TopGramCount(exprs.head, n)
       }))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -85,24 +85,6 @@ object TextAnalysis {
       .localCheckpoint(false)
       .orderBy("doc_id")
 
-  /** Highest per-item frequency in an array, computed as the longest
-    * equal-run of its SORTED copy — one O(n log n) map-side pass per row
-    * (`array_sort` + `aggregate` fold), no explode, no shuffle. The run
-    * accumulator carries (prev item, current run, best run); frequency of
-    * the most common item == longest run after sorting because sorting
-    * groups equal items adjacently. Empty array → 0. */
-  private def maxItemCount(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** q73 — repetition quality signals (Gopher-style, Rae et al. 2021
     * §A1.1): per-document duplicate-word fraction, most-frequent-word
     * share, and most-frequent-word-bigram share, plus the keep/drop
@@ -111,11 +93,14 @@ object TextAnalysis {
     * arms stay exercised.
     *
     * 100 TB design: every signal is computed inside the row — `split`,
-    * `array_distinct`, `zip_with` for bigrams, and the sorted-run fold
-    * above — so the whole query is a single map-side pass with no
-    * explode, no groupBy, and no shuffle before the serving sort. The
-    * oracle replays the counts the classic way (unnest + GROUP BY +
-    * max) — value-identical because most-common-item frequency equals
+    * `array_distinct`, and the native codegen'd `top_gram_count` for the
+    * word and bigram frequency maxima (functions/TopGramCount.scala; the
+    * earlier `array_sort` + `aggregate`-fold + `zip_with` composition
+    * walked the interpreted HOF evaluator per element, ~2× the query) —
+    * so the whole query is a single map-side pass with no explode, no
+    * groupBy, and no shuffle before the serving sort. The oracle replays
+    * the counts the classic way (unnest + GROUP BY + max) —
+    * value-identical because most-common-item frequency equals
     * longest-equal-run-after-sort, and all ratios are int/int divisions
     * (exact in IEEE754, so DuckDB and Spark agree bit-for-bit). */
   def q73RepetitionSignals(t: T): DataFrame =
@@ -134,12 +119,8 @@ object TextAnalysis {
       .withColumn("words", split(trim(col("text")), "\\s+"))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_distinct", size(array_distinct(col("words"))))
-      .withColumn("bigrams", zip_with(
-        slice(col("words"), lit(1), size(col("words")) - 1),
-        slice(col("words"), lit(2), size(col("words")) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .withColumn("top_word_count", maxItemCount(col("words")))
-      .withColumn("top_bigram_count", maxItemCount(col("bigrams")))
+      .withColumn("top_word_count", expr("top_gram_count(words, 1)"))
+      .withColumn("top_bigram_count", expr("top_gram_count(words, 2)"))
       .withColumn("dup_word_frac",
         (col("n_words") - col("n_distinct")) * lit(1.0) / col("n_words"))
       .withColumn("top_word_frac",

@@ -50,6 +50,44 @@ class TextQualitySpec extends SparkSpec {
     assert(rep("x y x y").getAs[Int]("top_word_count") == 2)
   }
 
+  test("top_gram_count == HOF sort+fold composition (random, n=1 and n=2)") {
+    val rnd = new scala.util.Random(173)
+    val rows = (1 to 20).map { _ =>
+      Tuple1(Seq.fill(2 + rnd.nextInt(30))(s"t${rnd.nextInt(5)}")) }
+    val df = rows.toDF("words")
+    val hof =
+      "aggregate(array_sort(a), struct('' as prev, 0 as run, 0 as best), " +
+        "(acc, x) -> struct(x as prev, " +
+        "if(x = acc.prev, acc.run + 1, 1) as run, " +
+        "greatest(acc.best, if(x = acc.prev, acc.run + 1, 1)) as best), " +
+        "acc -> acc.best)"
+    // n=1: fold over the words; n=2: fold over explicitly built bigrams
+    val bigrams = "zip_with(slice(words, 1, size(words) - 1), " +
+      "slice(words, 2, size(words) - 1), (x, y) -> concat(x, ' ', y))"
+    val both = df.selectExpr(
+      "top_gram_count(words, 1) as native1",
+      s"${hof.replaceAll("\\ba\\b", "words")} as hof1",
+      "top_gram_count(words, 2) as native2",
+      s"${hof.replaceAll("\\ba\\b", bigrams)} as hof2"
+    ).collect()
+    both.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"n=1 mismatch: $r")
+      assert(r.getInt(2) == r.getInt(3), s"n=2 mismatch: $r")
+    }
+  }
+
+  test("top_gram_count edges: fewer elements than n, and misuse") {
+    val df = Seq(Tuple1(Seq("only"))).toDF("words")
+    val r = df.selectExpr("top_gram_count(words, 2) as c2",
+      "top_gram_count(words, 1) as c1").collect().head
+    assert(r.getInt(0) == 0 && r.getInt(1) == 1)
+    val err = intercept[Exception] {
+      Seq(Tuple1("not an array")).toDF("s")
+        .selectExpr("top_gram_count(s, 1)").collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+  }
+
   private def pii(text: String): Row =
     TextAnalysis.piiSignals(Seq(Tuple1(text)).toDF("text")).collect().head
 
