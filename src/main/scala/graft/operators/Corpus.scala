@@ -138,7 +138,10 @@ object Corpus {
       t.documents.select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens")),
       SeqTokens, ChunkDocs)
-      .localCheckpoint(false)
+      // no pre-sort checkpoint: the within-chunk window's exchange already
+      // materializes under AQE, so the range sort's sampling pass replays
+      // only the cheap post-window join — a checkpoint was measured noise
+      // either way at sf0.1
       .orderBy("doc_id")
 
   /** The reusable packing core over (doc_id, lang, n_tokens) rows —
@@ -158,7 +161,12 @@ object Corpus {
       .withColumn("chunk_offset", coalesce(sum("chunk_tokens").over(wStream), lit(0L)))
       .select("lang", "chunk", "chunk_offset")
     withinPrev
-      .join(broadcast(chunkOffsets), Seq("lang", "chunk"))
+      // no broadcast hint: chunkOffsets is corpus/chunkDocs rows — small
+      // here, but at 100 TB it is 10^7 rows and must not be FORCED into
+      // the driver. AQE broadcasts it while it is small; past that the
+      // join reuses the (lang, chunk) partitioning the window just
+      // established, so the fallback shuffles only the tiny offsets side.
+      .join(chunkOffsets, Seq("lang", "chunk"))
       .withColumn("seq_offset", col("chunk_offset") + col("within_prev"))
       .withColumn("first_seq", expr(s"seq_offset div $seqTokens"))
       .withColumn("last_seq",
