@@ -404,6 +404,10 @@ object Clustering {
     // question length, so a vector row is always small.
     val vecs = terms.groupBy("qid")
       .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
+      // both join sides read this aggregate; cached, the groupBy +
+      // sort_array pass runs once instead of once per side (ReuseExchange
+      // only shares the exchange, not the final aggregate + sort projection)
+      .cache()
     val edges = cand
       .join(vecs.select(col("qid").as("qa"), col("vec").as("va")), Seq("qa"))
       .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
