@@ -104,6 +104,8 @@ object SparkEntry {
     "q75_mixture_sample"  -> ((s, d) => Corpus.q75MixtureSample(T(s, d))),
     "q76_rarity_score"    -> ((s, d) => Corpus.q76RarityScore(T(s, d))),
     "q77_sequence_pack"   -> ((s, d) => Corpus.q77SequencePack(T(s, d))),
+    "q78_source_cap"      -> ((s, d) => Corpus.q78SourceCap(T(s, d))),
+    "q79_decontaminate"   -> ((s, d) => Corpus.q79Decontaminate(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1377,5 +1379,51 @@ object SparkEntry {
         |    AS BIGINT) AS n_seqs
         |FROM o
         |ORDER BY doc_id""".stripMargin,
+    // q78: the oracle replays the cap as the one-level per-source window;
+    // the Spark side's salted two-phase top-k provably selects the same
+    // survivors and ranks (total (bucket, doc_id) tie-break).
+    "q78_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(concat(78, ':', doc_id)), 1, 15))::BIGINT
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, bucket,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY bucket, doc_id) AS INT) AS rank
+        |  FROM ranked)
+        |SELECT source, rank, doc_id, bucket
+        |FROM rk WHERE rank <= 40
+        |ORDER BY source, rank""".stripMargin,
+    // q79: distinct 7-word shingles, probe/train split on doc_id % 97,
+    // one gram equi-join, left join keeps zero-leak probes.
+    "q79_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 5),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]))) AS gram
+        |  FROM words WHERE len(w) >= 7),
+        |probe AS (SELECT doc_id AS probe_doc, gram FROM g WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id AS train_doc, gram FROM g WHERE doc_id % 97 != 0),
+        |hits AS (
+        |  SELECT probe_doc,
+        |    CAST(count(DISTINCT gram) AS BIGINT) AS n_leaked_grams,
+        |    CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs
+        |  FROM probe JOIN train USING (gram)
+        |  GROUP BY probe_doc)
+        |SELECT p.probe_doc,
+        |  CAST(count(*) AS BIGINT) AS n_probe_grams,
+        |  coalesce(any_value(h.n_leaked_grams), 0) AS n_leaked_grams,
+        |  coalesce(any_value(h.n_train_docs), 0) AS n_train_docs,
+        |  coalesce(any_value(h.n_leaked_grams), 0) * 1.0 / count(*)
+        |    AS leak_frac
+        |FROM probe p LEFT JOIN hits h ON p.probe_doc = h.probe_doc
+        |GROUP BY p.probe_doc
+        |ORDER BY p.probe_doc""".stripMargin,
   )
 }

@@ -105,6 +105,91 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap (q78). */
+  val SourceCap = 40
+  /** Salt fan-out for the two-phase top-k (q78). */
+  val CapSalts = 8
+
+  /** q78 — per-source quota capping: keep at most SourceCap documents per
+    * source, chosen by a deterministic hash order (the replayable-sample
+    * device again, so re-runs and the oracle pick identical survivors).
+    * The per-domain cap of a web-corpus pipeline.
+    *
+    * 100 TB design: a source can hold billions of rows, so a straight
+    * `row_number() OVER (PARTITION BY source)` is one task per source —
+    * the skew scale-killer. Two bounded phases instead: phase 1 ranks
+    * within (source, salt) — CapSalts× the parallelism, partitions
+    * bounded — and keeps each salt's top SourceCap, a provable superset
+    * of the global top (any row outside its salt's top-k is beaten by k
+    * rows in its own salt alone); phase 2 ranks the ≤ CapSalts·SourceCap
+    * survivors per source, a bounded relation. The oracle replays the
+    * one-level window — identical survivors and ranks by the total
+    * (bucket, doc_id) tie-break. */
+  def q78SourceCap(t: T): DataFrame = {
+    val ranked = t.documents
+      .select(col("doc_id"), col("source"),
+        expr(s"${TextDedup.h60(78, "CAST(doc_id AS STRING)")} % 1000000")
+          .as("bucket"))
+      .withColumn("salt", col("doc_id") % CapSalts)
+    val w1 = Window.partitionBy("source", "salt")
+      .orderBy(col("bucket"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("bucket"), col("doc_id"))
+    ranked
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= SourceCap)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= SourceCap)
+      .select("source", "rank", "doc_id", "bucket")
+      .orderBy("source", "rank")
+  }
+
+  /** 7 words per probe shingle (q79). */
+  val ProbeGram = 7
+
+  /** q79 — decontamination: flag training documents that share any
+    * ProbeGram-word shingle with a held-out evaluation set (docs with
+    * doc_id % 97 == 0 stand in for the benchmark), and report per probe
+    * document how much of it leaks into training — the overlap audit an
+    * evaluation-hygiene pass produces. Zero-leak probes stay in the
+    * output (left join), so the report always covers the full eval set.
+    *
+    * 100 TB design: the q27 shingling shape — distinct (doc, gram) rows,
+    * one equi-join on the gram (never doc×doc), two groupBys. The probe
+    * side is eval-set-sized; AQE broadcasts it when small. */
+  def q79Decontaminate(t: T): DataFrame = {
+    val grams = t.documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .filter(size(col("words")) >= ProbeGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(words) - $ProbeGram), i -> " +
+          (0 until ProbeGram).map(k => s"words[i + $k]")
+            .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("gram"))
+      .distinct()
+      .localCheckpoint(false) // feeds both join sides — materialize once
+    val probe = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_doc"), col("gram"))
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    val hits = probe.join(train, Seq("gram"))
+      .groupBy("probe_doc")
+      .agg(
+        countDistinct("gram").as("n_leaked_grams"),
+        countDistinct("train_doc").as("n_train_docs"))
+    probe.groupBy("probe_doc")
+      .agg(count(lit(1)).as("n_probe_grams"))
+      .join(hits, Seq("probe_doc"), "left")
+      .select(col("probe_doc"),
+        col("n_probe_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_leaked_grams"), lit(0L)) * lit(1.0) /
+          col("n_probe_grams")).as("leak_frac"))
+      // one row per probe doc — the synthetic probe set scales with the
+      // corpus, so keep the distributed sort (a deployed eval set is
+      // fixed-size and could smallSort)
+      .orderBy("probe_doc")
+  }
+
   /** Tokens per training sequence (q77). */
   val SeqTokens = 512
   /** Documents per accumulation chunk (q77) — bounds every window

@@ -44,6 +44,31 @@ class CorpusSpec extends SparkSpec {
       (12L, 1L, 2L, 2L), (22L, 2L, 4L, 3L)))
   }
 
+  test("salted two-phase source cap == one-level window (random corpus)") {
+    // same shape as q78 with the doc table swapped for a random frame:
+    // phase-1 per-(source, salt) top-k is a superset of the global top-k,
+    // so phase 2 must reproduce the naive ranks exactly
+    val rnd = new scala.util.Random(78)
+    val docs = (0L until 300L).map(id => (id, s"s${rnd.nextInt(4)}"))
+      .toDF("doc_id", "source")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat('78:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+      .withColumn("salt", col("doc_id") % 8)
+    val w1 = Window.partitionBy("source", "salt").orderBy("bucket", "doc_id")
+    val w2 = Window.partitionBy("source").orderBy("bucket", "doc_id")
+    val twoPhase = docs
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 40)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 40)
+      .select("source", "rank", "doc_id")
+      .orderBy("source", "rank").collect()
+    val naive = docs
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 40)
+      .select("source", "rank", "doc_id")
+      .orderBy("source", "rank").collect()
+    assert(twoPhase.toSeq == naive.toSeq)
+    assert(naive.length == 4 * 40) // every source capped
+  }
+
   test("streams are independent per language") {
     val docs = Seq((0L, "en", 9L), (1L, "de", 9L), (2L, "en", 9L))
       .toDF("doc_id", "lang", "n_tokens")
