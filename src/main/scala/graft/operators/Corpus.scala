@@ -160,12 +160,15 @@ object Corpus {
     val grams = t.documents
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= ProbeGram)
-      .select(col("doc_id"), explode(expr(
+      // per-row array_distinct, not a corpus-wide .distinct(): 7-word
+      // shingles rarely repeat within a document, so the global hash
+      // shuffle + materialization it required bought almost no row
+      // reduction (measured ~2× the query at sf0.1); the per-row form
+      // keeps shingling map-side on both join branches
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(words) - $ProbeGram), i -> " +
           (0 until ProbeGram).map(k => s"words[i + $k]")
-            .mkString("concat_ws(' ', ", ", ", ")") + ")")).as("gram"))
-      .distinct()
-      .localCheckpoint(false) // feeds both join sides — materialize once
+            .mkString("concat_ws(' ', ", ", ", ")") + ")"))).as("gram"))
     val probe = grams.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("probe_doc"), col("gram"))
     val train = grams.filter(col("doc_id") % 97 =!= 0)
