@@ -106,6 +106,7 @@ object SparkEntry {
     "q77_sequence_pack"   -> ((s, d) => Corpus.q77SequencePack(T(s, d))),
     "q78_source_cap"      -> ((s, d) => Corpus.q78SourceCap(T(s, d))),
     "q79_decontaminate"   -> ((s, d) => Corpus.q79Decontaminate(T(s, d))),
+    "q80_quantize_int8"   -> ((s, d) => Similarity.q80QuantizeInt8(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1425,5 +1426,28 @@ object SparkEntry {
         |FROM probe p LEFT JOIN hits h ON p.probe_doc = h.probe_doc
         |GROUP BY p.probe_doc
         |ORDER BY p.probe_doc""".stripMargin,
+    // q80: identical per-element IEEE754 double expression tree — the
+    // only aggregations are integer sums/counts (order-exact).
+    "q80_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS INT) AS dim,
+        |    list_transform(embedding, v -> CASE WHEN vmax = vmin THEN 0
+        |      ELSE CAST(least(greatest(floor((CAST(v AS DOUBLE) - vmin)
+        |        * 255.0 / (vmax - vmin)), 0.0), 255.0) AS INT) END) AS q
+        |  FROM base)
+        |SELECT vec_id, dim,
+        |  CAST(list_min(q) AS INT) AS qmin,
+        |  CAST(list_max(q) AS INT) AS qmax,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  CAST(len(list_filter(q, x -> x = 0)) AS INT) AS n_sat_low,
+        |  CAST(len(list_filter(q, x -> x = 255)) AS INT) AS n_sat_high
+        |FROM qz
+        |ORDER BY vec_id""".stripMargin,
   )
 }

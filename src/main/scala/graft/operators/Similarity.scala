@@ -171,4 +171,36 @@ object Similarity {
       .select("query_id", "bucket", "rank", "vec_id", "cosine")
       .smallSort("query_id", "rank")
   }
+
+  /** q80 — int8 scalar quantization audit: per vector, min-max quantize
+    * every dimension to [0, 255] and report the integer summary a
+    * compression pass would log (quantized min/max/sum, saturated-low and
+    * saturated-high dimension counts). The byte codes themselves are the
+    * `q` array — the audit aggregates them so the output stays scalar
+    * (driver-compare friendly) while exercising the full quantize path.
+    *
+    * Determinism across engines: every per-element op ((v − vmin) · 255 /
+    * range, floor, clamp) is a single-operand-order IEEE754 double
+    * expression replayed with the identical tree in the oracle — the FP
+    * hazard in this codebase is accumulation ORDER, which only touches
+    * integer sums here (exact in any order). Note floor((vmax−vmin)·255 /
+    * (vmax−vmin)) can land on 254 in FP — accepted and identical in both
+    * engines; the clamp bounds it. Flat vectors (vmax == vmin) quantize
+    * to all-zero by definition. Pure map-side; scales with input splits. */
+  def q80QuantizeInt8(t: T): DataFrame =
+    t.embeddings
+      .withColumn("vmin", array_min(col("embedding")).cast("double"))
+      .withColumn("vmax", array_max(col("embedding")).cast("double"))
+      .withColumn("q", expr(
+        "transform(embedding, v -> CASE WHEN vmax = vmin THEN 0 " +
+          "ELSE CAST(least(greatest(floor((CAST(v AS DOUBLE) - vmin) * 255.0D " +
+          "/ (vmax - vmin)), 0.0D), 255.0D) AS INT) END)"))
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_min(col("q")).as("qmin"),
+        array_max(col("q")).as("qmax"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("qsum"),
+        expr("size(filter(q, x -> x = 0))").as("n_sat_low"),
+        expr("size(filter(q, x -> x = 255))").as("n_sat_high"))
+      .orderBy("vec_id")
 }
