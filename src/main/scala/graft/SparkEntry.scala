@@ -107,6 +107,7 @@ object SparkEntry {
     "q78_source_cap"      -> ((s, d) => Corpus.q78SourceCap(T(s, d))),
     "q79_decontaminate"   -> ((s, d) => Corpus.q79Decontaminate(T(s, d))),
     "q80_quantize_int8"   -> ((s, d) => Similarity.q80QuantizeInt8(T(s, d))),
+    "q81_dedup_survivors" -> ((s, d) => TextDedup.q81DedupSurvivors(s, T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1449,5 +1450,56 @@ object SparkEntry {
         |  CAST(len(list_filter(q, x -> x = 255)) AS INT) AS n_sat_high
         |FROM qz
         |ORDER BY vec_id""".stripMargin,
+    // q81: the q27 pair chain closed transitively with a recursive CTE
+    // (sparse near-dup graph → the closure is small), canonical = the
+    // component minimum — exactly ccMinLabels' fixed point.
+    "q81_dedup_survivors" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id,
+        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
+        |    % 2147483647 AS hb
+        |  FROM sh),
+        |seeds AS (SELECT * FROM (VALUES
+        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
+        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
+        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
+        |  (11, 24593, 17327)) AS s(seed, a, b)),
+        |hashes AS (
+        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
+        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, seed // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+        |  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+        |      len(list_distinct(list_cat(x.shingles, y.shingles))) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |canon AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        |  coalesce(c.canonical, d.doc_id) AS canonical_id,
+        |  (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN canon c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -434,18 +434,51 @@ object Clustering {
       .cache()
     val directedRows = eb.count()
     lap(s"edges built ($directedRows directed rows)")
-    // SMALL-GRAPH FAST PATH: the iterative loop below costs ~5 fixed
-    // Spark jobs (join+agg+checkpoint+count each) regardless of data
-    // size — ~3-4 s of pure scheduling at sf0.1 for a graph whose
-    // union-find is sub-millisecond. When the materialized edge count is
-    // driver-safe (2 M directed rows ≈ 32 MB of longs), collect ONLY the
-    // edge list (never the node set — isolated nodes stay distributed
-    // and keep label = qid via the left join), union-find with
-    // point-larger-root-at-smaller so every final root is its component
-    // minimum — the same fixed point the loop reaches — and broadcast
-    // the mapping back. At 100 TB the threshold-filtered edge list can
-    // exceed the bound → the distributed loop below is the same-semantics
-    // scale path, chosen automatically by the measured count.
+    val labels = ccMinLabels(spark, distinct.select(col("qid")), eb,
+      directedRows, maxIter, smallGraphBound, lap)
+    // one row per component → the ordering window is post-aggregate-small
+    val renum = labels.select(col("label").as("root")).distinct()
+      .withColumn("cluster_id",
+        (row_number().over(Window.orderBy("root")) - 1).cast("int"))
+    val assigned = distinct
+      .join(labels, Seq("qid"))
+      .join(renum, col("label") === col("root"))
+      .select(col(questionCol), col("cluster_id"))
+    val labelPerCluster = assigned
+      .groupBy("cluster_id")
+      .agg(min(struct(length(col(questionCol)).as("l"),
+        col(questionCol).as("q"))).as("m"))
+      .select(col("cluster_id"), col("m.q").as("cluster_label"))
+    val mapping = assigned.join(labelPerCluster, Seq("cluster_id"))
+      .select(col(questionCol), col("cluster_id"), col("cluster_label"))
+      .localCheckpoint()
+    lap("mapping materialized")
+    Seq(distinct, terms, eb).foreach(_.unpersist())
+    mapping
+  }
+
+  /** Connected components by min-label over a CACHED directed edge list
+    * (both directions present), returning (qid, label) with label = the
+    * component's minimum node id; isolated nodes label themselves. The
+    * shared CC engine of the clustering scale path (T6) and the dedup
+    * survivor manifest (q81).
+    *
+    * SMALL-GRAPH FAST PATH: the iterative loop costs ~5 fixed Spark jobs
+    * per round (join+agg+checkpoint+count) regardless of data size —
+    * ~3-4 s of pure scheduling at sf0.1 for a graph whose union-find is
+    * sub-millisecond. When the materialized edge count is driver-safe
+    * (2 M directed rows ≈ 32 MB of longs), collect ONLY the edge list
+    * (never the node set — isolated nodes stay distributed and keep
+    * label = qid via the left join), union-find with
+    * point-larger-root-at-smaller so every final root is its component
+    * minimum — the same fixed point the loop reaches — and broadcast the
+    * mapping back. At 100 TB the threshold-filtered edge list can exceed
+    * the bound → the distributed loop is the same-semantics scale path,
+    * chosen automatically by the measured count. */
+  private[graft] def ccMinLabels(spark: SparkSession, nodes: DataFrame,
+      eb: DataFrame, directedRows: Long, maxIter: Int,
+      smallGraphBound: Long, lap: String => Unit = _ => ()): DataFrame = {
+    import spark.implicits._
     var labels: DataFrame = null
     var changed = 1L
     var iter = 0
@@ -468,7 +501,7 @@ object Clustering {
       import scala.jdk.CollectionConverters._
       val mapping = parent.keySet.asScala.iterator
         .map(k => (k.longValue, find(k))).toSeq.toDF("qid", "nd")
-      labels = distinct.select(col("qid"))
+      labels = nodes
         .join(broadcast(mapping), Seq("qid"), "left")
         .select(col("qid"), coalesce(col("nd"), col("qid")).as("label"))
       changed = 0L
@@ -479,7 +512,7 @@ object Clustering {
       // save a full round's join+groupBy+count job. Fixed point unchanged —
       // this is exactly the state plain propagation reaches after round 1
       // (minus the pointer jump, which the next round's jump subsumes).
-      labels = distinct.select(col("qid"))
+      labels = nodes
         .join(eb.groupBy("src").agg(min("dst").as("nd"))
           .withColumnRenamed("src", "qid"), Seq("qid"), "left")
         .select(col("qid"),
@@ -532,25 +565,7 @@ object Clustering {
       iter += 1
       lap(s"cc iter $iter changed=$changed")
     }
-    // one row per component → the ordering window is post-aggregate-small
-    val renum = labels.select(col("label").as("root")).distinct()
-      .withColumn("cluster_id",
-        (row_number().over(Window.orderBy("root")) - 1).cast("int"))
-    val assigned = distinct
-      .join(labels, Seq("qid"))
-      .join(renum, col("label") === col("root"))
-      .select(col(questionCol), col("cluster_id"))
-    val labelPerCluster = assigned
-      .groupBy("cluster_id")
-      .agg(min(struct(length(col(questionCol)).as("l"),
-        col(questionCol).as("q"))).as("m"))
-      .select(col("cluster_id"), col("m.q").as("cluster_label"))
-    val mapping = assigned.join(labelPerCluster, Seq("cluster_id"))
-      .select(col(questionCol), col("cluster_id"), col("cluster_label"))
-      .localCheckpoint()
-    lap("mapping materialized")
-    Seq(distinct, terms, eb).foreach(_.unpersist())
-    mapping
+    labels
   }
 
   /** Row-level wrapper for the scale path, mirroring clusterAttributions'

@@ -225,6 +225,40 @@ object TextDedup {
     * sf0.1 — the q31 lesson again). The 31-limit split tokenizes only
     * the prefix, so a multi-MB document costs its first ~30 words, not a
     * full-text split. */
+  /** q81 — dedup survivor manifest: the step AFTER near-dup pair mining
+    * that every pipeline actually needs. MinHash pairs (the q27 chain,
+    * jaccard ≥ 0.8) become edges of a duplicate graph; connected
+    * components (Clustering.ccMinLabels — driver union-find under the
+    * small-graph bound, min-label propagation with pointer jumping past
+    * it) group transitive duplicates; each document maps to its
+    * component's minimum doc_id as the canonical survivor. One row per
+    * document: keep the canonicals, drop the rest.
+    *
+    * Transitivity is deliberate (A≈B≈C collapses to one survivor even
+    * when A,C don't pair directly) — the standard MinHash-cluster-keep-one
+    * shape. The oracle replays the pair chain and closes it with a
+    * recursive transitive-closure CTE, feasible because near-dup pair
+    * graphs are sparse by construction at any scale. */
+  def q81DedupSurvivors(spark: org.apache.spark.sql.SparkSession, t: T): DataFrame = {
+    val pairs = q27MinhashNearDup(t).select("doc_a", "doc_b")
+    val eb = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    val labels = Clustering.ccMinLabels(spark,
+      t.documents.select(col("doc_id").as("qid")), eb, eb.count(),
+      maxIter = 30, smallGraphBound = Clustering.SmallGraphEdgeBound)
+    val out = labels
+      .select(col("qid").as("doc_id"), col("label").as("canonical_id"),
+        (col("qid") === col("label")).as("is_canonical"))
+      .localCheckpoint(false)
+      .orderBy("doc_id")
+    eb.unpersist(false)
+    out
+  }
+
   def q70NgramJaccard(t: T): DataFrame = {
     val base = t.documents
       .select(col("doc_id"),
