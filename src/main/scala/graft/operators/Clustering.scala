@@ -453,7 +453,7 @@ object Clustering {
       .select(col(questionCol), col("cluster_id"), col("cluster_label"))
       .localCheckpoint()
     lap("mapping materialized")
-    Seq(distinct, terms, eb).foreach(_.unpersist())
+    Seq(distinct, terms, vecs, eb).foreach(_.unpersist())
     mapping
   }
 

@@ -85,6 +85,11 @@ object Corpus {
         explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .groupBy("doc_id", "lang", "w")
       .agg(count(lit(1)).as("n_occ"))
+      // Feeds BOTH the per-language LM aggregate and the join probe side;
+      // without truncation the scan+explode+aggregate runs once per
+      // consumer. Lazy localCheckpoint (MEMORY_AND_DISK, spills) is the
+      // same 2-consumer treatment as q27's shingle stream.
+      .localCheckpoint(false)
     val lm = dw.groupBy("lang", "w").agg(sum("n_occ").as("wc"))
     dw
       .join(broadcast(lm), Seq("lang", "w"))

@@ -101,20 +101,31 @@ object Polls {
     * At 100 TB this is exactly the warehouse shape: staging lands
     * partitioned on the serving key, downstream reads prune/cluster by
     * it, and the expensive parse pays once per ingest, not per query. */
-  def stgPollResultsTable(t: T): DataFrame = {
-    val path = stagingCache.computeIfAbsent(t.sfDir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_stg_polls_").toString
-      stgPollResults(t).write.mode("overwrite").partitionBy("party").parquet(out)
-      out
+  def stgPollResultsTable(t: T): DataFrame =
+    stagingCache.computeIfAbsent((t.spark, t.sfDir), { _ =>
+      // Materialized as an EAGER 32-way localCheckpoint clustered on the
+      // (party, institute) serving key, not as a parquet round-trip (r8.3).
+      // The r7/r8.2 form wrote the table partitionBy(party): the rows
+      // dictionary-compress to <1 MB on disk, so AQE coalesced the write
+      // to ONE task and the read-back packed the tiny files into ~one
+      // scan task (4 MB open-cost bins) — every downstream aggregate then
+      // decoded ~0.5 M rows serially, 0.3-0.5 s per staging CONSUMER at
+      // sf0.1, the dominant q22/q23 cost. The checkpoint stores decoded
+      // rows in 32 partitions (same treatment as Tables.cpuHeavyKeys):
+      // consumers skip the scan+decode entirely, and the preserved
+      // HashPartitioning(party, institute_id) satisfies the clustered
+      // distribution of q22's trend window and q23's per-party aggregate,
+      // so their exchanges vanish too. At 100 TB this is the bucketed
+      // staging table a warehouse would land (the dbt `table`
+      // materialization of stg_dawum_polls) — bucket pruning + co-located
+      // reads replace the in-memory blocks; nothing downstream changes.
+      stgPollResults(t)
+        .repartition(t.spark.sparkContext.defaultParallelism,
+          col("party"), col("institute_id"))
+        .localCheckpoint()
     })
-    // Re-select the canonical column order (partitionBy moves `party` to
-    // the end of the read-back schema).
-    t.spark.read.parquet(path).select(
-      "poll_id", "institute_id", "poll_date", "surveyed",
-      "party", "pct", "pct_valid", "quality_tier", "row_hash")
-  }
   private val stagingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   /** q21 — the staging unpivot itself (the reference's highest-traffic
     * transform; every poll row flows through it). */
