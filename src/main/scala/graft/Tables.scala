@@ -35,10 +35,26 @@ object Tables {
       // `div` — a double round-trip would lose precision above 2^53.
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Throwable => () }
+      // Timestamp semantics are pinned HERE, not left to whoever wrote the
+      // parquet metadata: the r9 testdata regeneration stamped `ts` with
+      // isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ —
+      // and NTZ event time is rejected by withWatermark (q72) and silently
+      // changes window/date arithmetic elsewhere. Disable NTZ inference so
+      // naive parquet timestamps read as TIMESTAMP_LTZ; with every entry
+      // session pinned to spark.sql.session.timeZone=UTC the LTZ values
+      // equal the naive values byte-for-byte (same reading DuckDB's naive
+      // TIMESTAMP gives the oracle). TimestampNtzSpec pins the read type.
+      try spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      catch { case _: Throwable => () }
       val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
-      val df = df0.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None    => df0
+      val df = df0.schema.fields.find(_.name == "ts").map(_.dataType) match {
+        case Some(LongType) => df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Defensive: if a ts column still arrives NTZ (conf overridden, or
+        // a plan built before this load ran), cast to LTZ explicitly —
+        // value-identical under the pinned UTC session timezone.
+        case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+          df0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df0
       }
       // The CPU-heavy per-row tables (document text, embedding vectors)
       // ship in the driver testdata as ONE parquet row group, so the scan
