@@ -135,12 +135,24 @@ object Bench {
       def esc(s: String): String =
         s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
       def fmt(d: Double): String = f"$d%.3f"
-      // 2 decimals on the compact line: at 66 queries every byte counts
-      // toward staying inside the capture window; ms precision lives in
-      // the detail line.
+      // 2 decimals on the compact line: every byte counts toward staying
+      // inside the capture window; ms precision lives in the detail line.
       def fmt2(d: Double): String = f"$d%.2f"
-      val qs = results.map { case (k, (med, _, _)) => s""""$k":${fmt2(med)}""" }.mkString("{", ",", "}")
-      val spread = results.map { case (k, (med, mn, mx)) =>
+      // r9: even with 2-decimal values the compact line hit ~2.6 KB at 81
+      // queries and the driver captures a 2,000-char stdout tail — the
+      // line was truncated mid-token and BENCH_r09 parsed null. The long
+      // query names are the bulk (~19 chars each), so the COMPACT line
+      // keys on the unique leading qNN token ("q27":1.94); full names
+      // stay in the detail line / bench_detail.json. Falls back to full
+      // names if a future query breaks qNN uniqueness.
+      val shortable = names.map(_._1.takeWhile(_ != '_')).distinct.size == names.size
+      def key(n: String): String = if (shortable) n.takeWhile(_ != '_') else n
+      // Failed/unsampled queries are OMITTED from the timing maps rather
+      // than carried as a -1.0 sentinel (r9 advice: a consumer summing
+      // medians would silently subtract); they appear solely in `errors`.
+      val qs = results.collect { case (k, (med, _, _)) if med >= 0 =>
+        s""""${key(k)}":${fmt2(med)}""" }.mkString("{", ",", "}")
+      val spread = results.collect { case (k, (med, mn, mx)) if med >= 0 =>
         s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val total = results.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
@@ -157,10 +169,12 @@ object Bench {
       // 1.70 min was visible only in bench_detail.json).
       val hot = results.collect {
         case (k, (med, mn, _)) if mn > 0 && med > mn * 1.5 =>
-          s""""$k":{"med":${fmt2(med)},"min":${fmt2(mn)}}"""
+          s""""${key(k)}":{"med":${fmt2(med)},"min":${fmt2(mn)}}"""
       }.mkString("{", ",", "}")
+      // contended/errors omitted entirely when empty — bytes again.
+      val hotPart = if (hot == "{}") "" else s""","contended":$hot"""
       val compact =
-        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart,"contended":$hot,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart$hotPart,"sf":"$sfDir"}"""
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
       (compact, detail)

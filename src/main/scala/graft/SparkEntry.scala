@@ -108,6 +108,7 @@ object SparkEntry {
     "q79_decontaminate"   -> ((s, d) => Corpus.q79Decontaminate(T(s, d))),
     "q80_quantize_int8"   -> ((s, d) => Similarity.q80QuantizeInt8(T(s, d))),
     "q81_dedup_survivors" -> ((s, d) => TextDedup.q81DedupSurvivors(s, T(s, d))),
+    "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1501,5 +1502,15 @@ object SparkEntry {
         |  (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN canon c USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q82: the oracle recomputes the compaction window analytically; the
+    // Spark side additionally proves the rewrite round-trip (write the
+    // compacted table, read it back) preserves the state exactly.
+    "q82_compaction" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }
