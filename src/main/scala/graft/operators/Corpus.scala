@@ -91,8 +91,16 @@ object Corpus {
       // same 2-consumer treatment as q27's shingle stream.
       .localCheckpoint(false)
     val lm = dw.groupBy("lang", "w").agg(sum("n_occ").as("wc"))
+    // No broadcast() hint on the LM side (r9 watch item): a forced hint is
+    // correct at any realistic vocabulary but would OOM the driver on an
+    // adversarial web-scale one. AQE measures the LM's ACTUAL bytes at
+    // runtime and converts to a broadcast join when it fits
+    // (adaptive.autoBroadcastJoinThreshold), falling back to a shuffle
+    // join when it doesn't — and that fallback reuses the hash(lang, w)
+    // partitioning the LM aggregate already produced, so both join
+    // children arrive pre-partitioned. CorpusSpec pins the fallback.
     dw
-      .join(broadcast(lm), Seq("lang", "w"))
+      .join(lm, Seq("lang", "w"))
       .groupBy("doc_id")
       .agg(
         sum("n_occ").as("n_tokens"),

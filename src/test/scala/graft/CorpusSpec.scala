@@ -76,4 +76,35 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").select("seq_offset").as[Long].collect()
     assert(out.toSeq == Seq(0L, 0L, 9L)) // de restarts at 0
   }
+
+  test("q76 LM join degrades to a shuffle join when broadcast cannot fit (r9 watch)") {
+    // The LM side carries no forced broadcast() hint; AQE measures the
+    // actual bytes and picks. Shrinking both broadcast thresholds to -1
+    // models an adversarial web-scale vocabulary: the plan must fall back
+    // to a shuffled join — never a driver-side OOM — with identical rows.
+    val sf = "/root/testdata/sf0.001"
+    val baseline = graft.operators.Corpus.q76RarityScore(graft.Tables.T(spark, sf))
+    val baseRows = baseline.collect().toSeq
+    assert(baseRows.nonEmpty)
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Corpus.q76RarityScore(graft.Tables.T(spark, sf))
+      val rows = df.collect().toSeq
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("BroadcastHashJoin"),
+        "LM join must not broadcast when the threshold forbids it")
+      assert(rows == baseRows, "fallback join changed the result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
