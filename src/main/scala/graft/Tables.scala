@@ -26,9 +26,12 @@ object Tables {
   // plans bound to a stopped one.
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  SessionCaches.onStop(s => planCache.keySet.removeIf(_._1 eq s): Unit)
+  SessionCaches.registerHolder(s => planCache.keySet.stream().anyMatch(_._1 eq s))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     planCache.computeIfAbsent((spark, sfDir, name), { _ =>
+      SessionCaches.arm(spark)
       // events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read nanos as long and truncate to micros
       // (exactly what DuckDB does when it reads the same file). Integer

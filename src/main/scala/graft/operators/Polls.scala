@@ -103,6 +103,7 @@ object Polls {
     * it, and the expensive parse pays once per ingest, not per query. */
   def stgPollResultsTable(t: T): DataFrame =
     stagingCache.computeIfAbsent((t.spark, t.sfDir), { _ =>
+      graft.SessionCaches.arm(t.spark)
       // Materialized as an EAGER 32-way localCheckpoint clustered on the
       // (party, institute) serving key, not as a parquet round-trip (r8.3).
       // The r7/r8.2 form wrote the table partitionBy(party): the rows
@@ -126,6 +127,8 @@ object Polls {
     })
   private val stagingCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  graft.SessionCaches.onStop(s => stagingCache.keySet.removeIf(_._1 eq s): Unit)
+  graft.SessionCaches.registerHolder(s => stagingCache.keySet.stream().anyMatch(_._1 eq s))
 
   /** q21 — the staging unpivot itself (the reference's highest-traffic
     * transform; every poll row flows through it). */

@@ -235,6 +235,7 @@ object TextAnalysis {
     // over it (r9 ask: that staging was the measured q32 cost, not the
     // claim_pcts scan).
     extractClaims(claimCorpusCache.computeIfAbsent((t.spark, t.sfDir), { _ =>
+      graft.SessionCaches.arm(t.spark)
       built.select(col("o_orderkey").as("poll_id"), col("sentence"))
         .repartitionByRange(t.spark.sparkContext.defaultParallelism, col("poll_id"))
         .sortWithinPartitions("poll_id")
@@ -243,6 +244,8 @@ object TextAnalysis {
   }
   private val claimCorpusCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
+  graft.SessionCaches.onStop(s => claimCorpusCache.keySet.removeIf(_._1 eq s): Unit)
+  graft.SessionCaches.registerHolder(s => claimCorpusCache.keySet.stream().anyMatch(_._1 eq s))
 
   /** The reusable claim extractor (T1): input (poll_id, sentence) → one row
     * per extracted percent claim with its sample size. German decimal

@@ -251,7 +251,10 @@ object TextDedup {
     * the oracle contract is untouched. */
   def minhashPairsTable(t: T): DataFrame = {
     val path = pairsCache.computeIfAbsent(t.sfDir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_minhash_pairs_").toString
+      // Nested under the JVM-scoped scratch root (one dir per sfDir, swept
+      // by the TmpDirs shutdown hook — same leak fix as q82).
+      val out = graft.TmpDirs.scoped("graft_minhash_pairs_") + "/" +
+        java.lang.Integer.toHexString(t.sfDir.hashCode)
       q27MinhashNearDup(t).write.mode("overwrite").parquet(out)
       out
     })

@@ -12,16 +12,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-tests")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
+  // Restart-safe: SessionCacheSpec stops the shared session to prove the
+  // session-keyed caches evict on stop; any suite running after it must
+  // transparently get a fresh one (suites run sequentially in the single
+  // forked test JVM, so no suite sees a session stop mid-flight).
+  private var s: SparkSession = null
+  def session: SparkSession = synchronized {
+    if (s == null || s.sparkContext.isStopped) {
+      s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .appName("graft-tests")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+    }
     s
   }
 }
