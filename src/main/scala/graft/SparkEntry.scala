@@ -66,8 +66,10 @@ object SparkEntry {
     "q43_date_besteffort" -> ((s, d) => Scalars.q43DateBestEffort(T(s, d))),
     "q44_array_family"    -> ((s, d) => Scalars.q44ArrayFamily(T(s, d))),
     "q45_search_pipe"     -> ((s, d) => Scalars.q45SearchPipeAlts(T(s, d))),
-    // q46/q47 have no oracleSql entry: greedy single-linkage clustering is
-    // sequential by definition (not one-statement SQL) → rows-only check.
+    // q46 has no oracleSql entry: greedy first-cluster-wins linkage is
+    // sequential by definition (assignment i depends on all assignments
+    // < i, and recursive CTEs cannot aggregate over their own working
+    // table) → rows-only check, golden-pinned. q47 is oracle-checked.
     "q46_question_clusters" -> ((s, d) => Clustering.q46QuestionClusters(T(s, d))),
     "q47_semantic_filter"   -> ((s, d) => Clustering.q47SemanticFilter(T(s, d))),
     "q48_topic_scoring"   -> ((s, d) => Topics.q48TopicScoring(T(s, d))),
@@ -90,8 +92,6 @@ object SparkEntry {
     "q64_gap_report"      -> ((s, d) => Monitoring.q64GapReport(T(s, d))),
     "q65_embedding_neardup" -> ((s, d) => Similarity.q65EmbeddingNearDup(T(s, d))),
     "q66_openalex_parse"  -> ((s, d) => sources.OpenAlex.q66OpenAlexParse(T(s, d))),
-    // q67 has no oracleSql entry: iterative connected components is not
-    // one-statement SQL → rows-only check, golden-pinned like q46.
     "q67_clusters_at_scale" -> ((s, d) => Clustering.q67QuestionClustersAtScale(T(s, d))),
     "q68_govdata_parse"   -> ((s, d) => sources.GovData.q68GovdataParse(T(s, d))),
     "q69_eurobarometer_parse" ->
@@ -113,6 +113,77 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
     * same rounding, same total ordering). */
+  /** Shared DuckDB CTE fragments for the q47/q67 clustering oracles: the
+    * question vectorizer (fold → tokenize → stopword filter → plural stem
+    * → substring concept fold at weight 2.0 → summed term weights + L2
+    * norm) restated independently from the ported spec
+    * (study_scraper/clustering.py:42-122). All weights are
+    * integer-valued, so every dot product is exact in double and the
+    * cosine thresholds compare bit-identically across engines. */
+  private val oracleStopwords: String = Seq(
+    "the", "a", "an", "of", "to", "in", "for", "on", "and", "or", "should",
+    "be", "is", "are", "was", "were", "do", "does", "germany", "german",
+    "germans", "its", "it", "this", "that", "with", "about", "more", "most",
+    "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
+    "einem", "einer", "und", "oder", "soll", "sollte", "sollten", "ist",
+    "sind", "war", "waren", "fuer", "mit", "ueber", "mehr", "sich",
+    "machen", "werden", "wieder", "wollen", "will")
+    .map(w => s"'$w'").mkString(",")
+
+  private val oracleConceptsCte: String =
+    """concepts AS (
+      |  SELECT * FROM (VALUES
+      |    ('atomkraft','nuclear'),('atomenergie','nuclear'),
+      |    ('atomausstieg','nuclear'),('kernenergie','nuclear'),
+      |    ('kernkraft','nuclear'),('nuclear','nuclear'),
+      |    ('klima','climate'),('climate','climate'),
+      |    ('tempolimit','speedlimit'),('speed','speedlimit'),
+      |    ('migration','migration'),('einwanderung','migration'),
+      |    ('zuwanderung','migration'),('immigration','migration'),
+      |    ('asyl','asylum'),('asylum','asylum'),
+      |    ('rente','pension'),('pension','pension'),('retirement','pension'),
+      |    ('steuer','tax'),('tax','tax'),
+      |    ('miete','housing'),('wohnung','housing'),('housing','housing'),
+      |    ('verteidigung','defense'),('defense','defense'),
+      |    ('defence','defense'),('bundeswehr','defense'),
+      |    ('military','military'),
+      |    ('wehrpflicht','conscription'),('wehrdienst','conscription'),
+      |    ('conscription','conscription'),
+      |    ('gesetz','law'),('law','law'),
+      |    ('kraftwerk','plant'),('plant','plant'),
+      |    ('verbot','ban'),('ban','ban'),
+      |    ('ausstieg','phaseout'),('phase','phaseout'),
+      |    ('abschaff','abolish'),('abolish','abolish'),
+      |    ('ruckgangig','return'),('return','return'),
+      |    ('energie','energy'),('energy','energy'),
+      |    ('kohle','coal'),('coal','coal'),
+      |    ('erneuerbar','renewable'),('renewable','renewable')
+      |  ) AS c(key, concept))""".stripMargin
+
+  /** Vectorizer CTE chain producing `<pfx>terms(<key>, term, w)` and
+    * `<pfx>norms(<key>, nrm)` from `<src>(<key>, <textCol>)`. chr(223)
+    * is 'ß' (kept out of the literal for encoding robustness). */
+  private def oracleVecCtes(pfx: String, src: String, key: String,
+                            textCol: String): String =
+    s"""${pfx}raw AS (
+       |  SELECT $key, unnest(regexp_split_to_array(
+       |    strip_accents(replace(lower($textCol), chr(223), 'ss')),
+       |    '[^a-z0-9]+')) AS raw
+       |  FROM $src),
+       |${pfx}tok AS (
+       |  SELECT $key,
+       |    CASE WHEN length(raw) > 3 AND raw LIKE '%s' AND raw NOT LIKE '%ss'
+       |         THEN substr(raw, 1, length(raw) - 1) ELSE raw END AS tok
+       |  FROM ${pfx}raw
+       |  WHERE length(raw) >= 2 AND raw NOT IN ($oracleStopwords)),
+       |${pfx}terms AS (
+       |  SELECT $key, coalesce(c.concept, t.tok) AS term,
+       |    sum(CASE WHEN c.concept IS NULL THEN 1.0 ELSE 2.0 END) AS w
+       |  FROM ${pfx}tok t LEFT JOIN concepts c ON contains(t.tok, c.key)
+       |  GROUP BY 1, 2),
+       |${pfx}norms AS (
+       |  SELECT $key, sqrt(sum(w * w)) AS nrm FROM ${pfx}terms GROUP BY $key)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -711,6 +782,34 @@ object SparkEntry {
         |SELECT p_partkey, p_name, min(alt_idx) AS first_alt, count(*) AS n_alts,
         |  array_to_string(list_sort(list(DISTINCT alt)), ',') AS alts_matched
         |FROM hits GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin,
+    // q47: the semantic filter replayed end-to-end — the query
+    // alternatives ('table scan' | 'hash join') run through the SAME
+    // vectorizer CTEs as the corpus questions, a row scores by its best
+    // alternative, threshold 0.35. Integer-valued weights make the dot
+    // exact, so round(sim, 6) agrees bit-for-bit.
+    "q47_semantic_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:6], ' ')
+         |      AS question
+         |  FROM documents),
+         |dq AS (SELECT DISTINCT question FROM q),
+         |$oracleConceptsCte,
+         |${oracleVecCtes("", "dq", "question", "question")},
+         |alts AS (SELECT * FROM (VALUES ('table scan'), ('hash join')) AS a(alt)),
+         |${oracleVecCtes("a", "alts", "alt", "alt")},
+         |sims AS (
+         |  SELECT t.question, a.alt, sum(t.w * a.w) AS dot
+         |  FROM terms t JOIN aterms a ON t.term = a.term
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT s.question, max(s.dot / (n.nrm * an.nrm)) AS sim
+         |  FROM sims s JOIN norms n USING (question) JOIN anorms an USING (alt)
+         |  GROUP BY s.question)
+         |SELECT q.doc_id, q.question, round(b.sim, 6) AS sim
+         |FROM q JOIN best b USING (question)
+         |WHERE b.sim >= 0.35
+         |ORDER BY sim DESC, q.doc_id""".stripMargin,
     "q48_topic_scoring" ->
       """WITH topics AS (
         |  SELECT * FROM (VALUES
@@ -1162,6 +1261,58 @@ object SparkEntry {
         |  5 AS n_topics,
         |  'kw1,kw2,kw3' AS keywords_joined
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q67: the at-scale clustering oracle (r10 ask) — vectorize the
+    // distinct questions with the shared CTEs, build the cosine ≥ 0.72
+    // edge list by all-pairs term join (exact: integer weights → exact
+    // dot), close it with the q81-style recursive-CTE transitive
+    // closure, label components by their min qid, renumber by root
+    // ascending (= first-appearance order, since qid = min doc_id), and
+    // pick each cluster's shortest-then-lexicographic phrasing as label.
+    "q67_clusters_at_scale" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id,
+         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:6], ' ')
+         |      AS question
+         |  FROM documents),
+         |dq AS (SELECT question, min(doc_id) AS qid FROM q GROUP BY question),
+         |$oracleConceptsCte,
+         |${oracleVecCtes("", "dq", "qid", "question")},
+         |edges0 AS (
+         |  SELECT a.qid AS qa, b.qid AS qb, sum(a.w * b.w) AS dot
+         |  FROM terms a JOIN terms b ON a.term = b.term AND a.qid < b.qid
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT qa, qb FROM edges0
+         |  JOIN norms na ON na.qid = qa JOIN norms nb ON nb.qid = qb
+         |  WHERE dot / (na.nrm * nb.nrm) >= 0.72),
+         |edges AS (SELECT qa AS src, qb AS dst FROM pairs
+         |  UNION SELECT qb, qa FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (
+         |  SELECT src AS qid, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src),
+         |labels AS (
+         |  SELECT d.question, d.qid, coalesce(c.label, d.qid) AS label
+         |  FROM dq d LEFT JOIN canon c USING (qid)),
+         |renum AS (
+         |  SELECT root,
+         |    CAST(row_number() OVER (ORDER BY root) - 1 AS INT) AS cluster_id
+         |  FROM (SELECT DISTINCT label AS root FROM labels)),
+         |assigned AS (
+         |  SELECT l.question, r.cluster_id
+         |  FROM labels l JOIN renum r ON l.label = r.root),
+         |lab AS (
+         |  SELECT cluster_id, question AS cluster_label FROM (
+         |    SELECT cluster_id, question,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |                         ORDER BY length(question), question) AS rn
+         |    FROM assigned) WHERE rn = 1)
+         |SELECT q.doc_id, q.question, a.cluster_id, lab.cluster_label
+         |FROM q JOIN assigned a USING (question) JOIN lab USING (cluster_id)
+         |ORDER BY q.doc_id""".stripMargin,
     // q68: every GovData._build_record rule recomputed straight from part —
     // id→name record-id fallback, name-or-id canonical url, the
     // license_title→license_id→default chain, organization title→name
