@@ -117,13 +117,14 @@ object Cube {
     * to summation order, the raw sums are not. */
   def q38PollOfPolls(t: T): DataFrame = {
     val stg = Polls.stgPollResultsTable(t)
-    // watermark straight off the materialized staging table (same value
+    // watermark recorded at staging time (Polls.stgWatermark — same value
     // as the orders ⋉ lineitem semi scan this used before staging became
-    // a real table — every staged poll has ≥1 line by construction); the
-    // semi join re-scanned both fact tables just for one max
-    val maxD = stg.agg(max("poll_date").as("today"))
-    val weighted = stg.crossJoin(broadcast(maxD))
-      .withColumn("w", pollWeight(col("poll_date"), col("today"), col("surveyed")))
+    // a real table; every staged poll has ≥1 line by construction),
+    // folded in as a literal: one pass over the staged table, no agg
+    // pre-pass + broadcast join.
+    val weighted = stg
+      .withColumn("w",
+        pollWeight(col("poll_date"), lit(Polls.stgWatermark(t)), col("surveyed")))
     weighted
       .groupBy("party")
       .agg(
