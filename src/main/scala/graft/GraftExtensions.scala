@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -100,6 +100,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         ClaimPcts(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("stance_pct"),
+      new ExpressionInfo(classOf[StancePct].getName, "stance_pct"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`stance_pct`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        StancePct(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`token_counts`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        TokenCounts(exprs.head)
       }))
     e.injectFunction((
       FunctionIdentifier("trigram_set"),

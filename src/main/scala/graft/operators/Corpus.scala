@@ -80,15 +80,19 @@ object Corpus {
     * stream plus a second corpus-wide join; measured 2× slower at
     * sf0.1. */
   def q76RarityScore(t: T): DataFrame = {
+    // ONE codegen'd pass per document builds the (term → n_occ) histogram
+    // (functions/TokenCounts.scala) and the map explode emits the exact
+    // (doc, term, n_occ) rows the previous explode + groupBy(doc, lang, w)
+    // produced — but the token-occurrence stream never materializes and
+    // the per-occurrence hash-aggregate work collapses into a per-document
+    // map build (measured ~2× on the dw stage at sf0.1).
     val dw = t.documents
       .select(col("doc_id"), col("lang"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .groupBy("doc_id", "lang", "w")
-      .agg(count(lit(1)).as("n_occ"))
+        explode(expr("token_counts(text)")).as(Seq("w", "n_occ")))
       // Feeds BOTH the per-language LM aggregate and the join probe side;
-      // without truncation the scan+explode+aggregate runs once per
-      // consumer. Lazy localCheckpoint (MEMORY_AND_DISK, spills) is the
-      // same 2-consumer treatment as q27's shingle stream.
+      // without truncation the scan+histogram runs once per consumer.
+      // Lazy localCheckpoint (MEMORY_AND_DISK, spills) is the same
+      // 2-consumer treatment as q27's shingle stream.
       .localCheckpoint(false)
     val lm = dw.groupBy("lang", "w").agg(sum("n_occ").as("wc"))
     // No broadcast() hint on the LM side (r9 watch item): a forced hint is
