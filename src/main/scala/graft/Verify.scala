@@ -27,9 +27,15 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same AQE small-shuffle coalescing as Bench — see Bench.scala
+      // same AQE small-shuffle coalescing + harness-floor tuning as Bench
+      // (see Bench.scala) — the gate then verifies the exact plans the
+      // bench times, shuffled-hash joins included
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
