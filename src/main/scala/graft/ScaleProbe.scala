@@ -70,7 +70,26 @@ object ScaleProbe {
             .as("embedding"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
-      for (t <- Tables.names if t != "documents" && t != "embeddings") {
+      // events/orders scale too (r11): the corpus-synthesis families read
+      // them (q32 claims ← orders; q53 parse + q82 compaction ← events),
+      // so a 20× probe of those paths needs 20× base rows. New unique ids
+      // per copy; ts keeps its value so q82's (ts DESC, event_id DESC)
+      // total order stays total via the id tie-break.
+      spark.read.parquet(s"$base/events.parquet")
+        .crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .select((col("event_id") * factor + col("copy")).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+      spark.read.parquet(s"$base/orders.parquet")
+        .crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .select((col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      for (t <- Tables.names
+           if t != "documents" && t != "embeddings" && t != "events" && t != "orders") {
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
       }
