@@ -116,10 +116,17 @@ object Merge {
         substring(col("name"), 1, 1).as("head"),
         expr("length(name) div 8").as("len_band"),
         expr("trigram_set(name)").as("grams"))
+    // The build side broadcasts (the 180 KB part file), so pair fan-out
+    // parallelism is the PROBE side's partitioning — one scan task for a
+    // single small local file, i.e. a near-serial gram-merge walk. The
+    // sub-MB probe repartition spreads pair generation across every core
+    // (same single-file compensation as q60 / Tables.cpuHeavyKeys; a
+    // production multi-file root scans parallel already).
     val pairs = named.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
         col("head"), col("len_band"), col("grams").as("grams_b"))
-      .join(named.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
-        col("head"), col("len_band"), col("grams").as("grams_a")),
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .join(broadcast(named.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
+        col("head"), col("len_band"), col("grams").as("grams_a"))),
         Seq("brand", "head", "len_band"))
       .filter(col("key_a") < col("key_b"))
       .withColumn("sim", expr("trigram_sim_sorted(grams_a, grams_b)"))

@@ -124,6 +124,10 @@ object Topics {
       .withColumn("has_gold", col("event_id") % 7 =!= 0)
       .withColumn("is_match",
         col("has_gold") && col("event_id") % 3 =!= 0)
+    // (A probe-side repartition before extraction was measured no-op here
+    // — these sentences are ~25 chars, so the scan-side extraction is not
+    // the bottleneck the way q34/q60's pair walks were; the cost is the
+    // collect_set exchange + join, which AQE already sizes.)
     val got = TextAnalysis.extractClaims(
         built.select(col("event_id").as("poll_id"), col("sentence")))
       .groupBy("poll_id")

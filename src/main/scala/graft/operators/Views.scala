@@ -141,8 +141,19 @@ object Views {
         when(col("p_partkey") % 9 === 0, 7.0).otherwise(1.0)).as("cur_pct"))
     val best = Window.partitionBy("cur_key")
       .orderBy(col("sim").desc, col("prev_key").asc)
+    // The prev side broadcasts (2 k rows), so pair fan-out parallelism is
+    // set by the PROBE side's partitioning — and `part` is one small local
+    // file, i.e. one scan task: the 1.3 M-pair gram-merge walk (the
+    // query's dominant cost, ~1.2 s of 1.5 s measured) ran nearly serial.
+    // An explicit sub-MB repartition of the 4 k probe rows spreads the
+    // pair generation across every core. (Same single-file-local-testdata
+    // compensation as Tables.cpuHeavyKeys; a production multi-file table
+    // root scans parallel already. A salted join was measured instead and
+    // is WRONG here: with a broadcast build there is no key-skew to break,
+    // and replicating the build side only added rows.)
     val matched = cur
-      .join(prev, Seq("position", "population"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .join(broadcast(prev), Seq("position", "population"))
       .withColumn("sim", expr("trigram_sim_sorted(cur_grams, prev_grams)"))
       .filter(col("sim") >= 0.72)
       .withColumn("rn", row_number().over(best))
