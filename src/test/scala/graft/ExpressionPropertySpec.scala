@@ -173,4 +173,54 @@ class ExpressionPropertySpec extends SparkSpec {
       assert(r.getDouble(r.fieldIndex("native")) == r.getDouble(r.fieldIndex("expected")))
     }
   }
+
+  test("stance_pct matches from_json on random well-formed flat objects") {
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val stanceGen: Gen[String] = Gen.oneOf(
+      "dafür", "dagegen", "support", "oppose", "neutral", "", "mixed case",
+      "tab\\tin", "quote\\\"q", "uni\\u00e4", "東京", "back\\\\slash")
+    val pctGen: Gen[String] = Gen.oneOf(
+      "0", "42", "-7", "100.5", "0.0", "1e2", "2.5E-1", "-0.75", "98")
+    // random key order, optional extra key, varied whitespace
+    val payloadGen: Gen[String] = for {
+      s <- stanceGen; p <- pctGen
+      order <- Gen.oneOf(true, false)
+      extra <- Gen.oneOf("", ", \"note\": [1, {\"deep\": \"}\"}]")
+      pad <- Gen.oneOf("", " ", "\n ")
+    } yield {
+      val a = s"""\"stance\":$pad\"$s\""""
+      val b = s"""\"pct\":$pad$p"""
+      s"{${if (order) s"$a, $b" else s"$b, $a"}$extra}"
+    }
+    val payloads = samples(payloadGen, 120, 23L)
+    val schema = StructType(Seq(
+      StructField("stance", StringType), StructField("pct", DoubleType)))
+    val rows = payloads.toDF("j")
+      .select(col("j"), expr("stance_pct(j)").as("native"),
+        from_json(col("j"), schema).as("jackson"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2), s"payload: ${r.getString(0)}")
+    }
+  }
+
+  test("token_counts matches the split/explode/count composition on random text") {
+    val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "", "\f", "\r")
+    val messyGen: Gen[String] = for {
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n + 1, wsGen)
+      words <- Gen.listOfN(n, wordGen)
+      lead <- Gen.oneOf("", " ", "\t", "  \n")
+      tail <- Gen.oneOf("", " ", "\r", "\n  ")
+    } yield lead + words.zip(ws).map { case (w, s) => w + s }.mkString + tail
+    val texts = samples(messyGen, 100, 31L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val a = df.select(col("id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val b = df.select(col("id"), explode(expr("token_counts(text)")).as(Seq("w", "n")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
 }
