@@ -109,6 +109,7 @@ object SparkEntry {
     "q80_quantize_int8"   -> ((s, d) => Similarity.q80QuantizeInt8(T(s, d))),
     "q81_dedup_survivors" -> ((s, d) => TextDedup.q81DedupSurvivors(s, T(s, d))),
     "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
+    "q83_shard_assign"    -> ((s, d) => Corpus.q83ShardAssign(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1663,5 +1664,29 @@ object SparkEntry {
         |                       ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // q83: the oracle replays the shard layout with ONE global window in
+    // the same md5-hash order (the q81/q75 portable-hash idiom); Spark's
+    // bucketed two-phase cumulative sum reaches the identical cum_before
+    // because the hash's top bits give contiguous ranges of that order.
+    "q83_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    ('0x' || substr(md5(concat('83:', CAST(doc_id AS VARCHAR))), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT c.doc_id, c.n_tokens,
+        |  CAST(least(15, c.cum_before // CAST(ceil(t.total * 1.0 / 16) AS BIGINT))
+        |    AS INT) AS shard_id
+        |FROM c, t
+        |ORDER BY c.doc_id""".stripMargin,
   )
 }

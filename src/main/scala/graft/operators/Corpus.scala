@@ -280,4 +280,59 @@ object Corpus {
       .select("doc_id", "lang", "n_tokens", "seq_offset", "first_seq",
         "last_seq", "n_seqs")
   }
+
+  /** Output shards for q83. */
+  val TrainShards = 16
+  /** Contiguous hash-range buckets for q83's two-phase cumulative sum:
+    * h div 2^48 over the 60-bit hash → 4096 buckets, ≫ cores at any
+    * scale, each a bounded window partition. */
+  val ShardBucketShift = 48
+
+  /** q83 — deterministic training-shard assignment: the writer stage of a
+    * corpus pipeline. Documents are laid out in the replayable md5-hash
+    * order (the q51/q75 portable-"random" device — a re-run, a resumed
+    * job, and the oracle all see the identical layout), the token stream
+    * is cumulatively summed in that order, and each document lands in
+    * shard `cum_before div ceil(total/TrainShards)` — contiguous token
+    * ranges, so every shard carries within one document of the same token
+    * budget (balanced by TOKENS, not docs: a shard of long documents
+    * doesn't starve trainers).
+    *
+    * 100 TB design: no global sort. The hash is uniform, so its top bits
+    * give 4096 CONTIGUOUS buckets of the global order (bucket b's hashes
+    * all precede bucket b+1's); the cumulative sum is then the q77
+    * two-phase device in hash order — a bounded within-bucket window plus
+    * a 4096-row bucket-offset prefix sum — and the global token total is
+    * a broadcast 1-row aggregate. At corpus sizes where 4096-row offsets
+    * themselves need distributing, the same bucket split recurses one
+    * level. */
+  def q83ShardAssign(t: T): DataFrame = {
+    val d = t.documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("h", expr(TextDedup.h60(83, "CAST(doc_id AS STRING)")))
+      .withColumn("bucket", expr(s"h div ${1L << ShardBucketShift}"))
+    val wB = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinPrev = d
+      .withColumn("within_prev", coalesce(sum("n_tokens").over(wB), lit(0L)))
+    val bucketTotals = d.groupBy("bucket").agg(sum("n_tokens").as("bucket_tokens"))
+    // whole-frame window over the 4096-row bucket aggregate —
+    // post-aggregate-small by construction
+    val wS = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals
+      .withColumn("bucket_offset", coalesce(sum("bucket_tokens").over(wS), lit(0L)))
+      .select("bucket", "bucket_offset")
+    val total = d.agg(sum("n_tokens").as("total_tokens"))
+    withinPrev
+      .join(bucketOffsets, Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before", col("bucket_offset") + col("within_prev"))
+      .withColumn("shard_id",
+        least(lit(TrainShards - 1),
+          expr(s"cum_before div CAST(ceil(total_tokens / $TrainShards.0) AS BIGINT)"))
+          .cast("int"))
+      .select("doc_id", "n_tokens", "shard_id")
+      .orderBy("doc_id")
+  }
 }
