@@ -191,8 +191,11 @@ object Bench {
       }.mkString("{", ",", "}")
       // contended/errors omitted entirely when empty — bytes again.
       val hotPart = if (hot == "{}") "" else s""","contended":$hot"""
+      // "fmt":2 marks the r10+ compact schema (qNN short keys, empty-map
+      // elision) so cross-round tooling can branch explicitly instead of
+      // sniffing which optional keys appear (r10 advice).
       val compact =
-        s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart$hotPart,"sf":"$sfDir"}"""
+        s"""{"metric":"total","fmt":2,"value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart$hotPart,"sf":"$sfDir"}"""
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
       (compact, detail)

@@ -108,6 +108,11 @@ object SparkEntry {
     "q79_decontaminate"   -> ((s, d) => Corpus.q79Decontaminate(T(s, d))),
     "q80_quantize_int8"   -> ((s, d) => Similarity.q80QuantizeInt8(T(s, d))),
     "q81_dedup_survivors" -> ((s, d) => TextDedup.q81DedupSurvivors(s, T(s, d))),
+    // NOTE: q82 is EAGER — building its DataFrame runs the compaction
+    // write job (the declared query IS a write→readback round-trip), so
+    // plan-only callers (schema dumps, FloorProbe construct timing) incur
+    // a table rewrite. The one deliberate exception to the lazy
+    // query-builder contract; every other entry only builds a plan.
     "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
     "q83_shard_assign"    -> ((s, d) => Corpus.q83ShardAssign(T(s, d))),
   )
