@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, ShingleJaccard, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -128,6 +128,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         TokenCounts(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash12"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash12"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`minhash12`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        MinhashSigs(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("shingle_jaccard"),
+      new ExpressionInfo(classOf[ShingleJaccard].getName, "shingle_jaccard"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`shingle_jaccard`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        ShingleJaccard(exprs.head, exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("trigram_set"),

@@ -56,78 +56,46 @@ object TextDedup {
     * (migrations/0006_title_dedup.sql:51-72) does this with pg_trgm + GIN;
     * the banded equi-join is the Spark-scale equivalent. */
   def q27MinhashNearDup(t: T): DataFrame = {
-    // Distinct (doc, shingle) pairs: tokenize ONCE into an explicit words
-    // column, then index-shingle with a lambda over sequence(0, n-3). The
-    // r5 shape built neighbor pairs with a lead() window over (doc_id,
-    // pos), which cost a full shuffle+sort of every token before
-    // minhashing — a corpus-wide sort at 100 TB. The held `words` column
-    // keeps split() out of the lambda (CollapseProject refuses to inline a
-    // non-cheap expression referenced 4×, so the text is tokenized once
-    // per row, not per shingle element — verified in the plan). Not
-    // array_distinct, which is O(len²) per row; the row-form distinct also
-    // lets the exact-Jaccard verification run as counting joins instead of
-    // per-pair array intersections.
-    val tok = t.documents
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .filter(size(col("words")) >= 3) // <3 words → no shingles (and keeps
-      // sequence() ascending: 0 > n-3 would step DOWN into index -1)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(words) - 3), " +
-          "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))")).as("s"))
-      .distinct()
-      // The shingle stream feeds three consumers (the minhash aggregate and
-      // both sides of the intersection join); without truncation each one
-      // re-tokenizes the corpus. A LAZY localCheckpoint materializes it
-      // once (MEMORY_AND_DISK — spills, never OOMs) and the two verify-side
-      // reads hit stored blocks. Storage cost ≈ the distinct shingle rows,
-      // the same order as the input text — the standard space/time trade a
-      // cluster deployment would also take for a 3-consumer intermediate.
+    // ONE codegen'd pass per document builds the signature
+    // (functions/MinhashSigs.scala): distinct word-3-shingles, md5-based
+    // base hash, 12 affine-permutation mins — the corpus-wide
+    // (doc, shingle) stream of the r10 shape (explode → distinct shuffle
+    // → md5 column → 12-min hash aggregate, ~1.5 M rows materialized
+    // through a localCheckpoint) never exists. NULL signature = fewer
+    // than 3 words = no shingles, filtered exactly like the old
+    // `size(words) >= 3` pre-filter. Arithmetic replays bit-identically
+    // in the oracle (products < 2^46, no overflow).
+    val sigs = t.documents
+      .select(col("doc_id"), col("text"), expr("minhash12(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      // feeds the band explode AND the verify's two text joins; the
+      // checkpoint stores one signature + text row per doc (docs-sized,
+      // not shingle-sized like the r10 intermediate)
       .localCheckpoint(false)
-    // One md5-based base hash per shingle, then 12 affine permutations
-    // (a_i·h + b_i mod 2^31−1) — the classic universal-hash family. 12×
-    // cheaper than 12 independent md5 calls, and the arithmetic replays
-    // bit-identically in the oracle. Products stay < 2^46: no ANSI
-    // overflow.
-    val hashed = tok.withColumn("hb", expr(s"${h60(0, "s")} % 2147483647"))
-    val mhCols = (0 until 12).map(i =>
-      min(expr(s"(hb * ${MinhashA(i)} + ${MinhashB(i)}) % 2147483647")).as(s"mh$i"))
-    // The shingle count |A| rides in the SAME aggregate as the 12 minhash
-    // mins (tok is already distinct, so count(*) is the set size): it then
-    // travels band → candidate rows for free, which deletes the r7 verify
-    // tail of three joins (cand LEFT JOIN inter + two size joins) — a pair
-    // with zero shared shingles has jaccard 0 < 0.8, so the left join
-    // existed only to carry a coalesce(0) that the filter discarded anyway.
-    val minhashes = hashed.groupBy("doc_id")
-      .agg(mhCols.head, (mhCols.tail :+ count(lit(1)).as("n")): _*)
-    val bands = minhashes.select(
-      col("doc_id"), col("n"),
+    val bands = sigs.select(
+      col("doc_id"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
-        concat_ws(",", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-          col(s"mh${3 * b + 2}")).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("n"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // n_a/n_b are functionally dependent on doc_a/doc_b, so widening the
-    // distinct key does not change the candidate-pair cardinality.
+        concat_ws(",", col("sig.mh")(3 * b), col("sig.mh")(3 * b + 1),
+          col("sig.mh")(3 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.n").as("n_a"),
-        col("b.doc_id").as("doc_b"), col("b.n").as("n_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // |A∩B| by joining the two shingle streams through the candidate set;
-    // |A∪B| = |A| + |B| − |A∩B|. Identical sets → identical numbers to the
-    // oracle's list_intersect / list_distinct(list_cat) form. Grouping by
-    // the (functionally dependent) sizes lets jaccard evaluate inside the
-    // same aggregation output — no post-agg joins at all.
-    val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+    // Exact verify PER PAIR (functions/ShingleJaccard.scala): both texts
+    // ride in via two doc_id equi-joins (candidate count × text width —
+    // candidates are band-collision survivors, orders of magnitude fewer
+    // than the shingle-stream rows the r10 counting joins shuffled), and
+    // the codegen'd set intersection computes the IDENTICAL
+    // |A∩B| / (|A|+|B|−|A∩B|) double the counting-join form produced —
+    // same distinct sets, same division (spec-pinned).
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .withColumn("jaccard", expr("shingle_jaccard(text_a, text_b)"))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
