@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, ShingleJaccard, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -156,6 +156,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> exprs.length.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         ShingleJaccard(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`simhash60`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        SimHash60(exprs.head)
       }))
     e.injectFunction((
       FunctionIdentifier("trigram_set"),

@@ -61,19 +61,21 @@ private[functions] object Shingles {
     set
   }
 
-  /** `conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) % 2147483647`
-    * computed from the digest bytes: the first 15 hex chars are bytes
-    * 0..6 plus the high nibble of byte 7. */
-  def baseHash(s: String): Long = {
+  /** `conv(substring(md5(concat('<seed>:', s)), 1, 15), 16, 10)` computed
+    * from the digest bytes: the first 15 hex chars are bytes 0..6 plus
+    * the high nibble of byte 7 — the full 60-bit TextDedup.h60 value. */
+  def h60(seed: Int, s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update("0:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(s"$seed:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v = (v << 4) | ((d(7) & 0xf0L) >> 4)
-    v % 2147483647L
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
+
+  /** The q27 base hash: h60 seed 0 folded into the affine field. */
+  def baseHash(s: String): Long = h60(0, s) % 2147483647L
 }
 
 /** `minhash12(text)` — the q27 signature stage as ONE pass per document:
@@ -136,6 +138,64 @@ object MinhashSigs {
     var i = 0
     while (i < 12) { boxed(i) = mins(i); i += 1 }
     InternalRow(shingles.size, new GenericArrayData(boxed))
+  }
+}
+
+/** `simhash60(text)` — the q28 60-bit SimHash signature as ONE pass per
+  * document: whitespace tokens WITH multiplicity (split edge semantics as
+  * in Shingles.words), h60 seed 99 per distinct token, and the 60 per-bit
+  * ±1·count sums signed into the signature — value-identical to the
+  * explode + 60-sum aggregate composition it replaces ((h div 2^b) % 2
+  * == (h >>> b) & 1 for the non-negative 60-bit h; integer sums are
+  * order-exact). Never null: split yields [""] even for empty text, so
+  * every document has ≥1 token, matching the old shape's row always
+  * existing. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(s: Any): Any =
+    SimHash60.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val w = Shingles.words(bytes)
+    // histogram of tokens (WITH multiplicity via counts): one md5 per
+    // DISTINCT token, ±count per bit — same sums as per-occurrence ±1
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < w.length) {
+      val (s, e) = w(i)
+      val tok = new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+      val prev = counts.get(tok)
+      counts.put(tok, if (prev == 0 && !counts.containsKey(tok)) 1 else prev + 1)
+      i += 1
+    }
+    val sums = new Array[Int](60)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val h = Shingles.h60(99, en.getKey)
+      val c = en.getValue
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += c else sums(b) -= c
+        b += 1
+      }
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) { if (sums(b) > 0) sim |= 1L << b; b += 1 }
+    sim
   }
 }
 

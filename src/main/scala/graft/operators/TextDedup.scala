@@ -106,31 +106,18 @@ object TextDedup {
     * signature collides on ≥1 of 4 chunks — pigeonhole), verified with
     * bit_count(xor) ≤ 3. */
   def q28Simhash(t: T): DataFrame = {
-    val tok = t.documents
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
-      .withColumn("h", expr(h60(99, "w")))
-    // All 60 per-bit ±1 sums in ONE aggregate over the token rows — the
-    // r5 shape exploded every token 60× (sequence(0,59)) before a
-    // (doc_id, bit) shuffle, i.e. 60× the shuffle volume for the same
-    // integer sums; here partial aggregation combines map-side and the
-    // shuffle carries one 61-column row per (partition, doc). Bit masks
-    // are exact long literals, so the sums (and the simhash) are
-    // bit-identical to the oracle's arithmetic.
-    val sums = tok.groupBy("doc_id").agg(
-      sum(when(expr(s"(h div ${1L << 0}) % 2") === 1, 1).otherwise(-1)).as("s0"),
-      (1 until 60).map(b =>
-        sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
-          .as(s"s$b")): _*)
-    val sim = sums.select(col("doc_id"),
-      (0 until 60).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-        .as("simhash"))
+    // ONE codegen'd pass per document (functions/MinhashSigs.scala
+    // SimHash60): token histogram → one md5 per DISTINCT token → 60
+    // ±count bit sums → signature. The r10 shape exploded every token
+    // occurrence and ran a 61-column hash aggregate over the stream;
+    // value-identical by construction ((h div 2^b) % 2 == (h >>> b) & 1
+    // for the non-negative 60-bit hash, integer sums order-exact) —
+    // SimHash60 parity is pinned in MinhashSigsSpec.
+    val sim = t.documents
+      .select(col("doc_id"), expr("simhash60(text)").as("simhash"))
       // One signature row per document — materialize before the chunk
       // explode so the banding self-join reads 2×|docs| tiny rows instead
-      // of running tokenize + hash + the 60-sum aggregate once PER SIDE
-      // (measured: the un-truncated self-join recomputed the whole
-      // upstream twice, ~0.4 s of the query warm).
+      // of running the signature pass once PER SIDE.
       .localCheckpoint(false)
     val chunks = sim.select(
       col("doc_id"), col("simhash"),

@@ -55,6 +55,33 @@ class MinhashSigsSpec extends SparkSpec {
       (7L, "ä ö ü ß multi byte glyphs here")).toDF("id", "text"))
   }
 
+  test("simhash60 matches the explode + 60-sum aggregate composition") {
+    def composedSim(df: org.apache.spark.sql.DataFrame) = {
+      val tok = df.select(col("id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .withColumn("h", expr(TextDedup.h60(99, "w")))
+      val sums = tok.groupBy("id").agg(
+        sum(when(expr(s"(h div ${1L << 0}) % 2") === 1, 1).otherwise(-1)).as("s0"),
+        (1 until 60).map(b =>
+          sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+            .as(s"s$b")): _*)
+      sums.select(col("id"),
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+    }
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text"))
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "   "), (100003L, "\tx y\n"),
+        (100004L, "a"), (100005L, "dup dup dup")).toDF("id", "text"))
+    val a = composedSim(docs).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = docs.select(col("id"), expr("simhash60(text)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("shingle_jaccard equals the counting-join value on document pairs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).limit(40).collect()
