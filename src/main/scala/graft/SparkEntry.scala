@@ -115,6 +115,7 @@ object SparkEntry {
     // query-builder contract; every other entry only builds a plan.
     "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
     "q83_shard_assign"    -> ((s, d) => Corpus.q83ShardAssign(T(s, d))),
+    "q84_span_dedup"      -> ((s, d) => TextDedup.q84SpanDedup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1693,5 +1694,43 @@ object SparkEntry {
         |    AS INT) AS shard_id
         |FROM c, t
         |ORDER BY c.doc_id""".stripMargin,
+    // q84: 8-word grams in >=2 distinct docs mark their spans; cleaned
+    // text = uncovered words rejoined. 0-based positions both sides.
+    "q84_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 7)) AS pos
+        |  FROM words WHERE len(w) >= 8),
+        |gr AS (
+        |  SELECT g.doc_id, g.pos,
+        |    ('0x' || substr(md5(concat('84:',
+        |      w[pos+1]||' '||w[pos+2]||' '||w[pos+3]||' '||w[pos+4]||' '||
+        |      w[pos+5]||' '||w[pos+6]||' '||w[pos+7]||' '||w[pos+8])), 1, 15))
+        |      ::BIGINT AS gh
+        |  FROM g JOIN words USING (doc_id)),
+        |dup AS (
+        |  SELECT gh FROM gr GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT doc_id,
+        |    CAST(count(DISTINCT gh) AS BIGINT) AS n_dup_grams,
+        |    list_distinct(flatten(list(
+        |      [pos, pos+1, pos+2, pos+3, pos+4, pos+5, pos+6, pos+7])))
+        |      AS covered
+        |  FROM gr JOIN dup USING (gh)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.w) AS INT) AS n_words,
+        |  coalesce(h.n_dup_grams, 0) AS n_dup_grams,
+        |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+        |  coalesce(array_to_string(list_filter(
+        |    list_transform(range(0, len(d.w)),
+        |      i -> CASE WHEN h.covered IS NOT NULL AND list_contains(h.covered, i)
+        |                THEN NULL ELSE d.w[i+1] END),
+        |    x -> x IS NOT NULL), ' '), '') AS clean_text
+        |FROM words d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

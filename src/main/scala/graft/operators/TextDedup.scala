@@ -204,6 +204,75 @@ object TextDedup {
     * the full chain costs one corpus scan; re-deriving it per consumer
     * would cost one per query. Rows are identical to q27's output, so
     * the oracle contract is untouched. */
+  /** q84 — exact substring-SPAN dedup (the Lee et al. 2022 training-data
+    * stage, "Deduplicating Training Data Makes Language Models Better":
+    * remove text spans that appear verbatim in other documents, not just
+    * whole near-dup documents). Fixed-width approximation of the
+    * suffix-array form: an 8-word gram occurring in ≥2 DISTINCT documents
+    * marks its 8 word positions in every document carrying it; the
+    * cleaned text is the uncovered words rejoined. Output per document:
+    * word count, distinct duplicated grams present, positions removed,
+    * and the cleaned text (whitespace-normalized rejoin, so untouched
+    * docs round-trip exactly).
+    *
+    * 100 TB design: the only corpus-wide shuffle is the gram aggregate —
+    * the same equi-join discipline as q79 decontamination (never
+    * doc×doc); position recovery and span marking are per-document
+    * array work that stays map-side after the hit join, and the final
+    * join is doc-keyed. Cross-doc duplication only (a gram repeated
+    * WITHIN one doc is repetition, q73's signal, not contamination). */
+  def q84SpanDedup(t: T): DataFrame = spanDedup(t.documents)
+
+  /** The reusable span-dedup core over (doc_id, text) rows — public so
+    * specs drive hand-built corpora through the identical pipeline. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    // The gram string exists only transiently in the map-side projection;
+    // the shuffle carries its 60-bit md5 hash (8 bytes vs ~50-byte
+    // strings — at 100 TB the gram exchange is the whole cost). The
+    // oracle applies the IDENTICAL hash, so both engines agree even in
+    // the (≈2^-60-scale) collision case; a collision is a false-positive
+    // marking, the conservative direction for contamination removal.
+    val grams = base
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 8), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), expr(h60(84, "gram")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    val hits = grams
+      .join(dup, Seq("gh")) // gram-hash equi-join, the one corpus-wide shuffle
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("ps"),
+        countDistinct(col("gh")).as("n_dup_grams"))
+      .withColumn("covered",
+        array_distinct(flatten(expr("transform(ps, p -> sequence(p, p + 7))"))))
+      .select("doc_id", "n_dup_grams", "covered")
+    base
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("covered", coalesce(col("covered"), array()))
+      // hash-based set difference keeps this O(n) per doc (an
+      // array_contains membership test per position was O(n·|covered|) —
+      // quadratic exactly on the saturated docs where it matters);
+      // array_except preserves the left argument's order, so the rejoin
+      // order is document order
+      .withColumn("kept", expr(
+        "transform(array_except(sequence(0, size(w) - 1), covered), " +
+          "i -> element_at(w, i + 1))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        size(col("covered")).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def minhashPairsTable(t: T): DataFrame = {
     val path = pairsCache.computeIfAbsent(t.sfDir, { _ =>
       // Nested under the JVM-scoped scratch root (one dir per sfDir, swept
