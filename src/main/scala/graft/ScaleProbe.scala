@@ -88,8 +88,22 @@ object ScaleProbe {
           col("o_orderdate"), col("o_orderpriority"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      // lineitem scales WITH orders under the same key transform, so the
+      // orders ⋉ lineitem joins (q10/q21-q23/q38 staging, …) stay
+      // referentially intact at the scaled dir: copy c of order k joins
+      // exactly copy c of its lines. Without this, rekeyed orders against
+      // unscaled l_orderkey values made any join-bearing probe target
+      // silently meaningless.
+      val liCols = spark.read.parquet(s"$base/lineitem.parquet").columns
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .crossJoin(spark.range(factor).select(col("id").as("copy")))
+        .select((col("l_orderkey") * factor + col("copy")).as("l_orderkey") +:
+          liCols.filter(_ != "l_orderkey").map(col): _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
       for (t <- Tables.names
-           if t != "documents" && t != "embeddings" && t != "events" && t != "orders") {
+           if t != "documents" && t != "embeddings" && t != "events" &&
+             t != "orders" && t != "lineitem") {
         spark.read.parquet(s"$base/$t.parquet")
           .write.mode("overwrite").parquet(s"$scaled/$t.parquet")
       }

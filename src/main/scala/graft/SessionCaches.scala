@@ -72,6 +72,13 @@ object TmpDirs {
       d.toString
     })
 
+  /** Subdirectory of the scoped root, keyed INJECTIVELY by `key` (URL
+    * encoding — no hashCode collisions): two different sf dirs never
+    * share an output path, so a cached reference to one can't be
+    * overwritten by a later write for the other. */
+  def keyed(prefix: String, key: String): String =
+    scoped(prefix) + "/" + java.net.URLEncoder.encode(key, "UTF-8")
+
   private def delete(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(delete)

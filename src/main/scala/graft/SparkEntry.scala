@@ -111,8 +111,11 @@ object SparkEntry {
     // NOTE: q82 is EAGER — building its DataFrame runs the compaction
     // write job (the declared query IS a write→readback round-trip), so
     // plan-only callers (schema dumps, FloorProbe construct timing) incur
-    // a table rewrite. The one deliberate exception to the lazy
-    // query-builder contract; every other entry only builds a plan.
+    // a table rewrite ON EVERY construction. The staging-backed entries
+    // (q21-q23/q32/q38/q53) also run jobs at construction, but only ONCE
+    // per (session, sf dir) — the cold-cache staging materialization /
+    // watermark read; warm constructions are plan-only. q82 is the only
+    // per-invocation write.
     "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
     "q83_shard_assign"    -> ((s, d) => Corpus.q83ShardAssign(T(s, d))),
     "q84_span_dedup"      -> ((s, d) => TextDedup.q84SpanDedup(T(s, d))),

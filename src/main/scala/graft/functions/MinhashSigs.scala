@@ -61,11 +61,18 @@ private[functions] object Shingles {
     set
   }
 
+  // one digest instance per thread, reset per hash — getInstance per call
+  // paid a JCA provider lookup + allocation for every distinct
+  // shingle/token of every document (~1.5 M/s at sf0.1)
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** `conv(substring(md5(concat('<seed>:', s)), 1, 15), 16, 10)` computed
     * from the digest bytes: the first 15 hex chars are bytes 0..6 plus
     * the high nibble of byte 7 — the full 60-bit TextDedup.h60 value. */
   def h60(seed: Int, s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset()
     md.update(s"$seed:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
@@ -171,13 +178,12 @@ object SimHash60 {
     val w = Shingles.words(bytes)
     // histogram of tokens (WITH multiplicity via counts): one md5 per
     // DISTINCT token, ±count per bit — same sums as per-occurrence ±1
-    val counts = new java.util.HashMap[String, Int]()
+    val counts = new java.util.HashMap[String, Integer]()
     var i = 0
     while (i < w.length) {
       val (s, e) = w(i)
       val tok = new String(bytes, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
-      val prev = counts.get(tok)
-      counts.put(tok, if (prev == 0 && !counts.containsKey(tok)) 1 else prev + 1)
+      counts.merge(tok, 1, (a, b) => a + b)
       i += 1
     }
     val sums = new Array[Int](60)

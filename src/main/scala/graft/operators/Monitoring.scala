@@ -66,11 +66,13 @@ object Monitoring {
     val spark = t.spark
     val compacted = compact(t.events, Seq("user_id", "event_type"),
       Seq(col("ts").desc, col("event_id").desc))
-    // One JVM-scoped output dir, reused across invocations: the write is
-    // mode("overwrite") so repeated bench/verify passes rewrite in place
-    // instead of leaking a full table copy per call (r10 advice), and a
-    // shutdown hook removes the tree on exit.
-    val outDir = s"${graft.TmpDirs.scoped("graft_q82_")}/events_compacted"
+    // One JVM-scoped output dir PER SF DIR, reused across invocations:
+    // the write is mode("overwrite") so repeated bench/verify passes
+    // rewrite in place instead of leaking a full table copy per call
+    // (r10 advice), a shutdown hook removes the tree on exit, and the
+    // injective sfDir key means a q82 built for another scale factor in
+    // the same JVM can't overwrite the files this DataFrame reads.
+    val outDir = graft.TmpDirs.keyed("graft_q82_", t.sfDir + "/events_compacted")
     compacted.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
       .select("user_id", "event_type", "event_id", "value")

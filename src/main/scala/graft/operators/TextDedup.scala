@@ -275,10 +275,11 @@ object TextDedup {
 
   def minhashPairsTable(t: T): DataFrame = {
     val path = pairsCache.computeIfAbsent(t.sfDir, { _ =>
-      // Nested under the JVM-scoped scratch root (one dir per sfDir, swept
-      // by the TmpDirs shutdown hook — same leak fix as q82).
-      val out = graft.TmpDirs.scoped("graft_minhash_pairs_") + "/" +
-        java.lang.Integer.toHexString(t.sfDir.hashCode)
+      // Nested under the JVM-scoped scratch root, keyed injectively by
+      // sfDir (URL encoding, not hashCode — a 32-bit collision would
+      // silently serve one sf dir's pairs for another), swept by the
+      // TmpDirs shutdown hook — same leak fix as q82.
+      val out = graft.TmpDirs.keyed("graft_minhash_pairs_", t.sfDir)
       q27MinhashNearDup(t).write.mode("overwrite").parquet(out)
       out
     })

@@ -44,11 +44,35 @@ class StancePctSpec extends SparkSpec with TableDrivenPropertyChecks {
   }
 
   test("field-level coercion matches the declared schema") {
-    // string pct / numeric stance → that FIELD nulls, struct survives
+    // string pct / numeric stance → that FIELD nulls, struct survives;
+    // key order must not matter for the coercions
     for ((j, n, f) <- both(Seq(
       """{"stance": "x", "pct": "42"}""",
+      """{"pct": "42", "stance": "x"}""",
       """{"stance": 17, "pct": 3}""",
       """{"stance": true, "pct": 3}""")))
+      assert(n == f, s"payload: $j native=$n from_json=$f")
+  }
+
+  test("JSON number grammar is strict: leading zeros and signed \\u escapes reject") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val bad = Seq(
+      """{"stance": "x", "pct": 042}""",   // leading zero: not JSON
+      """{"stance": 042, "pct": 3}""",     // same via the stance coercion
+      """{"pct": -042}""",
+      // built by concat: Scala's scanner rejects a literal \u in source
+      "{\"stance\": \"a" + "\\u" + "+12a\"}", // parseInt would take the sign
+      "{\"stance\": \"a" + "\\u" + "-123\"}")
+    val out = bad.toDF("j")
+      .select(col("j"), expr("stance_pct(j)").as("native")).collect()
+    for (r <- out)
+      assert(r.isNullAt(1), s"payload: ${r.getString(0)} should parse to NULL")
+    // …while plain zero and zero-fractions stay valid
+    for ((j, n, f) <- both(Seq(
+      """{"stance": "x", "pct": 0}""",
+      """{"stance": "x", "pct": 0.5}""",
+      """{"stance": "x", "pct": -0.25}""")))
       assert(n == f, s"payload: $j native=$n from_json=$f")
   }
 
