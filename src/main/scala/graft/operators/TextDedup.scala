@@ -241,6 +241,10 @@ object TextDedup {
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"))
         .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), expr(h60(84, "gram")).as("gh"))
+      // feeds the dup aggregate AND the hit join; without truncation each
+      // consumer re-runs the shingle explode + md5 pass (the q27-family
+      // 2-consumer treatment — lazy, MEMORY_AND_DISK, spills)
+      .localCheckpoint(false)
     val dup = grams.groupBy("gh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
