@@ -290,10 +290,11 @@ object Clustering {
     *     global order), so the prefix equi-join generates a provable
     *     superset of qualifying pairs. Exact cosines are then
     *     recomputed per candidate with the native `sparse_cosine` over
-    *     the two FULL term-sorted vectors (joined in as single array
-    *     rows, broadcast when small) — pruning changes candidate
-    *     volume, never values — and pairs dedup AFTER the threshold
-    *     filter, where the survivor count is small.
+    *     the two FULL term-sorted vectors (each prefix row carries its
+    *     vector through the self-join, so the verify runs in the same
+    *     codegen stage) — pruning changes candidate volume, never
+    *     values — and pairs dedup AFTER the threshold filter, where the
+    *     survivor count is small.
     *  3. connected components by min-label propagation over the edge
     *     list — one equi-join per round, converges in O(graph diameter)
     *     rounds (question-similarity components are shallow); lineage is
@@ -340,22 +341,37 @@ object Clustering {
     val distinct = df.groupBy(questionCol)
       .agg(min(orderCol).cast("long").as("qid"))
       .cache()
-    val terms = distinct.select(col("qid"), col(questionCol))
+    // ONE map-side pass builds each question's ENTIRE sorted vector row:
+    // (qid, vec: array<struct<term,w>>, norm_sq). questionVector already
+    // returns the whole map, so exploding to skinny rows and re-grouping
+    // (the r10 shape: a vecs groupBy + sort_array + two per-side joins)
+    // paid a shuffle to reassemble what the flatMap had in hand. Terms
+    // are [a-z0-9]+ by construction (`tokens` folds to ASCII), so the
+    // JVM string sort here agrees with UTF8String's byte order — the
+    // invariant `sparse_cosine`'s merge walk needs.
+    val vecRows = distinct.select(col("qid"), col(questionCol))
       .as[(Long, String)]
-      .flatMap { case (qid, q) =>
-        questionVector(q).map { case (t, w) => (qid, t, w) } }
-      .toDF("qid", "term", "w")
+      .map { case (qid, q) =>
+        val v = questionVector(q).toSeq.sortBy(_._1)
+        (qid, v, v.iterator.map(x => x._2 * x._2).sum) }
+      .toDF("qid", "vec", "norm_sq")
       .cache()
+    val terms = vecRows.select(col("qid"), col("norm_sq"), col("vec"),
+        explode(col("vec")).as("e"))
+      .select(col("qid"), col("norm_sq"), col("vec"),
+        col("e._1").as("term"), col("e._2").as("w"))
     // Prefix filter (see scaladoc): keep a row in the candidate index iff
     // the w² mass from this term to the hot end of the global
     // (frequency asc, term asc) order is ≥ τ²·‖v‖² — equivalently, the
-    // strictly-hotter tail is still too heavy to be discarded. The
-    // running tail sum and the whole-vector norm² share ONE qid
-    // partitioning (two window functions, no extra shuffle, ≤
-    // vector-width rows per key); the tf join is a plain equi-join that
+    // strictly-hotter tail is still too heavy to be discarded. norm² is
+    // precomputed on the vector row, so ONE window (the running tail sum,
+    // one qid shuffle) suffices; the tf join is a plain equi-join that
     // AQE broadcasts when small. The 1e-9 slack only widens the prefix —
-    // FP disagreement between the two window sums can demote a boundary
-    // row to the tail, never the reverse.
+    // FP disagreement between the sums can demote a boundary row to the
+    // tail, never the reverse. The full vec array rides through the
+    // window shuffle on each term row (vector-width × row-size bytes —
+    // bounded by question length) so the candidate join below needs NO
+    // separate vector joins.
     val tf = terms.groupBy("term").agg(count(lit(1)).as("tf"))
     val wTail = Window.partitionBy("qid")
       .orderBy(col("tf").desc, col("term").desc)
@@ -363,14 +379,12 @@ object Clustering {
     val prefixIdx = terms
       .join(tf, Seq("term"))
       .withColumn("tail_sq", sum(col("w") * col("w")).over(wTail))
-      .withColumn("norm_sq",
-        sum(col("w") * col("w")).over(Window.partitionBy("qid")))
       .filter(col("tail_sq") >
         lit(threshold * threshold) * col("norm_sq") - lit(1e-9))
       // rs² = ‖suffix(term)‖²/‖v‖² rides along so the candidate join can
       // apply the PAIRWISE Cauchy–Schwarz bound below, not just this
       // per-side rs > τ cut.
-      .select(col("qid"), col("term"),
+      .select(col("qid"), col("term"), col("vec"),
         (col("tail_sq") / col("norm_sq")).as("rs_sq"))
     // Candidate rows are NOT deduped: a pair appears once per shared
     // prefix term, so its verify multiplicity is bounded by the narrower
@@ -391,33 +405,26 @@ object Clustering {
     // (both rs ≤ 1, so the product clears τ only when each side is well
     // above it): ~11% fewer candidate rows into the cosine verify at
     // identical edge output.
-    val cand = prefixIdx.select(col("qid").as("qa"), col("term"), col("rs_sq").as("rsa"))
-      .join(prefixIdx.select(col("qid").as("qb"), col("term"), col("rs_sq").as("rsb")), Seq("term"))
+    // Exact verification is INLINE and map-side: each prefix row carries
+    // its full term-sorted vector (a few MB broadcast at sf0.1; at
+    // larger scale AQE falls back to a shuffle join on term, still never
+    // all-pairs), so the self-join's output feeds the native codegen'd
+    // `sparse_cosine` in the SAME stage — candidates are never
+    // materialized, and the r10 shape's two per-side vector joins are
+    // gone.
+    val edges = prefixIdx
+      .select(col("qid").as("qa"), col("term"), col("rs_sq").as("rsa"), col("vec").as("va"))
+      .join(prefixIdx
+        .select(col("qid").as("qb"), col("term"), col("rs_sq").as("rsb"), col("vec").as("vb")),
+        Seq("term"))
       .filter(col("qa") < col("qb") &&
         col("rsa") * col("rsb") >= lit(threshold * threshold) - lit(1e-9))
-      .select("qa", "qb")
-    // Exact verification stays MAP-SIDE: each side's full vector rides in
-    // as one term-sorted array row (4.7 k rows at sf0.1 — broadcast-sized
-    // here; at larger scale AQE falls back to a shuffle join keyed by
-    // qid, still no all-pairs), and the native codegen'd `sparse_cosine`
-    // walks the two sorted arrays per candidate. Width is bounded by the
-    // question length, so a vector row is always small.
-    val vecs = terms.groupBy("qid")
-      .agg(sort_array(collect_list(struct(col("term"), col("w")))).as("vec"))
-      // both join sides read this aggregate; cached, the groupBy +
-      // sort_array pass runs once instead of once per side (ReuseExchange
-      // only shares the exchange, not the final aggregate + sort projection)
-      .cache()
-    val edges = cand
-      .join(vecs.select(col("qid").as("qa"), col("vec").as("va")), Seq("qa"))
-      .join(vecs.select(col("qid").as("qb"), col("vec").as("vb")), Seq("qb"))
       .filter(expr("sparse_cosine(va, vb)") >= threshold)
       .select(col("qa"), col("qb"))
     if (sys.env.contains("GRAFT_CLUSTER_DIAG")) {
       lap(s"  [diag] distinct=${distinct.count()}")
       lap(s"  [diag] terms=${terms.count()}")
       lap(s"  [diag] prefixIdx=${prefixIdx.count()}")
-      lap(s"  [diag] cand=${cand.count()}")
       lap(s"  [diag] edges=${edges.count()}")
     }
     // Double each undirected edge in ONE pass over the verify output via
@@ -453,7 +460,7 @@ object Clustering {
       .select(col(questionCol), col("cluster_id"), col("cluster_label"))
       .localCheckpoint()
     lap("mapping materialized")
-    Seq(distinct, terms, vecs, eb).foreach(_.unpersist())
+    Seq(distinct, vecRows, eb).foreach(_.unpersist())
     mapping
   }
 
