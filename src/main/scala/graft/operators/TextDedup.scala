@@ -245,15 +245,23 @@ object TextDedup {
       // consumer re-runs the shingle explode + md5 pass (the q27-family
       // 2-consumer treatment — lazy, MEMORY_AND_DISK, spills)
       .localCheckpoint(false)
+    // "≥2 distinct docs" as min≠max — a plain one-shuffle aggregate with
+    // map-side partials, where count(DISTINCT doc_id) planned a second
+    // dedup pass over the gram exchange
     val dup = grams.groupBy("gh")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("gh")
+    // (doc_id, pos) is unique by construction and dup is unique by gh, so
+    // the join preserves row uniqueness → collect_list(pos) is already a
+    // set; distinct-gram count via collect_set's in-buffer dedup, keeping
+    // the aggregate a single ObjectHashAggregate (mixing countDistinct
+    // with a collect forced an Expand double-pass over the hit rows)
     val hits = grams
       .join(dup, Seq("gh")) // gram-hash equi-join, the one corpus-wide shuffle
       .groupBy("doc_id")
-      .agg(collect_set(col("pos")).as("ps"),
-        countDistinct(col("gh")).as("n_dup_grams"))
+      .agg(collect_list(col("pos")).as("ps"),
+        size(collect_set(col("gh"))).cast("long").as("n_dup_grams"))
       .withColumn("covered",
         array_distinct(flatten(expr("transform(ps, p -> sequence(p, p + 7))"))))
       .select("doc_id", "n_dup_grams", "covered")
