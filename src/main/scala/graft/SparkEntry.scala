@@ -119,6 +119,9 @@ object SparkEntry {
     "q82_compaction"      -> ((s, d) => Monitoring.q82Compaction(T(s, d))),
     "q83_shard_assign"    -> ((s, d) => Corpus.q83ShardAssign(T(s, d))),
     "q84_span_dedup"      -> ((s, d) => TextDedup.q84SpanDedup(T(s, d))),
+    "q85_bm25"            -> ((s, d) => Retrieval.q85Bm25(T(s, d))),
+    "q86_sessionize"      -> ((s, d) => Sessions.q86Sessionize(T(s, d))),
+    "q87_funnel"          -> ((s, d) => Sessions.q87Funnel(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1735,5 +1738,80 @@ object SparkEntry {
         |    x -> x IS NOT NULL), ' '), '') AS clean_text
         |FROM words d LEFT JOIN hits h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q85: BM25 top-20 for the fixed query; same algebraic tree as the
+    // Spark expression (ln form, double literals) and scores rounded to 4
+    // decimals BEFORE ordering so the cut is FP-stable.
+    "q85_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+        |q AS (SELECT unnest(['spark', 'stream', 'window', 'hash']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf
+        |  FROM d2 CROSS JOIN q
+        |  WHERE len(list_filter(w, x -> x = term)) > 0),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |        (tf + CAST(1.2 AS DOUBLE) *
+        |          ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |    ), 4) AS score,
+        |    CAST(count(*) AS INT) AS n_terms
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score, n_terms FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q86: 8h-gap sessionization; gap and duration arithmetic on
+    // microsecond integers (epoch_us ≡ Spark's unix_micros), never float
+    // epochs, so the session split is bit-identical.
+    "q86_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(28800 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  (max(us) - min(us)) // 1000000 AS duration_s,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q87: strict ordered funnel, each step within 24h of the previous;
+    // pure timestamp comparisons at microsecond precision.
+    "q87_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > t1
+        |    AND e.ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t2
+        |    AND e.ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t3
+        |    AND e.ts <= t3 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        |ORDER BY step""".stripMargin,
   )
 }

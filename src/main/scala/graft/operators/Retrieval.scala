@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables.T
+
+/** Keyword retrieval over the documents table — BM25 ranking, the lexical
+  * scoring a training-data pipeline uses for targeted corpus pulls
+  * ("fetch documents about X for mixture rebalancing") and as the sparse
+  * side of hybrid search next to the embedding ANN family (q25/q26/q58).
+  */
+object Retrieval {
+
+  /** The fixed keyword query; terms chosen from the corpus vocabulary so
+    * every term has a real df and the ranking exercises the idf spread. */
+  val QueryTerms: Seq[String] = Seq("spark", "stream", "window", "hash")
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** q85 — BM25 top-20 documents for [[QueryTerms]] (Robertson/Sparck
+    * Jones idf with the +1 floor, the Lucene-style formulation):
+    * score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1) ·
+    * tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * 100 TB shape: per-document term frequencies are computed MAP-SIDE
+    * (an array filter per query term — the query is a handful of terms,
+    * so this is a few passes over each doc's token array, never a full
+    * term explode); only docs with ≥1 hit emit rows, ≤|query| skinny
+    * rows each. Corpus stats (N, avgdl) and per-term df are broadcast
+    * 1-row/|query|-row aggregates; the scoring join is therefore
+    * map-side, the per-doc score aggregate is the one shuffle (≤|query|
+    * rows per doc), and the top-20 is a TakeOrdered, never a full sort.
+    * Scores round to 4 decimals BEFORE the ordering so the cut is
+    * FP-stable across engines. */
+  def q85Bm25(t: T): DataFrame = bm25(t.documents, QueryTerms)
+
+  /** The reusable BM25 core over (doc_id, text) rows — public so specs
+    * drive hand-built corpora through the identical pipeline. */
+  def bm25(documents: DataFrame, queryTerms: Seq[String],
+           limit: Int = 20): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val termsArr = queryTerms.map(q => s"'$q'").mkString(", ")
+    val tfs = docs.select(col("doc_id"), col("dl"),
+        explode(expr(
+          s"filter(transform(array($termsArr), " +
+            "q -> struct(q AS term, CAST(size(filter(w, x -> x = q)) AS DOUBLE) AS tf)), " +
+            "s -> s.tf > 0)")).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val dfreq = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tfs.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tscore")), 4).as("score"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+}
