@@ -122,6 +122,8 @@ object SparkEntry {
     "q85_bm25"            -> ((s, d) => Retrieval.q85Bm25(T(s, d))),
     "q86_sessionize"      -> ((s, d) => Sessions.q86Sessionize(T(s, d))),
     "q87_funnel"          -> ((s, d) => Sessions.q87Funnel(T(s, d))),
+    "q88_session_window"  -> ((s, d) => Sessions.q88SessionWindow(T(s, d))),
+    "q89_asof_join"       -> ((s, d) => Sessions.q89AsofJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1813,5 +1815,43 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
         |ORDER BY step""".stripMargin,
+    // q88: native session_window semantics — CLOSED intervals (boundary
+    // events exactly gap apart merge; split on > gap, the same rule as
+    // q86 — SessionsSpec pins it); session_end is last event + gap.
+    // Split arithmetic on microsecond integers.
+    "q88_session_window" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(28800 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        |  FROM f)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 8 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin,
+    // q89: as-of (most recent strictly-earlier view value per purchase);
+    // purchases sort before views on ts ties so a same-instant view never
+    // matches — identical tiebreak in the Spark window.
+    "q89_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN event_type = 'view' THEN value END AS vv,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(vv IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_value
+        |  FROM u)
+        |SELECT user_id, event_id, ts, value AS purchase_value, prior_view_value
+        |FROM w WHERE isp = 1 ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -64,6 +64,63 @@ object Sessions {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q88 — the same 8 h session semantics through Spark's NATIVE
+    * `session_window` aggregation (SessionWindowStateStore-backed in
+    * streaming; merge-on-overlap in batch). Sessions merge on CLOSED
+    * intervals — two events exactly `gap` apart DO merge, i.e. the split
+    * rule is `> gap`, identical to q86's (SessionsSpec pins the boundary
+    * on both). session_end is last event + gap by definition, the one
+    * output-shape difference from q86.
+    *
+    * 100 TB shape: one shuffle on user_id; the session merge is a
+    * per-key sorted pass inside the aggregate exec, and in streaming the
+    * SAME query shape runs incrementally with watermark-bounded state
+    * (SessionsSpec proves batch/stream row parity on a replayed log). */
+  def q88SessionWindow(t: T): DataFrame = sessionWindow(t.events)
+
+  /** The reusable native-session core — also the streaming query shape
+    * (callers swap in a readStream frame and add a watermark). */
+  def sessionWindow(events: DataFrame, gap: String = "8 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  /** q89 — as-of join: each purchase picks up the value of the same
+    * user's most recent strictly-earlier view (purchases before views on
+    * timestamp ties, so a same-instant view never matches). Implemented
+    * as the UNION + running-last window — the as-of pattern that scales:
+    * one shuffle on the user key, no range join, no per-row subquery.
+    *
+    * 100 TB shape: the union is two filters over one scan (tag column,
+    * no second read); the window is a single (user_id) partitioning with
+    * an unbounded-preceding→1-preceding frame, so state per key is one
+    * running value — never a buffered range. A time-bucketed variant
+    * (bucket join + intra-bucket window) is the documented fallback when
+    * one user's history exceeds a partition. */
+  def q89AsofJoin(t: T): DataFrame = asofViewBeforePurchase(t.events)
+
+  /** The reusable as-of core — public so specs drive hand-built logs
+    * through the identical pipeline. */
+  def asofViewBeforePurchase(events: DataFrame): DataFrame = {
+    val u = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "view", col("value")).as("vv"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("isp"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("isp").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    u.withColumn("prior_view_value", last(col("vv"), ignoreNulls = true).over(w))
+      .filter(col("isp") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"), col("prior_view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q87 — strict ordered funnel signup → view → click → purchase: a user
     * advances to step k+1 on the FIRST step-k+1 event strictly after
     * their step-k timestamp and within [[FunnelWindowHours]] of it; the

@@ -66,6 +66,88 @@ class SessionsSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("session_window: exactly-gap-apart events merge (closed interval, same as q86)") {
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, 2L, "2024-01-01 08:00:00", "view", 2.0),
+      (1L, 3L, "2024-01-01 16:00:01", "view", 3.0)) // 8h+1s → splits
+    val native = Sessions.sessionWindow(log(rows))
+      .select("session_start", "session_end", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toList
+    assert(native == List(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 16:00:00"), 2L),
+      (ts("2024-01-01 16:00:01"), ts("2024-01-02 00:00:01"), 1L)))
+    // q86 splits on the identical > gap rule — same session membership
+    val gapped = Sessions.sessionize(log(rows))
+      .select("n_events").collect().map(_.getLong(0)).toList
+    assert(gapped == List(2L, 1L))
+  }
+
+  test("session_window: sub-gap events merge and end extends from the last event") {
+    val out = Sessions.sessionWindow(log(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, 2L, "2024-01-01 07:00:00", "purchase", 2.5),
+      (1L, 3L, "2024-01-01 14:00:00", "view", 0.5)))) // chains via event 2
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Timestamp]("session_start") == ts("2024-01-01 00:00:00"))
+    assert(r.getAs[Timestamp]("session_end") == ts("2024-01-01 22:00:00"))
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Double]("total_value") == 4.0)
+  }
+
+  test("session_window: the same query shape runs as a streaming aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sesswin").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/e.json"),
+      """{"user_id":1,"event_id":1,"ts":"2024-01-01T00:00:00.000Z","event_type":"view","value":1.0}
+        |{"user_id":1,"event_id":2,"ts":"2024-01-01T02:00:00.000Z","event_type":"view","value":2.0}
+        |{"user_id":1,"event_id":3,"ts":"2024-01-01T15:00:00.000Z","event_type":"view","value":4.0}
+        |{"user_id":2,"event_id":4,"ts":"2024-01-01T00:30:00.000Z","event_type":"purchase","value":8.0}""".stripMargin)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = Sessions.sessionWindow(stream.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("sesswin").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, n_events, total_value FROM sesswin ORDER BY user_id, session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toList
+    val batch = Sessions.sessionWindow(spark.read.schema(schema).json(dir))
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toList
+    assert(streamed == batch)
+    assert(streamed.map(x => (x._1, x._3)) == List((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("as-of: each purchase picks the most recent strictly-earlier view") {
+    val out = Sessions.asofViewBeforePurchase(log(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view", 10.0),
+      (1L, 2L, "2024-01-01 01:00:00", "view", 20.0),
+      (1L, 3L, "2024-01-01 02:00:00", "purchase", 99.0),
+      (1L, 4L, "2024-01-01 03:00:00", "view", 30.0),
+      (1L, 5L, "2024-01-01 04:00:00", "purchase", 77.0))))
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.get(4))).toList
+    assert(out == List((3L, 99.0, 20.0), (5L, 77.0, 30.0)))
+  }
+
+  test("as-of: a same-instant view does not match; no prior view is null") {
+    val out = Sessions.asofViewBeforePurchase(log(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "purchase", 5.0),   // nothing prior
+      (1L, 2L, "2024-01-01 01:00:00", "view", 42.0),
+      (1L, 3L, "2024-01-01 01:00:00", "purchase", 6.0), // tie: view excluded...
+      (1L, 4L, "2024-01-01 02:00:00", "purchase", 7.0), // ...but visible later
+      (2L, 5L, "2024-01-01 00:00:00", "click", 1.0),    // other types ignored
+      (2L, 6L, "2024-01-01 00:30:00", "purchase", 8.0))))
+      .collect().map(r => (r.getLong(1), r.get(4))).toList
+    assert(out == List((1L, null), (3L, null), (4L, 42.0), (6L, null)))
+  }
+
   test("funnel: full in-order conversion counts every step") {
     val out = Sessions.funnel(log(Seq(
       (1L, 1L, "2024-01-01 00:00:00", "signup", 0.0),
