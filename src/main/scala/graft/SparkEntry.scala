@@ -124,6 +124,8 @@ object SparkEntry {
     "q87_funnel"          -> ((s, d) => Sessions.q87Funnel(T(s, d))),
     "q88_session_window"  -> ((s, d) => Sessions.q88SessionWindow(T(s, d))),
     "q89_asof_join"       -> ((s, d) => Sessions.q89AsofJoin(T(s, d))),
+    "q90_chunking"        -> ((s, d) => Corpus.q90Chunk(T(s, d))),
+    "q91_temperature_mix" -> ((s, d) => Corpus.q91TemperatureMix(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1853,5 +1855,48 @@ object SparkEntry {
         |  FROM u)
         |SELECT user_id, event_id, ts, value AS purchase_value, prior_view_value
         |FROM w WHERE isp = 1 ORDER BY user_id, event_id""".stripMargin,
+    // q90: 48-token windows every 32 tokens; chunk hash = md5 of the
+    // rejoined window text (strings compare exactly; no floats anywhere).
+    "q90_chunking" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(range(0, len(w), 32)) AS chunk_start
+        |  FROM words)
+        |SELECT doc_id,
+        |  CAST(chunk_start // 32 AS INT) AS chunk_id,
+        |  CAST(chunk_start AS INT) AS chunk_start,
+        |  CAST(len(list_slice(w, chunk_start + 1, chunk_start + 48)) AS INT) AS n_tokens,
+        |  md5(array_to_string(list_slice(w, chunk_start + 1, chunk_start + 48), ' ')) AS chunk_hash
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    // q91: temperature-α=0.5 mixture targets (budget 40% of the corpus,
+    // weights ∝ n^0.5) realized by the portable 60-bit md5 hash threshold
+    // in parts-per-million — integer keep decision, rounded-double plan.
+    "q91_temperature_mix" ->
+      """WITH by_source AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    sum(power(CAST(n_docs AS DOUBLE), 0.5)) AS w_sum
+        |  FROM by_source),
+        |plan AS (
+        |  SELECT source, n_docs,
+        |    power(CAST(n_docs AS DOUBLE), 0.5) / w_sum AS share,
+        |    CAST(round(round(n_total * 0.4, 0) *
+        |      (power(CAST(n_docs AS DOUBLE), 0.5) / w_sum), 0) AS BIGINT) AS target
+        |  FROM by_source CROSS JOIN tot),
+        |plan2 AS (
+        |  SELECT *, least(CAST(1000000 AS BIGINT),
+        |    CAST(round(1000000.0 * target / n_docs, 0) AS BIGINT)) AS thr
+        |  FROM plan),
+        |kept AS (
+        |  SELECT d.source,
+        |    CASE WHEN ('0x' || substr(md5(concat('91:', CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT
+        |      % 1000000 < p.thr THEN 1 ELSE 0 END AS k
+        |  FROM documents d JOIN plan2 p USING (source))
+        |SELECT p.source, p.n_docs, round(p.share, 6) AS share, p.target,
+        |  (SELECT CAST(sum(k) AS BIGINT) FROM kept WHERE kept.source = p.source) AS n_kept
+        |FROM plan2 p ORDER BY p.source""".stripMargin,
   )
 }

@@ -335,4 +335,91 @@ object Corpus {
       .select("doc_id", "n_tokens", "shard_id")
       .orderBy("doc_id")
   }
+
+  /** Sliding-window chunk geometry: 48-token windows every 32 tokens
+    * (16-token overlap) — sized to the test corpus's 10–99-word documents
+    * so multi-chunk splitting is genuinely exercised; the context-window
+    * prep step between document cleaning and sequence packing (q77 packs
+    * whole docs; this splits docs that exceed the window). */
+  val ChunkSize = 48
+  val ChunkStride = 32
+
+  /** q90 — overlapping token chunking: each document yields one chunk per
+    * stride offset (the final chunk may be short), identified by a chunk
+    * hash over the rejoined window text.
+    *
+    * 100 TB design: entirely MAP-SIDE — the starts sequence + slice +
+    * hash runs inside one projection over the scan, no shuffle at all
+    * before the serving sort; chunk count per doc is ⌈n/stride⌉, so
+    * output scales linearly with corpus tokens. */
+  def q90Chunk(t: T): DataFrame = chunk(t.documents)
+
+  /** The reusable chunking core — public so specs drive hand-built
+    * corpora through the identical pipeline. */
+  def chunk(documents: DataFrame, width: Int = ChunkSize,
+            stride: Int = ChunkStride): DataFrame =
+    documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1,
+          lit(stride))).as("chunk_start"))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / stride).cast("int").as("chunk_id"),
+        col("chunk_start"),
+        size(slice(col("w"), col("chunk_start") + 1, lit(width))).as("n_tokens"),
+        md5(array_join(slice(col("w"), col("chunk_start") + 1, lit(width)), " "))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Temperature exponent for q91: keep rates ∝ n_s^α flatten the source
+    * distribution (α < 1 upsamples small sources relative to their raw
+    * share — the multilingual-mixture trick applied to sources). */
+  val MixAlpha = 0.5
+
+  /** Overall sampling budget as a fraction of the corpus. */
+  val MixBudgetFrac = 0.4
+
+  /** q91 — temperature-scaled mixture audit: targets per source are
+    * budget · n_s^α / Σ n^α, realized by a deterministic per-doc hash
+    * threshold in parts-per-million; the output compares realized kept
+    * counts against targets per source.
+    *
+    * 100 TB design: learn-then-apply like q76 — the per-source stats are
+    * one tiny aggregate broadcast back onto the scan; the keep decision
+    * is a map-side integer hash compare (replayable, no RNG state); the
+    * audit aggregate is one shuffle of source-keyed partials. */
+  /** The per-source sampling plan — (source, n_docs, share, target, thr)
+    * with thr the parts-per-million hash threshold realizing the target.
+    * Public so specs pin the temperature arithmetic on hand-built
+    * corpora. */
+  def temperatureMixPlan(documents: DataFrame): DataFrame = {
+    val bySource = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = bySource.agg(
+      sum("n_docs").as("n_total"),
+      sum(pow(col("n_docs").cast("double"), MixAlpha)).as("w_sum"))
+    bySource.crossJoin(broadcast(tot))
+      .withColumn("share", pow(col("n_docs").cast("double"), MixAlpha) / col("w_sum"))
+      .withColumn("target",
+        round(round(col("n_total") * lit(MixBudgetFrac), 0) * col("share"), 0)
+          .cast("long"))
+      .withColumn("thr", least(lit(1000000L),
+        round(lit(1000000.0) * col("target") / col("n_docs"), 0).cast("long")))
+      .select("source", "n_docs", "share", "target", "thr")
+  }
+
+  def q91TemperatureMix(t: T): DataFrame = {
+    t.documents
+      .join(broadcast(temperatureMixPlan(t.documents)), Seq("source"))
+      .withColumn("kept",
+        expr(s"${TextDedup.h60(91, "CAST(doc_id AS STRING)")} % 1000000") < col("thr"))
+      .groupBy("source")
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        round(first(col("share")), 6).as("share"),
+        first(col("target")).as("target"),
+        count_if(col("kept")).as("n_kept"))
+      .smallSort("source")
+  }
 }

@@ -107,4 +107,61 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunking: window/stride/overlap geometry and the short final chunk") {
+    // 10 words, width 4, stride 3 → starts 0,3,6,9; last chunk 1 word
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, width = 4, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toList
+    assert(out == List((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+  }
+
+  test("chunking: overlapping windows share their overlap words exactly") {
+    val docs = Seq((1L, "w0 w1 w2 w3 w4")).toDF("doc_id", "text")
+    val withText = Corpus.chunk(docs, width = 4, stride = 2)
+    // rebuild each chunk's words from the hash by hashing the expected
+    // slices — chunk 0 = w0..w3, chunk 1 = w2..w4 (overlap w2 w3)
+    val hashes = withText.select("chunk_hash").collect().map(_.getString(0)).toList
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hashes == List(h("w0 w1 w2 w3"), h("w2 w3 w4"), h("w4")))
+  }
+
+  test("chunking: a doc shorter than one window is a single whole chunk") {
+    val docs = Seq((1L, "only three words")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs).collect()
+    assert(out.length == 1 && out.head.getInt(3) == 3)
+  }
+
+  test("temperature mix: alpha=0.5 upsamples small sources; targets track shares") {
+    // raw shares 90%/10%; sqrt-temperature shares 75%/25% — the small
+    // source's keep RATE (target/n_docs) must exceed the big one's, and
+    // the total target stays within rounding of the 40% budget
+    val rows = (0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))
+    val plan = Corpus.temperatureMixPlan(rows.toDF("doc_id", "source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+          r.getAs[Long]("target"), r.getAs[Long]("thr")))).toMap
+    val (nb, shb, tb, thrb) = plan("big")
+    val (ns, shs, tsm, thrs) = plan("small")
+    assert(nb == 900L && ns == 100L)
+    assert(math.abs(shb - 0.75) < 1e-9 && math.abs(shs - 0.25) < 1e-9)
+    assert(tsm.toDouble / ns > tb.toDouble / nb)
+    assert(tb + tsm <= 401)
+    assert(thrs > thrb) // ppm thresholds realize the rate ordering
+    assert(thrs <= 1000000L)
+  }
+
+  test("temperature mix: a source whose target exceeds its size clamps at keep-all") {
+    // sqrt-temperature gives the 1-doc source share 1/101 of a 4000-doc
+    // budget → target ≈ 40 ≫ n_docs = 1; the ppm threshold must clamp at
+    // exactly 1e6 (keep everything), not overflow past it
+    val rows = (0L until 10000L).map(i => (i, "big")) ++ Seq((10000L, "one"))
+    val plan = Corpus.temperatureMixPlan(rows.toDF("doc_id", "source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("target"), r.getAs[Long]("thr")))).toMap
+    assert(plan("one")._1 > 1L)
+    assert(plan("one")._2 == 1000000L)
+  }
 }

@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
   // cannot slip in silently:
-  //   q16/q83/q85        — broadcast 1-row global aggregate (watermark /
+  //   q16/q83/q85/q91    — broadcast 1-row global aggregate (watermark /
   //                        total-tokens / corpus-stats scalar) joined to
   //                        every row (q23/q38 left this list in r11:
   //                        their watermark is now a staging-time scalar)
@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSpec {
   //   q58                — broadcast centroid table probed per embedding
   //                        (IVF nprobe=1; centroid count is fixed)
   private val allowedNestedLoop: Set[String] = Set(
-    "q16_recency_buckets", "q83_shard_assign", "q85_bm25",
+    "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf")
 
