@@ -76,16 +76,18 @@ object Similarity {
         .as("centroid"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    // probe: nearest centroid per query (nprobe = 1)
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("cdist").asc, col("label").asc)
+    // probe: nearest centroid per query (nprobe = 1) — argmin as a
+    // min(struct(dist, label)) aggregate (partial-aggregated, no per-query
+    // sort; (cdist, label) lexicographic min IS the (dist asc, label asc)
+    // tie-break), with qvec riding via first()
     val assigned = queries
       .crossJoin(broadcast(centroids))
       .withColumn("cdist", expr(
         "aggregate(zip_with(qvec, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("qvec"), col("label"))
+      .groupBy("query_id")
+      .agg(min(struct(col("cdist"), col("label"))).as("m"),
+        first(col("qvec")).as("qvec"))
+      .select(col("query_id"), col("qvec"), col("m.label").as("label"))
     // search only the probed inverted list
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
