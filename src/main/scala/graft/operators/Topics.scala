@@ -124,18 +124,16 @@ object Topics {
       .withColumn("has_gold", col("event_id") % 7 =!= 0)
       .withColumn("is_match",
         col("has_gold") && col("event_id") % 3 =!= 0)
-    // (A probe-side repartition before extraction was measured no-op here
-    // — these sentences are ~25 chars, so the scan-side extraction is not
-    // the bottleneck the way q34/q60's pair walks were; the cost is the
-    // collect_set exchange + join, which AQE already sizes.)
-    val got = TextAnalysis.extractClaims(
-        built.select(col("event_id").as("poll_id"), col("sentence")))
-      .groupBy("poll_id")
-      .agg(collect_set(col("claim_value").cast("int")).as("got_pcts"))
+    // The extractor runs IN-ROW: claim_pcts (the same native scan
+    // extractClaims wraps, with the identical >120% suppression before
+    // the int cast) is a per-sentence expression and the capture check
+    // keys on the row's own unique event_id — so the r10 shape's
+    // collect_set exchange + self-join was an identity round-trip, two
+    // shuffles re-associating each row with its own extraction output.
     built
-      .join(got, built("event_id") === got("poll_id"), "left")
-      .withColumn("captured",
-        coalesce(array_contains(col("got_pcts"), col("pct_int")), lit(false)))
+      .withColumn("got_pcts", expr(
+        "transform(filter(claim_pcts(sentence), v -> v <= 120.0D), v -> CAST(v AS INT))"))
+      .withColumn("captured", array_contains(col("got_pcts"), col("pct_int")))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
