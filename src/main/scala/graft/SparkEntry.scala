@@ -1576,8 +1576,10 @@ object SparkEntry {
         |g AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(w) - 5),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]))) AS gram
+        |    i -> ('0x' || substr(md5(concat('79:',
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
+        |      ::BIGINT))) AS gram
         |  FROM words WHERE len(w) >= 7),
         |probe AS (SELECT doc_id AS probe_doc, gram FROM g WHERE doc_id % 97 = 0),
         |train AS (SELECT doc_id AS train_doc, gram FROM g WHERE doc_id % 97 != 0),

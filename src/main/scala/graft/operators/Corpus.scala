@@ -181,11 +181,17 @@ object Corpus {
       // shingles rarely repeat within a document, so the global hash
       // shuffle + materialization it required bought almost no row
       // reduction (measured ~2× the query at sf0.1); the per-row form
-      // keeps shingling map-side on both join branches
+      // keeps shingling map-side on both join branches. The gram string
+      // exists only transiently in the projection — the exchange carries
+      // its 60-bit md5 hash (8 bytes vs ~50-byte strings), the q84
+      // discipline; the oracle applies the identical hash, and a
+      // (≈2^-60-scale) collision only overcounts a leak — the
+      // conservative direction for decontamination.
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(words) - $ProbeGram), i -> " +
-          (0 until ProbeGram).map(k => s"words[i + $k]")
-            .mkString("concat_ws(' ', ", ", ", ")") + ")"))).as("gram"))
+          s"${TextDedup.h60(79,
+            (0 until ProbeGram).map(k => s"words[i + $k]")
+              .mkString("concat_ws(' ', ", ", ", ")"))})"))).as("gram"))
     val probe = grams.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("probe_doc"), col("gram"))
     val train = grams.filter(col("doc_id") % 97 =!= 0)
