@@ -43,13 +43,20 @@ object Retrieval {
     val docs = documents.select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("w"))
       .withColumn("dl", size(col("w")).cast("double"))
-    val termsArr = queryTerms.map(q => s"'$q'").mkString(", ")
+    // query terms enter as Column literals, never spliced into an expr
+    // string — a term containing a quote is data, not expression syntax
+    val termLits = array(queryTerms.map(lit): _*)
     val tfs = docs.select(col("doc_id"), col("dl"),
-        explode(expr(
-          s"filter(transform(array($termsArr), " +
-            "q -> struct(q AS term, CAST(size(filter(w, x -> x = q)) AS DOUBLE) AS tf)), " +
-            "s -> s.tf > 0)")).as("s"))
+        explode(filter(
+          transform(termLits, q => struct(
+            q.as("term"),
+            size(filter(col("w"), x => x === q)).cast("double").as("tf"))),
+          s => s.getField("tf") > 0)).as("s"))
       .select(col("doc_id"), col("dl"), col("s.term").as("term"), col("s.tf").as("tf"))
+      // feeds the df aggregate AND the scoring join; without truncation
+      // each consumer re-runs the tokenize + per-term count scan (the
+      // q84 2-consumer treatment — lazy, MEMORY_AND_DISK, spills)
+      .localCheckpoint(false)
     val stats = docs.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     val dfreq = tfs.groupBy("term").agg(count(lit(1)).cast("double").as("df"))

@@ -79,8 +79,11 @@ object Sessions {
   def q88SessionWindow(t: T): DataFrame = sessionWindow(t.events)
 
   /** The reusable native-session core — also the streaming query shape
-    * (callers swap in a readStream frame and add a watermark). */
-  def sessionWindow(events: DataFrame, gap: String = "8 hours"): DataFrame =
+    * (callers swap in a readStream frame and add a watermark). The gap
+    * default derives from [[SessionGapSeconds]] so q86 and q88 cannot
+    * silently diverge when the constant is tuned. */
+  def sessionWindow(events: DataFrame,
+                    gap: String = s"$SessionGapSeconds seconds"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"),

@@ -13,11 +13,12 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toList
   }
 
-  /** Reference BM25 for one term, mirroring the documented formula. */
+  /** Reference BM25 for one term, mirroring the documented formula —
+    * including HALF_UP rounding (Spark's round), not rint's HALF_EVEN. */
   private def score(tf: Double, df: Double, n: Double, dl: Double, avgdl: Double): Double = {
     val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
     val s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-    math.rint(s * 10000) / 10000
+    BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
   test("single-term corpus matches the hand-computed formula") {
