@@ -126,6 +126,10 @@ object SparkEntry {
     "q89_asof_join"       -> ((s, d) => Sessions.q89AsofJoin(T(s, d))),
     "q90_chunking"        -> ((s, d) => Corpus.q90Chunk(T(s, d))),
     "q91_temperature_mix" -> ((s, d) => Corpus.q91TemperatureMix(T(s, d))),
+    // NOTE: q92 is EAGER like q82/q72 — construction runs the streaming
+    // round-trip (stage input → watermarked session aggregate → append
+    // sink → readback); the declared query IS that round-trip.
+    "q92_streaming_sessions" -> ((s, d) => streaming.Incremental.q92StreamingSessions(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1900,5 +1904,33 @@ object SparkEntry {
         |SELECT p.source, p.n_docs, round(p.share, 6) AS share, p.target,
         |  (SELECT CAST(sum(k) AS BIGINT) FROM kept WHERE kept.source = p.source) AS n_kept
         |FROM plan2 p ORDER BY p.source""".stripMargin,
+    // q92: the batch sessionization of the %5 slice (same > gap split as
+    // q86/q88) restricted to the sessions append mode FLUSHES — those
+    // whose end (last event + 8h) is at or before the slice's max event
+    // time, the zero-delay watermark after the final no-data batch.
+    "q92_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT * FROM events WHERE event_id % 5 = 0),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(28800 AS BIGINT) * 1000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id,
+        |    min(ts) AS session_start,
+        |    max(ts) + INTERVAL 8 HOUR AS session_end,
+        |    count(*) AS n_events,
+        |    round(sum(value), 2) AS total_value
+        |  FROM s GROUP BY user_id, seq)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM sess WHERE session_end <= (SELECT max(ts) FROM e)
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

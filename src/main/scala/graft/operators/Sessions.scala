@@ -84,13 +84,18 @@ object Sessions {
     * silently diverge when the constant is tuned. */
   def sessionWindow(events: DataFrame,
                     gap: String = s"$SessionGapSeconds seconds"): DataFrame =
+    sessionWindowAgg(events, gap).orderBy("user_id", "session_start")
+
+  /** The aggregate WITHOUT the serving sort — the streaming query shape
+    * (append mode forbids a sort; q92 sorts after the sink readback). */
+  def sessionWindowAgg(events: DataFrame,
+                       gap: String = s"$SessionGapSeconds seconds"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
-      .orderBy("user_id", "session_start")
 
   /** q89 — as-of join: each purchase picks up the value of the same
     * user's most recent strictly-earlier view (purchases before views on

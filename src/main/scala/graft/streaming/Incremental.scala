@@ -144,12 +144,19 @@ object Incremental {
     * late — real streaming semantics, but batch-boundary-dependent);
     * doubles and timestamps round-trip json exactly (Jackson
     * shortest-round-trip doubles, ISO micros). */
+  /** Per-invocation run counter for the streaming queries' scratch dirs:
+    * each run needs FRESH in/ckpt/out dirs (a reused checkpoint would see
+    * the rewritten input file as new data and replay it against
+    * already-evicted state), but all runs nest under one TmpDirs-scoped
+    * root swept by the shutdown hook — the q82 leak fix shape. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def q72StreamingDedup(t: graft.Tables.T): DataFrame = {
     val spark = t.spark
     val subset = t.events.filter(col("event_id") % 20 === 0)
       .select("event_id", "ts", "event_type", "value")
     val input = subset.unionByName(subset.filter(col("event_id") % 40 === 0))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q72_").toString
+    val tmp = graft.TmpDirs.keyed("graft_q72_", s"run_${runSeq.incrementAndGet()}")
     val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
     input.coalesce(1).write.mode("overwrite").json(inDir)
     val stream = spark.readStream.schema(input.schema).json(inDir)
@@ -175,5 +182,58 @@ object Incremental {
     spark.read.parquet(outDir)
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
+  }
+
+  /** q92 — streaming SESSIONIZATION end-to-end as a declared query: the
+    * q88 session_window aggregate run as a real watermarked streaming
+    * job (file source → SessionWindowStateStore → append-mode parquet
+    * sink → readback), exercising the state machinery q72 does not
+    * touch: session merge in the state store and WATERMARK EVICTION —
+    * append mode only emits a session once the watermark passes its end,
+    * so with a zero-delay watermark (= max event time after the final
+    * no-data batch) exactly the sessions with session_end ≤ max(ts) are
+    * flushed and the rest stay in state when the AvailableNow run
+    * terminates. That cutoff is deterministic — session_end = last event
+    * + gap, so emitted ⇔ the session's last event is ≥ gap before the
+    * stream's max ts — and the oracle replays it as a plain filter on
+    * the batch sessionization (boundary ties are µs-improbable on real
+    * data; SessionsSpec pins batch/stream parity in complete mode where
+    * nothing is withheld).
+    *
+    * The events slice (every 5th row) keeps the streaming round-trip
+    * proportionate; one parquet file → one data micro-batch, then the
+    * final empty batch advances the watermark and flushes (the same
+    * single-file determinism note as q72). */
+  def q92StreamingSessions(t: graft.Tables.T): DataFrame =
+    streamSessions(t.spark, t.events.filter(col("event_id") % 5 === 0)
+      .select("user_id", "event_id", "ts", "event_type", "value"))
+
+  /** The reusable streaming-session round-trip — public so specs drive
+    * hand-built logs through the identical stage → stream → flush →
+    * readback pipeline (SessionsSpec pins the watermark-withholding
+    * rule on a crafted boundary log). */
+  def streamSessions(spark: SparkSession, input: DataFrame): DataFrame = {
+    val tmp = graft.TmpDirs.keyed("graft_q92_", s"run_${runSeq.incrementAndGet()}")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    // parquet staging, not json: session bounds carry the event
+    // timestamps into the OUTPUT, and the json writer truncates to
+    // milliseconds — parquet round-trips the microseconds exactly
+    input.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(input.schema).parquet(inDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      // same bounded-slice partitioning note as q72
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      graft.operators.Sessions.sessionWindowAgg(stream.withWatermark("ts", "0 seconds"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
   }
 }

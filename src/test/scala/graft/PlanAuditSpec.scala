@@ -14,9 +14,12 @@ class PlanAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   // fn() itself runs Spark jobs for these (bounded driver paths /
-  // iterative CC with checkpoints) — covered by Golden/Clustering specs.
+  // iterative CC with checkpoints / the q92 streaming round-trip, whose
+  // returned frame is just the sink readback scan — nothing to audit) —
+  // covered by Golden/Clustering/Sessions specs.
   private val imperative = Set(
-    "q46_question_clusters", "q47_semantic_filter", "q67_clusters_at_scale")
+    "q46_question_clusters", "q47_semantic_filter", "q67_clusters_at_scale",
+    "q92_streaming_sessions")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one

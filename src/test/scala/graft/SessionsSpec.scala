@@ -125,6 +125,22 @@ class SessionsSpec extends SparkSpec {
     assert(streamed.map(x => (x._1, x._3)) == List((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("streaming sessions: append mode withholds the session still inside the watermark") {
+    // sessions whose end (last event + 8h) precedes the stream max are
+    // flushed — user 1's, and user 2's FIRST (the 12h gap splits them);
+    // user 2's second session ends 8h past the final watermark (its event
+    // IS the stream max) → withheld in state at termination
+    val out = graft.streaming.Incremental.streamSessions(spark, log(Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, 2L, "2024-01-01 01:00:00", "view", 2.0),
+      (2L, 3L, "2024-01-02 00:00:00", "view", 4.0),
+      (2L, 4L, "2024-01-02 12:00:00", "purchase", 8.0))))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4))).toList
+    assert(out == List(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 3.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, 4.0)))
+  }
+
   test("as-of: each purchase picks the most recent strictly-earlier view") {
     val out = Sessions.asofViewBeforePurchase(log(Seq(
       (1L, 1L, "2024-01-01 00:00:00", "view", 10.0),
