@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "claim_pcts", 1, classOf[ClaimPcts])(x => ClaimPcts(x.head))
     inject(e, "stance_pct", 1, classOf[StancePct])(x => StancePct(x.head))
     inject(e, "token_counts", 1, classOf[TokenCounts])(x => TokenCounts(x.head))
+    inject(e, "pdf_text", 1, classOf[PdfText],
+      usage = "pdf_text(bin) - best-effort PDF text extraction " +
+        "(FlateDecode + unfiltered content streams; non-PDF input yields '')")(
+      x => PdfText(x.head))
     inject(e, "minhash12", 1, classOf[MinhashSigs])(x => MinhashSigs(x.head))
     inject(e, "shingle_jaccard", 2, classOf[ShingleJaccard]) { x =>
       ShingleJaccard(x.head, x(1))

@@ -130,6 +130,7 @@ object SparkEntry {
     // round-trip (stage input → watermarked session aggregate → append
     // sink → readback); the declared query IS that round-trip.
     "q92_streaming_sessions" -> ((s, d) => streaming.Incremental.q92StreamingSessions(T(s, d))),
+    "q93_pdf_extract"     -> ((s, d) => Extras.q93PdfExtract(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1932,5 +1933,12 @@ object SparkEntry {
         |SELECT user_id, session_start, session_end, n_events, total_value
         |FROM sess WHERE session_end <= (SELECT max(ts) FROM e)
         |ORDER BY user_id, session_start""".stripMargin,
+    // q93: the oracle states the PDF round-trip INVARIANT from the base
+    // table (extraction == source text); any Spark-side parser
+    // regression breaks pdf_ok / clean_len and the hash.
+    "q93_pdf_extract" ->
+      """SELECT doc_id, true AS pdf_ok,
+        |  CAST(length(text) AS INT) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

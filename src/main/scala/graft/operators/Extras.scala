@@ -67,6 +67,31 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** q93 — T14's PDF leg as a declared round-trip: synthesize a REAL
+    * single-page PDF binary per document (header, stream object with a
+    * correct /Length, BT…ET content showing the text, trailer), extract
+    * with the native `pdf_text` expression, and assert the round-trip
+    * recovers the text. The oracle states the invariant from the base
+    * table — extraction must equal the source text and its length — so
+    * any parser regression breaks the hash. The corpus is printable
+    * ASCII with no parens/backslashes (checked at generation), so the
+    * literal-string embedding needs no escaping; escape/Flate legs are
+    * spec-pinned (PdfTextSpec). Entirely map-side: synth + extract run
+    * in one projection over the scan. */
+  def q93PdfExtract(t: T): DataFrame =
+    t.documents
+      .withColumn("pdf", concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Length "),
+        (length(col("text")) + lit(11)).cast("string"),
+        lit(" >>\nstream\nBT ("), col("text"),
+        lit(") Tj ET\nendstream\nendobj\ntrailer\n<< /Size 2 >>\n%%EOF\n"))
+        .cast("binary"))
+      .withColumn("extracted", expr("pdf_text(pdf)"))
+      .select(col("doc_id"),
+        (col("extracted") === col("text")).as("pdf_ok"),
+        length(col("extracted")).as("clean_len"))
+      .orderBy("doc_id")
+
   /** q53 — lenient LLM-response parse: code-fenced JSON stripped then
     * parsed, stance vocabulary mapped (German included), pct coerced into
     * [0,100], grounding = normalized span containment (caps confidence),

@@ -161,10 +161,15 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(merged == Seq("col_a;col_b", "1;x", "2;y", "3;z", "4;w"))
   }
 
-  test("PDF fulltext path (T14) is environment-gated") {
-    // The reference's fulltext.py:66-126 extracts text from PDFs; this
-    // container ships no PDF codec, so the path is intentionally absent
-    // (the HTML sniff/strip half is real and oracle-checked as q52).
-    cancel("no PDF codec in this environment — see fulltext.py:66-126")
+  test("PDF fulltext path (T14) is implemented natively — no codec gate left") {
+    // fulltext.py:66-126 extracts PDF text via pypdf; the container ships
+    // no pypdf, so earlier rounds gated this path. Round 11 closes it
+    // with a pure-JVM extractor (functions/PdfText.scala — FlateDecode
+    // via java.util.zip + BT/ET text-operator parse): PdfTextSpec pins
+    // the parser on crafted PDFs and q93's oracle checks the full
+    // synthesize → extract round-trip per document.
+    val doc = ("%PDF-1.4\n1 0 obj\n<< /Length 19 >>\nstream\n" +
+      "BT (gate closed) Tj ET\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(graft.functions.PdfText.extract(doc) == "gate closed")
   }
 }
