@@ -131,6 +131,7 @@ object SparkEntry {
     // sink → readback); the declared query IS that round-trip.
     "q92_streaming_sessions" -> ((s, d) => streaming.Incremental.q92StreamingSessions(T(s, d))),
     "q93_pdf_extract"     -> ((s, d) => Extras.q93PdfExtract(T(s, d))),
+    "q94_media_decode"    -> ((s, d) => Multimodal.q94MediaDecode(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1940,5 +1941,39 @@ object SparkEntry {
       """SELECT doc_id, true AS pdf_ok,
         |  CAST(length(text) AS INT) AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q94: the oracle recomputes the codec round-trip's EXPECTED facts
+    // from the same closed-form pixel/sample arithmetic the Spark side
+    // synthesizes with — PNG is lossless and WAV is raw PCM, so decoded
+    // dimensions, sample counts, and integer checksums must match
+    // exactly; video rows have no JDK codec and flag ok = false.
+    "q94_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents),
+        |img AS (
+        |  SELECT media_id,
+        |    CAST(sum((media_id * 31 + x * 7 + y * 13) % 256 +
+        |             (media_id * 17 + x * 5 + y * 3) % 256 +
+        |             (media_id * 13 + x * 11 + y * 19) % 256) AS BIGINT) AS cks
+        |  FROM (SELECT media_id FROM m WHERE kind = 'image')
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y)
+        |  GROUP BY media_id),
+        |aud AS (
+        |  SELECT media_id,
+        |    CAST(sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS BIGINT) AS cks
+        |  FROM (SELECT media_id FROM m WHERE kind = 'audio')
+        |  CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+        |  GROUP BY media_id)
+        |SELECT m.media_id, m.kind,
+        |  m.kind != 'video' AS ok,
+        |  CASE WHEN m.kind = 'image' THEN 16 END::INT AS width,
+        |  CASE WHEN m.kind = 'image' THEN 16 END::INT AS height,
+        |  CASE WHEN m.kind = 'audio' THEN 512 END::INT AS n_samples,
+        |  coalesce(img.cks, aud.cks) AS checksum
+        |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
   )
 }

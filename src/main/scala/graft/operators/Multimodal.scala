@@ -17,12 +17,17 @@ import graft.Serve._
   * per-row UDF call, so a real decoder would amortize model/codec init
   * per partition exactly like a pandas batch would.
   *
-  * The decode step is STUBBED (this container ships no image/audio
-  * codecs): `stubDecode` produces a deterministic fake feature vector from
-  * the payload bytes. Everything around it — the media schema, the binary
-  * payload column, partition-batched execution, the output schema, the
-  * downstream joinability of features — is real and tested. Swapping the
-  * stub for a JNI/ONNX decoder changes ONE function body.
+  * Two decode tiers coexist:
+  *  - the FEATURE-extract stages (q57/q71/resize) keep deterministic stub
+  *    bodies — an ML featurizer (ONNX/JNI) genuinely isn't in this
+  *    container, and the stubs keep the batch contract, schemas, and
+  *    metadata arithmetic fully testable; swapping in a real model
+  *    changes one function body;
+  *  - the CODEC round-trip (q94, round 11) is REAL: PNG via
+  *    javax.imageio and PCM WAV via javax.sound.sampled — both in-JDK —
+  *    encode closed-form pixels/samples and decode them back, with the
+  *    oracle recomputing the expected facts from the same closed form.
+  *    Video stays honestly stubbed (the JDK has no video codec).
   */
 object Multimodal {
 
@@ -181,4 +186,157 @@ object Multimodal {
         max(col("meta.duration_ms")).as("max_duration_ms"))
       .smallSort("kind")
   }
+
+  // --------------------------------------------------------------------
+  // REAL in-JDK codecs (round 11). The stub stages above kept the batch
+  // contract honest while no external codec existed; the JDK itself
+  // ships lossless ones — PNG through javax.imageio and PCM WAV through
+  // javax.sound.sampled — so the encode→decode loop can be genuinely
+  // exercised: q94 synthesizes a real PNG per image row and a real
+  // 16-bit WAV per audio row from closed-form pixel/sample arithmetic,
+  // decodes them with the REAL codec in a partition-batched stage, and
+  // the oracle recomputes the expected dimensions/sample counts/
+  // checksums from the same closed form — any codec or byte-layout
+  // regression breaks the hash. Video stays honestly absent (the JDK
+  // has no video codec): those rows flag ok = false.
+  // --------------------------------------------------------------------
+
+  val ImgW = 16
+  val ImgH = 16
+  val WavSamples = 512
+  val WavSampleRate = 8000
+
+  /** Closed-form pixel channels — also the oracle's arithmetic. */
+  private def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private def pxG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 5 + y * 3) % 256).toInt
+  private def pxB(id: Long, x: Int, y: Int): Int = ((id * 13 + x * 11 + y * 19) % 256).toInt
+
+  /** Closed-form PCM16 sample — also the oracle's arithmetic. */
+  private def sample(id: Long, i: Int): Int = ((id * 7 + i * 11) % 65536).toInt - 32768
+
+  /** A real PNG: deterministic pixels → BufferedImage → ImageIO. */
+  private[graft] def pngPayload(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgW, ImgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ImgH) {
+      var x = 0
+      while (x < ImgW) {
+        img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real RIFF/WAVE file: 44-byte header + little-endian PCM16 mono. */
+  private[graft] def wavPayload(id: Long): Array[Byte] = {
+    val dataLen = WavSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavSampleRate).putInt(WavSampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < WavSamples) { bb.putShort(sample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("checksum", LongType, nullable = true)))
+
+  /** Media table with REAL payloads: PNG for image rows, WAV for audio
+    * rows (video keeps opaque text bytes — no JDK codec). Same kind
+    * assignment as [[mediaTable]]. */
+  def realMediaTable(t: T): DataFrame = {
+    val base = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(base))
+    mediaTable(t).select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        r.getString(1) match {
+          case "image" => Row(id, "image", pngPayload(id))
+          case "audio" => Row(id, "audio", wavPayload(id))
+          case k => Row(id, k, r.get(2)) // positional: rows may pipeline schemaless
+        }
+      }
+    }(enc)
+  }
+
+  /** The REAL decode stage (partition-batched like every media stage):
+    * ImageIO for PNG (checksum = Σ(r+g+b) over decoded pixels — PNG is
+    * lossless, so this must equal the synthesis form), AudioSystem for
+    * WAV (checksum = Σ|sample|, exact integers). Any decode failure
+    * yields ok = false with null facts rather than a task failure —
+    * the per-page try/except posture of T14. */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = Option(r.get(2).asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        try kind match {
+          case "image" =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) Row(id, kind, false, null, null, null, null)
+            else {
+              var cks = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  cks += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, kind, true, img.getWidth, img.getHeight, null, cks)
+            }
+          case "audio" =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val data = ais.readAllBytes()
+            ais.close()
+            var cks = 0L
+            var i = 0
+            while (i + 1 < data.length) {
+              val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+              cks += math.abs(s.toInt)
+              i += 2
+            }
+            Row(id, kind, true, null, null, data.length / 2, cks)
+          case _ =>
+            Row(id, kind, false, null, null, null, null)
+        } catch {
+          case _: Exception => Row(id, kind, false, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** q94 — the real-codec round-trip, oracle-checked per media row. */
+  def q94MediaDecode(t: T): DataFrame =
+    decodeMedia(realMediaTable(t)).orderBy("media_id")
 }

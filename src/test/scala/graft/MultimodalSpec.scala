@@ -56,6 +56,49 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // stub grab is deterministic
   }
 
+  test("real PNG codec round-trip: ImageIO decodes the synthesized pixels exactly") {
+    val bytes = Multimodal.pngPayload(42L)
+    // a real PNG signature, decoded by the real codec
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    // pixel (3, 5) must round-trip losslessly through encode+decode
+    val rgb = img.getRGB(3, 5)
+    assert(((rgb >> 16) & 0xff) == ((42L * 31 + 3 * 7 + 5 * 13) % 256).toInt)
+    assert(((rgb >> 8) & 0xff) == ((42L * 17 + 3 * 5 + 5 * 3) % 256).toInt)
+    assert((rgb & 0xff) == ((42L * 13 + 3 * 11 + 5 * 19) % 256).toInt)
+  }
+
+  test("real WAV codec round-trip: AudioSystem reads the PCM16 samples exactly") {
+    val bytes = Multimodal.wavPayload(7L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    val data = ais.readAllBytes(); ais.close()
+    assert(data.length == 512 * 2)
+    val s0 = ((data(0) & 0xff) | (data(1) << 8)).toShort
+    assert(s0.toInt == ((7L * 7 + 0 * 11) % 65536).toInt - 32768)
+  }
+
+  test("decodeMedia: image/audio decode ok with exact checksums; video flags false") {
+    import spark.implicits._
+    val media = Multimodal.realMediaTable(graft.Tables.T(spark, "/root/testdata/sf0.001"))
+    val out = Multimodal.decodeMedia(media)
+      .filter($"media_id" < 6).orderBy("media_id").collect()
+    assert(out.map(_.getString(1)).toList == List("image", "audio", "video", "image", "audio", "video"))
+    assert(out.map(_.getBoolean(2)).toList == List(true, true, false, true, true, false))
+    // image 0: checksum equals the closed form summed over the 16x16 grid
+    val expected0 = (for (x <- 0 until 16; y <- 0 until 16) yield
+      ((0L * 31 + x * 7 + y * 13) % 256) + ((0L * 17 + x * 5 + y * 3) % 256) +
+        ((0L * 13 + x * 11 + y * 19) % 256)).sum
+    assert(out(0).getLong(6) == expected0)
+    // corrupt payload → ok=false, not a task failure
+    val bad = Seq((99L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "kind", "payload")
+    val r = Multimodal.decodeMedia(bad).collect().head
+    assert(!r.getBoolean(2) && r.isNullAt(6))
+  }
+
   test("resize retargets image metadata, passes other kinds through") {
     val media = Multimodal.mediaTable(t)
     val resized = Multimodal.resizeImages(media, 224, 224)
