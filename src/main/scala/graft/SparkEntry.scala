@@ -132,6 +132,7 @@ object SparkEntry {
     "q92_streaming_sessions" -> ((s, d) => streaming.Incremental.q92StreamingSessions(T(s, d))),
     "q93_pdf_extract"     -> ((s, d) => Extras.q93PdfExtract(T(s, d))),
     "q94_media_decode"    -> ((s, d) => Multimodal.q94MediaDecode(T(s, d))),
+    "q95_resize_decode"   -> ((s, d) => Multimodal.q95ResizeDecode(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -1971,6 +1972,39 @@ object SparkEntry {
         |  m.kind != 'video' AS ok,
         |  CASE WHEN m.kind = 'image' THEN 16 END::INT AS width,
         |  CASE WHEN m.kind = 'image' THEN 16 END::INT AS height,
+        |  CASE WHEN m.kind = 'audio' THEN 512 END::INT AS n_samples,
+        |  coalesce(img.cks, aud.cks) AS checksum
+        |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
+    // q95: after the nearest-neighbor 16x16 -> 8x8 shrink, output pixel
+    // (x, y) holds source pixel (2x, 2y) — so the resized checksum is
+    // the q94 closed form evaluated at the even coordinates. Audio rows
+    // pass through resize and report their q94 facts.
+    "q95_resize_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents),
+        |img AS (
+        |  SELECT media_id,
+        |    CAST(sum((media_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256 +
+        |             (media_id * 17 + (2 * x) * 5 + (2 * y) * 3) % 256 +
+        |             (media_id * 13 + (2 * x) * 11 + (2 * y) * 19) % 256) AS BIGINT) AS cks
+        |  FROM (SELECT media_id FROM m WHERE kind = 'image')
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y)
+        |  GROUP BY media_id),
+        |aud AS (
+        |  SELECT media_id,
+        |    CAST(sum(abs((media_id * 7 + i * 11) % 65536 - 32768)) AS BIGINT) AS cks
+        |  FROM (SELECT media_id FROM m WHERE kind = 'audio')
+        |  CROSS JOIN (SELECT unnest(range(0, 512)) AS i)
+        |  GROUP BY media_id)
+        |SELECT m.media_id, m.kind,
+        |  m.kind != 'video' AS ok,
+        |  CASE WHEN m.kind = 'image' THEN 8 END::INT AS width,
+        |  CASE WHEN m.kind = 'image' THEN 8 END::INT AS height,
         |  CASE WHEN m.kind = 'audio' THEN 512 END::INT AS n_samples,
         |  coalesce(img.cks, aud.cks) AS checksum
         |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)

@@ -339,4 +339,57 @@ object Multimodal {
   /** q94 — the real-codec round-trip, oracle-checked per media row. */
   def q94MediaDecode(t: T): DataFrame =
     decodeMedia(realMediaTable(t)).orderBy("media_id")
+
+  /** REAL resize: decode the PNG, scale by NEAREST-NEIGHBOR (output
+    * pixel (x,y) ← source (⌊x·sw/dw⌋, ⌊y·sh/dh⌋) — explicit loops, not
+    * Graphics2D interpolation, so the mapping is closed-form and the
+    * oracle can recompute the resized checksum exactly), re-encode as
+    * PNG. Non-image rows pass through; a decode failure passes the row
+    * through unresized (per-row best effort, same posture as q94). */
+  def resizeReal(media: DataFrame, dw: Int, dh: Int): DataFrame = {
+    require(dw > 0 && dh > 0, s"target dims must be positive, got ${dw}x$dh")
+    val base = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(base))
+    media.select("media_id", "kind", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getString(1)
+        if (kind != "image") Row(r.getLong(0), kind, r.get(2))
+        else try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            r.get(2).asInstanceOf[Array[Byte]]))
+          if (src == null) Row(r.getLong(0), kind, r.get(2))
+          else {
+            val dst = new java.awt.image.BufferedImage(
+              dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                dst.setRGB(x, y, src.getRGB(x * src.getWidth / dw, y * src.getHeight / dh))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Row(r.getLong(0), kind, bos.toByteArray)
+          }
+        } catch {
+          case _: Exception => Row(r.getLong(0), kind, r.get(2))
+        }
+      }
+    }(enc)
+  }
+
+  /** q95 — decode → scale → re-encode → decode, all through the REAL
+    * codec: image rows shrink 16×16 → 8×8 by nearest-neighbor, so the
+    * resized checksum is the closed form evaluated at the even source
+    * coordinates — the oracle's arithmetic. Audio/video rows pass
+    * through resize untouched and report their q94 facts. */
+  def q95ResizeDecode(t: T): DataFrame =
+    decodeMedia(resizeReal(realMediaTable(t), 8, 8)).orderBy("media_id")
 }
