@@ -206,6 +206,12 @@ object Multimodal {
   val WavSamples = 512
   val WavSampleRate = 8000
 
+  /** ImageIO defaults to a DISK-backed stream cache — every encode/decode
+    * creates and deletes a temp file, serializing the 32 codec tasks on
+    * filesystem calls. In-memory cache is correct for these small
+    * payloads; runs once per executor JVM on class load. */
+  private val imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Closed-form pixel channels — also the oracle's arithmetic. */
   private def pxR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
   private def pxG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 5 + y * 3) % 256).toInt
