@@ -1292,6 +1292,52 @@ object SparkEntry {
     // closure, label components by their min qid, renumber by root
     // ascending (= first-appearance order, since qid = min doc_id), and
     // pick each cluster's shortest-then-lexicographic phrasing as label.
+    // q46: the GREEDY first-cluster-wins linkage replayed sequentially —
+    // a recursive CTE carries the full assignment state as a list (one
+    // row per step, cids[k] = cluster of the k-th question in first-seen
+    // order); each step assigns the next question the MINIMUM cluster id
+    // among cosine-matched earlier questions, else a fresh id. Depth =
+    // distinct phrasings (bounded by the driver-path corpus bound), fine
+    // at the sf0.01 gate. Vectorizer/cosine are the q67/q47 shared CTEs.
+    "q46_question_clusters" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id,
+         |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:6], ' ')
+         |      AS question
+         |  FROM documents),
+         |dq AS (SELECT question, min(doc_id) AS first_seen FROM q GROUP BY question),
+         |ord AS (SELECT question,
+         |  CAST(row_number() OVER (ORDER BY first_seen) AS INT) AS idx FROM dq),
+         |cnt AS (SELECT CAST(count(*) AS INT) AS n FROM ord),
+         |$oracleConceptsCte,
+         |${oracleVecCtes("", "ord", "idx", "question")},
+         |sim AS (
+         |  SELECT ia, ib FROM (
+         |    SELECT a.idx AS ia, b.idx AS ib, sum(a.w * b.w) AS dot
+         |    FROM terms a JOIN terms b ON a.term = b.term AND a.idx < b.idx
+         |    GROUP BY 1, 2) e
+         |  JOIN norms na ON na.idx = e.ia JOIN norms nb ON nb.idx = e.ib
+         |  WHERE dot / (na.nrm * nb.nrm) >= 0.72),
+         |st(i, cids) AS (
+         |  SELECT 1, [CAST(0 AS INT)] WHERE (SELECT n FROM cnt) >= 1
+         |  UNION ALL
+         |  SELECT st.i + 1,
+         |    list_append(st.cids, CAST(coalesce(
+         |      (SELECT min(st.cids[s.ia]) FROM sim s WHERE s.ib = st.i + 1),
+         |      list_max(st.cids) + 1) AS INT))
+         |  FROM st WHERE st.i < (SELECT n FROM cnt)),
+         |fin AS (SELECT cids FROM st ORDER BY i DESC LIMIT 1),
+         |asg AS (SELECT o.question, fin.cids[o.idx] AS cluster_id
+         |  FROM ord o CROSS JOIN fin),
+         |lab AS (
+         |  SELECT cluster_id, question AS cluster_label FROM (
+         |    SELECT cluster_id, question,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |                         ORDER BY length(question), question) AS rn
+         |    FROM asg) WHERE rn = 1)
+         |SELECT q.doc_id, q.question, a.cluster_id, lab.cluster_label
+         |FROM q JOIN asg a USING (question) JOIN lab USING (cluster_id)
+         |ORDER BY q.doc_id""".stripMargin,
     "q67_clusters_at_scale" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT doc_id,

@@ -583,8 +583,11 @@ object Clustering {
       Seq(questionCol))
 
   /** q46 — cluster attribution-style phrasings (first six words of each
-    * document) and return per-row cluster assignments. Not expressible in
-    * one SQL statement (sequential greedy linkage) → rows-only check. */
+    * document) and return per-row cluster assignments. The sequential
+    * greedy linkage IS oracle-replayable (r11): a DuckDB recursive CTE
+    * carries the full assignment vector as a list, one step per distinct
+    * phrasing in first-seen order — rows+schema+hash checked, with the
+    * checked-in golden retained as a second pin. */
   def q46QuestionClusters(t: T): DataFrame = {
     val qs = t.documents
       .withColumn("question",
