@@ -1988,6 +1988,31 @@ object SparkEntry {
       """SELECT doc_id, true AS pdf_ok,
         |  CAST(length(text) AS INT) AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q57: the stub featurizer's multiplicative byte hash is itself
+    // deterministic, so the oracle replays it — HUGEINT arithmetic mod
+    // 2^64 reproduces JVM long wrapping exactly (payloads are ASCII, so
+    // unsigned ord == the signed JVM byte), and f0 = (low byte - 128)/128
+    // is exact in float and double alike.
+    "q57_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text, n_chars
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, kind, length(text) AS n_bytes, n_chars,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS hv
+        |  FROM m)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  round(avg((CAST(hv % 256 AS INT) - 128) / 128.0), 4) AS avg_f0,
+        |  CAST(max(n_chars * 10) AS BIGINT) AS max_duration_ms
+        |FROM h GROUP BY kind ORDER BY kind""".stripMargin,
     // q94: the oracle recomputes the codec round-trip's EXPECTED facts
     // from the same closed-form pixel/sample arithmetic the Spark side
     // synthesizes with — PNG is lossless and WAV is raw PCM, so decoded

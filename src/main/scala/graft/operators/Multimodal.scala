@@ -171,8 +171,10 @@ object Multimodal {
       .orderBy("media_id")
 
   /** q57 — the end-to-end multimodal path: media table → partition-batched
-    * feature extraction → metadata join → per-kind rollup. Rows-only check
-    * (the stub feature is engine-internal by design). */
+    * feature extraction → metadata join → per-kind rollup. Oracle-checked
+    * since r11: the stub hash is deterministic, so DuckDB replays it with
+    * HUGEINT mod-2^64 arithmetic (JVM long wrapping; ASCII payloads make
+    * unsigned ord equal the signed byte). */
   def q57MultimodalFeatures(t: T): DataFrame = {
     val media = mediaTable(t)
     extractFeatures(media)
