@@ -66,10 +66,10 @@ object SparkEntry {
     "q43_date_besteffort" -> ((s, d) => Scalars.q43DateBestEffort(T(s, d))),
     "q44_array_family"    -> ((s, d) => Scalars.q44ArrayFamily(T(s, d))),
     "q45_search_pipe"     -> ((s, d) => Scalars.q45SearchPipeAlts(T(s, d))),
-    // q46 has no oracleSql entry: greedy first-cluster-wins linkage is
-    // sequential by definition (assignment i depends on all assignments
-    // < i, and recursive CTEs cannot aggregate over their own working
-    // table) → rows-only check, golden-pinned. q47 is oracle-checked.
+    // q46's greedy first-cluster-wins linkage is sequential (assignment i
+    // depends on all assignments < i) — oracle-replayed by a list-state
+    // recursive CTE carrying the full assignment vector, one step per
+    // distinct phrasing; golden retained as a second pin.
     "q46_question_clusters" -> ((s, d) => Clustering.q46QuestionClusters(T(s, d))),
     "q47_semantic_filter"   -> ((s, d) => Clustering.q47SemanticFilter(T(s, d))),
     "q48_topic_scoring"   -> ((s, d) => Topics.q48TopicScoring(T(s, d))),
@@ -81,7 +81,8 @@ object SparkEntry {
     "q54_citation_follow" -> ((s, d) => Extras.q54CitationFollow(T(s, d))),
     "q55_doi_dedup"       -> ((s, d) => Merge.q55DoiDedup(T(s, d))),
     "q56_ilike_classify"  -> ((s, d) => Scalars.q56IlikeClassify(T(s, d))),
-    // rows-only: the stubbed decode feature is engine-internal by design
+    // q57's deterministic stub hash is replayed by the oracle in HUGEINT
+    // arithmetic — oracle-checked since r11, golden retained.
     "q57_multimodal"      -> ((s, d) => Multimodal.q57MultimodalFeatures(T(s, d))),
     "q58_ann_ivf"         -> ((s, d) => Similarity.q58AnnIvf(T(s, d))),
     "q59_eval_full"       -> ((s, d) => Topics.q59EvalHarness(T(s, d))),

@@ -605,7 +605,9 @@ object Clustering {
     * scalatest-covered. Semantics are transitive closure over the
     * "cosine ≥ 0.72" graph — the documented divergence from q46's greedy
     * first-cluster-wins (see object scaladoc) — so its golden is pinned
-    * separately from q46's. Not one-statement SQL → rows-only check. */
+    * separately from q46's. Oracle-checked since r11: the threshold graph
+    * is rebuilt in SQL and closed with a recursive-CTE reachability +
+    * min-label per component (q81's pattern). */
   def q67QuestionClustersAtScale(t: T): DataFrame = {
     val qs = t.documents
       .withColumn("question",
