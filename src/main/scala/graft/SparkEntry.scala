@@ -134,6 +134,9 @@ object SparkEntry {
     "q93_pdf_extract"     -> ((s, d) => Extras.q93PdfExtract(T(s, d))),
     "q94_media_decode"    -> ((s, d) => Multimodal.q94MediaDecode(T(s, d))),
     "q95_resize_decode"   -> ((s, d) => Multimodal.q95ResizeDecode(T(s, d))),
+    // q96 is EAGER like q72/q92: construction runs the custom-state
+    // streaming round-trip (flatMapGroupsWithState run detection).
+    "q96_stateful_runs"   -> ((s, d) => streaming.StatefulRuns.q96StatefulRuns(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2081,5 +2084,34 @@ object SparkEntry {
         |  coalesce(img.cks, aud.cks) AS checksum
         |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
         |ORDER BY m.media_id""".stripMargin,
+    // q96: the flatMapGroupsWithState run detector replayed as batch
+    // gaps-and-islands — lag-change flag → running-sum island id →
+    // per-island aggregate. Each user's LAST island is dropped: the
+    // streaming side only emits a run once a different type arrives, so
+    // the open run at end-of-stream is withheld by contract (see
+    // StatefulRuns.detectRuns scaladoc).
+    "q96_stateful_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type
+        |  FROM events WHERE event_id % 4 = 1),
+        |ord AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |isl AS (
+        |  SELECT *,
+        |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY rn) AS island
+        |  FROM ord),
+        |runs AS (
+        |  SELECT user_id, island, min(event_type) AS event_type,
+        |    min(ts) AS run_start, count(*) AS run_len
+        |  FROM isl GROUP BY user_id, island),
+        |last AS (SELECT user_id, max(island) AS last_island FROM runs GROUP BY user_id)
+        |SELECT r.user_id, r.event_type, r.run_start, r.run_len
+        |FROM runs r JOIN last l
+        |  ON r.user_id = l.user_id AND r.island <> l.last_island
+        |ORDER BY r.user_id, r.run_start""".stripMargin,
   )
 }
