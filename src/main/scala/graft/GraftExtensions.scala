@@ -102,5 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "lexicographically like Spark's own max.") { x =>
       Max2(x.head).toAggregateExpression()
     }
+    // Optimizer rule: the naive `trigram_similarity(a, b) >= t` inner
+    // join (which would plan as a nested-loop product) is rewritten to
+    // the exact prefix-filtered equi-join — see the rule's scaladoc.
+    // Opt-out: spark.graft.similarityJoin.rewrite=false.
+    e.injectOptimizerRule(_ => graft.plans.SimilarityJoinRewrite)
   }
 }

@@ -137,6 +137,7 @@ object SparkEntry {
     // q96 is EAGER like q72/q92: construction runs the custom-state
     // streaming round-trip (flatMapGroupsWithState run detection).
     "q96_stateful_runs"   -> ((s, d) => streaming.StatefulRuns.q96StatefulRuns(T(s, d))),
+    "q97_similarity_join" -> ((s, d) => Merge.q97SimilarityJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2113,5 +2114,26 @@ object SparkEntry {
         |FROM runs r JOIN last l
         |  ON r.user_id = l.user_id AND r.island <> l.last_island
         |ORDER BY r.user_id, r.run_start""".stripMargin,
+    // q97: the similarity join replayed as a within-brand blocked pair
+    // walk — distinct character trigrams per name, |∩|/|∪| Jaccard; the
+    // brand equality is part of the query's predicate, so the oracle's
+    // block is semantics, not heuristic.
+    "q97_similarity_join" ->
+      """WITH named AS (
+        |  SELECT p_partkey, p_brand, lower(p_name) AS name
+        |  FROM part WHERE length(p_name) >= 3),
+        |grams AS (
+        |  SELECT p_partkey, p_brand, name,
+        |    list_distinct([substr(name, i, 3) for i in range(1, length(name) - 1)]) AS g
+        |  FROM named),
+        |pairs AS (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS sim
+        |  FROM grams a JOIN grams b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        |SELECT key_a, key_b, round(sim, 6) AS sim
+        |FROM pairs WHERE sim >= 0.55
+        |ORDER BY key_a, key_b""".stripMargin,
   )
 }

@@ -142,6 +142,32 @@ object Merge {
       .orderBy("p_partkey")
   }
 
+  /** q97 — the DECLARED similarity join: the query states the naive
+    * `trigram_similarity(a, b) >= 0.55` predicate and nothing else; the
+    * SimilarityJoinRewrite optimizer rule (registered by GraftExtensions,
+    * `plans/SimilarityJoinRewrite.scala`) plans it as the EXACT
+    * prefix-filtered equi-join, so the declared form scales like q34's
+    * hand-blocked pipeline without the user writing the blocking. Same
+    * corpus as q34 but exact semantics — every within-brand pair with
+    * trigram Jaccard ≥ 0.55, no heuristic head/length blocking — which is
+    * also why the oracle is a straight blocked pair join in SQL.
+    * SimilarityJoinRewriteSpec pins rewrite = naive equality, plan shape,
+    * multiplicity, and edge semantics. */
+  def q97SimilarityJoin(t: T): DataFrame = {
+    val named = t.part
+      .filter(length(col("p_name")) >= 3)
+      .select(col("p_partkey"), col("p_brand"), lower(col("p_name")).as("name"))
+    val a = named.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
+      col("name").as("name_a"))
+    val b = named.select(col("p_partkey").as("key_b"), col("p_brand").as("brand_b"),
+      col("name").as("name_b"))
+    a.join(b, col("brand") === col("brand_b") && col("key_a") < col("key_b") &&
+        expr("trigram_similarity(name_a, name_b) >= 0.55"))
+      .select(col("key_a"), col("key_b"),
+        round(expr("trigram_similarity(name_a, name_b)"), 6).as("sim"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** q35 — read-time findings dedup preserving first-appearance order:
     * group on the normalized identity, keep the strongest row
     * (value, ts, event_id ordering), carry dup_count, and order the output
