@@ -138,6 +138,9 @@ object SparkEntry {
     // streaming round-trip (flatMapGroupsWithState run detection).
     "q96_stateful_runs"   -> ((s, d) => streaming.StatefulRuns.q96StatefulRuns(T(s, d))),
     "q97_similarity_join" -> ((s, d) => Merge.q97SimilarityJoin(T(s, d))),
+    // q98 is EAGER like q72/q92/q96 (streaming round-trip at construction)
+    "q98_streaming_neardup" ->
+      ((s, d) => streaming.StreamingNearDup.q98StreamingNearDup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2135,5 +2138,36 @@ object SparkEntry {
         |SELECT key_a, key_b, round(sim, 6) AS sim
         |FROM pairs WHERE sim >= 0.55
         |ORDER BY key_a, key_b""".stripMargin,
+    // q98: the streaming signature dedup replayed in batch — the SAME
+    // md5 + 12 affine permutations as the q27 oracle, full-signature
+    // group, canonical = min doc_id, one row per later duplicate.
+    "q98_streaming_neardup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id,
+        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
+        |    % 2147483647 AS hb
+        |  FROM sh),
+        |seeds AS (SELECT * FROM (VALUES
+        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
+        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
+        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
+        |  (11, 24593, 17327)) AS s(seed, a, b)),
+        |hashes AS (
+        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
+        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM hashes GROUP BY 1),
+        |canon AS (SELECT sig, min(doc_id) AS dup_of FROM sigs GROUP BY sig)
+        |SELECT s.doc_id, c.dup_of
+        |FROM sigs s JOIN canon c ON s.sig = c.sig AND s.doc_id > c.dup_of
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming NEAR-dup dedup at ingestion — the streaming member of the
+  * q27 MinHash family, completing the dedup matrix corner q72 (streaming
+  * EXACT dedup) leaves open: drop re-submissions whose 12-permutation
+  * MinHash signature is identical to an earlier document's, and — unlike
+  * `dropDuplicatesWithinWatermark`, which can only keep-first — emit an
+  * ATTRIBUTION row (doc_id, dup_of) pointing at the canonical survivor,
+  * the record a training-data pipeline needs to audit what it dropped.
+  *
+  * Full 12/12 signature agreement is the high-precision end of the q27
+  * banding spectrum (any band collision = candidate; all-bands identity
+  * ≈ certain near-dup). The signature is the native `minhash12`
+  * expression, computed map-side BEFORE the stream shuffle, so the state
+  * key is 12 longs and state per key is ONE long (the canonical doc_id)
+  * — O(1), evicted by event-time timeout one hour after the key's last
+  * arrival. At 100 TB the shuffle is keyed by signature exactly like the
+  * batch q24 hash-groupBy, with watermark-bounded state instead of a
+  * corpus-wide seen-set.
+  *
+  * Determinism contract (q72/q92/q96 pattern): the slice stages to ONE
+  * parquet file → one AvailableNow micro-batch; within the batch each
+  * signature group is processed in doc_id order, so dup_of is the global
+  * minimum doc_id of the signature. A multi-batch deployment attributes
+  * to first ARRIVAL instead — same rows, attribution order dependent on
+  * delivery, stated here rather than hidden. Emission is immediate (a
+  * duplicate is known the moment it arrives), so unlike q96 nothing is
+  * withheld at end-of-stream.
+  */
+object StreamingNearDup {
+
+  case class Doc(doc_id: Long, ts: Timestamp, sig: Seq[Long])
+  case class Dup(doc_id: Long, dup_of: Long)
+
+  /** State per signature: the canonical (minimum-so-far) doc_id. */
+  def detect(key: Seq[Long], values: Iterator[Doc],
+             state: GroupState[Long]): Iterator[Dup] = {
+    if (!values.hasNext) {
+      if (state.hasTimedOut) state.remove()
+      Iterator.empty
+    } else {
+      val sorted = values.toIndexedSeq.sortBy(d => (d.doc_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Dup]
+      var canon = state.getOption.getOrElse(-1L)
+      for (d <- sorted) {
+        if (canon < 0L) canon = d.doc_id
+        else out += Dup(d.doc_id, canon)
+      }
+      state.update(canon)
+      state.setTimeoutTimestamp(
+        sorted.last.ts.toInstant.toEpochMilli + 3600L * 1000L)
+      out.iterator
+    }
+  }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q98 — the round-trip as a declared query: signature map-side, stage,
+    * stream through [[detect]], sink, read back. Documents with fewer
+    * than 3 words have no shingles (`minhash12` → NULL) and cannot dedup
+    * — filtered before staging, same rule as the q27 oracle's
+    * `len(w) >= 3`. Event time is synthesized from doc_id (the corpus
+    * carries no timestamp); it exists to drive the watermark/timeout
+    * machinery, not the semantics. */
+  def q98StreamingNearDup(t: graft.Tables.T): DataFrame = {
+    val input = t.documents
+      .withColumn("sig", expr("minhash12(text).mh"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("sig"))
+    streamDedup(t.spark, input)
+  }
+
+  /** Reusable round-trip over (doc_id, ts, sig) rows — public for the
+    * spec's hand-built corpora. */
+  def streamDedup(spark: SparkSession, input: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.TmpDirs.keyed("graft_q98_", s"run_${runSeq.incrementAndGet()}")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    input.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(input.schema).parquet(inDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      stream.withWatermark("ts", "0 seconds")
+        .as[Doc]
+        .groupByKey(_.sig)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detect)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select("doc_id", "dup_of")
+      .orderBy("doc_id")
+  }
+}
