@@ -88,6 +88,39 @@ class SimilarityJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the rewrite fires through the SQL surface (spark.sql text)") {
+    names(Seq((1L, "hello world"), (2L, "hello worlds"), (3L, "unrelated")))
+      .createOrReplaceTempView("sjr_docs")
+    val q = spark.sql(
+      """SELECT a.id AS id_a, b.id AS id_b FROM sjr_docs a JOIN sjr_docs b
+        |ON trigram_similarity(a.name, b.name) >= 0.5 AND a.id < b.id""".stripMargin)
+    val (plan, rows) = withRule(on = true)(
+      (q.queryExecution.sparkPlan,
+        q.collect().map(r => (r.getLong(0), r.getLong(1))).toList))
+    assert(plan.collect { case _: BroadcastNestedLoopJoinExec => 1 }.isEmpty)
+    assert(rows == List((1L, 2L)))
+  }
+
+  test("property: rewrite equals naive on random corpora and thresholds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // multi-byte + short + repeated tokens — the shapes where a prefix
+    // or gram-set bug would diverge from the naive full comparison
+    val wordGen = Gen.oneOf("the", "quick", "fox", "über", "größe",
+      "naïve", "東京", "a", "bb", "stream", "hash", "x1", "ß")
+    val textGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+    for ((thresh, seed) <- Seq((0.3, 11L), (0.55, 23L), (0.8, 37L), (1.0, 41L))) {
+      val texts = sample(textGen, 60, seed)
+      val df = names(texts.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+      val expected = withRule(on = false)(collectPairs(naiveJoin(df, thresh)))
+      val got = withRule(on = true)(collectPairs(naiveJoin(df, thresh)))
+      assert(got == expected, s"thresh=$thresh seed=$seed")
+    }
+  }
+
   test("non-literal thresholds are left alone (still correct, just naive)") {
     val df = names(Seq((1L, "alpha beta"), (2L, "alpha betas")))
     val a = df.select(col("id").as("id_a"), col("name").as("name_a"))
