@@ -141,6 +141,9 @@ object SparkEntry {
     // q98 is EAGER like q72/q92/q96 (streaming round-trip at construction)
     "q98_streaming_neardup" ->
       ((s, d) => streaming.StreamingNearDup.q98StreamingNearDup(T(s, d))),
+    // q99 is EAGER like q72/q92/q96/q98 (streaming round-trip at
+    // construction): stream-stream watermarked interval join.
+    "q99_stream_join"     -> ((s, d) => streaming.StreamJoin.q99StreamJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2169,5 +2172,24 @@ object SparkEntry {
         |SELECT s.doc_id, c.dup_of
         |FROM sigs s JOIN canon c ON s.sig = c.sig AND s.doc_id > c.dup_of
         |ORDER BY s.doc_id""".stripMargin,
+    // q99: an INNER stream-stream interval join's output set is exactly
+    // the batch join of the two slices — every (view, purchase-within-2h)
+    // pair, emitted once regardless of arrival order — so the oracle is
+    // the plain join. gap_s differences integer microsecond epochs before
+    // the floor-division, exact in both engines.
+    "q99_stream_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, ts AS view_ts, user_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, view_ts, purchase_id, purchase_ts,
+        |  (epoch_us(purchase_ts) - epoch_us(view_ts)) // 1000000 AS gap_s,
+        |  round(p.value, 2) AS purchase_value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND purchase_ts > view_ts
+        |  AND purchase_ts <= view_ts + INTERVAL 2 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
   )
 }

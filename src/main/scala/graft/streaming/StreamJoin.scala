@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream watermarked interval join — the one Structured Streaming
+  * join surface the q72/q92/q96/q98 state family leaves unexercised, and
+  * the ingestion-time form of the q89 as-of attribution: match each view
+  * event with every purchase by the same user within the following two
+  * hours, as both streams arrive.
+  *
+  * This is the "join two live feeds" stage of an event-log curation
+  * pipeline (reference `transform/mart/mart_clickstream.sql`-style
+  * view→purchase attribution, here computed online instead of nightly).
+  * Spark plans it as a `StreamingSymmetricHashJoin`: both sides shuffle on
+  * `user_id`, each side buffers rows in keyed state, and the event-time
+  * range condition (`purchase_ts` ∈ (`view_ts`, `view_ts` + 2h]) plus the
+  * two watermarks lets the state store EVICT views older than the
+  * watermark minus 2h and purchases older than the watermark — bounded
+  * state, the 100 TB/day deployment shape. An INNER interval join's
+  * output SET is delivery-order independent (every qualifying pair is
+  * emitted exactly once, whenever its second leg arrives), which is what
+  * makes a DuckDB batch replay a real oracle.
+  *
+  * Determinism contract (q98 pattern): each side stages to ONE parquet
+  * file → one AvailableNow micro-batch per side; the sink is parquet with
+  * an exactly-once commit log; the readback orders by (view_id,
+  * purchase_id). A multi-batch deployment emits the same rows in arrival
+  * order.
+  */
+object StreamJoin {
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q99 — views joined to purchases by the same user within (0, 2h],
+    * streamed end-to-end. `gap_s` is the integer second gap (exact — both
+    * engines difference microsecond epochs before dividing). */
+  def q99StreamJoin(t: graft.Tables.T): DataFrame = {
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+    streamIntervalJoin(t.spark, views, purchases)
+  }
+
+  /** Reusable round-trip over pre-shaped (view_id, view_ts, user_id) ×
+    * (purchase_id, purchase_ts, user_id, value) frames — public for the
+    * spec's hand-built corpora. */
+  def streamIntervalJoin(spark: SparkSession, views: DataFrame,
+                         purchases: DataFrame): DataFrame = {
+    val tmp = graft.TmpDirs.keyed("graft_q99_", s"run_${runSeq.incrementAndGet()}")
+    val vDir = s"$tmp/views"; val pDir = s"$tmp/purchases"
+    val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    views.coalesce(1).write.mode("overwrite").parquet(vDir)
+    purchases.coalesce(1).write.mode("overwrite").parquet(pDir)
+    val v = spark.readStream.schema(views.schema).parquet(vDir)
+      .withWatermark("view_ts", "0 seconds")
+    val p = spark.readStream.schema(purchases.schema).parquet(pDir)
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = v.join(p,
+        v("user_id") === p("user_id") &&
+          p("purchase_ts") > v("view_ts") &&
+          p("purchase_ts") <= v("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select(v("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
+          .as("gap_s"),
+        round(col("value"), 2).as("purchase_value"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      joined.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val back = spark.read.parquet(outDir)
+    // The sink parquet carries the stream's watermarkDelayMs column
+    // metadata; re-alias with empty metadata so the declared output schema
+    // is the plain batch one.
+    back.select(back.columns.map(c =>
+        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+      .orderBy("view_id", "purchase_id")
+  }
+}

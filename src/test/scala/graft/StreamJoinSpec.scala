@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamJoin
+import org.apache.spark.sql.functions._
+
+/** q99 semantics: the streamed interval join emits exactly the pairs with
+  * purchase_ts in (view_ts, view_ts + 2h] for the same user — strict lower
+  * bound, inclusive upper bound, cross-user never — and matches the batch
+  * join on the real corpus. */
+class StreamJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def views(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.map { case (id, t, u) => (id, ts(t), u) }
+      .toDF("view_id", "view_ts", "user_id")
+  }
+
+  private def purchases(rows: Seq[(Long, String, Long, Double)]) = {
+    import spark.implicits._
+    rows.map { case (id, t, u, v) => (id, ts(t), u, v) }
+      .toDF("purchase_id", "purchase_ts", "user_id", "value")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("view_id", "purchase_id", "gap_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+
+  test("window boundaries: strict lower, inclusive 2h upper, cross-user excluded") {
+    val v = views(Seq(
+      (1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 18:00:00", 8L)))
+    val p = purchases(Seq(
+      (10L, "2024-01-01 10:00:00", 7L, 5.0),  // same instant: excluded (>)
+      (11L, "2024-01-01 10:30:00", 7L, 6.0),  // inside
+      (12L, "2024-01-01 12:00:00", 7L, 7.0),  // exactly +2h: included (<=)
+      (13L, "2024-01-01 12:00:01", 7L, 8.0),  // past the window
+      (14L, "2024-01-01 18:30:00", 9L, 9.0))) // other user
+    val out = pairs(StreamJoin.streamIntervalJoin(spark, v, p))
+    assert(out == List((1L, 11L, 1800L), (1L, 12L, 7200L)))
+  }
+
+  test("one view matching several purchases and vice versa emits every pair") {
+    val v = views(Seq(
+      (1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 10:15:00", 7L)))
+    val p = purchases(Seq(
+      (10L, "2024-01-01 10:30:00", 7L, 1.0),
+      (11L, "2024-01-01 11:00:00", 7L, 2.0)))
+    val out = pairs(StreamJoin.streamIntervalJoin(spark, v, p))
+    assert(out == List((1L, 10L, 1800L), (1L, 11L, 3600L),
+      (2L, 10L, 900L), (2L, 11L, 2700L)))
+  }
+
+  test("stream/batch parity on the corpus") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val streamed = StreamJoin.q99StreamJoin(t)
+    val v = t.events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+        col("user_id"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"), col("value"))
+    val batch = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
+          .as("gap_s"),
+        round(col("value"), 2).as("purchase_value"))
+      .orderBy("view_id", "purchase_id")
+    assert(streamed.schema == batch.schema)
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+    assert(streamed.count() > 0)
+  }
+}
