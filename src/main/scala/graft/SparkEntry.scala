@@ -144,6 +144,7 @@ object SparkEntry {
     // q99 is EAGER like q72/q92/q96/q98 (streaming round-trip at
     // construction): stream-stream watermarked interval join.
     "q99_stream_join"     -> ((s, d) => streaming.StreamJoin.q99StreamJoin(T(s, d))),
+    "q100_quality_clf"    -> ((s, d) => TextAnalysis.q100QualityClf(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2191,5 +2192,23 @@ object SparkEntry {
         |  AND purchase_ts > view_ts
         |  AND purchase_ts <= view_ts + INTERVAL 2 HOUR
         |ORDER BY view_id, purchase_id""".stripMargin,
+    // q100: the oracle recomputes the hashed-feature classifier end to
+    // end — the same portable 60-bit md5 bucket and the same affine
+    // integer weight map — so logit matches exactly (all arithmetic is
+    // BIGINT; no floats anywhere).
+    "q100_quality_clf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(coalesce(list_sum(list_transform(toks, x ->
+        |    (((('0x' || substr(md5(concat('100:', x)), 1, 15))::BIGINT % 1024)
+        |      * 2654435761) % 1001) - 500)), 0) AS BIGINT) AS logit,
+        |  CAST(coalesce(list_sum(list_transform(toks, x ->
+        |    (((('0x' || substr(md5(concat('100:', x)), 1, 15))::BIGINT % 1024)
+        |      * 2654435761) % 1001) - 500)), 0) AS BIGINT) > 0 AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

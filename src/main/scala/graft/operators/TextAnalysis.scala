@@ -275,4 +275,45 @@ object TextAnalysis {
           replace(col("n_raw"), lit("."), lit("")).cast("int")).as("sample_n"))
       .filter(col("claim_value") <= 120.0) // >120% suppression
   }
+
+  /** q100 — model-based quality filtering: linear-classifier INFERENCE
+    * over hashed bag-of-words features, the fastText/CCNet stage of a
+    * training-data pipeline (classify every document with an externally
+    * trained quality model, keep the positives; complements q30's
+    * heuristic score). The model is a 1024-bucket weight vector riding
+    * the plan as ONE array literal — exactly how learned weights deploy
+    * at 100 TB (a broadcast-sized array in the closure, never a join):
+    * each token hashes to a bucket (the portable 60-bit md5 family of
+    * q42/q84), `element_at` looks up its weight, and the document logit
+    * is the HOF weight sum — pure map-side, zero shuffle, codegen'd.
+    * Weights here are synthesized from the bucket id by a fixed affine
+    * map (all-integer, range [-500, 500]) so the oracle recomputes both
+    * the hash and the weights exactly; swapping in trained weights
+    * changes one Array, nothing in the plan.
+    */
+  def q100QualityClf(t: T): DataFrame = qualityClf(t.documents)
+
+  /** The synthesized 1024-bucket weight vector (public for the spec's
+    * brute-force recompute). */
+  val clfWeights: Array[Long] =
+    Array.tabulate(1024)(b => (b.toLong * 2654435761L) % 1001L - 500L)
+
+  /** Classifier core over any (doc_id, text) frame. */
+  def qualityClf(docs: DataFrame): DataFrame = {
+    val weights = lit(clfWeights)
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), _ =!= "")
+    val bucket = (tkn: Column) =>
+      (conv(substring(md5(concat(lit("100:"), tkn)), 1, 15), 16, 10)
+        .cast("long") % 1024L).cast("int")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, tkn) => acc + element_at(weights, bucket(tkn) + 1))
+          .as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+      .orderBy("doc_id")
+  }
 }

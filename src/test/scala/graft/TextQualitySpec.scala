@@ -115,4 +115,45 @@ class TextQualitySpec extends SparkSpec {
   test("pii: phone needs the international +CC- prefix") {
     assert(pii("plain 030-1234 is not matched").getAs[Int]("n_phones") == 0)
   }
+
+  // --- q100 hashed-feature classifier inference ---
+
+  /** Brute-force recompute: JVM md5 → first 15 hex chars → long → bucket
+    * → weight, token multiplicity preserved. */
+  private def bruteLogit(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).map { tok =>
+      val hex = md.digest(s"100:$tok".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val bucket = (java.lang.Long.parseLong(hex, 16) % 1024L).toInt
+      TextAnalysis.clfWeights(bucket)
+    }.sum
+  }
+
+  private def clf(rows: Seq[(Long, String)]) =
+    TextAnalysis.qualityClf(rows.toDF("doc_id", "text")).collect()
+
+  test("clf: logit matches the brute-force hash+weight sum, multiplicity kept") {
+    val texts = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the the the repeated token weighting"),
+      (3L, "  Mixed CASE   and   extra   spaces  "),
+      (4L, "einzeln"))
+    val out = clf(texts)
+    for ((r, (_, text)) <- out.zip(texts)) {
+      assert(r.getAs[Long]("logit") == bruteLogit(text), text)
+      assert(r.getAs[Boolean]("keep") == (bruteLogit(text) > 0), text)
+    }
+    // doc 2: 3× "the" must count three times, not once
+    assert(out(1).getAs[Int]("n_tokens") == 6)
+  }
+
+  test("clf: random corpora agree with brute force") {
+    val rnd = new scala.util.Random(100)
+    val vocab = Vector("alpha", "beta", "Gamma", "δΔ", "42", "x-y", "...")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    for ((r, (_, text)) <- clf(docs).zip(docs))
+      assert(r.getAs[Long]("logit") == bruteLogit(text), text)
+  }
 }
