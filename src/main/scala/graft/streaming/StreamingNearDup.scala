@@ -87,8 +87,15 @@ object StreamingNearDup {
     input.coalesce(1).write.mode("overwrite").parquet(inDir)
     val stream = spark.readStream.schema(input.schema).parquet(inDir)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val q = try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // Duplicates are emitted the moment they arrive (see [[detect]]);
+      // the trailing no-data micro-batch would only time out state —
+      // skip it, as q99 does. Eviction still happens on later data
+      // batches in a continuous deployment.
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       stream.withWatermark("ts", "0 seconds")
         .as[Doc]
         .groupByKey(_.sig)
@@ -99,7 +106,10 @@ object StreamingNearDup {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     q.awaitTermination()
     spark.read.parquet(outDir)
       .select("doc_id", "dup_of")
