@@ -145,6 +145,9 @@ object SparkEntry {
     // construction): stream-stream watermarked interval join.
     "q99_stream_join"     -> ((s, d) => streaming.StreamJoin.q99StreamJoin(T(s, d))),
     "q100_quality_clf"    -> ((s, d) => TextAnalysis.q100QualityClf(T(s, d))),
+    // q101 is EAGER like q82: construction writes the two bucketed
+    // catalog tables the declared join then reads shuffle-free.
+    "q101_bucketed_join"  -> ((s, d) => ScaleTechniques.q101BucketedJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2210,5 +2213,13 @@ object SparkEntry {
         |    (((('0x' || substr(md5(concat('100:', x)), 1, 15))::BIGINT % 1024)
         |      * 2654435761) % 1001) - 500)), 0) AS BIGINT) > 0 AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q101: the bucketed write→co-located join round-trip must reproduce
+    // the plain join's aggregate exactly — bucketing is physical layout,
+    // not semantics.
+    "q101_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -56,4 +56,47 @@ object ScaleTechniques {
   def shuffleCount(df: DataFrame): Int =
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  /** q101 — the bucketed co-located join as a declared round-trip: write
+    * orders and customer bucketed on the customer key (8 buckets, sorted
+    * within) into catalog tables, then join the TABLES and aggregate
+    * revenue per market segment. The join carries no Exchange on either
+    * side — the bucket files ARE the shuffle output, paid once at write
+    * time (ScaleTechniquesSpec asserts the zero-shuffle plan; the only
+    * exchange in the whole query is the final 5-group aggregate). At
+    * 100 TB this is the nightly fact⋈dim pattern: bucket both tables on
+    * the join key at ingest and every downstream join of the pair skips
+    * its network shuffle. EAGER like q82: construction writes the two
+    * bucketed tables (mode overwrite — repeated calls rewrite in place).
+    *
+    * Table names and external paths are keyed by the sanitized sf dir so
+    * concurrent scale factors in one JVM never cross-write; the data
+    * lives under the JVM-scoped scratch root (shutdown-hook cleaned),
+    * NOT the default warehouse in cwd.
+    */
+  def q101BucketedJoin(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    val spark = t.spark
+    val key = t.sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = graft.TmpDirs.keyed("graft_q101_", key)
+    def write(df: DataFrame, name: String, bucketCol: String): String = {
+      val table = s"graft_q101_${name}_$key"
+      df.write.mode("overwrite")
+        .bucketBy(8, bucketCol).sortBy(bucketCol)
+        .option("path", s"$root/$name")
+        .format("parquet")
+        .saveAsTable(table)
+      table
+    }
+    val ot = write(t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders", "o_custkey")
+    val ct = write(t.customer.select("c_custkey", "c_mktsegment"),
+      "customer", "c_custkey")
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .smallSort("c_mktsegment")
+  }
 }

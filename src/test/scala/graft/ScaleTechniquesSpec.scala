@@ -38,6 +38,19 @@ class ScaleTechniquesSpec extends SparkSpec {
       t.orders.join(t.customer, col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("q101: the declared bucketed-join query's only exchange is the aggregate") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val q = ScaleTechniques.q101BucketedJoin(t)
+    // join side exchange-free; groupBy(c_mktsegment) contributes the one
+    assert(ScaleTechniques.shuffleCount(q) == 1)
+    val plain = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+    assert(q.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val big = t.orders.select("o_orderkey", "o_custkey", "o_orderstatus")
