@@ -148,6 +148,9 @@ object SparkEntry {
     // q101 is EAGER like q82: construction writes the two bucketed
     // catalog tables the declared join then reads shuffle-free.
     "q101_bucketed_join"  -> ((s, d) => ScaleTechniques.q101BucketedJoin(T(s, d))),
+    // q102 is EAGER (streaming round-trip at construction, q92 family).
+    "q102_streaming_window" ->
+      ((s, d) => streaming.Incremental.q102StreamingWindow(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2221,5 +2224,21 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q102: batch replay of the tumbling-window aggregate, keeping only
+    // the windows the zero-delay watermark flushes (win_end ≤ max event
+    // time — the q92 cutoff rule). Spark aligns windows to the unix
+    // epoch; time_bucket gets the same origin.
+    "q102_streaming_window" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 3 = 0),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts,
+        |           TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 2) AS total
+        |  FROM e GROUP BY 1, 2)
+        |SELECT win_start, win_start + INTERVAL 6 HOUR AS win_end,
+        |  event_type, n, total
+        |FROM w WHERE win_start + INTERVAL 6 HOUR <= (SELECT max(ts) FROM e)
+        |ORDER BY win_start, event_type""".stripMargin,
   )
 }

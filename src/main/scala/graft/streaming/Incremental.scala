@@ -184,6 +184,51 @@ object Incremental {
       .orderBy("event_id")
   }
 
+  /** q102 — the ST7 tumbling-window aggregate end-to-end as a declared
+    * query (previously spec-only): an events slice streams through
+    * [[windowedCounts]] (6-hour event-time windows, zero-delay
+    * watermark) into an append-mode parquet sink. Append mode emits a
+    * window only once the watermark passes its END, so after the final
+    * no-data batch (watermark = max event time) exactly the windows with
+    * win_end ≤ max(ts) are flushed and the open tail window is withheld —
+    * the same deterministic cutoff rule as q92, replayed by the oracle as
+    * a plain filter (the no-data batch is REQUIRED here, unlike q98/q99:
+    * it is what advances the watermark and flushes the windows).
+    * Spark aligns tumbling windows to the unix epoch; the oracle's
+    * `time_bucket` gets the same origin explicitly. */
+  def q102StreamingWindow(t: graft.Tables.T): DataFrame =
+    streamWindowCounts(t.spark, t.events.filter(col("event_id") % 3 === 0)
+      .select("event_id", "ts", "event_type", "value"))
+
+  /** The reusable round-trip — public so the spec drives hand-built logs
+    * through the identical stage → stream → flush → readback pipeline
+    * (pinning the win_end ≤ watermark flush boundary). */
+  def streamWindowCounts(spark: SparkSession, input: DataFrame): DataFrame = {
+    val tmp = graft.TmpDirs.keyed("graft_q102_", s"run_${runSeq.incrementAndGet()}")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    input.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(input.schema).parquet(inDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      windowedCounts(stream, "ts", "6 hours", "0 seconds")
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("n"),
+          round(col("total"), 2).as("total"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val back = spark.read.parquet(outDir)
+    back.select(back.columns.map(c =>
+        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+      .orderBy("win_start", "event_type")
+  }
+
   /** q92 — streaming SESSIONIZATION end-to-end as a declared query: the
     * q88 session_window aggregate run as a real watermarked streaming
     * job (file source → SessionWindowStateStore → append-mode parquet

@@ -55,6 +55,24 @@ class StreamJoinSpec extends SparkSpec {
       (2L, 10L, 900L), (2L, 11L, 2700L)))
   }
 
+  // --- q102 tumbling-window flush boundary (same streaming family) ---
+
+  test("q102: a window ending exactly at the watermark flushes; the open tail is withheld") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "2024-01-01 00:00:30", "click", 1.0),
+      (2L, "2024-01-01 05:59:59", "click", 2.0),
+      (3L, "2024-01-01 06:00:00", "view", 4.0)) // max ts == window-1 end
+      .map { case (id, t, e, v) => (id, ts(t), e, v) }
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = graft.streaming.Incremental.streamWindowCounts(spark, log)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2), r.getLong(3), r.getDouble(4))).toList
+    // [00:00, 06:00) end == watermark 06:00 → flushed; [06:00, 12:00) open
+    assert(out == List(
+      ("2024-01-01 00:00:00.0", "2024-01-01 06:00:00.0", "click", 2L, 3.0)))
+  }
+
   test("stream/batch parity on the corpus") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val streamed = StreamJoin.q99StreamJoin(t)
