@@ -151,6 +151,7 @@ object SparkEntry {
     // q102 is EAGER (streaming round-trip at construction, q92 family).
     "q102_streaming_window" ->
       ((s, d) => streaming.Incremental.q102StreamingWindow(T(s, d))),
+    "q103_salted_join"    -> ((s, d) => ScaleTechniques.q103SaltedJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2240,5 +2241,11 @@ object SparkEntry {
         |  event_type, n, total
         |FROM w WHERE win_start + INTERVAL 6 HOUR <= (SELECT max(ts) FROM e)
         |ORDER BY win_start, event_type""".stripMargin,
+    // q103: salting is semantics-neutral — the oracle is the PLAIN join.
+    "q103_salted_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
   )
 }

@@ -74,6 +74,29 @@ object ScaleTechniques {
     * lives under the JVM-scoped scratch root (shutdown-hook cleaned),
     * NOT the default warehouse in cwd.
     */
+  /** q103 — the skew-salting technique as a declared round-trip: the
+    * orders⋈customer join runs through [[saltedJoin]] (8-way salt on a
+    * deterministic hash of the order key, customer side replicated per
+    * salt), then aggregates per nation. Salting is semantics-neutral —
+    * the oracle replays the PLAIN join+aggregate — but changes the
+    * shuffle key from `custkey` to `(custkey, salt)`, splitting a
+    * pathological hot customer across 8 reducers. AQE's skew-join
+    * handles moderate cases automatically; explicit salting is the
+    * 100 TB fix for a single key too hot for any one executor even
+    * after AQE splits (ScaleTechniquesSpec pins salted == plain rows).
+    */
+  def q103SaltedJoin(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    saltedJoin(
+      t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      t.customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+      "o_custkey", "o_orderkey", 8)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .smallSort("c_nationkey")
+  }
+
   def q101BucketedJoin(t: graft.Tables.T): DataFrame = {
     import graft.Serve._
     val spark = t.spark

@@ -36,10 +36,12 @@ class PlanAuditSpec extends SparkSpec {
   //                        correctness reference for the ANN variants
   //   q58                — broadcast centroid table probed per embedding
   //                        (IVF nprobe=1; centroid count is fixed)
+  //   q103               — THE salting pattern: the dim side crossJoins
+  //                        the 8-row salt table (one replica per salt)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
-    "q25_ann_cosine_topk", "q58_ann_ivf")
+    "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
