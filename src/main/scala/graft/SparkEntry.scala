@@ -152,6 +152,8 @@ object SparkEntry {
     "q102_streaming_window" ->
       ((s, d) => streaming.Incremental.q102StreamingWindow(T(s, d))),
     "q103_salted_join"    -> ((s, d) => ScaleTechniques.q103SaltedJoin(T(s, d))),
+    "q104_pivot"          -> ((s, d) => Relational.q104Pivot(T(s, d))),
+    "q105_rollup"         -> ((s, d) => Relational.q105Rollup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2247,5 +2249,26 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // q104: the pinned-values pivot replayed as FILTER aggregates —
+    // operationally the same plan Spark builds.
+    "q104_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q105: ROLLUP with grouping_id; within each gid the nulled-out key
+    // is constant, so (gid, flag, status) is a total order in both
+    // engines regardless of null placement.
+    "q105_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
   )
 }

@@ -294,4 +294,42 @@ object Relational {
         regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_slug"),
         substring(col("p_name"), 1, 8).as("name_prefix"))
       .orderBy("p_partkey")
+
+  /** q104 — PIVOT: per-user event-type counts as columns. The value list
+    * is PINNED (not discovered), which matters twice: semantically the
+    * report schema is fixed, and physically Spark skips the extra
+    * distinct-values job a `pivot(col)` without values would run — the
+    * plan is one partial-aggregated shuffle on user_id, identical to a
+    * FILTER-aggregate fan-out (which is exactly how the oracle replays
+    * it). Missing combinations surface as count 0, not null. */
+  def q104Pivot(t: T): DataFrame = pivotCounts(t.events)
+
+  /** Pivot core over any (user_id, event_type) frame — public for the
+    * spec's missing-combination corpus. */
+  def pivotCounts(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+        types.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy("user_id")
+  }
+
+  /** q105 — ROLLUP grouping sets: the (returnflag, linestatus) pricing
+    * rollup with subtotal and grand-total rows, `grouping_id` telling the
+    * levels apart. One shuffle: Spark expands the grouping sets map-side
+    * (Expand) and partially aggregates before the exchange, so the
+    * subtotal rows cost no extra pass over the fact table — the same
+    * reason the reference's status rollups (A12) are single-scan. */
+  def q105Rollup(t: T): DataFrame =
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "sum_price")
+      .smallSort("gid", "l_returnflag", "l_linestatus")
 }
