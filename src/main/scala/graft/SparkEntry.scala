@@ -154,6 +154,8 @@ object SparkEntry {
     "q103_salted_join"    -> ((s, d) => ScaleTechniques.q103SaltedJoin(T(s, d))),
     "q104_pivot"          -> ((s, d) => Relational.q104Pivot(T(s, d))),
     "q105_rollup"         -> ((s, d) => Relational.q105Rollup(T(s, d))),
+    // q106 is EAGER (streaming round-trip at construction, q99 family).
+    "q106_stream_enrich"  -> ((s, d) => streaming.StreamJoin.q106StreamEnrich(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2270,5 +2272,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    // q106: a stateless stream-static inner join is batch-equal by
+    // construction — the oracle is the plain join.
+    "q106_stream_enrich" ->
+      """SELECT event_id, user_id, c_nationkey, c_mktsegment,
+        |  round(value, 2) AS value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_id % 4 = 2
+        |ORDER BY event_id""".stripMargin,
   )
 }

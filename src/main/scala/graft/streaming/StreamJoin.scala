@@ -46,6 +46,40 @@ object StreamJoin {
     streamIntervalJoin(t.spark, views, purchases)
   }
 
+  /** q106 — stream-STATIC enrichment join, the stateless complement of
+    * q99: a live orders feed joins the static customer dimension as it
+    * arrives. Spark plans the static side as a broadcast hash join
+    * inside each micro-batch — no state store at all (nothing to evict:
+    * the dimension is a table, not a feed), which is why this is THE
+    * default enrichment shape at 100 TB/day: per-event dimension lookup
+    * at map-side cost, re-broadcast per batch picking up dimension
+    * updates between batches. No watermark is needed or set. Output is
+    * batch-equal by construction (stateless inner join), so the oracle
+    * is the plain join. */
+  def q106StreamEnrich(t: graft.Tables.T): DataFrame = {
+    val spark = t.spark
+    val orders = t.events.filter(col("event_id") % 4 === 2)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val dim = t.customer
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val tmp = graft.TmpDirs.keyed("graft_q106_", s"run_${runSeq.incrementAndGet()}")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
+    orders.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(orders.schema).parquet(inDir)
+    // user ids are 1-based like custkeys; the slice's users all resolve
+    val enriched = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_nationkey"),
+        col("c_mktsegment"), round(col("value"), 2).as("value"))
+    val q = enriched.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("event_id")
+  }
+
   /** Reusable round-trip over pre-shaped (view_id, view_ts, user_id) ×
     * (purchase_id, purchase_ts, user_id, value) frames — public for the
     * spec's hand-built corpora. */

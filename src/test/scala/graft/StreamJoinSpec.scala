@@ -55,6 +55,17 @@ class StreamJoinSpec extends SparkSpec {
       (2L, 10L, 900L), (2L, 11L, 2700L)))
   }
 
+  test("q106: stream-static enrichment equals the batch join") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val streamed = graft.streaming.StreamJoin.q106StreamEnrich(t).collect().toSeq
+    val batch = t.events.filter(col("event_id") % 4 === 2)
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_nationkey"),
+        col("c_mktsegment"), round(col("value"), 2).as("value"))
+      .orderBy("event_id").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   // --- q102 tumbling-window flush boundary (same streaming family) ---
 
   test("q102: a window ending exactly at the watermark flushes; the open tail is withheld") {
