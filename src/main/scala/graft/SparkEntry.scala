@@ -156,6 +156,7 @@ object SparkEntry {
     "q105_rollup"         -> ((s, d) => Relational.q105Rollup(T(s, d))),
     // q106 is EAGER (streaming round-trip at construction, q99 family).
     "q106_stream_enrich"  -> ((s, d) => streaming.StreamJoin.q106StreamEnrich(T(s, d))),
+    "q107_rank_family"    -> ((s, d) => Relational.q107RankFamily(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2279,6 +2280,16 @@ object SparkEntry {
         |  round(value, 2) AS value
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_id % 4 = 2
+        |ORDER BY event_id""".stripMargin,
+    // q107: tie-free sort key → identical integer rank operands → the
+    // rounded ratios match bit-for-bit.
+    "q107_rank_family" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -295,6 +295,25 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name_prefix"))
       .orderBy("p_partkey")
 
+  /** q107 — the distribution-rank window family (ntile / percent_rank /
+    * cume_dist), completing §2.5 beyond lag/rows/range/rank/nth/share:
+    * value quartiles and exact distribution positions per event type.
+    * The (value, event_id) sort key is total (ids unique), so ranks are
+    * tie-free and the rounded ratios are bit-stable across engines —
+    * both divide the identical integer operands. One shuffle on
+    * event_type; at 100 TB this is the per-category score-calibration
+    * pass (quantile bucketing a quality score before threshold tuning). */
+  def q107RankFamily(t: T): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    t.events
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("event_id")
+  }
+
   /** q104 — PIVOT: per-user event-type counts as columns. The value list
     * is PINNED (not discovered), which matters twice: semantically the
     * report schema is fixed, and physically Spark skips the extra

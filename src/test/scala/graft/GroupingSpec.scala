@@ -24,6 +24,21 @@ class GroupingSpec extends SparkSpec {
     assert(Seq(1, 2, 4, 5).forall(i => rows(1).getLong(i) == 0))
   }
 
+  test("q107: ntile gives the first n mod k buckets the extra row; pr spans [0,1]") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Relational.q107RankFamily(t).collect()
+    val byType = out.groupBy(_.getString(1))
+    for ((_, rows) <- byType) {
+      val n = rows.length
+      val sizes = rows.groupBy(_.getInt(3)).map { case (q, rs) => q -> rs.length }
+      val base = n / 4; val extra = n % 4
+      for (q <- 1 to 4)
+        assert(sizes(q) == base + (if (q <= extra) 1 else 0), s"ntile bucket $q of n=$n")
+      assert(rows.map(_.getDouble(4)).min == 0.0 && rows.map(_.getDouble(4)).max == 1.0)
+      assert(rows.map(_.getDouble(5)).max == 1.0) // cume_dist ends at 1
+    }
+  }
+
   test("rollup: equals the three grouping levels computed independently") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val out = Relational.q105Rollup(t).collect()
