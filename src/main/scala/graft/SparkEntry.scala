@@ -2285,7 +2285,7 @@ object SparkEntry {
     // rounded ratios match bit-for-bit.
     "q107_rank_family" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
         |  round(percent_rank() OVER w, 6) AS pr,
         |  round(cume_dist() OVER w, 6) AS cd
         |FROM events

@@ -57,23 +57,6 @@ object ScaleTechniques {
     "Exchange hashpartitioning".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
 
-  /** q101 — the bucketed co-located join as a declared round-trip: write
-    * orders and customer bucketed on the customer key (8 buckets, sorted
-    * within) into catalog tables, then join the TABLES and aggregate
-    * revenue per market segment. The join carries no Exchange on either
-    * side — the bucket files ARE the shuffle output, paid once at write
-    * time (ScaleTechniquesSpec asserts the zero-shuffle plan; the only
-    * exchange in the whole query is the final 5-group aggregate). At
-    * 100 TB this is the nightly fact⋈dim pattern: bucket both tables on
-    * the join key at ingest and every downstream join of the pair skips
-    * its network shuffle. EAGER like q82: construction writes the two
-    * bucketed tables (mode overwrite — repeated calls rewrite in place).
-    *
-    * Table names and external paths are keyed by the sanitized sf dir so
-    * concurrent scale factors in one JVM never cross-write; the data
-    * lives under the JVM-scoped scratch root (shutdown-hook cleaned),
-    * NOT the default warehouse in cwd.
-    */
   /** q103 — the skew-salting technique as a declared round-trip: the
     * orders⋈customer join runs through [[saltedJoin]] (8-way salt on a
     * deterministic hash of the order key, customer side replicated per
@@ -97,11 +80,34 @@ object ScaleTechniques {
       .smallSort("c_nationkey")
   }
 
+  /** Per-JVM injective (sfDir → id) assignment for q101's catalog table
+    * names (table identifiers can't carry a raw path). */
+  private val sfIds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val sfIdSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q101 — the bucketed co-located join as a declared round-trip: write
+    * orders and customer bucketed on the customer key (8 buckets, sorted
+    * within) into catalog tables, then join the TABLES and aggregate
+    * revenue per market segment. The join carries no Exchange on either
+    * side — the bucket files ARE the shuffle output, paid once at write
+    * time (ScaleTechniquesSpec asserts the zero-shuffle plan; the only
+    * exchange in the whole query is the final 5-group aggregate). At
+    * 100 TB this is the nightly fact⋈dim pattern: bucket both tables on
+    * the join key at ingest and every downstream join of the pair skips
+    * its network shuffle. EAGER like q82: construction writes the two
+    * bucketed tables (mode overwrite — repeated calls rewrite in place).
+    *
+    * Table names and external paths are keyed INJECTIVELY by the sf dir
+    * (a per-JVM id assigned per distinct path — no lossy sanitization,
+    * so two dirs differing only in punctuation can never collide) and
+    * the data lives under the JVM-scoped scratch root (shutdown-hook
+    * cleaned), NOT the default warehouse in cwd.
+    */
   def q101BucketedJoin(t: graft.Tables.T): DataFrame = {
     import graft.Serve._
     val spark = t.spark
-    val key = t.sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val root = graft.TmpDirs.keyed("graft_q101_", key)
+    val key = s"sf${sfIds.computeIfAbsent(t.sfDir, _ => sfIdSeq.incrementAndGet())}"
+    val root = graft.TmpDirs.keyed("graft_q101_", t.sfDir)
     def write(df: DataFrame, name: String, bucketCol: String): String = {
       val table = s"graft_q101_${name}_$key"
       df.write.mode("overwrite")

@@ -138,49 +138,21 @@ object Incremental {
     * exercises watermark assignment, streaming state, and the
     * exactly-once file sink.
     *
-    * Determinism notes: the slice is coalesced to ONE json file so
+    * Determinism notes: the slice is coalesced to ONE parquet file so
     * AvailableNow runs a single micro-batch (several batches would let
     * the advancing watermark drop a later batch's old-timestamp rows as
     * late — real streaming semantics, but batch-boundary-dependent);
-    * doubles and timestamps round-trip json exactly (Jackson
-    * shortest-round-trip doubles, ISO micros). */
-  /** Per-invocation run counter for the streaming queries' scratch dirs:
-    * each run needs FRESH in/ckpt/out dirs (a reused checkpoint would see
-    * the rewritten input file as new data and replay it against
-    * already-evicted state), but all runs nest under one TmpDirs-scoped
-    * root swept by the shutdown hook — the q82 leak fix shape. */
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
+    * parquet round-trips doubles and microsecond timestamps exactly. */
   def q72StreamingDedup(t: graft.Tables.T): DataFrame = {
-    val spark = t.spark
     val subset = t.events.filter(col("event_id") % 20 === 0)
       .select("event_id", "ts", "event_type", "value")
     val input = subset.unionByName(subset.filter(col("event_id") % 40 === 0))
-    val tmp = graft.TmpDirs.keyed("graft_q72_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    input.coalesce(1).write.mode("overwrite").json(inDir)
-    val stream = spark.readStream.schema(input.schema).json(inDir)
-    // The dedup state shuffle inherits spark.sql.shuffle.partitions — at
-    // the bench's 32 that means 32 state-store instances each fsyncing
-    // delta files into the checkpoint per batch, pure fixed overhead for a
-    // bounded slice. Pin the STREAM's partitioning low for the query's
-    // duration and restore after (queries run sequentially through the
-    // driver's mains, so the temporary session conf cannot leak into a
-    // concurrently-planned query). A production deployment sizes this to
-    // its key cardinality instead.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-      .select("event_id", "event_type", "value")
+    // Deduped rows pass through inside the data batch they arrive in, so
+    // the trailing no-data micro-batch would only evict state — skipped
+    // (RoundTrip scaladoc).
+    RoundTrip.run(t.spark, "graft_q72_", Seq(input), noDataBatches = false) {
+      case Seq(stream) => streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
+    }.select("event_id", "event_type", "value")
       .orderBy("event_id")
   }
 
@@ -203,31 +175,16 @@ object Incremental {
   /** The reusable round-trip — public so the spec drives hand-built logs
     * through the identical stage → stream → flush → readback pipeline
     * (pinning the win_end ≤ watermark flush boundary). */
-  def streamWindowCounts(spark: SparkSession, input: DataFrame): DataFrame = {
-    val tmp = graft.TmpDirs.keyed("graft_q102_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    input.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(input.schema).parquet(inDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+  def streamWindowCounts(spark: SparkSession, input: DataFrame): DataFrame =
+    // noDataBatches stays TRUE: the final empty batch advances the
+    // watermark and is what FLUSHES the closed windows in append mode.
+    RoundTrip.run(spark, "graft_q102_", Seq(input)) { case Seq(stream) =>
       windowedCounts(stream, "ts", "6 hours", "0 seconds")
         .select(col("window.start").as("win_start"),
           col("window.end").as("win_end"),
           col("event_type"), col("n"),
           round(col("total"), 2).as("total"))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val back = spark.read.parquet(outDir)
-    back.select(back.columns.map(c =>
-        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
-      .orderBy("win_start", "event_type")
-  }
+    }.orderBy("win_start", "event_type")
 
   /** q92 — streaming SESSIONIZATION end-to-end as a declared query: the
     * q88 session_window aggregate run as a real watermarked streaming
@@ -257,28 +214,11 @@ object Incremental {
     * hand-built logs through the identical stage → stream → flush →
     * readback pipeline (SessionsSpec pins the watermark-withholding
     * rule on a crafted boundary log). */
-  def streamSessions(spark: SparkSession, input: DataFrame): DataFrame = {
-    val tmp = graft.TmpDirs.keyed("graft_q92_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    // parquet staging, not json: session bounds carry the event
-    // timestamps into the OUTPUT, and the json writer truncates to
-    // milliseconds — parquet round-trips the microseconds exactly
-    input.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(input.schema).parquet(inDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      // same bounded-slice partitioning note as q72
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+  def streamSessions(spark: SparkSession, input: DataFrame): DataFrame =
+    // noDataBatches stays TRUE: the final empty batch advances the
+    // watermark and flushes the closed sessions (scaladoc above).
+    RoundTrip.run(spark, "graft_q92_", Seq(input)) { case Seq(stream) =>
       graft.operators.Sessions.sessionWindowAgg(stream.withWatermark("ts", "0 seconds"))
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    }.select("user_id", "session_start", "session_end", "n_events", "total_value")
       .orderBy("user_id", "session_start")
-  }
 }

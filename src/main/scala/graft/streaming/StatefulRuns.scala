@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom keyed streaming state via `flatMapGroupsWithState` — the one
   * Structured Streaming state API the session-window (q92) and
@@ -87,11 +87,6 @@ object StatefulRuns {
     }
   }
 
-  /** Fresh scratch dirs per run, nested under one shutdown-swept root
-    * (same shape as q72/q92 — a reused checkpoint would replay the
-    * rewritten input against already-evicted state). */
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** q96 — the custom-state streaming query end-to-end: a bounded events
     * slice staged to a single parquet file (one data micro-batch under
     * AvailableNow, same determinism note as q72/q92), streamed through
@@ -103,32 +98,21 @@ object StatefulRuns {
       .select("user_id", "event_id", "ts", "event_type"))
 
   /** The reusable round-trip — public so the spec drives hand-built logs
-    * through the identical stage → stream → readback pipeline. */
+    * through the identical stage → stream → readback pipeline. Completed
+    * runs are emitted inside data batches and the open runs are withheld
+    * by contract, so the trailing no-data micro-batch would only run the
+    * timeout/EVICTION path — skipped (RoundTrip scaladoc). */
   def streamRuns(spark: SparkSession, input: DataFrame): DataFrame = {
     import spark.implicits._
-    val tmp = graft.TmpDirs.keyed("graft_q96_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    // parquet staging round-trips microseconds exactly (q92 note)
-    input.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(input.schema).parquet(inDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      // bounded slice → few state-store instances (q72 note)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      stream.withWatermark("ts", "0 seconds")
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detectRuns)
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-      .select("user_id", "event_type", "run_start", "run_len")
+    RoundTrip.run(spark, "graft_q96_", Seq(input), noDataBatches = false) {
+      case Seq(stream) =>
+        stream.withWatermark("ts", "0 seconds")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detectRuns)
+          .toDF()
+    }.select("user_id", "event_type", "run_start", "run_len")
       .orderBy("user_id", "run_start")
   }
 

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Stream-stream watermarked interval join — the one Structured Streaming
   * join surface the q72/q92/q96/q98 state family leaves unexercised, and
@@ -31,8 +30,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** q99 — views joined to purchases by the same user within (0, 2h],
     * streamed end-to-end. `gap_s` is the integer second gap (exact — both
     * engines difference microsecond epochs before dividing). */
@@ -57,79 +54,41 @@ object StreamJoin {
     * batch-equal by construction (stateless inner join), so the oracle
     * is the plain join. */
   def q106StreamEnrich(t: graft.Tables.T): DataFrame = {
-    val spark = t.spark
     val orders = t.events.filter(col("event_id") % 4 === 2)
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val dim = t.customer
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
-    val tmp = graft.TmpDirs.keyed("graft_q106_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    orders.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(orders.schema).parquet(inDir)
-    // user ids are 1-based like custkeys; the slice's users all resolve
-    val enriched = stream
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("c_nationkey"),
-        col("c_mktsegment"), round(col("value"), 2).as("value"))
-    val q = enriched.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("event_id")
+    RoundTrip.run(t.spark, "graft_q106_", Seq(orders)) { case Seq(stream) =>
+      // user ids are 1-based like custkeys; the slice's users all resolve
+      stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_nationkey"),
+          col("c_mktsegment"), round(col("value"), 2).as("value"))
+    }.orderBy("event_id")
   }
 
   /** Reusable round-trip over pre-shaped (view_id, view_ts, user_id) ×
     * (purchase_id, purchase_ts, user_id, value) frames — public for the
     * spec's hand-built corpora. */
   def streamIntervalJoin(spark: SparkSession, views: DataFrame,
-                         purchases: DataFrame): DataFrame = {
-    val tmp = graft.TmpDirs.keyed("graft_q99_", s"run_${runSeq.incrementAndGet()}")
-    val vDir = s"$tmp/views"; val pDir = s"$tmp/purchases"
-    val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    views.coalesce(1).write.mode("overwrite").parquet(vDir)
-    purchases.coalesce(1).write.mode("overwrite").parquet(pDir)
-    val v = spark.readStream.schema(views.schema).parquet(vDir)
-      .withWatermark("view_ts", "0 seconds")
-    val p = spark.readStream.schema(purchases.schema).parquet(pDir)
-      .withWatermark("purchase_ts", "0 seconds")
-    val joined = v.join(p,
-        v("user_id") === p("user_id") &&
-          p("purchase_ts") > v("view_ts") &&
-          p("purchase_ts") <= v("view_ts") + expr("INTERVAL 2 HOURS"))
-      .select(v("user_id"), col("view_id"), col("view_ts"),
-        col("purchase_id"), col("purchase_ts"),
-        expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
-          .as("gap_s"),
-        round(col("value"), 2).as("purchase_value"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      // An INNER join emits every pair inside the data batch it completes
-      // in; the trailing no-data micro-batch would only run state
-      // EVICTION — all 8 state-store commits again, ~0.8 s here for zero
-      // output. Skip it: a continuous deployment evicts on subsequent
-      // data batches anyway, so nothing about the at-scale shape changes.
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      joined.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
-    q.awaitTermination()
-    val back = spark.read.parquet(outDir)
-    // The sink parquet carries the stream's watermarkDelayMs column
-    // metadata; re-alias with empty metadata so the declared output schema
-    // is the plain batch one.
-    back.select(back.columns.map(c =>
-        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
-      .orderBy("view_id", "purchase_id")
-  }
+                         purchases: DataFrame): DataFrame =
+    // An INNER join emits every pair inside the data batch it completes
+    // in, so the trailing no-data micro-batch would only run state
+    // EVICTION — all 8 state-store commits again, ~0.8 s here for zero
+    // output. Skip it (RoundTrip scaladoc); a continuous deployment
+    // evicts on subsequent data batches anyway.
+    RoundTrip.run(spark, "graft_q99_", Seq(views, purchases),
+      noDataBatches = false) { case Seq(v0, p0) =>
+      val v = v0.withWatermark("view_ts", "0 seconds")
+      val p = p0.withWatermark("purchase_ts", "0 seconds")
+      v.join(p,
+          v("user_id") === p("user_id") &&
+            p("purchase_ts") > v("view_ts") &&
+            p("purchase_ts") <= v("view_ts") + expr("INTERVAL 2 HOURS"))
+        .select(v("user_id"), col("view_id"), col("view_ts"),
+          col("purchase_id"), col("purchase_ts"),
+          expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
+            .as("gap_s"),
+          round(col("value"), 2).as("purchase_value"))
+    }.orderBy("view_id", "purchase_id")
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming NEAR-dup dedup at ingestion — the streaming member of the
   * q27 MinHash family, completing the dedup matrix corner q72 (streaming
@@ -59,8 +59,6 @@ object StreamingNearDup {
     }
   }
 
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** q98 — the round-trip as a declared query: signature map-side, stage,
     * stream through [[detect]], sink, read back. Documents with fewer
     * than 3 words have no shingles (`minhash12` → NULL) and cannot dedup
@@ -79,40 +77,21 @@ object StreamingNearDup {
   }
 
   /** Reusable round-trip over (doc_id, ts, sig) rows — public for the
-    * spec's hand-built corpora. */
+    * spec's hand-built corpora. Duplicates are emitted the moment they
+    * arrive (see [[detect]]), so the trailing no-data micro-batch would
+    * only time out state — skipped (RoundTrip scaladoc); eviction still
+    * happens on later data batches in a continuous deployment. */
   def streamDedup(spark: SparkSession, input: DataFrame): DataFrame = {
     import spark.implicits._
-    val tmp = graft.TmpDirs.keyed("graft_q98_", s"run_${runSeq.incrementAndGet()}")
-    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
-    input.coalesce(1).write.mode("overwrite").parquet(inDir)
-    val stream = spark.readStream.schema(input.schema).parquet(inDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      // Duplicates are emitted the moment they arrive (see [[detect]]);
-      // the trailing no-data micro-batch would only time out state —
-      // skip it, as q99 does. Eviction still happens on later data
-      // batches in a continuous deployment.
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      stream.withWatermark("ts", "0 seconds")
-        .as[Doc]
-        .groupByKey(_.sig)
-        .flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detect)
-        .writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-      .select("doc_id", "dup_of")
+    RoundTrip.run(spark, "graft_q98_", Seq(input), noDataBatches = false) {
+      case Seq(stream) =>
+        stream.withWatermark("ts", "0 seconds")
+          .as[Doc]
+          .groupByKey(_.sig)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detect)
+          .toDF()
+    }.select("doc_id", "dup_of")
       .orderBy("doc_id")
   }
 }

@@ -33,7 +33,7 @@ class GroupingSpec extends SparkSpec {
       val sizes = rows.groupBy(_.getInt(3)).map { case (q, rs) => q -> rs.length }
       val base = n / 4; val extra = n % 4
       for (q <- 1 to 4)
-        assert(sizes(q) == base + (if (q <= extra) 1 else 0), s"ntile bucket $q of n=$n")
+        assert(sizes.getOrElse(q, 0) == base + (if (q <= extra) 1 else 0), s"ntile bucket $q of n=$n")
       assert(rows.map(_.getDouble(4)).min == 0.0 && rows.map(_.getDouble(4)).max == 1.0)
       assert(rows.map(_.getDouble(5)).max == 1.0) // cume_dist ends at 1
     }
