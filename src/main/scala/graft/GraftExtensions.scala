@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the exact prefix-filtered equi-join — see the rule's scaladoc.
     // Opt-out: spark.graft.similarityJoin.rewrite=false.
     e.injectOptimizerRule(_ => graft.plans.SimilarityJoinRewrite)
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

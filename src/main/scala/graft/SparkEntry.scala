@@ -157,6 +157,7 @@ object SparkEntry {
     // q106 is EAGER (streaming round-trip at construction, q99 family).
     "q106_stream_enrich"  -> ((s, d) => streaming.StreamJoin.q106StreamEnrich(T(s, d))),
     "q107_rank_family"    -> ((s, d) => Relational.q107RankFamily(T(s, d))),
+    "q108_asof_native"    -> ((s, d) => Sessions.q108AsofNative(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2291,5 +2292,25 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
+    // q108: the native as-of operator replayed as an argmax — latest
+    // strictly-earlier view per purchase, time ties to the larger view
+    // event_id (the operator's documented tiebreak).
+    "q108_asof_native" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id, ts, value
+        |  FROM events WHERE event_type = 'view'),
+        |best AS (
+        |  SELECT p.event_id AS pid, v.event_id AS vid, v.value AS vv,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts)
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  round(p.value, 2) AS purchase_value,
+        |  b.vid AS prior_view_id, round(b.vv, 2) AS prior_view_value
+        |FROM p LEFT JOIN best b ON b.pid = p.event_id AND b.rn = 1
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
   )
 }

@@ -129,6 +129,33 @@ object Sessions {
       .orderBy("user_id", "event_id")
   }
 
+  /** q108 — the SAME as-of attribution through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]): logical node → injected planner
+    * strategy → sort-merge physical exec with a single buffered row per
+    * partition. Where q89's window composition logically carries an
+    * unbounded-preceding frame, the native merge holds exactly one
+    * candidate row — the operator-level statement of the same 100 TB
+    * plan. Both sides shuffle once on user_id (identical movement to a
+    * SortMergeJoin); tie on view time breaks to the larger view
+    * event_id, and the matched view's id is carried as attribution
+    * (which the q89 window form cannot produce without widening its
+    * running state). AsOfJoinSpec pins parity with a window replay on
+    * random tied corpora; the oracle replays the argmax in SQL. */
+  def q108AsofNative(t: T): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+    graft.plans.AsOf.join(purchases, views,
+        "user_id", "v_user_id", "ts", "v_ts", "v_event_id")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value"), 2).as("purchase_value"),
+        col("v_event_id").as("prior_view_id"),
+        round(col("v_value"), 2).as("prior_view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q87 — strict ordered funnel signup → view → click → purchase: a user
     * advances to step k+1 on the FIRST step-k+1 event strictly after
     * their step-k timestamp and within [[FunnelWindowHours]] of it; the
