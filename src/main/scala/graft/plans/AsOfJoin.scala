@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -133,6 +133,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0,
       "as-of join: key/time attributes must come from the respective child")
     val rArity = right.output.size
+    // Hoisted off the plan so the partition closure serializes attribute
+    // lists, not the operator tree. The projection binds against the
+    // NULLABLE output attrs — binding against right.output verbatim would
+    // inherit a non-nullable child schema and compile away the null
+    // checks the matchless rows need.
+    val outAttrs = output
     val lRdd = left.execute(); val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of join: children not co-partitioned " +
@@ -140,6 +146,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
+        // Physical operators must emit UnsafeRow (collect/shuffle cast to
+        // it); project the JoinedRow like the built-in joins do. Created
+        // per partition — generated projections don't serialize.
+        private val proj = UnsafeProjection.create(outAttrs, outAttrs)
         private val nullRight = new GenericInternalRow(rArity)
         private var rNext: InternalRow = advance()
         // The latest qualifying right row for `matchKey` — the single
@@ -153,7 +163,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val l = lIter.next()
           if (l.isNullAt(lKeyIdx) || l.isNullAt(lTimeIdx))
-            return joined(l, nullRight)
+            return proj(joined(l, nullRight))
           val lk = l.getLong(lKeyIdx)
           val lt = l.getLong(lTimeIdx)
           var scanning = true
@@ -176,8 +186,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               } else scanning = false // right cursor is ahead — stop
             }
           }
-          if (hasMatch && matchKey == lk) joined(l, matchRow)
-          else joined(l, nullRight)
+          if (hasMatch && matchKey == lk) proj(joined(l, matchRow))
+          else proj(joined(l, nullRight))
         }
       }
     }

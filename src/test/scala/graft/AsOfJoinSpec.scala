@@ -35,6 +35,14 @@ class AsOfJoinSpec extends SparkSpec {
     assert(graft.operators.ScaleTechniques.shuffleCount(asof(l, r)) == 2)
   }
 
+  test("direct collect with no projection on top returns UnsafeRow output") {
+    val l = lefts(Seq((1L, 1L, "2024-01-01 10:00:00")))
+    val r = rights(Seq((1L, 10L, "2024-01-01 09:00:00", 1.5)))
+    // no select/orderBy between the operator and the action
+    val rows = asof(l, r).collect()
+    assert(rows.length == 1 && rows.head.getDouble(6) == 1.5)
+  }
+
   test("strict inequality, latest-wins, and the event_id tiebreak") {
     val l = lefts(Seq(
       (1L, 1L, "2024-01-01 10:00:00"),
