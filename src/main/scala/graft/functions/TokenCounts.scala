@@ -59,10 +59,8 @@ object TokenCounts {
     val lower = in.toLowerCase
     val bytes = lower.getBytes
     val counts = new java.util.LinkedHashMap[UTF8String, Long]()
-    def bump(tok: UTF8String): Unit = {
-      val prev = counts.get(tok)
-      counts.put(tok, if (prev == null) 1L else prev + 1L)
-    }
+    def bump(tok: UTF8String): Unit =
+      counts.put(tok, counts.getOrDefault(tok, 0L) + 1L)
     // Spark trim: spaces only
     var lo = 0
     var hi = bytes.length
