@@ -158,6 +158,7 @@ object SparkEntry {
     "q106_stream_enrich"  -> ((s, d) => streaming.StreamJoin.q106StreamEnrich(T(s, d))),
     "q107_rank_family"    -> ((s, d) => Relational.q107RankFamily(T(s, d))),
     "q108_asof_native"    -> ((s, d) => Sessions.q108AsofNative(T(s, d))),
+    "q109_incremental_dedup" -> ((s, d) => TextDedup.q109IncrementalDedup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2312,5 +2313,38 @@ object SparkEntry {
         |  b.vid AS prior_view_id, round(b.vv, 2) AS prior_view_value
         |FROM p LEFT JOIN best b ON b.pid = p.event_id AND b.rn = 1
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // q109: the q98 signature machinery with a parity split — canonical
+    // index from the even half, batch = odd half, left join on the full
+    // signature string.
+    "q109_incremental_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id,
+        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
+        |    % 2147483647 AS hb
+        |  FROM sh),
+        |seeds AS (SELECT * FROM (VALUES
+        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
+        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
+        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
+        |  (11, 24593, 17327)) AS s(seed, a, b)),
+        |hashes AS (
+        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
+        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        |  FROM hashes GROUP BY 1),
+        |idx AS (SELECT sig, min(doc_id) AS dup_of FROM sigs
+        |  WHERE doc_id % 2 = 0 GROUP BY sig)
+        |SELECT s.doc_id, i.dup_of IS NOT NULL AS is_dup, i.dup_of
+        |FROM sigs s LEFT JOIN idx i USING (sig)
+        |WHERE s.doc_id % 2 = 1
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -338,4 +338,33 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q109 — INCREMENTAL dedup: the daily-crawl shape the within-corpus
+    * families (q24/q27) and the streaming form (q98) leave open — dedup
+    * an incoming batch against the STORED corpus without touching
+    * corpus×corpus pairs. The stored side is a canonical signature
+    * index (signature → min doc_id, the table a production pipeline
+    * persists between runs — here derived in-query from the even-id
+    * half so the oracle can replay it); the batch side (odd ids)
+    * computes its signature map-side with the native `minhash12` and
+    * LEFT-joins the index on the full 12/12 signature string: one
+    * signature-keyed equi-shuffle, never all-pairs, and at 100 TB the
+    * stored index is bucketed by signature (q101) so the daily join
+    * shuffles ONLY the new batch. Documents under 3 words carry no
+    * signature and are excluded, the q98 rule. */
+  def q109IncrementalDedup(t: T): DataFrame = incrementalDedup(t.documents)
+
+  /** Core over any (doc_id, text) frame — public for the spec. */
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .withColumn("sig",
+        expr("array_join(transform(minhash12(text).mh, x -> cast(x AS string)), ',')"))
+      .filter(col("sig").isNotNull)
+    val index = sigs.filter(col("doc_id") % 2 === 0)
+      .groupBy("sig").agg(min("doc_id").as("dup_of"))
+    sigs.filter(col("doc_id") % 2 === 1)
+      .join(index, Seq("sig"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy("doc_id")
+  }
 }

@@ -74,4 +74,20 @@ class DedupInvariantSpec extends SparkSpec {
     assert(first.toSeq == second.toSeq)
     assert(first.distinct.length == first.length)
   }
+
+  test("incremental dedup: batch docs attribute to the min even-id signature match") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "the quick brown fox jumps"),   // corpus (even)
+      (6L, "the quick brown fox jumps"),   // corpus dup — min id 2 is canonical
+      (4L, "an entirely different body"),
+      (3L, "the quick brown fox jumps"),   // batch: dup of 2
+      (5L, "a unique incoming document"),  // batch: fresh
+      (7L, "xy"))                          // batch: <3 words, no signature
+      .toDF("doc_id", "text")
+    val out = TextDedup.incrementalDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toList
+    assert(out == List((3L, true, 2L), (5L, false, -1L)))
+  }
 }
