@@ -159,6 +159,10 @@ object SparkEntry {
     "q107_rank_family"    -> ((s, d) => Relational.q107RankFamily(T(s, d))),
     "q108_asof_native"    -> ((s, d) => Sessions.q108AsofNative(T(s, d))),
     "q109_incremental_dedup" -> ((s, d) => TextDedup.q109IncrementalDedup(T(s, d))),
+    // q110 is EAGER (two checkpointed streaming upsert runs at
+    // construction, q92 family).
+    "q110_streaming_upsert" ->
+      ((s, d) => streaming.Incremental.q110StreamingUpsert(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2346,5 +2350,21 @@ object SparkEntry {
         |FROM sigs s LEFT JOIN idx i USING (sig)
         |WHERE s.doc_id % 2 = 1
         |ORDER BY s.doc_id""".stripMargin,
+    // q110: the two-wave checkpointed upsert replayed as
+    // latest-version-per-key over both waves.
+    "q110_streaming_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, round(value, 2) AS value,
+        |    CAST(1 AS INT) AS version
+        |  FROM events WHERE event_id % 7 = 3),
+        |upd AS (
+        |  SELECT event_id, event_type, round(value + 100, 2) AS value,
+        |    CAST(2 AS INT) AS version
+        |  FROM base WHERE event_id % 2 = 1),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY version DESC) AS rn FROM all_rows)
+        |SELECT event_id, event_type, value, version
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 }

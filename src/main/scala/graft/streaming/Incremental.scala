@@ -186,6 +186,42 @@ object Incremental {
           round(col("total"), 2).as("total"))
     }.orderBy("win_start", "event_type")
 
+  private val upsertRunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q110 — the ST3 checkpointed foreachBatch upsert end-to-end as a
+    * declared query (previously spec-only, the last §2.13 leg without a
+    * CORRECTNESS row): TWO ingest waves through [[runFileUpsertStream]]
+    * against ONE checkpoint. Wave 1 loads a base slice; wave 2 appends
+    * re-deliveries of the odd ids with version 2 and shifted values; the
+    * second run RESUMES from the commit log, processes only the new
+    * file, and the latest-version-per-key merge leaves exactly the
+    * upserted table — which the oracle replays as a plain
+    * row_number-over-version. This is the reference's cron-cadence
+    * ingest loop (ingest.py:30-36): each run picks up where the
+    * checkpoint left off, and a crash between waves replays idempotently
+    * (the rename-aside swap inside the sink, spec-pinned in
+    * SourcesStreamingSpec). Versions are explicit ints and values
+    * 2-dp-rounded doubles, so the json staging round-trips exactly. */
+  def q110StreamingUpsert(t: graft.Tables.T): DataFrame = {
+    val spark = t.spark
+    val base = t.events.filter(col("event_id") % 7 === 3)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), lit(1).as("version"))
+    val updates = base.filter(col("event_id") % 2 === 1)
+      .withColumn("version", lit(2))
+      .withColumn("value", round(col("value") + lit(100.0), 2))
+    val tmp = graft.TmpDirs.keyed("graft_q110_",
+      s"run_${upsertRunSeq.incrementAndGet()}")
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/table"
+    base.coalesce(1).write.mode("overwrite").json(inDir)
+    runFileUpsertStream(spark, inDir, base.schema,
+      Seq("event_id"), "version", ckpt, outDir)
+    updates.coalesce(1).write.mode("append").json(inDir)
+    runFileUpsertStream(spark, inDir, base.schema,
+      Seq("event_id"), "version", ckpt, outDir)
+    spark.read.parquet(outDir).orderBy("event_id")
+  }
+
   /** q92 — streaming SESSIONIZATION end-to-end as a declared query: the
     * q88 session_window aggregate run as a real watermarked streaming
     * job (file source → SessionWindowStateStore → append-mode parquet

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
   private val imperative = Set(
     "q46_question_clusters", "q47_semantic_filter", "q67_clusters_at_scale",
     "q92_streaming_sessions", "q96_stateful_runs", "q98_streaming_neardup",
-    "q99_stream_join", "q102_streaming_window", "q106_stream_enrich")
+    "q99_stream_join", "q102_streaming_window", "q106_stream_enrich",
+    "q110_streaming_upsert")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
