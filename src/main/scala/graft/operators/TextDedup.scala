@@ -352,17 +352,24 @@ object TextDedup {
     * stored index is bucketed by signature (q101) so the daily join
     * shuffles ONLY the new batch. Documents under 3 words carry no
     * signature and are excluded, the q98 rule. */
-  def q109IncrementalDedup(t: T): DataFrame = incrementalDedup(t.documents)
-
-  /** Core over any (doc_id, text) frame — public for the spec. */
-  def incrementalDedup(docs: DataFrame): DataFrame = {
-    val sigs = docs
-      .withColumn("sig",
-        expr("array_join(transform(minhash12(text).mh, x -> cast(x AS string)), ',')"))
+  def q109IncrementalDedup(t: T): DataFrame = {
+    val sigs = t.documents
+      .withColumn("sig", expr("minhash12(text).mh"))
       .filter(col("sig").isNotNull)
-    val index = sigs.filter(col("doc_id") % 2 === 0)
-      .groupBy("sig").agg(min("doc_id").as("dup_of"))
-    sigs.filter(col("doc_id") % 2 === 1)
+    incrementalDedup(
+      sigs.filter(col("doc_id") % 2 === 1),
+      sigs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** Core over (doc_id, sig) frames — `batch` is the increment, `corpus`
+    * the stored history (q109 derives both from the parity split so the
+    * oracle can replay them; a production caller passes its real stored
+    * index). The index canonicalizes to min doc_id per signature and the
+    * batch LEFT-joins it on the RAW 12-long signature array — the
+    * shuffle carries 96 bytes of longs per row, no rendered string. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val index = corpus.groupBy("sig").agg(min("doc_id").as("dup_of"))
+    batch.select("doc_id", "sig")
       .join(index, Seq("sig"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
       .orderBy("doc_id")

@@ -186,8 +186,6 @@ object Incremental {
           round(col("total"), 2).as("total"))
     }.orderBy("win_start", "event_type")
 
-  private val upsertRunSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** q110 — the ST3 checkpointed foreachBatch upsert end-to-end as a
     * declared query (previously spec-only, the last §2.13 leg without a
     * CORRECTNESS row): TWO ingest waves through [[runFileUpsertStream]]
@@ -210,8 +208,16 @@ object Incremental {
     val updates = base.filter(col("event_id") % 2 === 1)
       .withColumn("version", lit(2))
       .withColumn("value", round(col("value") + lit(100.0), 2))
-    val tmp = graft.TmpDirs.keyed("graft_q110_",
-      s"run_${upsertRunSeq.incrementAndGet()}")
+    // One scratch tree per sf dir, fully reset on entry: each run NEEDS a
+    // fresh checkpoint (a reused commit log would treat the rewritten
+    // input as already processed), and the reset bounds disk to one live
+    // copy instead of one per bench rep (the r10 q82 leak shape).
+    val tmp = graft.TmpDirs.keyed("graft_q110_", t.sfDir)
+    def deleteTree(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
+      f.delete(): Unit
+    }
+    deleteTree(new java.io.File(tmp))
     val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/table"
     base.coalesce(1).write.mode("overwrite").json(inDir)
     runFileUpsertStream(spark, inDir, base.schema,
@@ -219,7 +225,14 @@ object Incremental {
     updates.coalesce(1).write.mode("append").json(inDir)
     runFileUpsertStream(spark, inDir, base.schema,
       Seq("event_id"), "version", ckpt, outDir)
-    spark.read.parquet(outDir).orderBy("event_id")
+    // A wave with zero input rows never fires foreachBatch, so the table
+    // dir may not exist — an empty slice yields the empty table, not a
+    // missing-path crash.
+    val table =
+      if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
+    table.orderBy("event_id")
   }
 
   /** q92 — streaming SESSIONIZATION end-to-end as a declared query: the

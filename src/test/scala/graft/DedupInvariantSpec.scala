@@ -77,15 +77,18 @@ class DedupInvariantSpec extends SparkSpec {
 
   test("incremental dedup: batch docs attribute to the min even-id signature match") {
     import spark.implicits._
-    val docs = Seq(
-      (2L, "the quick brown fox jumps"),   // corpus (even)
+    def sigs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("sig", org.apache.spark.sql.functions.expr("minhash12(text).mh"))
+      .filter(org.apache.spark.sql.functions.col("sig").isNotNull)
+    val corpus = sigs(Seq(
+      (2L, "the quick brown fox jumps"),
       (6L, "the quick brown fox jumps"),   // corpus dup — min id 2 is canonical
-      (4L, "an entirely different body"),
-      (3L, "the quick brown fox jumps"),   // batch: dup of 2
-      (5L, "a unique incoming document"),  // batch: fresh
-      (7L, "xy"))                          // batch: <3 words, no signature
-      .toDF("doc_id", "text")
-    val out = TextDedup.incrementalDedup(docs).collect()
+      (4L, "an entirely different body")))
+    val batch = sigs(Seq(
+      (3L, "the quick brown fox jumps"),   // dup of 2
+      (5L, "a unique incoming document"),  // fresh
+      (7L, "xy")))                         // <3 words, no signature
+    val out = TextDedup.incrementalDedup(batch, corpus).collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toList
     assert(out == List((3L, true, 2L), (5L, false, -1L)))
