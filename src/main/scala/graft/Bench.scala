@@ -54,43 +54,18 @@ object Bench {
     val start = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - start) / 1e9
 
-    val spark = SparkSession.builder()
+    // Floor tuning (AQE small-shuffle coalescing, compression off, scan
+    // splits, shuffled-hash preference, serialized shuffle writer, tmpfs
+    // scratch) is shared with Verify via HarnessTuning — every knob is a
+    // harness-scale latency call documented there; a 100 TB cluster keeps
+    // the Spark defaults.
+    val spark = HarnessTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // Let AQE coalesce post-shuffle partitions down to minPartitionSize
-      // instead of holding one-per-core: a 500-row aggregate does not need
-      // 32 ~nothing tasks, and on a busy 1000-executor cluster this is the
-      // documented recommendation too. Measured ~30% off the per-query
-      // floor at sf0.1 with identical results at every scale.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      // Coalesce target sized to THIS harness (32 cores, MBs-of-shuffle
-      // scale): initial partitions stay at 32 — coalescing only merges —
-      // so heavy shuffles keep every core, while sub-MB shuffles collapse
-      // to one task instead of 32 ~empty ones. A cluster deployment at
-      // 100 TB keeps the 64 MB+ default; this knob tracks bytes/core.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      // Floor tuning at HARNESS scale (r10 ask #5 — FloorGrid measured,
-      // ~0.05-0.1 s off every trivial query, q22/q34 also faster):
-      //  - shuffle (+spill) compression off: every suite shuffle is
-      //    sub-MB on a local disk — LZ4 latency buys nothing here. A
-      //    cluster deployment at 100 TB keeps the defaults (network +
-      //    spill volume dominate there).
-      //  - maxPartitionBytes 8m: the single-file local tables split into
-      //    a few scan tasks instead of one, restoring scan parallelism
-      //    the multi-file production root gets for free.
-      //  - preferSortMergeJoin=false: Spark picks shuffled-hash over
-      //    sort-merge when a side fits per-partition memory, skipping
-      //    both sort passes; AQE's runtime sizes keep the choice safe,
-      //    and the OOM-averse SMJ default is a spill-safety call that
-      //    MBs-per-partition local shuffles never exercise.
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The bounded post-aggregate whole-frame windows (q09 top-100 rank,

@@ -12,11 +12,26 @@ object FloorGrid {
     val combo = Map("spark.shuffle.compress" -> "false",
       "spark.shuffle.spill.compress" -> "false",
       "spark.sql.files.maxPartitionBytes" -> "8m")
+    val shipped = combo + ("spark.sql.join.preferSortMergeJoin" -> "false")
     val variants: Seq[(String, Map[String, String])] = Seq(
-      "baseline" -> Map(),
-      "combo" -> combo,
-      "combo+shj" -> (combo + ("spark.sql.join.preferSortMergeJoin" -> "false")),
-      "combo2x" -> combo,
+      "shipped" -> shipped,
+      // Force the serialized (Tungsten) shuffle writer: at 32 shuffle
+      // partitions the bypass-merge writer opens 32 temp files per map
+      // task (32 mappers -> 1024 file creates per exchange).
+      "shipped+unsafe" -> (shipped + ("spark.shuffle.sort.bypassMergeThreshold" -> "8")),
+      // Shuffle + block-manager scratch on tmpfs: every suite shuffle is
+      // sub-MB; file-create + fsync latency dominates, not bandwidth.
+      "shipped+shm" -> (shipped + ("spark.local.dir" -> "/dev/shm/graft-floorgrid")),
+      "shipped+unsafe+shm" -> (shipped
+        + ("spark.shuffle.sort.bypassMergeThreshold" -> "8")
+        + ("spark.local.dir" -> "/dev/shm/graft-floorgrid")),
+      "noaqe+unsafe+shm" -> (shipped
+        + ("spark.sql.adaptive.enabled" -> "false")
+        + ("spark.shuffle.sort.bypassMergeThreshold" -> "8")
+        + ("spark.local.dir" -> "/dev/shm/graft-floorgrid")),
+      "shipped+unsafe+shm2x" -> (shipped
+        + ("spark.shuffle.sort.bypassMergeThreshold" -> "8")
+        + ("spark.local.dir" -> "/dev/shm/graft-floorgrid")),
     )
     for ((tag, conf) <- variants) {
       val b = SparkSession.builder()

@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning, SinglePartition}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** A native AS-OF JOIN operator — the full custom-operator path the brief
@@ -139,6 +140,32 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     // inherit a non-nullable child schema and compile away the null
     // checks the matchless rows need.
     val outAttrs = output
+    // zipPartitions pairs partitions BY INDEX, so equal counts are not
+    // enough: both children must be hash-partitioned by the same function
+    // on exactly the join key (a RangePartitioning also satisfies
+    // ClusteredDistribution but maps rows differently — silent row loss).
+    // Accept the three shapes EnsureRequirements can legally deliver:
+    // plain hash, AQE-coalesced hash with identical boundaries, single.
+    def hashOnKey(exprs: Seq[Expression], key: Attribute): Boolean =
+      exprs.length == 1 && exprs.head.semanticEquals(key)
+    (left.outputPartitioning, right.outputPartitioning) match {
+      case (SinglePartition, SinglePartition) => ()
+      case (HashPartitioning(le, ln), HashPartitioning(re, rn)) =>
+        require(ln == rn && hashOnKey(le, leftKey) && hashOnKey(re, rightKey),
+          s"as-of join: children hash-partitioned incompatibly " +
+            s"($le×$ln vs $re×$rn, keys $leftKey/$rightKey)")
+      case (CoalescedHashPartitioning(HashPartitioning(le, ln), lb),
+            CoalescedHashPartitioning(HashPartitioning(re, rn), rb)) =>
+        require(ln == rn && lb == rb &&
+          hashOnKey(le, leftKey) && hashOnKey(re, rightKey),
+          s"as-of join: AQE-coalesced children misaligned " +
+            s"($le×$ln/$lb vs $re×$rn/$rb)")
+      case (lp, rp) =>
+        throw new IllegalStateException(
+          "as-of join: children must be hash-co-partitioned on the join " +
+            s"keys; got ${lp.getClass.getSimpleName}($lp) vs " +
+            s"${rp.getClass.getSimpleName}($rp)")
+    }
     val lRdd = left.execute(); val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of join: children not co-partitioned " +

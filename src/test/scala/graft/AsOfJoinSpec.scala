@@ -66,6 +66,33 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, -1L, -1.0))) // user 2 has no earlier view → nulls
   }
 
+  test("range-partitioned children fail loudly instead of misaligning") {
+    // RangePartitioning satisfies ClusteredDistribution, so a child that
+    // arrives already range-partitioned on the key would pass
+    // EnsureRequirements without a re-shuffle — but zipPartitions pairs
+    // partitions by index and range≠hash maps rows differently. The exec
+    // must refuse, not drop matches. Build the physical node by hand
+    // (bypassing the planner, as a library caller embedding the operator
+    // could) over two range-shuffled children.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = lefts((1L to 50L).map(i => (i % 7, i, "2024-01-01 10:00:00")))
+        .repartitionByRange(4, col("user_id"))
+      val r = rights((1L to 50L).map(i => (i % 7, 1000L + i, "2024-01-01 09:00:00", 1.0)))
+        .repartitionByRange(4, col("v_user_id"))
+      val lp = l.queryExecution.executedPlan
+      val rp = r.queryExecution.executedPlan
+      def a(p: org.apache.spark.sql.execution.SparkPlan, n: String) =
+        p.output.find(_.name == n).get
+      val exec = graft.plans.AsOfJoinExec(lp, rp,
+        a(lp, "user_id"), a(rp, "v_user_id"),
+        a(lp, "ts"), a(rp, "v_ts"), a(rp, "v_event_id"))
+      val e = intercept[IllegalStateException](exec.execute())
+      assert(e.getMessage.contains("hash-co-partitioned"), e.getMessage)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("random corpora with ties: parity with the argmax window replay") {
     val rnd = new scala.util.Random(108)
     // coarse timestamps force plenty of exact ties; 40 users spread the
