@@ -163,6 +163,16 @@ object SparkEntry {
     // construction, q92 family).
     "q110_streaming_upsert" ->
       ((s, d) => streaming.Incremental.q110StreamingUpsert(T(s, d))),
+    "q111_watch_prune"    -> ((s, d) => Monitoring.q111WatchPrune(T(s, d))),
+    // q112/q113 render through the real driver-side markdown products
+    // (bounded aggregate rows by construction — the reference's own
+    // contract for digest/dossier formatting).
+    "q112_digest_markdown" -> ((s, d) => Monitoring.q112DigestMarkdown(T(s, d))),
+    "q113_gap_markdown"   -> ((s, d) => Monitoring.q113GapMarkdown(T(s, d))),
+    // q114 is EAGER (CSV export + manifest write at construction, then
+    // the readback is the declared frame — q82 family).
+    "q114_export_manifest" -> ((s, d) => sources.Sources.q114ExportManifest(T(s, d))),
+    "q115_csv_chunks"     -> ((s, d) => sources.Sources.q115CsvChunks(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2292,8 +2302,8 @@ object SparkEntry {
     "q107_rank_family" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id""".stripMargin,
@@ -2366,5 +2376,123 @@ object SparkEntry {
         |    ORDER BY version DESC) AS rn FROM all_rows)
         |SELECT event_id, event_type, value, version
         |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q111_watch_prune" ->
+      """WITH registry AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |keep AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT r.user_id, r.n_events, (k.user_id IS NOT NULL) AS active
+        |FROM registry r LEFT JOIN keep k ON r.user_id = k.user_id
+        |ORDER BY r.user_id""".stripMargin,
+    // q112: the digest Markdown re-assembled byte-for-byte in SQL —
+    // same aggregate, same classification, same line formats, same
+    // label order. Counts are integer-valued doubles so %.1f has no
+    // FP-tie hazard.
+    "q112_digest_markdown" ->
+      """WITH m AS (SELECT max(day(ts)) AS dd FROM events),
+        |agg AS (
+        |  SELECT event_type || '/u' || (user_id % 29) AS label,
+        |    CAST(count(CASE WHEN day(ts) = dd THEN 1 END) AS DOUBLE) AS cur,
+        |    CAST(count(CASE WHEN day(ts) = dd - 1 THEN 1 END) AS DOUBLE) AS prev
+        |  FROM events CROSS JOIN m GROUP BY 1),
+        |cls AS (
+        |  SELECT label, cur, prev,
+        |    CASE WHEN prev = 0 THEN 'new'
+        |         WHEN cur <> prev THEN 'shift'
+        |         ELSE 'steady' END AS status
+        |  FROM agg WHERE cur > 0),
+        |sh AS (
+        |  SELECT coalesce(string_agg(
+        |      '- **' || label || '**: ' || printf('%.1f', cur) || ' (' ||
+        |      (CASE WHEN cur - prev >= 0 THEN '+' ELSE '' END) ||
+        |      printf('%.1f', cur - prev) || ')' || chr(10),
+        |      '' ORDER BY label), '') AS body, count(*) AS n
+        |  FROM cls WHERE status = 'shift'),
+        |nw AS (
+        |  SELECT coalesce(string_agg(
+        |      '- ' || label || ': ' || printf('%.1f', cur) || chr(10),
+        |      '' ORDER BY label), '') AS body, count(*) AS n
+        |  FROM cls WHERE status = 'new')
+        |SELECT '# Weekly digest' || chr(10) || chr(10)
+        |  || CASE WHEN sh.n = 0 AND nw.n = 0
+        |          THEN 'No significant changes.' || chr(10) ELSE '' END
+        |  || CASE WHEN sh.n > 0
+        |          THEN '## Shifts' || chr(10) || chr(10) || sh.body ELSE '' END
+        |  || CASE WHEN nw.n > 0
+        |          THEN chr(10) || '## New' || chr(10) || chr(10) || nw.body
+        |          ELSE '' END AS digest_md
+        |FROM sh CROSS JOIN nw""".stripMargin,
+    // q113: the evidence-gap Markdown — q64's oracle aggregate wrapped in
+    // the renderer's exact section/table assembly.
+    "q113_gap_markdown" ->
+      """WITH cut AS (SELECT max(year(ts)) - 3 AS stale_cut FROM events),
+        |findings AS (
+        |  SELECT event_type AS topic,
+        |    'frage ' || (event_id % 25) AS cluster_label,
+        |    'inst' || (CASE WHEN event_id % 25 = 7 THEN 0
+        |                    ELSE user_id % 5 END) AS institute,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE year(ts) - (CASE WHEN event_id % 25 < 5 THEN 5
+        |                               ELSE 0 END) END AS pub_year,
+        |    (event_id % 4 <> 0) AND (event_id % 25 <> 9) AS has_pct
+        |  FROM events),
+        |agg AS (
+        |  SELECT topic, cluster_label,
+        |    count(*) AS n_findings,
+        |    count(DISTINCT institute) AS n_institutes,
+        |    max(pub_year) AS latest,
+        |    count(CASE WHEN has_pct THEN 1 END) AS n_pct
+        |  FROM findings GROUP BY 1, 2),
+        |g AS (
+        |  SELECT topic, cluster_label, n_findings, n_institutes, latest,
+        |    coalesce(nullif(array_to_string(list_filter(ARRAY[
+        |      CASE WHEN latest IS NULL THEN 'undated'
+        |           WHEN latest < stale_cut
+        |             THEN concat('stale (last ', latest, ')') END,
+        |      CASE WHEN n_institutes = 1 THEN 'single source' END,
+        |      CASE WHEN n_pct = 0 THEN 'no percentages' END],
+        |      x -> x IS NOT NULL), ', '), ''), '—') AS gaps
+        |  FROM agg CROSS JOIN cut),
+        |lines AS (
+        |  SELECT topic, n_findings, cluster_label,
+        |    '| ' || cluster_label || ' | ' || n_findings || ' | ' ||
+        |    n_institutes || ' | ' ||
+        |    coalesce(CAST(latest AS VARCHAR), '—') || ' | ' || gaps ||
+        |    ' |' || chr(10) AS line
+        |  FROM g),
+        |secs AS (
+        |  SELECT topic,
+        |    '## Topic: `' || topic || '`' || chr(10) || chr(10) ||
+        |    '| question cluster | findings | institutes | latest | gaps |'
+        |      || chr(10) ||
+        |    '|------------------|-----------|------------|--------|------|'
+        |      || chr(10) ||
+        |    string_agg(line, '' ORDER BY n_findings DESC, cluster_label) ||
+        |    chr(10) AS sec
+        |  FROM lines GROUP BY topic)
+        |SELECT '# Evidence-gap report' || chr(10) || chr(10) ||
+        |  '_Which questions have polling data, how fresh, how broadly ' ||
+        |  'sourced — and where the holes are._' || chr(10) || chr(10) ||
+        |  string_agg(sec, '' ORDER BY topic) AS gap_md
+        |FROM secs""".stripMargin,
+    // q114: the export round-trip — formatted strings + manifest counters
+    // recomputed straight from the parquet table.
+    "q114_export_manifest" ->
+      """WITH exp AS (
+        |  SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts,
+        |    event_type || '|u' || user_id AS tags
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT CAST(event_id AS VARCHAR) AS event_id, ts, tags,
+        |  (SELECT count(*) FROM exp) AS manifest_rows,
+        |  CAST(3 AS BIGINT) AS manifest_columns
+        |FROM exp ORDER BY event_id""".stripMargin,
+    // q115: header once + the data lines IS the chunk-merge semantics.
+    "q115_csv_chunks" ->
+      """SELECT 'id;n_chars' AS line
+        |UNION ALL
+        |SELECT CAST(doc_id AS VARCHAR) || ';' || CAST(n_chars AS VARCHAR)
+        |FROM documents WHERE doc_id < 40
+        |ORDER BY line""".stripMargin,
   )
 }

@@ -302,6 +302,63 @@ object Monitoring {
     sb.append("\n").toString
   }
 
+  /** q111 — M3 watch prune as a DECLARED query (r11 ask #5: the last
+    * spec-only components get oracle rows): the watch registry is every
+    * user with their event count; the keep-list is users with ≥1
+    * purchase; pruneWatches left-joins and flips `active` — flag flip,
+    * not delete, exactly storage/postgres.py:1408-1463. Both sides are
+    * one aggregate; the join is key-clustered — at 100 TB the registry
+    * join is a broadcast (keep-lists are small by construction). */
+  def q111WatchPrune(t: graft.Tables.T): DataFrame = {
+    val registry = t.events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val keep = t.events
+      .filter(col("event_type") === "purchase")
+      .select("user_id")
+    pruneWatches(registry, keep, "user_id")
+      .smallSort("user_id")
+  }
+
+  /** q112 — the M4 DIGEST PRODUCT (digest.py:190-249) end-to-end: a
+    * per-watch day-over-day aggregate (cur = max event day, prev = the
+    * day before), status classification (new / shift / steady), then the
+    * REAL renderDigest over the collected rows — driver-side formatting
+    * over a bounded watch list (≤ 5×29 labels by construction), which is
+    * the reference's own contract for this product. The oracle replays
+    * aggregate + classification + the exact Markdown assembly in SQL
+    * (string_agg over the same label order), so the rendered bytes are
+    * hash-pinned, not just the aggregate beneath them. Counts are
+    * integer-valued doubles, so the %.1f formatting has no FP-tie
+    * hazard (the q107 advice class). */
+  def q112DigestMarkdown(t: graft.Tables.T): DataFrame = {
+    import t.spark.implicits._
+    val dd = t.events.agg(max(dayofmonth(col("ts")))).head.getInt(0)
+    val rows = t.events
+      .select(concat(col("event_type"), lit("/u"), col("user_id") % 29).as("label"),
+        dayofmonth(col("ts")).as("d"))
+      .groupBy("label")
+      .agg(count(when(col("d") === dd, 1)).cast("double").as("cur_value"),
+        count(when(col("d") === dd - 1, 1)).cast("double").as("prev_value"))
+      .filter(col("cur_value") > 0)
+      .withColumn("status",
+        when(col("prev_value") === 0, "new")
+          .when(col("cur_value") =!= col("prev_value"), "shift")
+          .otherwise("steady"))
+      .orderBy("label")
+      .collect().toSeq
+    Seq(renderDigest("Weekly digest", rows)).toDF("digest_md")
+  }
+
+  /** q113 — the M4 EVIDENCE-GAP PRODUCT (dossier.py:228-294): q64's
+    * aggregate rows through the real renderGapReport — preamble,
+    * per-topic sections sorted by topic, member rows by (findings DESC,
+    * label), em-dash placeholders. Same bounded-driver-side contract and
+    * oracle treatment as q112. */
+  def q113GapMarkdown(t: graft.Tables.T): DataFrame = {
+    import t.spark.implicits._
+    Seq(renderGapReport(q64GapReport(t).collect().toSeq)).toDF("gap_md")
+  }
+
   /** M4 — digest rendering: collected aggregate rows → Markdown. Expects
     * rows of (label, cur_value, prev_value, status); driver-side by
     * design, bounded by the number of watches. */

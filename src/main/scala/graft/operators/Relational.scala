@@ -299,8 +299,12 @@ object Relational {
     * cume_dist), completing §2.5 beyond lag/rows/range/rank/nth/share:
     * value quartiles and exact distribution positions per event type.
     * The (value, event_id) sort key is total (ids unique), so ranks are
-    * tie-free and the rounded ratios are bit-stable across engines —
-    * both divide the identical integer operands. One shuffle on
+    * tie-free and the ratios are bit-stable across engines: both sides
+    * perform the IDENTICAL IEEE double division of the same integer
+    * operands, so the raw doubles (and their shortest-roundtrip reprs)
+    * match exactly — no round() layer, whose decimal HALF_UP-vs-
+    * half-away tie behavior was the one cross-engine hazard (r11
+    * advice). One shuffle on
     * event_type; at 100 TB this is the per-category score-calibration
     * pass (quantile bucketing a quality score before threshold tuning). */
   def q107RankFamily(t: T): DataFrame = {
@@ -309,8 +313,8 @@ object Relational {
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
       .orderBy("event_id")
   }
 

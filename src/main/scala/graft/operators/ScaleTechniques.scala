@@ -84,6 +84,13 @@ object ScaleTechniques {
     * names (table identifiers can't carry a raw path). */
   private val sfIds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val sfIdSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Per-invocation run id: two concurrent q101 executions (or a late
+    * re-execution of a previously returned frame) must never share a
+    * table name/path with mode overwrite — a write could race another
+    * run's read. Fresh names per call; the data dirs live under the
+    * shutdown-swept scratch root and stay MBs-scale across a bench's
+    * passes. */
+  private val q101RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** q101 — the bucketed co-located join as a declared round-trip: write
     * orders and customer bucketed on the customer key (8 buckets, sorted
@@ -95,19 +102,23 @@ object ScaleTechniques {
     * 100 TB this is the nightly fact⋈dim pattern: bucket both tables on
     * the join key at ingest and every downstream join of the pair skips
     * its network shuffle. EAGER like q82: construction writes the two
-    * bucketed tables (mode overwrite — repeated calls rewrite in place).
+    * bucketed tables.
     *
     * Table names and external paths are keyed INJECTIVELY by the sf dir
     * (a per-JVM id assigned per distinct path — no lossy sanitization,
-    * so two dirs differing only in punctuation can never collide) and
-    * the data lives under the JVM-scoped scratch root (shutdown-hook
-    * cleaned), NOT the default warehouse in cwd.
+    * so two dirs differing only in punctuation can never collide) AND a
+    * per-invocation run id (r12 advice: a concurrent execution, or a
+    * late re-execution of a previously returned frame, must never race
+    * another run's overwrite of a shared path); the data lives under
+    * the JVM-scoped scratch root (shutdown-hook cleaned), NOT the
+    * default warehouse in cwd.
     */
   def q101BucketedJoin(t: graft.Tables.T): DataFrame = {
     import graft.Serve._
     val spark = t.spark
-    val key = s"sf${sfIds.computeIfAbsent(t.sfDir, _ => sfIdSeq.incrementAndGet())}"
-    val root = graft.TmpDirs.keyed("graft_q101_", t.sfDir)
+    val run = q101RunSeq.incrementAndGet()
+    val key = s"sf${sfIds.computeIfAbsent(t.sfDir, _ => sfIdSeq.incrementAndGet())}_r$run"
+    val root = graft.TmpDirs.keyed("graft_q101_", s"${t.sfDir}#r$run")
     def write(df: DataFrame, name: String, bucketCol: String): String = {
       val table = s"graft_q101_${name}_$key"
       df.write.mode("overwrite")

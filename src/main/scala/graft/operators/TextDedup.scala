@@ -243,7 +243,14 @@ object TextDedup {
       .select(col("doc_id"), col("pos"), expr(h60(84, "gram")).as("gh"))
       // feeds the dup aggregate AND the hit join; without truncation each
       // consumer re-runs the shingle explode + md5 pass (the q27-family
-      // 2-consumer treatment — lazy, MEMORY_AND_DISK, spills)
+      // 2-consumer treatment — lazy, MEMORY_AND_DISK, spills). r12
+      // measured both alternatives under the tmpfs-scratch harness and
+      // kept this shape: dropping the checkpoint (recompute) was ~2×
+      // slower, and a single-exchange gh-keyed collect_list(struct(doc,
+      // pos)) aggregate feeding both the dup test and the hit explode was
+      // ~1.7× slower — the object aggregate materializes the whole gram
+      // stream in list buffers and drops out of whole-stage codegen,
+      // losing more CPU than the saved exchange's I/O.
       .localCheckpoint(false)
     // "≥2 distinct docs" as min≠max — a plain one-shuffle aggregate with
     // map-side partials, where count(DISTINCT doc_id) planned a second

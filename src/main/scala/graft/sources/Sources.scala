@@ -58,6 +58,61 @@ object Sources {
       .orderBy("chunk_idx", "line_idx")
       .select("line")
 
+  /** q114 — the S10 export sink as a DECLARED round-trip (r11 ask #5):
+    * export a deterministic events slice (array column → '|' join,
+    * timestamp → ISO string) through the real exportCsv, then read the
+    * CSV back with an explicit all-string schema (pathGlobFilter keeps
+    * the manifest out of the scan) and the manifest.json counters back
+    * from disk. The oracle recomputes the formatted strings and the
+    * manifest row count straight from the parquet table, so the hash
+    * pins the writer's formatting AND the manifest contents. The
+    * manifest frame is one row — the crossJoin is the broadcast-1-row
+    * pattern the plan audit allowlists. */
+  def q114ExportManifest(t: graft.Tables.T): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val spark = t.spark
+    val slice = t.events
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("ts"),
+        array(col("event_type"), concat(lit("u"), col("user_id"))).as("tags"))
+    val outDir = graft.TmpDirs.keyed("graft_q114_", t.sfDir)
+    Sources.exportCsv(slice, outDir)
+    val schema = StructType(Seq("event_id", "ts", "tags")
+      .map(org.apache.spark.sql.types.StructField(_, StringType)))
+    val back = spark.read
+      .option("header", "true").option("pathGlobFilter", "*.csv")
+      .schema(schema).csv(outDir)
+    val man = spark.read.text(outDir + "/manifest.json").select(
+      regexp_extract(col("value"), "\"rows\": (\\d+)", 1)
+        .cast("long").as("manifest_rows"),
+      regexp_extract(col("value"), "\"columns\": (\\d+)", 1)
+        .cast("long").as("manifest_columns"))
+    import graft.Serve.ServingOps
+    back.crossJoin(broadcast(man))
+      .smallSort(col("event_id").cast("long"))
+  }
+
+  /** q115 — S3 Destatis chunk merge as a DECLARED query: chunk payloads
+    * built deterministically from documents rows (each chunk repeats the
+    * header; chunk 0 carries a mid-payload blank line; an all-blank
+    * chunk rides along), merged by the real mergeCsvChunks — the oracle
+    * is simply header-once + the data lines, which is the semantics
+    * under test (connectors/destatis_connector.py:739-762). */
+  def q115CsvChunks(t: graft.Tables.T): DataFrame = {
+    import t.spark.implicits._
+    val data = t.documents.filter(col("doc_id") < 40)
+      .select((col("doc_id") % 4).as("chunk_idx"),
+        concat_ws(";", col("doc_id"), col("n_chars")).as("l"))
+    val chunks = data.groupBy("chunk_idx")
+      .agg(concat(
+        lit("id;n_chars\n"),
+        when(col("chunk_idx") === 0, lit("\n")).otherwise(lit("")),
+        array_join(array_sort(collect_list(col("l"))), "\n"),
+        lit("\n")).as("payload"))
+      .unionByName(Seq((4L, "   ")).toDF("chunk_idx", "payload"))
+    mergeCsvChunks(chunks)
+  }
+
   /** S10 — CSV export: arrays → '|' joins, timestamps/dates → ISO strings,
     * one header-ed CSV directory per call; returns the exported row count
     * (the manifest datum). Column order is preserved. */

@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.StructType
   */
 object Incremental {
 
+  /** Per-invocation scratch id for q110 (see its scaladoc). */
+  private val q110RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** ST1/ST2 — one incremental batch pull: rows strictly after `since`,
     * plus the new watermark to persist (null-safe when nothing new). */
   def incrementalSlice(df: DataFrame, tsCol: String,
@@ -208,16 +211,15 @@ object Incremental {
     val updates = base.filter(col("event_id") % 2 === 1)
       .withColumn("version", lit(2))
       .withColumn("value", round(col("value") + lit(100.0), 2))
-    // One scratch tree per sf dir, fully reset on entry: each run NEEDS a
-    // fresh checkpoint (a reused commit log would treat the rewritten
-    // input as already processed), and the reset bounds disk to one live
-    // copy instead of one per bench rep (the r10 q82 leak shape).
-    val tmp = graft.TmpDirs.keyed("graft_q110_", t.sfDir)
-    def deleteTree(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(deleteTree)
-      f.delete(): Unit
-    }
-    deleteTree(new java.io.File(tmp))
+    // One scratch tree PER INVOCATION (r12 advice — the r11 shape reused
+    // one per-sfDir tree with a delete-on-entry reset, which raced a
+    // concurrent execution or a late re-execution of a previously
+    // returned frame): each run NEEDS a fresh checkpoint (a reused
+    // commit log would treat the rewritten input as already processed),
+    // fresh dirs make that trivially true, the slice is ~1% of events so
+    // per-rep growth is KBs, and the whole root is shutdown-swept.
+    val tmp = graft.TmpDirs.keyed("graft_q110_",
+      s"${t.sfDir}#r${q110RunSeq.incrementAndGet()}")
     val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/table"
     base.coalesce(1).write.mode("overwrite").json(inDir)
     runFileUpsertStream(spark, inDir, base.schema,

@@ -53,13 +53,19 @@ object RoundTrip {
       in.coalesce(1).write.mode("overwrite").parquet(dir)
       s2.readStream.schema(in.schema).parquet(dir)
     }
-    val q = transform(streams).writeStream.format("parquet")
+    val transformed = transform(streams)
+    val q = transformed.writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val back = spark.read.parquet(outDir)
+    // Explicit schema on the readback: a run that commits ZERO output
+    // files (empty input slice, or every window still open) leaves only
+    // _spark_metadata behind, and schema INFERENCE over that throws
+    // AnalysisException where the correct result is an empty frame with
+    // the transform's schema.
+    val back = spark.read.schema(transformed.schema).parquet(outDir)
     // Strip the stream's watermarkDelayMs column metadata so declared
     // output schemas are the plain batch ones.
     back.select(back.columns.map(c =>

@@ -21,7 +21,12 @@ class PlanAuditSpec extends SparkSpec {
     "q46_question_clusters", "q47_semantic_filter", "q67_clusters_at_scale",
     "q92_streaming_sessions", "q96_stateful_runs", "q98_streaming_neardup",
     "q99_stream_join", "q102_streaming_window", "q106_stream_enrich",
-    "q110_streaming_upsert")
+    "q110_streaming_upsert",
+    // r12: the markdown products collect their bounded aggregate at
+    // construction (driver-side rendering is the product's contract);
+    // the aggregates beneath them are q64's (audited) and a plain
+    // groupBy — covered by their oracle rows.
+    "q112_digest_markdown", "q113_gap_markdown")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
@@ -39,10 +44,13 @@ class PlanAuditSpec extends SparkSpec {
   //                        (IVF nprobe=1; centroid count is fixed)
   //   q103               — THE salting pattern: the dim side crossJoins
   //                        the 8-row salt table (one replica per salt)
+  //   q114               — broadcast 1-row manifest counters joined to
+  //                        the CSV readback (r12)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
-    "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join")
+    "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
+    "q114_export_manifest")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
