@@ -160,10 +160,14 @@ object Bench {
       // is empty and costs ~12 bytes; on a noisy one it names exactly the
       // queries whose official number to distrust (r7's q27 4.03 med vs
       // 1.70 min was visible only in bench_detail.json).
+      // Capped at the 8 worst med/min ratios (r12): at 115 queries the
+      // base compact line is ~1.7 KB against the driver's ~2 KB captured
+      // tail, so an unbounded contended map on a noisy host could
+      // truncate the artifact it exists to annotate.
       val hot = results.collect {
         case (k, (med, mn, _)) if mn > 0 && med > mn * 1.5 =>
-          s""""${key(k)}":{"med":${fmt2(med)},"min":${fmt2(mn)}}"""
-      }.mkString("{", ",", "}")
+          (med / mn, s""""${key(k)}":{"med":${fmt2(med)},"min":${fmt2(mn)}}""")
+      }.sortBy(-_._1).take(8).map(_._2).mkString("{", ",", "}")
       // contended/errors omitted entirely when empty — bytes again.
       val hotPart = if (hot == "{}") "" else s""","contended":$hot"""
       // "fmt":2 marks the r10+ compact schema (qNN short keys, empty-map
