@@ -67,7 +67,16 @@ object TmpDirs {
 
   def scoped(prefix: String): String =
     dirs.computeIfAbsent(prefix, { _ =>
-      val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+      // Scratch on tmpfs when the host has it (r12, same call as
+      // HarnessTuning's spark.local.dir): everything under TmpDirs is
+      // MB-scale staging / checkpoint / round-trip state whose cost is
+      // file-create + fsync latency — streaming checkpoint commits fsync
+      // once per micro-batch — not capacity. Falls back to the JVM temp
+      // dir elsewhere; a cluster deployment stages to real storage.
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val d = (if (java.nio.file.Files.isDirectory(shm))
+        java.nio.file.Files.createTempDirectory(shm, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix)).toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => delete(d)))
       d.toString
     })

@@ -173,6 +173,8 @@ object SparkEntry {
     // the readback is the declared frame — q82 family).
     "q114_export_manifest" -> ((s, d) => sources.Sources.q114ExportManifest(T(s, d))),
     "q115_csv_chunks"     -> ((s, d) => sources.Sources.q115CsvChunks(T(s, d))),
+    "q116_leakage_split"  -> ((s, d) => Corpus.q116LeakageSplit(s, T(s, d))),
+    "q117_semdedup"       -> ((s, d) => Similarity.q117SemDedup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -247,6 +249,58 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |${pfx}norms AS (
        |  SELECT $key, sqrt(sum(w * w)) AS nrm FROM ${pfx}terms GROUP BY $key)""".stripMargin
+
+  /** Shared CTE chain for the q81/q116 oracles: the q27 MinHash pair
+    * manifest closed transitively, yielding
+    * `fam(doc_id, canonical_id, is_canonical)`. */
+  private val q81FamilyCtes: String =
+    """WITH RECURSIVE words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        |  FROM words WHERE len(w) >= 3),
+        |tok AS (SELECT doc_id,
+        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
+        |    % 2147483647 AS hb
+        |  FROM sh),
+        |seeds AS (SELECT * FROM (VALUES
+        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
+        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
+        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
+        |  (11, 24593, 17327)) AS s(seed, a, b)),
+        |hashes AS (
+        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
+        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, seed // 3 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
+        |  FROM hashes GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
+        |  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
+        |      len(list_distinct(list_cat(x.shingles, y.shingles))) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |canon AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical
+        |  FROM reach GROUP BY src),
+        |fam AS (
+        |  SELECT d.doc_id,
+        |    coalesce(c.canonical, d.doc_id) AS canonical_id,
+        |    (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_canonical
+        |  FROM documents d LEFT JOIN canon c USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1716,55 +1770,22 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     // q81: the q27 pair chain closed transitively with a recursive CTE
     // (sparse near-dup graph → the closure is small), canonical = the
-    // component minimum — exactly ccMinLabels' fixed point.
+    // component minimum — exactly ccMinLabels' fixed point. The CTE
+    // chain is shared with q116 (leakage split over the same families).
     "q81_dedup_survivors" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-        |  FROM words WHERE len(w) >= 3),
-        |tok AS (SELECT doc_id,
-        |  ('0x' || substr(md5(concat(0, ':', unnest(shingles))), 1, 15))::BIGINT
-        |    % 2147483647 AS hb
-        |  FROM sh),
-        |seeds AS (SELECT * FROM (VALUES
-        |  (0, 257, 911), (1, 643, 1213), (2, 1031, 1713), (3, 1543, 2389),
-        |  (4, 2053, 3391), (5, 3079, 4441), (6, 4099, 5881), (7, 6151, 7121),
-        |  (8, 8209, 9973), (9, 12289, 11939), (10, 16411, 14009),
-        |  (11, 24593, 17327)) AS s(seed, a, b)),
-        |hashes AS (
-        |  SELECT doc_id, seed, min((hb * a + b) % 2147483647) AS mh
-        |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, seed // 3 AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
-        |  FROM hashes GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM cand JOIN sh x ON doc_a = x.doc_id JOIN sh y ON doc_b = y.doc_id
-        |  WHERE len(list_intersect(x.shingles, y.shingles)) * 1.0 /
-        |      len(list_distinct(list_cat(x.shingles, y.shingles))) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |canon AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS canonical
-        |  FROM reach GROUP BY src)
-        |SELECT d.doc_id,
-        |  coalesce(c.canonical, d.doc_id) AS canonical_id,
-        |  (coalesce(c.canonical, d.doc_id) = d.doc_id) AS is_canonical
-        |FROM documents d LEFT JOIN canon c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$q81FamilyCtes
+        |SELECT doc_id, canonical_id, is_canonical FROM fam
+        |ORDER BY doc_id""".stripMargin,
+    // q116: the family-grain 90/10 hash split — same md5-60bit idiom as
+    // q51, applied to the CANONICAL id so a near-dup family can never
+    // straddle train and eval.
+    "q116_leakage_split" ->
+      s"""$q81FamilyCtes
+        |SELECT doc_id, canonical_id,
+        |  CASE WHEN ('0x' || substr(md5(concat(116, ':',
+        |      CAST(canonical_id AS VARCHAR))), 1, 15))::BIGINT % 100 < 90
+        |    THEN 'train' ELSE 'eval' END AS split
+        |FROM fam ORDER BY doc_id""".stripMargin,
     // q82: the oracle recomputes the compaction window analytically; the
     // Spark side additionally proves the rewrite round-trip (write the
     // compacted table, read it back) preserves the state exactly.
@@ -2494,5 +2515,30 @@ object SparkEntry {
         |SELECT CAST(doc_id AS VARCHAR) || ';' || CAST(n_chars AS VARCHAR)
         |FROM documents WHERE doc_id < 40
         |ORDER BY line""".stripMargin,
+    // q117: cluster-blocked ε-dup survivor semantics replayed directly —
+    // same planting and list_dot_product summation as q65's oracle.
+    "q117_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, label, vec FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, label, list_transform(vec, x -> x * 1.01)
+        |  FROM base WHERE vec_id % 10 = 0),
+        |eps AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS dup_of,
+        |    count(*) AS n_eps_smaller
+        |  FROM all_v a JOIN all_v b
+        |    ON a.label = b.label AND b.vec_id < a.vec_id
+        |  WHERE list_dot_product(a.vec, b.vec) /
+        |      (sqrt(list_dot_product(a.vec, a.vec)) *
+        |       sqrt(list_dot_product(b.vec, b.vec))) >= 0.99
+        |  GROUP BY a.vec_id)
+        |SELECT v.vec_id, v.label,
+        |  (e.dup_of IS NULL) AS kept, e.dup_of,
+        |  coalesce(e.n_eps_smaller, 0) AS n_eps_smaller
+        |FROM all_v v LEFT JOIN eps e ON v.vec_id = e.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
   )
 }

@@ -428,4 +428,25 @@ object Corpus {
         count_if(col("kept")).as("n_kept"))
       .smallSort("source")
   }
+
+  /** q116 — LEAKAGE-SAFE train/eval split: the hold-out assignment a
+    * training pipeline must make AFTER near-dup resolution, not before —
+    * hashing raw doc_ids would scatter a near-duplicate family across
+    * both sides and leak eval content into training (the canonical
+    * failure mode Lee et al. 2022 §6 measure as inflated eval scores).
+    * Each document inherits its dedup family's canonical id (q81's
+    * MinHash pair manifest + connected components), and the split is a
+    * deterministic hash of THAT id — so a family lands wholly in train
+    * or wholly in eval, by construction. Same replayable md5-60bit hash
+    * family as the q51 audit sample; 90/10 at the family grain.
+    *
+    * 100 TB shape: everything downstream of the (cached) pair manifest
+    * is map-side — one hash per row, no new shuffle beyond q81's CC. */
+  def q116LeakageSplit(spark: org.apache.spark.sql.SparkSession, t: T): DataFrame =
+    TextDedup.q81DedupSurvivors(spark, t)
+      .withColumn("h", expr(TextDedup.h60(116, "CAST(canonical_id AS STRING)")))
+      .withColumn("split",
+        when(pmod(col("h"), lit(100)) < 90, "train").otherwise("eval"))
+      .select("doc_id", "canonical_id", "split")
+      .orderBy("doc_id")
 }

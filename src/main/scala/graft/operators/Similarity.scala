@@ -205,4 +205,49 @@ object Similarity {
         expr("size(filter(q, x -> x = 0))").as("n_sat_low"),
         expr("size(filter(q, x -> x = 255))").as("n_sat_high"))
       .orderBy("vec_id")
+
+  /** q117 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): semantic
+    * dedup INSIDE each embedding cluster — pairs are only ever formed
+    * within a cluster (here the table's label, standing in for the
+    * k-means assignment the paper uses), a vector is dropped when an
+    * ε-neighbor (cosine ≥ 0.99) with a smaller id exists, and the
+    * smallest such neighbor is reported as its `dup_of`. Distinct from
+    * q65 (sign-bucket near-dup PAIR detection): this is the paper's
+    * keep-one-per-ε-ball SURVIVOR semantics, and the blocking key is the
+    * semantic cluster, not a hash sketch. The synthetic corpus has no
+    * natural ε-dups (within-label cosine ceiling ≈ 0.47), so scaled
+    * twins are planted per vec_id % 10 = 0 (cosine 1 with their source,
+    * same label) — the q65 planting convention.
+    *
+    * 100 TB shape: the label equi-join bounds candidates to per-cluster
+    * n² exactly as the paper's design does (cluster count k is the knob
+    * that caps cluster size); one shuffle on label, one on vec_id for
+    * the smaller-neighbor aggregate. Never corpus × corpus. */
+  def q117SemDedup(t: T): DataFrame = {
+    val base = t.embeddings.select(col("vec_id"), col("label"), toDouble.as("vec"))
+    val all = base.select(col("label"), explode(expr(
+        """concat(
+          |  array(struct(vec_id, vec)),
+          |  CASE WHEN vec_id % 10 = 0 THEN
+          |    array(struct(vec_id + 100000L AS vec_id,
+          |                 transform(vec, x -> x * 1.01D) AS vec))
+          |  ELSE array() END)""".stripMargin)).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("label"), col("r.vec").as("vec"))
+    val smaller = all.select(col("vec_id").as("id_b"), col("label"),
+      col("vec").as("vb"))
+    val eps = all.join(smaller, Seq("label"))
+      .filter(col("id_b") < col("vec_id"))
+      .withColumn("cosine",
+        dot("vec", "vb") / (sqrt(dot("vec", "vec")) * sqrt(dot("vb", "vb"))))
+      .filter(col("cosine") >= 0.99)
+      .groupBy("vec_id")
+      .agg(min("id_b").as("dup_of"), count(lit(1)).as("n_eps_smaller"))
+    all
+      .join(eps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_eps_smaller"), lit(0L)).as("n_eps_smaller"))
+      .orderBy("vec_id")
+  }
 }

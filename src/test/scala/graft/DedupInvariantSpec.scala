@@ -93,4 +93,29 @@ class DedupInvariantSpec extends SparkSpec {
         if (r.isNullAt(2)) -1L else r.getLong(2))).toList
     assert(out == List((3L, true, 2L), (5L, false, -1L)))
   }
+
+  test("leakage split: every near-dup family lands wholly in one split") {
+    val rows = graft.operators.Corpus.q116LeakageSplit(spark, t)
+      .groupBy("canonical_id")
+      .agg(countDistinct("split").as("n_splits"), count(lit(1)).as("n_docs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == 1L,
+      s"family ${r.getLong(0)} straddles splits"))
+    // the generator plants near-dups, so at least one family is >1 doc —
+    // the integrity claim is vacuous otherwise
+    assert(rows.exists(_.getLong(2) > 1L), "no multi-doc family in corpus")
+  }
+
+  test("semdedup: planted twins drop onto their source; originals survive") {
+    val rows = Similarity.q117SemDedup(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, kept) = (r.getLong(0), r.getBoolean(2))
+      if (id >= 100000L) { // planted scaled twin of id - 100000
+        assert(!kept, s"twin $id should drop")
+        assert(r.getLong(3) == id - 100000L, s"twin $id dup_of ${r.get(3)}")
+      } else assert(kept, s"original $id should survive (ε-gap is ~0.47 vs 0.99)")
+    }
+  }
 }
