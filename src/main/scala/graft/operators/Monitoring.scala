@@ -19,6 +19,9 @@ import graft.Serve._
   */
 object Monitoring {
 
+  /** Per-invocation scratch id for q82 (see its scaladoc). */
+  private val q82RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** M3 — prune: rows in `registry` whose key is absent from `keep` are
     * deactivated (flag flip, not delete — the reference keeps history). */
   def pruneWatches(registry: DataFrame, keep: DataFrame, keyCol: String): DataFrame =
@@ -66,13 +69,13 @@ object Monitoring {
     val spark = t.spark
     val compacted = compact(t.events, Seq("user_id", "event_type"),
       Seq(col("ts").desc, col("event_id").desc))
-    // One JVM-scoped output dir PER SF DIR, reused across invocations:
-    // the write is mode("overwrite") so repeated bench/verify passes
-    // rewrite in place instead of leaking a full table copy per call
-    // (r10 advice), a shutdown hook removes the tree on exit, and the
-    // injective sfDir key means a q82 built for another scale factor in
-    // the same JVM can't overwrite the files this DataFrame reads.
-    val outDir = graft.TmpDirs.keyed("graft_q82_", t.sfDir + "/events_compacted")
+    // JVM-scoped scratch keyed by sf dir AND a per-invocation run id
+    // (r12, the q101/q110 treatment): a repeated bench/verify pass's
+    // overwrite can never race a previously returned frame's readback,
+    // the compacted slice is MBs so per-rep growth is trivial, and the
+    // shutdown hook removes the whole tree on exit.
+    val outDir = graft.TmpDirs.keyed("graft_q82_",
+      s"${t.sfDir}/events_compacted#r${q82RunSeq.incrementAndGet()}")
     compacted.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
       .select("user_id", "event_type", "event_id", "value")

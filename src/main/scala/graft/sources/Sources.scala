@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DateType, StructType, TimestampTyp
   */
 object Sources {
 
+  /** Per-invocation scratch id for q114 (see its scaladoc). */
+  private val q114RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** S7 — extension-dispatched load with a required explicit schema for
     * text formats (parquet carries its own). */
   def loadFile(spark: SparkSession, path: String,
@@ -67,7 +70,9 @@ object Sources {
     * manifest row count straight from the parquet table, so the hash
     * pins the writer's formatting AND the manifest contents. The
     * manifest frame is one row — the crossJoin is the broadcast-1-row
-    * pattern the plan audit allowlists. */
+    * pattern the plan audit allowlists. Scratch is keyed by a
+    * per-invocation run id (the q101/q110 treatment): a new invocation's
+    * overwrite can never race a previously returned frame's readback. */
   def q114ExportManifest(t: graft.Tables.T): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val spark = t.spark
@@ -75,7 +80,8 @@ object Sources {
       .filter(col("event_id") % 100 === 0)
       .select(col("event_id"), col("ts"),
         array(col("event_type"), concat(lit("u"), col("user_id"))).as("tags"))
-    val outDir = graft.TmpDirs.keyed("graft_q114_", t.sfDir)
+    val outDir = graft.TmpDirs.keyed("graft_q114_",
+      s"${t.sfDir}#r${q114RunSeq.incrementAndGet()}")
     Sources.exportCsv(slice, outDir)
     val schema = StructType(Seq("event_id", "ts", "tags")
       .map(org.apache.spark.sql.types.StructField(_, StringType)))
