@@ -175,6 +175,11 @@ object SparkEntry {
     "q115_csv_chunks"     -> ((s, d) => sources.Sources.q115CsvChunks(T(s, d))),
     "q116_leakage_split"  -> ((s, d) => Corpus.q116LeakageSplit(s, T(s, d))),
     "q117_semdedup"       -> ((s, d) => Similarity.q117SemDedup(T(s, d))),
+    "q118_hybrid_rrf"     -> ((s, d) => Retrieval.q118HybridRrf(T(s, d))),
+    "q119_dsir_resample"  -> ((s, d) => TextAnalysis.q119DsirResample(T(s, d))),
+    "q120_bpe_pairs"      -> ((s, d) => Corpus.q120BpePairs(T(s, d))),
+    "q121_gopher_rules"   -> ((s, d) => TextAnalysis.q121GopherRules(T(s, d))),
+    "q122_semantic_decontam" -> ((s, d) => Similarity.q122SemanticDecontam(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2540,5 +2545,178 @@ object SparkEntry {
         |  coalesce(e.n_eps_smaller, 0) AS n_eps_smaller
         |FROM all_v v LEFT JOIN eps e ON v.vec_id = e.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+    // q118: both retrieval legs replayed independently (the BM25 chain is
+    // q85's with a 50-cut; the dense leg is q25's cosine with the vec-0
+    // query), then rank-fused. Ranks are integers and each 1/(k+rank)
+    // is an IEEE division of exact integers, so only the final rounded
+    // rrf carries FP at all.
+    "q118_hybrid_rrf" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+        |q AS (SELECT unnest(['spark', 'stream', 'window', 'hash']) AS term),
+        |tf AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf
+        |  FROM d2 CROSS JOIN q
+        |  WHERE len(list_filter(w, x -> x = term)) > 0),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |        (tf + CAST(1.2 AS DOUBLE) *
+        |          ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |    ), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |lexcut AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM lexcut),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |qv AS (SELECT vec AS qvec FROM emb WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT vec_id, list_dot_product(vec, qvec) /
+        |      (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(qvec, qvec)))
+        |      AS cosine
+        |  FROM emb CROSS JOIN qv),
+        |denscut AS (SELECT vec_id, cosine FROM cos ORDER BY cosine DESC, vec_id LIMIT 50),
+        |dens AS (SELECT vec_id AS doc_id,
+        |  row_number() OVER (ORDER BY cosine DESC, vec_id) AS dense_rank FROM denscut),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(l.lex_rank, 0) AS lex_rank,
+        |    coalesce(d.dense_rank, 0) AS dense_rank
+        |  FROM lex l FULL OUTER JOIN dens d ON l.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+        |  CAST(dense_rank AS INT) AS dense_rank,
+        |  round(CASE WHEN lex_rank > 0
+        |          THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE 0 END +
+        |        CASE WHEN dense_rank > 0
+        |          THEN CAST(1 AS DOUBLE) / (60 + dense_rank) ELSE 0 END, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // q119: the full DSIR pipeline restated — same md5-60bit bucket hash
+    // (q116 idiom), add-1-smoothed LR in double, per-doc sum rounded to
+    // 4 dp before the Gumbel-key ordering (the q85 ln() treatment).
+    "q119_dsir_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+        |      ELSE []::VARCHAR[] END)) AS gr
+        |  FROM d),
+        |gb AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(concat(119, ':', gr)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM g),
+        |hist AS (SELECT bucket,
+        |    CAST(count(*) AS DOUBLE) AS raw_n,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS tgt_n
+        |  FROM gb GROUP BY 1),
+        |tot AS (SELECT sum(raw_n) AS raw_t, sum(tgt_n) AS tgt_t FROM hist),
+        |lr AS (SELECT bucket,
+        |    ln((tgt_n + 1) / (tgt_t + 256)) - ln((raw_n + 1) / (raw_t + 256)) AS lr
+        |  FROM hist CROSS JOIN tot),
+        |db AS (SELECT doc_id, bucket, count(*) AS n FROM gb GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+        |    round(sum(n * lr), 4) AS logw
+        |  FROM db JOIN lr USING (bucket) GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, n_grams, logw,
+        |    round(logw + -ln(-ln(
+        |      (('0x' || substr(md5(concat(1190, ':', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+        |        % 1000000 + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE))), 4) AS gkey
+        |  FROM scored),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS pick
+        |  FROM keyed)
+        |SELECT doc_id, n_grams, logw, gkey, CAST(pick AS INT) AS pick
+        |FROM ranked WHERE pick <= 100 ORDER BY pick""".stripMargin,
+    // q120: vocabulary-weighted adjacent-pair counts; pure integer
+    // arithmetic, the (cnt, lhs, rhs) cut order is total.
+    "q120_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS wc FROM words GROUP BY 1),
+        |pos AS (SELECT word, wc, unnest(range(1, len(word) + 1)) AS i FROM v),
+        |p AS (SELECT substr(word, CAST(i AS INT), 1) AS lhs,
+        |    CASE WHEN i = len(word) THEN '</w>'
+        |         ELSE substr(word, CAST(i AS INT) + 1, 1) END AS rhs,
+        |    wc FROM pos)
+        |SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lhs, rhs LIMIT 30""".stripMargin,
+    // q121: every rule restated as the same list HOFs; ratios are
+    // int/int IEEE divisions, exact in both engines.
+    "q121_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_words,
+        |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+        |    CAST(len(list_intersect(w,
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS INT)
+        |      AS n_stop_distinct
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN n_alpha * CAST(1 AS DOUBLE) / n_words ELSE 0 END AS alpha_frac,
+        |    CASE WHEN n_words > 0
+        |      THEN n_sym * CAST(1 AS DOUBLE) / n_words ELSE 0 END AS sym_frac,
+        |    n_stop_distinct
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_frac,
+        |  n_stop_distinct,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_wc,
+        |  (mean_word_len >= 3 AND mean_word_len <= 10) AS r_mwl,
+        |  (sym_frac <= 0.1) AS r_sym,
+        |  (alpha_frac >= 0.8) AS r_alpha,
+        |  (n_stop_distinct >= 2) AS r_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3 AND mean_word_len <= 10)
+        |    AND (sym_frac <= 0.1) AND (alpha_frac >= 0.8)
+        |    AND (n_stop_distinct >= 2)) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q122: the planting, the brute cosine (list_dot_product ≡ vec_dot's
+    // sequential fold), and the struct-argmax replayed via a (cosine
+    // DESC, eval_id DESC) row_number — identical tie semantics.
+    "q122_semantic_decontam" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, vec AS evec FROM emb WHERE vec_id % 97 = 0),
+        |train AS (
+        |  SELECT vec_id AS train_id, vec FROM emb WHERE vec_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT eval_id + 200000, list_transform(evec, x -> x * 1.02) FROM ev),
+        |scored AS (
+        |  SELECT train_id, eval_id,
+        |    list_dot_product(vec, evec) /
+        |      (sqrt(list_dot_product(vec, vec)) * sqrt(list_dot_product(evec, evec)))
+        |      AS cosine
+        |  FROM train CROSS JOIN ev),
+        |ranked AS (
+        |  SELECT train_id, eval_id, cosine, row_number() OVER (
+        |    PARTITION BY train_id ORDER BY cosine DESC, eval_id DESC) AS rn
+        |  FROM scored)
+        |SELECT train_id, eval_id, round(cosine, 6) AS max_cosine
+        |FROM ranked WHERE rn = 1 AND cosine >= 0.9
+        |ORDER BY train_id""".stripMargin,
   )
 }

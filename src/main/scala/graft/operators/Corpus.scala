@@ -449,4 +449,45 @@ object Corpus {
         when(pmod(col("h"), lit(100)) < 90, "train").otherwise("eval"))
       .select("doc_id", "canonical_id", "split")
       .orderBy("doc_id")
+
+  /** q120 — BPE tokenizer-induction pair counting (Sennrich et al. 2016):
+    * the statistics pass of a byte-pair-encoding merge round — count
+    * every adjacent symbol pair over the corpus (symbols start as single
+    * characters; the final character pairs with the '</w>' end-of-word
+    * marker) and surface the top merge candidates. Output: the 30 most
+    * frequent pairs with exact corpus counts — what round 1 of BPE
+    * training would merge.
+    *
+    * 100 TB shape: the corpus NEVER reaches the pair stage — the stream
+    * collapses to the (word → count) VOCABULARY first (one partially-
+    * aggregated shuffle; web-scale corpora have ~10^7 distinct words vs
+    * ~10^11 running words, a 10^4× reduction), and pair expansion +
+    * counting runs over the vocabulary only, weighted by word frequency.
+    * The full BPE training loop is this stage iterated with the argmax
+    * merge applied to the vocabulary's symbol sequences — each round
+    * touches vocab-sized data, so merge rounds cost the same tiny
+    * aggregate, not a corpus rescan. All counts are exact integers; the
+    * top-30 cut has a total (cnt, left, right) tie-break order. */
+  def q120BpePairs(t: T): DataFrame = bpePairs(t.documents)
+
+  /** The pair-count core over any (doc_id, text) frame — public for the
+    * spec's hand corpus. */
+  def bpePairs(documents: DataFrame, limit: Int = 30): DataFrame = {
+    val vocab = documents
+      .select(explode(filter(
+        split(lower(trim(col("text"))), "\\s+"), _ =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    vocab
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, char_length(word)), i -> struct(
+          |  substring(word, i, 1) AS lhs,
+          |  CASE WHEN i = char_length(word) THEN '</w>'
+          |       ELSE substring(word, i + 1, 1) END AS rhs))"""
+          .stripMargin)).as("p"))
+      .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("wc"))
+      .groupBy("lhs", "rhs")
+      .agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(limit)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.T
@@ -71,5 +72,64 @@ object Retrieval {
         count(lit(1)).cast("int").as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
+  }
+
+  /** RRF smoothing constant (the de-facto standard k=60 from Cormack,
+    * Clarke & Buettcher 2009). */
+  val RrfK = 60
+
+  /** q118 — HYBRID retrieval: BM25 (lexical leg, [[QueryTerms]]) fused
+    * with embedding cosine (dense leg, the vec_id-0 vector as the query
+    * embedding) by reciprocal-rank fusion:
+    * rrf(d) = Σ_legs 1/(k + rank_leg(d)), absent legs contributing 0.
+    * This is the retrieval stage of a RAG/data-curation pipeline — pull
+    * candidates by keyword AND by meaning, fuse on ranks so neither
+    * leg's score scale dominates.
+    *
+    * 100 TB shape: each leg keeps its own scale plan (BM25 map-side tf +
+    * broadcast df/stats with a TakeOrdered top-k; the dense leg is the
+    * broadcast-query ANN shape of q25/q58 — swap in the IVF probe for a
+    * big corpus) and emits only its top-k ROWS, so the fusion join is
+    * k-vs-k tiny regardless of corpus size; rank arithmetic is integer,
+    * the rrf sum is two IEEE divisions of exact integers, rounded before
+    * the final cut so the top-20 is engine-stable. */
+  def q118HybridRrf(t: T): DataFrame =
+    hybridRrf(t.documents, t.embeddings, QueryTerms)
+
+  /** The reusable hybrid core — the dense-leg query is the vec_id-0
+    * embedding; public so specs drive hand-built corpora through the
+    * identical fusion. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], legK: Int = 50,
+                limit: Int = 20): DataFrame = {
+    // lexical leg: BM25 top-legK, rank over the deterministic (score,
+    // doc_id) order — the window runs on the already-cut legK-row frame
+    val lex = bm25(documents, queryTerms, legK)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("lex_rank"))
+    // dense leg: cosine vs the query embedding; orderBy+limit is a
+    // TakeOrdered (never a full sort), rank assigned on the cut frame
+    val emb = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val qvec = emb.filter(col("vec_id") === 0).select(col("vec").as("qvec"))
+    val dense = emb.crossJoin(broadcast(qvec))
+      .withColumn("cosine", expr("vec_dot(vec, qvec)") /
+        (sqrt(expr("vec_dot(vec, vec)")) * sqrt(expr("vec_dot(qvec, qvec)"))))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(legK)
+      .select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+        .as("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .na.fill(0, Seq("lex_rank", "dense_rank"))
+      .withColumn("rrf", round(
+        when(col("lex_rank") > 0,
+          lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+        when(col("dense_rank") > 0,
+          lit(1.0) / (lit(RrfK) + col("dense_rank"))).otherwise(lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(limit)
+      .select("doc_id", "lex_rank", "dense_rank", "rrf")
   }
 }

@@ -250,4 +250,46 @@ object Similarity {
         coalesce(col("n_eps_smaller"), lit(0L)).as("n_eps_smaller"))
       .orderBy("vec_id")
   }
+
+  /** q122 — SEMANTIC decontamination: flag training documents whose
+    * embedding is near-identical (cosine ≥ 0.9) to ANY held-out eval
+    * embedding — the meaning-level complement of q79's exact n-gram
+    * decontamination (a paraphrased eval question shares no 7-gram but
+    * sits on top of its source in embedding space). Eval slice =
+    * vec_id % 97 = 0 (q79's split device); the synthetic corpus has no
+    * natural ≥0.9 pair (max ≈ 0.48), so a positively-scaled twin of
+    * each eval vector is planted into the training pool (the q65/q117
+    * convention) and must be the exact flagged set. Output: flagged
+    * train doc, its nearest eval doc (cosine-max, id tie-break), the
+    * cosine.
+    *
+    * 100 TB shape: decontamination is ASYMMETRIC — the eval side is
+    * small and bounded by construction (an eval suite, not a corpus),
+    * so it broadcasts and the train side streams map-side: no shuffle
+    * until the per-doc argmax aggregate (partial combine → one skinny
+    * exchange of ≤1 row per train doc). For an eval set too big to
+    * broadcast, swap in the q65 sign-bucket or q58 IVF candidate
+    * routing — same output contract. */
+  def q122SemanticDecontam(t: T): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), toDouble.as("vec"))
+    val evalSide = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("vec").as("evec"))
+    val planted = evalSide.select(
+      (col("eval_id") + 200000L).as("train_id"),
+      expr("transform(evec, x -> x * 1.02D)").as("vec"))
+    val train = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("train_id"), col("vec"))
+      .unionByName(planted)
+    train.crossJoin(broadcast(evalSide))
+      .withColumn("cosine", dot("vec", "evec") /
+        (sqrt(dot("vec", "vec")) * sqrt(dot("evec", "evec"))))
+      // argmax as a lexicographic struct max (the q58 device): partial-
+      // aggregated, no per-doc sort; ties break toward the larger eval_id
+      .groupBy("train_id")
+      .agg(max(struct(col("cosine"), col("eval_id"))).as("m"))
+      .filter(col("m.cosine") >= 0.9)
+      .select(col("train_id"), col("m.eval_id").as("eval_id"),
+        round(col("m.cosine"), 6).as("max_cosine"))
+      .orderBy("train_id")
+  }
 }

@@ -316,4 +316,161 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > 0L)
       .orderBy("doc_id")
   }
+
+  /** Gopher-rule stopwords (Rae et al. 2021 table A1 — the "contains at
+    * least 2 of" list). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q121 — the Gopher quality-rule battery (Rae et al. 2021, §A1.1):
+    * the canonical per-document heuristic filter a web corpus passes
+    * through before model-based scoring. Each rule surfaces as its own
+    * boolean next to the measured quantity (a curation pipeline tunes
+    * and audits rules individually — a single opaque keep bit is not
+    * reviewable), with keep = the conjunction:
+    *
+    *  - r_wc:    50 ≤ word count ≤ 100 000
+    *  - r_mwl:   3 ≤ mean word length ≤ 10
+    *  - r_sym:   (words containing '#' or '...') / words ≤ 0.1
+    *  - r_alpha: ≥ 80 % of words contain an alphabetic character
+    *  - r_stop:  ≥ 2 distinct Gopher stopwords present
+    *
+    * 100 TB shape: every rule is a per-row higher-order array function —
+    * zero shuffle, whole-stage codegen, linear in input splits; ratios
+    * are int/int IEEE divisions, exact in both engines. */
+  def q121GopherRules(t: T): DataFrame = gopherRules(t.documents)
+
+  /** The rule core over any (doc_id, text) frame — public for the spec's
+    * hand corpus. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val words = filter(split(lower(trim(col("text"))), "\\s+"), _ =!= "")
+    val stopLits = array(GopherStops.map(lit): _*)
+    documents
+      .select(col("doc_id"), words.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("n_chars_w"),
+        size(filter(col("w"), x => x.rlike("[a-z]"))).as("n_alpha"),
+        size(filter(col("w"),
+          x => x.contains("#") || x.contains("..."))).as("n_sym"),
+        size(array_intersect(col("w"), stopLits)).as("n_stop_distinct"))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          col("n_chars_w") * lit(1.0) / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(col("n_words") > 0,
+          col("n_alpha") * lit(1.0) / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("sym_frac",
+        when(col("n_words") > 0,
+          col("n_sym") * lit(1.0) / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("r_wc", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_mwl", col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+      .withColumn("r_sym", col("sym_frac") <= 0.1)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop_distinct") >= 2)
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") && col("r_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "alpha_frac", "sym_frac",
+        "n_stop_distinct", "r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR feature-hash bucket count (q119). */
+  val DsirBuckets = 256
+  /** DSIR resample target size (q119). */
+  val DsirKeep = 100
+
+  /** q119 — DSIR importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select raw-pool
+    * documents whose hashed-n-gram distribution looks like a TARGET
+    * domain (here lang = 'en', standing in for the curated target set).
+    *
+    *  1. Features: word unigrams + bigrams hashed into [[DsirBuckets]]
+    *     buckets (the portable 60-bit md5 family, seed 119).
+    *  2. Per-bucket add-1-smoothed log-likelihood ratio between the
+    *     target and raw gram distributions.
+    *  3. Per-doc importance weight logw = Σ_buckets n_b · lr_b.
+    *  4. Gumbel-top-k resampling WITHOUT replacement: key =
+    *     logw + Gumbel(h), with the Gumbel drawn from the replayable
+    *     doc-id hash (q51/q75 device) — deterministic, so the oracle and
+    *     any rerun pick identical survivors.
+    *
+    * 100 TB shape: the gram stream collapses map-side to (doc, bucket)
+    * counts (partial aggregation — the exchange carries bucket-count
+    * rows, never gram occurrences); the LR model is a [[DsirBuckets]]-row
+    * broadcast artifact (this IS how the fitted importance estimator
+    * ships to a fleet — model-as-plan-literal, the q100 pattern, except
+    * learned from data in the same job); scoring is one map-side join +
+    * per-doc aggregate; the top-k is a TakeOrdered on the rounded key,
+    * never a global sort. Doubles are rounded to 4 dp before any
+    * ordering (the q85 ln() treatment) so the cut is engine-stable. */
+  def q119DsirResample(t: T): DataFrame = dsirResample(t.documents)
+
+  /** The DSIR core over any (doc_id, text, lang) frame — public so specs
+    * drive hand-built pools through the identical pipeline. */
+  def dsirResample(documents: DataFrame, targetLang: String = "en",
+                   keep: Int = DsirKeep): DataFrame = {
+    val words = filter(split(lower(trim(col("text"))), "\\s+"), _ =!= "")
+    // unigrams ++ word-bigrams ("a b") — bigram leg guarded so 0/1-word
+    // docs contribute unigrams only
+    val bigrams = when(size(col("w")) >= 2,
+      zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    // ONE corpus shuffle (the q76 shape): the gram stream collapses
+    // map-side to (doc, bucket, n) rows — partial aggregation combines
+    // before the exchange — and BOTH later stages derive from that
+    // aggregate: the histograms are a tiny re-aggregate of it, and the
+    // scoring join broadcasts the bucket model back onto the same rows.
+    // lang rides in the key (constant per doc, so it splits nothing).
+    val db = documents
+      .select(col("doc_id"), col("lang"), words.as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("w"), bigrams)).as("g"))
+      .withColumn("bucket",
+        expr(s"${TextDedup.h60(119, "g")} % $DsirBuckets"))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("n"))
+      // feeds the LR fit AND the scoring join — the 2-consumer
+      // localCheckpoint treatment (q76/q85), on the collapsed aggregate,
+      // never the gram stream
+      .localCheckpoint(false)
+    // fit: raw + target bucket histograms in ONE pass; the gram totals
+    // come from a whole-frame window over the histogram — the frame is
+    // [[DsirBuckets]] rows BY CONSTRUCTION (the q83 post-aggregate-small
+    // device), so the single-partition window is free and the model
+    // needs no extra broadcast-job round-trip
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val hist = db.groupBy("bucket").agg(
+      sum("n").cast("double").as("raw_n"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L))
+        .cast("double").as("tgt_n"))
+    val lrModel = hist
+      .withColumn("raw_t", sum("raw_n").over(wAll))
+      .withColumn("tgt_t", sum("tgt_n").over(wAll))
+      .select(col("bucket"),
+        (log((col("tgt_n") + 1) / (col("tgt_t") + DsirBuckets)) -
+          log((col("raw_n") + 1) / (col("raw_t") + DsirBuckets))).as("lr"))
+    // apply: the same (doc, bucket, n) rows → broadcast model join → logw
+    val scored = db
+      .join(broadcast(lrModel), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_grams"),
+        round(sum(col("n") * col("lr")), 4).as("logw"))
+    // Gumbel-top-k: u ∈ (0,1) from the replayable hash, key = logw + g
+    val u = (expr(s"${TextDedup.h60(1190, "CAST(doc_id AS STRING)")} % 1000000")
+      + lit(0.5)) / lit(1000000.0)
+    scored
+      .withColumn("gkey", round(col("logw") + -log(-log(u)), 4))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(keep)
+      .withColumn("pick",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("gkey").desc, col("doc_id"))))
+      .select("doc_id", "n_grams", "logw", "gkey", "pick")
+  }
 }

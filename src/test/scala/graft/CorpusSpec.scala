@@ -164,4 +164,28 @@ class CorpusSpec extends SparkSpec {
     assert(plan("one")._1 > 1L)
     assert(plan("one")._2 == 1000000L)
   }
+
+  // ── q120 BPE pair counting ──────────────────────────────────────────
+
+  private def bpe(rows: Seq[(Long, String)], limit: Int = 30) =
+    Corpus.bpePairs(rows.toDF("doc_id", "text"), limit)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+
+  test("bpe: pair counts are word-frequency-weighted with </w> terminators") {
+    // vocab {ab: 2, b: 1} → pairs (a,b)×2, (b,</w>)×2+1
+    val out = bpe(Seq((1L, "ab ab"), (2L, "b")))
+    assert(out == List(("b", "</w>", 3L), ("a", "b", 2L)))
+  }
+
+  test("bpe: case folding and whitespace runs collapse before counting") {
+    val out = bpe(Seq((1L, "  Ab   aB "), (2L, "AB")))
+    assert(out == List(("a", "b", 3L), ("b", "</w>", 3L)))
+  }
+
+  test("bpe: equal counts tie-break by (lhs, rhs) and the cut respects it") {
+    // each word once: pairs all count 1 → pure lexicographic order
+    val out = bpe(Seq((1L, "ba dc")), limit = 3)
+    assert(out == List(
+      ("a", "</w>", 1L), ("b", "a", 1L), ("c", "</w>", 1L)))
+  }
 }

@@ -118,4 +118,20 @@ class DedupInvariantSpec extends SparkSpec {
       } else assert(kept, s"original $id should survive (ε-gap is ~0.47 vs 0.99)")
     }
   }
+
+  test("semantic decontam: flagged set == the planted twins, mapped to source") {
+    val rows = Similarity.q122SemanticDecontam(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(rows.nonEmpty)
+    // exactly the planted contamination surfaces (natural max ≈ 0.48),
+    // each twin matched to its own eval source with cosine ≈ 1
+    rows.foreach { case (trainId, evalId, cos) =>
+      assert(trainId >= 200000L, s"non-planted $trainId flagged")
+      assert(evalId == trainId - 200000L, s"twin $trainId matched $evalId")
+      assert(cos > 0.9999, s"twin $trainId cosine $cos")
+    }
+    val expected = t.embeddings.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 97 == 0).map(_ + 200000L).toSet
+    assert(rows.map(_._1).toSet == expected)
+  }
 }

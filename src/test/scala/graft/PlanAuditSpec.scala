@@ -46,11 +46,18 @@ class PlanAuditSpec extends SparkSpec {
   //                        the 8-row salt table (one replica per salt)
   //   q114               — broadcast 1-row manifest counters joined to
   //                        the CSV readback (r12)
+  //   q118               — the q85 stats scalar (lexical leg) + the
+  //                        broadcast 1-row query embedding (dense leg,
+  //                        q25's documented shape) (r12)
+  //   q122               — decontamination's asymmetric broadcast: the
+  //                        EVAL side is bounded by construction (an eval
+  //                        suite, not a corpus) and streams against the
+  //                        train side map-side (r12)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
-    "q114_export_manifest")
+    "q114_export_manifest", "q118_hybrid_rrf", "q122_semantic_decontam")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq

@@ -156,4 +156,81 @@ class TextQualitySpec extends SparkSpec {
     for ((r, (_, text)) <- clf(docs).zip(docs))
       assert(r.getAs[Long]("logit") == bruteLogit(text), text)
   }
+
+  // ── q119 DSIR importance resampling ─────────────────────────────────
+
+  private def dsir(rows: Seq[(Long, String, String)], keep: Int) =
+    TextAnalysis.dsirResample(
+      rows.toDF("doc_id", "text", "lang"), "en", keep)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(4)))
+      .toList
+
+  test("dsir: target-like documents outrank off-target ones") {
+    // two disjoint vocabularies, 30 words each → the importance-weight
+    // gap (~tens of nats) dwarfs the bounded Gumbel perturbation
+    val tgt = (1 to 30).map(i => s"tgt$i").mkString(" ")
+    val off = (1 to 30).map(i => s"off$i").mkString(" ")
+    val rows = Seq(
+      (1L, tgt, "en"), (2L, tgt, "en"), (3L, tgt, "en"),
+      (4L, off, "xx"), (5L, off, "xx"), (6L, off, "xx"))
+    val picked = dsir(rows, keep = 3).map(_._1).toSet
+    assert(picked == Set(1L, 2L, 3L))
+  }
+
+  test("dsir: replayable — two runs pick identical survivors and keys") {
+    val rnd = new scala.util.Random(119)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rows = (1L to 40L).map(i => (i,
+      Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+      if (i % 3 == 0) "en" else "xx"))
+    assert(dsir(rows, 10) == dsir(rows, 10))
+  }
+
+  test("dsir: n_grams = 2·len−1 (unigrams + bigrams); 1-word docs survive") {
+    val rows = Seq(
+      (1L, "a b c d", "en"),   // 4 unigrams + 3 bigrams
+      (2L, "solo", "xx"))      // 1 unigram, no bigram leg
+    val byDoc = dsir(rows, 2).map(t => t._1 -> t._2).toMap
+    assert(byDoc(1L) == 7L)
+    assert(byDoc(2L) == 1L)
+  }
+
+  // ── q121 Gopher rule battery ────────────────────────────────────────
+
+  private def gopher(rows: Seq[(Long, String)]) =
+    TextAnalysis.gopherRules(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopher: a clean 50+-word doc with stopwords passes every rule") {
+    val good = (("the of " + "alpha beta gamma " * 16).trim)  // 50 words
+    val r = gopher(Seq((1L, good)))(1L)
+    assert(r.getAs[Int]("n_words") == 50)
+    for (rule <- Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep"))
+      assert(r.getAs[Boolean](rule), rule)
+  }
+
+  test("gopher: each rule fails independently on a targeted violation") {
+    val pad = "the of " + "word " * 48                         // 50 words, passes
+    val out = gopher(Seq(
+      (1L, "the of too short"),                                // r_wc (4 words)
+      (2L, "the of " + "ab " * 48),                            // r_mwl: mean < 3
+      (3L, ("the of " + "word " * 42 + "### " * 6).trim),      // r_sym: 6/50 > 0.1
+      (4L, ("the of " + "word " * 37 + "123 " * 11).trim),     // r_alpha: 39/50 < .8
+      (5L, ("the " + "word " * 49).trim),                      // r_stop: 1 distinct
+      (6L, pad.trim)))
+    assert(!out(1L).getAs[Boolean]("r_wc") && !out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_mwl") && out(2L).getAs[Boolean]("r_wc"))
+    assert(!out(3L).getAs[Boolean]("r_sym") && out(3L).getAs[Boolean]("r_mwl"))
+    assert(!out(4L).getAs[Boolean]("r_alpha") && out(4L).getAs[Boolean]("r_sym"))
+    assert(!out(5L).getAs[Boolean]("r_stop") && out(5L).getAs[Boolean]("r_alpha"))
+    assert(out(6L).getAs[Boolean]("keep"))
+  }
+
+  test("gopher: ratios are exact int/int divisions") {
+    val r = gopher(Seq((1L, "the be cat 42")))(1L)
+    assert(r.getAs[Double]("mean_word_len") == 10.0 / 4)
+    assert(r.getAs[Double]("alpha_frac") == 3.0 / 4)
+    assert(r.getAs[Int]("n_stop_distinct") == 2)
+  }
 }
