@@ -107,6 +107,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the exact prefix-filtered equi-join — see the rule's scaladoc.
     // Opt-out: spark.graft.similarityJoin.rewrite=false.
     e.injectOptimizerRule(_ => graft.plans.SimilarityJoinRewrite)
+    // Optimizer rule: a fixed-width range join (p BETWEEN lo AND lo + k,
+    // which would plan as a nested-loop product) is rewritten to the
+    // exact bucketed equi-join — see the rule's scaladoc. Opt-out:
+    // spark.graft.rangeJoin.rewrite=false.
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -180,6 +180,7 @@ object SparkEntry {
     "q120_bpe_pairs"      -> ((s, d) => Corpus.q120BpePairs(T(s, d))),
     "q121_gopher_rules"   -> ((s, d) => TextAnalysis.q121GopherRules(T(s, d))),
     "q122_semantic_decontam" -> ((s, d) => Similarity.q122SemanticDecontam(T(s, d))),
+    "q123_range_join"     -> ((s, d) => Sessions.q123RangeJoin(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2718,5 +2719,23 @@ object SparkEntry {
         |SELECT train_id, eval_id, round(cosine, 6) AS max_cosine
         |FROM ranked WHERE rn = 1 AND cosine >= 0.9
         |ORDER BY train_id""".stripMargin,
+    // q123: the same range predicate stated directly — DuckDB plans it
+    // with its own inequality-join machinery (IEJoin), the fair
+    // single-node comparison for Spark's rewritten bucketed equi-join.
+    // l_quantity is integer-valued, so the window sum is exact in any
+    // accumulation order.
+    "q123_range_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |l AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_orderkey, o_date,
+        |  CAST(count(*) AS BIGINT) AS n_shipments,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM o JOIN l
+        |  ON ship_date >= o_date AND ship_date <= o_date + 2
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -192,4 +192,30 @@ object Sessions {
       .reduce(_ unionByName _)
       .orderBy("step")
   }
+
+  /** q123 — the DECLARED fixed-width RANGE join: company-wide returned
+    * shipments in the 3-day window after each urgent order was placed.
+    * The query states the naive `l_shipdate BETWEEN o_orderdate AND
+    * o_orderdate + 2 days` predicate with NO equi-key; the
+    * RangeJoinRewrite optimizer rule (registered by GraftExtensions,
+    * `plans/RangeJoinRewrite.scala`) plans it as the exact bucketed
+    * equi-join — without the rule Spark's only plan is a
+    * BroadcastNestedLoopJoin over every (order, shipment) pair, which is
+    * exactly what PlanAuditSpec asserts this query does NOT plan.
+    * RangeJoinRewriteSpec pins rewrite ≡ naive, boundary inclusivity,
+    * negative-domain bucketing, and multiplicity. */
+  def q123RangeJoin(t: T): DataFrame = {
+    val o = t.orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    val l = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+    o.join(l, col("ship_date") >= col("o_date") &&
+        col("ship_date") <= date_add(col("o_date"), 2))
+      .groupBy("o_orderkey", "o_date")
+      .agg(count(lit(1)).as("n_shipments"),
+        round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderkey")
+  }
 }
