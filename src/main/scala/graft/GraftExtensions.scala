@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, HeavyHitters, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -95,6 +95,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopGramCount(x.head, intLit("top_gram_count", x(1), "gram size"))
     }
     inject(e, "vec_dot", 2, classOf[VecDot])(x => VecDot(x.head, x(1)))
+    inject(e, "heavy_hitters", 2, classOf[HeavyHitters],
+      usage = "heavy_hitters(expr, k) - SpaceSaving top-k heavy hitters as " +
+        "array<struct<item, count, err>> sorted by (count DESC, item ASC). " +
+        "true <= count <= true + err always; EXACT (err = 0) whenever the " +
+        "group's distinct cardinality is <= k. Mergeable: partial sketches " +
+        "combine pointwise and trim to k (Agarwal et al. 2012).") { x =>
+      HeavyHitters(x.head, intLit("heavy_hitters", x(1), "k"))
+        .toAggregateExpression()
+    }
     inject(e, "max2", 1, classOf[Max2],
       usage = "max2(expr) - the two largest values of expr in one pass, as " +
         "struct<first, second> (second is null for singleton groups; " +

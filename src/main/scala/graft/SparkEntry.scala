@@ -181,6 +181,8 @@ object SparkEntry {
     "q121_gopher_rules"   -> ((s, d) => TextAnalysis.q121GopherRules(T(s, d))),
     "q122_semantic_decontam" -> ((s, d) => Similarity.q122SemanticDecontam(T(s, d))),
     "q123_range_join"     -> ((s, d) => Sessions.q123RangeJoin(T(s, d))),
+    "q124_ts_range_join"  -> ((s, d) => Sessions.q124TsRangeJoin(T(s, d))),
+    "q125_heavy_hitters"  -> ((s, d) => TextAnalysis.q125HeavyHitters(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2737,5 +2739,33 @@ object SparkEntry {
         |FROM o JOIN l
         |  ON ship_date >= o_date AND ship_date <= o_date + 2
         |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+    // q124: the timestamp form, replayed with DuckDB's own interval
+    // arithmetic (exact microseconds both sides).
+    "q124_ts_range_join" ->
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT ts AS p_ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT signup_id, s_ts,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 2) AS purchase_value
+        |FROM s JOIN p
+        |  ON p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY signup_id""".stripMargin,
+    // q125: the per-language vocabulary is < k = 64, so the SpaceSaving
+    // sketch is provably exact (err = 0) and plain counts replay it —
+    // the sketch's (count DESC, item ASC) order is row_number's.
+    "q125_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS item
+        |  FROM documents),
+        |c AS (SELECT lang, item, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item)
+        |    AS INT) AS rank,
+        |  item, CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM c ORDER BY lang, rank""".stripMargin,
   )
 }

@@ -218,4 +218,27 @@ object Sessions {
         round(sum("l_quantity"), 2).as("qty"))
       .orderBy("o_orderkey")
   }
+
+  /** q124 — the TIMESTAMP form of the declared range join: campaign-level
+    * exposure attribution with NO user key — every purchase anywhere in
+    * the 2 hours after each signup (the q99 stream-stream interval join's
+    * batch analog, minus the per-user equi-key that would have bounded
+    * it). Stock Spark's only plan is the nested-loop product over
+    * signups × purchases; RangeJoinRewrite bins the time axis at the
+    * 2-hour window width (exact microseconds from the day-time interval
+    * literal) and plans the bucketed equi-join — PlanAuditSpec's
+    * no-product-join assertion covers this query too. Counts are exact
+    * integers; the value sum rounds at 2 dp. */
+  def q124TsRangeJoin(t: T): DataFrame = {
+    val s = t.events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"), col("value"))
+    s.join(p, col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+      .groupBy("signup_id", "s_ts")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("purchase_value"))
+      .orderBy("signup_id")
+  }
 }

@@ -317,6 +317,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q125 — per-language vocabulary heavy hitters via the native
+    * SpaceSaving sketch (`functions/HeavyHitters.scala`): ONE pass, at
+    * most k counters per group, partial sketches merged across
+    * partitions like any sum. This is the 100 TB "top tokens / domains /
+    * users per stratum" shape — an exact count would shuffle the full
+    * key universe; the sketch ships k-entry buffers. On this corpus the
+    * per-language vocabulary is under k, so the sketch is provably EXACT
+    * (err = 0) and the oracle replays it as plain counts; the
+    * approximation-mode guarantees are pinned by HeavyHittersSpec on
+    * adversarial streams. */
+  def q125HeavyHitters(t: T): DataFrame =
+    t.documents
+      .select(col("lang"), explode(filter(
+        split(lower(trim(col("text"))), "\\s+"), _ =!= "")).as("w"))
+      .groupBy("lang")
+      .agg(expr("heavy_hitters(w, 64)").as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.count").as("cnt"),
+        col("e.err").as("err"))
+      .orderBy("lang", "rank")
+
   /** Gopher-rule stopwords (Rae et al. 2021 table A1 — the "contains at
     * least 2 of" list). */
   val GopherStops: Seq[String] =

@@ -35,12 +35,15 @@ import org.apache.spark.sql.types._
   * double rounding.
   *
   * Matched shapes: conjuncts `p ≥/> lo` and `p ≤/< hi` over the same
-  * point expression, where hi is `date_add(lo, k)` (DateType p) or
-  * `lo + k` (integral p), k a foldable positive integer, p referencing
-  * exactly one join side and lo exactly the other, and lo's type equal
-  * to p's (a mismatched pair arrives wrapped in casts this rule does
-  * not see through). Strict bounds rewrite too — the bin containment
-  * argument only uses the inclusive hull. Inner joins only; disabled
+  * point expression, where hi is `date_add(lo, k)` (DateType p, k days),
+  * `lo + INTERVAL …` (TimestampType p, day-time or months=days=0
+  * calendar interval — exact microseconds; calendar DAYS are tz-aware
+  * and not constant-width, so they bail), or `lo + k` (integral p), k a
+  * foldable positive constant, p referencing exactly one join side and
+  * lo exactly the other, and lo's type equal to p's (a mismatched pair
+  * arrives wrapped in casts this rule does not see through). Strict
+  * bounds rewrite too — the bin containment argument only uses the
+  * inclusive hull. Inner joins only; disabled
   * with `spark.graft.rangeJoin.rewrite=false`; bucket attributes carry
   * the `__grj_` prefix, and a join already referencing one is skipped —
   * the fixed-point batch cannot re-match this rule's own output.
@@ -85,24 +88,51 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Day-time interval literals carry exact microseconds (no months —
+    * variable-length units never reach this type), so a timestamp upper
+    * bound has a constant width. Calendar intervals qualify only when
+    * both months and days are zero: TimestampAddInterval adds calendar
+    * DAYS time-zone-aware, which is not constant-width across DST. */
+  private def posMicrosLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, _: DayTimeIntervalType) if v >= 1L => Some(v)
+    case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType)
+        if ci.months == 0 && ci.days == 0 && ci.microseconds >= 1L =>
+      Some(ci.microseconds)
+    case _ => None
+  }
+
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
 
+  /** The analyzer leaves a no-op cast over interval additions
+    * (`cast(ts + INTERVAL … as timestamp)`); see through it. */
+  private def stripTrivialCast(e: Expression): Expression = e match {
+    case c @ Cast(child, dt, _, _) if child.dataType == dt => stripTrivialCast(child)
+    case other => other
+  }
+
   /** hi decomposed as lo + k for the supported point types. */
-  private def widthOf(hi: Expression, lo: Expression,
-                      pointType: DataType): Option[Long] = (hi, pointType) match {
-    case (DateAdd(lo2, k), DateType) if lo2.semanticEquals(lo) => posIntLit(k)
-    case (Add(lo2, k, _), dt) if isIntegral(dt) && lo2.semanticEquals(lo) => posIntLit(k)
-    case (Add(k, lo2, _), dt) if isIntegral(dt) && lo2.semanticEquals(lo) => posIntLit(k)
-    case _ => None
+  private def widthOf(hi0: Expression, lo: Expression,
+                      pointType: DataType): Option[Long] = {
+    val hi = stripTrivialCast(hi0)
+    (hi, pointType) match {
+      case (DateAdd(lo2, k), DateType) if lo2.semanticEquals(lo) => posIntLit(k)
+      case (TimestampAddInterval(lo2, k, _), TimestampType)
+          if lo2.semanticEquals(lo) => posMicrosLit(k)
+      case (Add(lo2, k, _), dt) if isIntegral(dt) && lo2.semanticEquals(lo) => posIntLit(k)
+      case (Add(k, lo2, _), dt) if isIntegral(dt) && lo2.semanticEquals(lo) => posIntLit(k)
+      case _ => None
+    }
   }
 
   /** The point/interval expressions normalized to LongType (exact: date
-    * → epoch days, integrals widen losslessly). */
+    * → epoch days, timestamp → epoch micros, integrals widen
+    * losslessly). */
   private def toLong(e: Expression): Expression = e.dataType match {
     case DateType => Cast(UnixDate(e), LongType)
+    case TimestampType => UnixMicros(e)
     case LongType => e
     case ByteType | ShortType | IntegerType => Cast(e, LongType)
     case other => throw new IllegalStateException(s"unexpected range type $other")
@@ -128,7 +158,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 (onlyIn(p, left) && onlyIn(lo, right)) ||
                 (onlyIn(p, right) && onlyIn(lo, left))
               if (oriented && lo.dataType == p.dataType &&
-                  (p.dataType == DateType || isIntegral(p.dataType)))
+                  (p.dataType == DateType || p.dataType == TimestampType ||
+                    isIntegral(p.dataType)))
                 widthOf(hi, lo, p.dataType).map(k => (p, lo, k))
               else None
             }

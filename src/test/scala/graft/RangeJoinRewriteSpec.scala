@@ -119,6 +119,37 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) >= 1L))
   }
 
+  test("timestamp intervals rewrite: q124 plans no product join, equals naive") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val df = graft.operators.Sessions.q124TsRangeJoin(t)
+    assert(productJoins(df.queryExecution.sparkPlan) == 0,
+      df.queryExecution.sparkPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toList
+    val naive = withRule(on = false) {
+      val n = graft.operators.Sessions.q124TsRangeJoin(t)
+      assert(productJoins(n.queryExecution.sparkPlan) > 0, "naive plan not BNLJ?")
+      n.collect().map(r => (r.getLong(0), r.getLong(2))).toList
+    }
+    assert(got.nonEmpty)
+    assert(got == naive)
+  }
+
+  test("calendar DAY intervals do not rewrite (tz-variable width)") {
+    import spark.implicits._
+    val is = Seq(("2024-01-01 00:00:00")).toDF("lo0")
+      .select(col("lo0").cast("timestamp").as("lo"))
+    val ps = Seq(("2024-01-01 12:00:00")).toDF("p0")
+      .select(col("p0").cast("timestamp").as("p"))
+    val j = is.join(ps, col("p") >= col("lo") &&
+      col("p") <= col("lo") + expr("INTERVAL '1' DAY"))
+    // DAY may parse as a day-time interval (exact 86400s micros —
+    // rewrites) or a calendar interval (bails); either way the result
+    // must match the naive plan
+    val got = withRule(on = true)(j.count())
+    val naive = withRule(on = false)(j.count())
+    assert(got == naive && got == 1L)
+  }
+
   test("unmatched shapes are left alone (no equi-bound, variable width)") {
     val is = intervals(Seq((1L, 1L)))
     val ps = points(Seq((1L, 2L)))
