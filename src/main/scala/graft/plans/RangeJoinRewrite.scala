@@ -182,7 +182,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // interval side: base bin, exploded to {bin, bin+1}
     val ibBase = Alias(floorBucket(toLong(lo), k), s"${BucketPrefix}ib0")()
     val intervalProj = Project(intervalSide.output :+ ibBase, intervalSide)
-    val ibAttr = AttributeReference(s"${BucketPrefix}ib", LongType, nullable = false)()
+    // nullable: a NULL interval bound yields NULL buckets (array(null,
+    // null) → exploded null rows), which the bucket equi-join then drops —
+    // exactly the naive join's null-comparison semantics. Declaring the
+    // attribute non-nullable while nulls flow through it would let
+    // codegen read garbage instead.
+    val ibAttr = AttributeReference(s"${BucketPrefix}ib", LongType,
+      nullable = lo.nullable)()
     val intervalPlan = Generate(
       Explode(CreateArray(Seq(ibBase.toAttribute,
         Add(ibBase.toAttribute, Literal(1L))))),

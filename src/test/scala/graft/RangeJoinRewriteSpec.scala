@@ -150,6 +150,21 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == naive && got == 1L)
   }
 
+  test("null points and null bounds drop rows exactly like the naive join") {
+    import spark.implicits._
+    val is = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("i_id", "lo")
+    val ps = Seq((1L, java.lang.Long.valueOf(12L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("p_id", "p")
+    val j = is.join(ps, col("p") >= col("lo") && col("p") <= col("lo") + lit(5))
+      .select("i_id", "p_id")
+    val got = withRule(on = true)(
+      j.collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted)
+    val naive = withRule(on = false)(
+      j.collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted)
+    assert(got == naive && got == List((1L, 1L)))
+  }
+
   test("unmatched shapes are left alone (no equi-bound, variable width)") {
     val is = intervals(Seq((1L, 1L)))
     val ps = points(Seq((1L, 2L)))
