@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, HeavyHitters, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, HeavyHitters, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopGramCount(x.head, intLit("top_gram_count", x(1), "gram size"))
     }
     inject(e, "vec_dot", 2, classOf[VecDot])(x => VecDot(x.head, x(1)))
+    inject(e, "topk", 2, classOf[TopK],
+      usage = "topk(expr, k) - the k largest values of expr in one pass as a " +
+        "DESC-sorted array (multiset; duplicates kept). Orderable types " +
+        "only; use topk(struct(score, id), k) for argmax-style top-k with " +
+        "a total tie-break. k-slot heap partial-aggregates map-side — " +
+        "grouped top-k without a per-group window sort.") { x =>
+      TopK(x.head, intLit("topk", x(1), "k")).toAggregateExpression()
+    }
     inject(e, "heavy_hitters", 2, classOf[HeavyHitters],
       usage = "heavy_hitters(expr, k) - SpaceSaving top-k heavy hitters as " +
         "array<struct<item, count, err>> sorted by (count DESC, item ASC). " +

@@ -183,6 +183,8 @@ object SparkEntry {
     "q123_range_join"     -> ((s, d) => Sessions.q123RangeJoin(T(s, d))),
     "q124_ts_range_join"  -> ((s, d) => Sessions.q124TsRangeJoin(T(s, d))),
     "q125_heavy_hitters"  -> ((s, d) => TextAnalysis.q125HeavyHitters(T(s, d))),
+    "q126_topk_per_group" -> ((s, d) => TextAnalysis.q126TopkPerGroup(T(s, d))),
+    "q127_video_decode"   -> ((s, d) => Multimodal.q127VideoDecode(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2767,5 +2769,34 @@ object SparkEntry {
         |    AS INT) AS rank,
         |  item, CAST(cnt AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err
         |FROM c ORDER BY lang, rank""".stripMargin,
+    // q126: the bounded-heap top-k replayed as the window rank it
+    // replaces — struct-lexicographic DESC ≡ (n_chars DESC, doc_id
+    // DESC), a total order, so the cut is deterministic on both sides.
+    "q126_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id DESC) AS rank
+        |  FROM documents)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id, n_chars
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    // q127: the oracle recomputes every frame pixel from the closed form
+    // the synthesizer used — the Spark side round-trips those pixels
+    // through a REAL RIFF/AVI container (bottom-up BGR24 DIB frames)
+    // and a genuine chunk-walking demux, so any container-layout or
+    // parser regression breaks the hash.
+    "q127_video_decode" ->
+      """WITH v AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT media_id, f,
+        |    ((media_id + 101 * f) * 31 + x * 7 + y * 13) % 256 +
+        |    ((media_id + 101 * f) * 17 + x * 5 + y * 3) % 256 +
+        |    ((media_id + 101 * f) * 13 + x * 11 + y * 19) % 256 AS s
+        |  FROM v, range(4) AS tf(f), range(16) AS tx(x), range(16) AS ty(y))
+        |SELECT media_id, TRUE AS ok,
+        |  4 AS n_frames, 16 AS width, 16 AS height,
+        |  CAST(sum(s) AS BIGINT) AS checksum,
+        |  CAST(sum(s) FILTER (WHERE f % 2 = 0) AS BIGINT) AS sampled_checksum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
   )
 }

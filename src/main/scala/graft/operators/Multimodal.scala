@@ -27,7 +27,12 @@ import graft.Serve._
   *    javax.imageio and PCM WAV via javax.sound.sampled — both in-JDK —
   *    encode closed-form pixels/samples and decode them back, with the
   *    oracle recomputing the expected facts from the same closed form.
-  *    Video stays honestly stubbed (the JDK has no video codec).
+  *    Video (q127, round 12): the JDK still ships no video CODEC, but
+  *    the container side is fully real — RIFF/AVI with uncompressed
+  *    BGR24 DIB frames, synthesized and then demuxed by a genuine
+  *    chunk-walking parser (see the q127 section); only a compressed
+  *    per-frame byte decode remains out of reach in this JDK, and q94's
+  *    generic decodeMedia path still flags non-AVI video rows ok=false.
   */
 object Multimodal {
 
@@ -199,8 +204,9 @@ object Multimodal {
   // decodes them with the REAL codec in a partition-batched stage, and
   // the oracle recomputes the expected dimensions/sample counts/
   // checksums from the same closed form — any codec or byte-layout
-  // regression breaks the hash. Video stays honestly absent (the JDK
-  // has no video codec): those rows flag ok = false.
+  // regression breaks the hash. Video rows flag ok = false on THIS
+  // generic path (their q94 payload is opaque text); the real
+  // container-level video round-trip is q127 below.
   // --------------------------------------------------------------------
 
   val ImgW = 16
@@ -400,4 +406,208 @@ object Multimodal {
     * through resize untouched and report their q94 facts. */
   def q95ResizeDecode(t: T): DataFrame =
     decodeMedia(resizeReal(realMediaTable(t), 8, 8)).orderBy("media_id")
+
+  // --------------------------------------------------------------------
+  // VIDEO (q127): the JDK ships no video CODEC, but "video decode" in a
+  // data pipeline is mostly CONTAINER work — and RIFF/AVI with
+  // uncompressed DIB frames needs no codec at all. q127 synthesizes a
+  // real AVI per video row (RIFF → LIST hdrl (avih, LIST strl
+  // (strh 'vids'/'DIB ', strf BITMAPINFOHEADER)) → LIST movi with one
+  // '00db' chunk per frame; bottom-up BGR24 rows, 4-byte stride) from
+  // closed-form pixels, then DEMUXES it with a genuine chunk-walking
+  // RIFF parser: header validation, stream-format checks (24 bpp,
+  // BI_RGB), frame extraction honoring stride and bottom-up order, and
+  // q71's every-Nth frame sampling on REAL frames. The oracle
+  // recomputes frame counts/dimensions/checksums from the same closed
+  // form — any container-layout or parser regression breaks the hash.
+  // Compressed codecs would slot in at exactly one point (the per-frame
+  // byte decode); the container plumbing IS the Spark-side work.
+  // --------------------------------------------------------------------
+
+  val VidW = 16
+  val VidH = 16
+  val VidFrames = 4
+  /** q71's sampling stride, applied to real frames: keep frames 0, 2. */
+  val VidSampleStep = 2
+
+  /** Closed-form frame pixels: the q94 channel forms with a per-frame
+    * shifted id — also the oracle's arithmetic. */
+  private def vidFrameId(id: Long, f: Int): Long = id + 101L * f
+
+  /** A real AVI: RIFF container, one 'vids'/'DIB ' stream, VidFrames
+    * uncompressed bottom-up BGR24 '00db' frames. */
+  private[graft] def aviPayload(id: Long): Array[Byte] = {
+    val stride = ((VidW * 3 + 3) / 4) * 4
+    val frameBytes = stride * VidH
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + VidFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(100000)                      // usPerFrame (10 fps)
+      .putInt(frameBytes * 10).putInt(0).putInt(0)
+      .putInt(VidFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(VidW).putInt(VidH)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(10)                // scale 1, rate 10 → 10 fps
+      .putInt(0).putInt(VidFrames).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(VidW.toShort).putShort(VidH.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(VidW).putInt(VidH)
+      .putShort(1).putShort(24)            // planes, BGR24
+      .putInt(0)                           // BI_RGB: uncompressed
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < VidFrames) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      val fid = vidFrameId(id, f)
+      var y = VidH - 1                     // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < VidW) {
+          bb.put(pxB(fid, x, y).toByte)    // BGR order
+            .put(pxG(fid, x, y).toByte)
+            .put(pxR(fid, x, y).toByte)
+          x += 1
+        }
+        var pad = stride - VidW * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Media table with REAL AVI payloads for the video rows. */
+  def realVideoTable(t: T): DataFrame = {
+    val base = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(base))
+    mediaTable(t).filter(col("kind") === "video").select("media_id")
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), aviPayload(r.getLong(0))))
+      }(enc)
+  }
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("checksum", LongType, nullable = true),
+    StructField("sampled_checksum", LongType, nullable = true)))
+
+  /** Parsed stream facts + raw frame chunks from one AVI byte array. */
+  private def demuxAvi(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Seq[Array[Byte]])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (bytes.length < 12 || fourcc() != "RIFF") return None
+    bb.getInt // riff size
+    if (fourcc() != "AVI ") return None
+    var frames = 0; var w = 0; var h = 0; var bits = 0; var comp = -1
+    val frameChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Unit =
+      while (bb.position() + 8 <= end) {
+        val id = fourcc()
+        val size = bb.getInt
+        val next = bb.position() + size + (size & 1) // chunks pad to even
+        if (id == "LIST") { fourcc(); walk(next); bb.position(next) }
+        else {
+          id match {
+            case "avih" =>
+              val base = bb.position()
+              frames = bb.getInt(base + 16)
+              w = bb.getInt(base + 32); h = bb.getInt(base + 36)
+            case "strf" =>
+              val base = bb.position()
+              bits = bb.getShort(base + 14).toInt
+              comp = bb.getInt(base + 16)
+            case "00db" | "00dc" =>
+              val frame = new Array[Byte](size)
+              bb.get(frame)
+              frameChunks += frame
+            case _ => ()
+          }
+          bb.position(next)
+        }
+      }
+    walk(bytes.length)
+    // stream-format contract: uncompressed 24-bit DIB, header counts
+    // agreeing with the chunks actually present
+    if (comp != 0 || bits != 24 || frames != frameChunks.size ||
+        w <= 0 || h <= 0) None
+    else Some((frames, w, h, frameChunks.toSeq))
+  }
+
+  /** The real video-decode stage (partition-batched): demux the RIFF
+    * container, decode each bottom-up BGR24 frame honoring the 4-byte
+    * stride, checksum Σ(r+g+b) over all frames and over q71's every-Nth
+    * sampled frames. Malformed containers yield ok = false rather than
+    * a task failure (the T14 posture). */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(videoSchema))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          demuxAvi(r.get(1).asInstanceOf[Array[Byte]]) match {
+            case None => Row(id, false, null, null, null, null, null)
+            case Some((frames, w, h, chunks)) =>
+              val stride = ((w * 3 + 3) / 4) * 4
+              def frameSum(frame: Array[Byte]): Long = {
+                var s = 0L
+                var y = 0
+                while (y < h) {
+                  val rowOff = (h - 1 - y) * stride // bottom-up
+                  var x = 0
+                  while (x < w) {
+                    val p = rowOff + x * 3
+                    s += (frame(p) & 0xff) + (frame(p + 1) & 0xff) +
+                      (frame(p + 2) & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                s
+              }
+              var all = 0L; var sampled = 0L
+              var f = 0
+              while (f < chunks.size) {
+                val s = frameSum(chunks(f))
+                all += s
+                if (f % VidSampleStep == 0) sampled += s
+                f += 1
+              }
+              Row(id, true, frames, w, h, all, sampled)
+          }
+        } catch {
+          case _: Exception => Row(id, false, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** q127 — the real video-container round-trip, oracle-checked per
+    * video row. */
+  def q127VideoDecode(t: T): DataFrame =
+    decodeVideo(realVideoTable(t)).orderBy("media_id")
 }

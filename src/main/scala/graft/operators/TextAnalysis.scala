@@ -339,6 +339,25 @@ object TextAnalysis {
         col("e.err").as("err"))
       .orderBy("lang", "rank")
 
+  /** q126 — per-language top-3 longest documents via the native bounded-
+    * heap `topk` aggregate (`functions/TopK.scala`, Max2 generalized):
+    * grouped top-k WITHOUT a per-group window sort. The window form
+    * (`row_number() <= 3` over partitionBy(lang)) funnels every group's
+    * full row set through per-group sort partitions — the skew cliff at
+    * 100 TB when one language holds most of the corpus; the k-slot heap
+    * partial-aggregates map-side like any max, each partition shipping
+    * at most k struct values per group. The (n_chars, doc_id) struct
+    * makes the order total, so the result is the exact deterministic
+    * top-3 and the oracle replays it as a plain window rank. */
+  def q126TopkPerGroup(t: T): DataFrame =
+    t.documents
+      .groupBy("lang")
+      .agg(expr("topk(struct(n_chars, doc_id), 3)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.doc_id").as("doc_id"), col("e.n_chars").as("n_chars"))
+      .orderBy("lang", "rank")
+
   /** Gopher-rule stopwords (Rae et al. 2021 table A1 — the "contains at
     * least 2 of" list). */
   val GopherStops: Seq[String] =

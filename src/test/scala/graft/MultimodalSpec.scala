@@ -99,6 +99,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.getBoolean(2) && r.isNullAt(6))
   }
 
+  test("avi demux: real container round-trips the closed form; malformed bytes flag") {
+    import spark.implicits._
+    val video = Multimodal.realVideoTable(t).filter($"media_id" === 2L)
+    val r = Multimodal.decodeVideo(video).collect().head
+    assert(r.getBoolean(1) && r.getInt(2) == Multimodal.VidFrames &&
+      r.getInt(3) == Multimodal.VidW && r.getInt(4) == Multimodal.VidH)
+    // frame 0 of id 2: closed form summed over the grid
+    def frameSum(fid: Long) = (for (x <- 0 until 16; y <- 0 until 16) yield
+      ((fid * 31 + x * 7 + y * 13) % 256) + ((fid * 17 + x * 5 + y * 3) % 256) +
+        ((fid * 13 + x * 11 + y * 19) % 256)).sum
+    val all = (0 until 4).map(f => frameSum(2L + 101L * f)).sum
+    val sampled = Seq(0, 2).map(f => frameSum(2L + 101L * f)).sum
+    assert(r.getLong(5) == all)
+    assert(r.getLong(6) == sampled)
+    // malformed containers flag ok = false, never fail the task:
+    // garbage, a RIFF that is not AVI, and a truncated real AVI
+    val avi = Multimodal.aviPayload(2L)
+    val bad = Seq(
+      (90L, Array[Byte](1, 2, 3)),
+      (91L, "RIFF0000WAVE".getBytes("US-ASCII")),
+      (92L, java.util.Arrays.copyOf(avi, avi.length / 2)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideo(bad).orderBy("media_id").collect()
+    assert(rows.forall(!_.getBoolean(1)))
+    assert(rows.forall(_.isNullAt(5)))
+  }
+
   test("resize retargets image metadata, passes other kinds through") {
     val media = Multimodal.mediaTable(t)
     val resized = Multimodal.resizeImages(media, 224, 224)
