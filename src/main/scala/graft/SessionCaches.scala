@@ -88,6 +88,19 @@ object TmpDirs {
   def keyed(prefix: String, key: String): String =
     scoped(prefix) + "/" + java.net.URLEncoder.encode(key, "UTF-8")
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Monotone per-JVM run id for invocation-scoped scratch naming —
+    * shared by every fresh-dir site so the device lives in ONE place. */
+  def nextRunId(): Long = runSeq.incrementAndGet()
+
+  /** Invocation-scoped scratch dir: [[keyed]] plus a run id no other
+    * invocation ever reuses, so a later run's overwrite can never race a
+    * previously returned frame's readback (r12 advice). Still under the
+    * shutdown-swept scoped root. */
+  def fresh(prefix: String, key: String): String =
+    keyed(prefix, s"$key#r${nextRunId()}")
+
   private def delete(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(delete)

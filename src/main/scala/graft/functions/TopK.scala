@@ -58,29 +58,27 @@ case class TopK(
   override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
     mutable.PriorityQueue.empty[Any](ordering.reverse)
 
-  private def offer(heap: mutable.PriorityQueue[Any], v: Any): Unit =
-    if (heap.size < k) heap.enqueue(InternalRow.copyValue(v))
+  /** The one admission path: copy only on acceptance (update feeds values
+    * that may point into a reused row buffer; merge feeds already-owned
+    * copies). */
+  private def offer(heap: mutable.PriorityQueue[Any], v: Any,
+                    copy: Boolean): Unit =
+    if (heap.size < k) heap.enqueue(if (copy) InternalRow.copyValue(v) else v)
     else if (ordering.gt(v, heap.head)) {
       heap.dequeue()
-      heap.enqueue(InternalRow.copyValue(v))
+      heap.enqueue(if (copy) InternalRow.copyValue(v) else v)
     }
 
   override def update(heap: mutable.PriorityQueue[Any],
                       input: InternalRow): mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
-    // pre-check before the defensive copy: most rows lose to the heap
-    // head and need no allocation (the Max2 device)
-    if (v != null && (heap.size < k || ordering.gt(v, heap.head))) offer(heap, v)
+    if (v != null) offer(heap, v, copy = true)
     heap
   }
 
   override def merge(heap: mutable.PriorityQueue[Any],
                      other: mutable.PriorityQueue[Any]): mutable.PriorityQueue[Any] = {
-    // other's values are already owned copies — enqueue directly
-    other.foreach { v =>
-      if (heap.size < k) heap.enqueue(v)
-      else if (ordering.gt(v, heap.head)) { heap.dequeue(); heap.enqueue(v) }
-    }
+    other.foreach(offer(heap, _, copy = false))
     heap
   }
 

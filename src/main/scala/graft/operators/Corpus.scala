@@ -474,8 +474,7 @@ object Corpus {
     * spec's hand corpus. */
   def bpePairs(documents: DataFrame, limit: Int = 30): DataFrame = {
     val vocab = documents
-      .select(explode(filter(
-        split(lower(trim(col("text"))), "\\s+"), _ =!= "")).as("word"))
+      .select(explode(TextDedup.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
     vocab
       .select(col("wc"), explode(expr(

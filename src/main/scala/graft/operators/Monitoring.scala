@@ -19,9 +19,6 @@ import graft.Serve._
   */
 object Monitoring {
 
-  /** Per-invocation scratch id for q82 (see its scaladoc). */
-  private val q82RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** M3 — prune: rows in `registry` whose key is absent from `keep` are
     * deactivated (flag flip, not delete — the reference keeps history). */
   def pruneWatches(registry: DataFrame, keep: DataFrame, keyCol: String): DataFrame =
@@ -74,8 +71,7 @@ object Monitoring {
     // overwrite can never race a previously returned frame's readback,
     // the compacted slice is MBs so per-rep growth is trivial, and the
     // shutdown hook removes the whole tree on exit.
-    val outDir = graft.TmpDirs.keyed("graft_q82_",
-      s"${t.sfDir}/events_compacted#r${q82RunSeq.incrementAndGet()}")
+    val outDir = graft.TmpDirs.fresh("graft_q82_", s"${t.sfDir}/events_compacted")
     compacted.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
       .select("user_id", "event_type", "event_id", "value")

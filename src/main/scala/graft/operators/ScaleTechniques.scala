@@ -84,13 +84,12 @@ object ScaleTechniques {
     * names (table identifiers can't carry a raw path). */
   private val sfIds = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val sfIdSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  /** Per-invocation run id: two concurrent q101 executions (or a late
-    * re-execution of a previously returned frame) must never share a
-    * table name/path with mode overwrite — a write could race another
-    * run's read. Fresh names per call; the data dirs live under the
-    * shutdown-swept scratch root and stay MBs-scale across a bench's
-    * passes. */
-  private val q101RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // Per-invocation run ids come from TmpDirs.nextRunId(): two concurrent
+  // q101 executions (or a late re-execution of a previously returned
+  // frame) must never share a table name/path with mode overwrite — a
+  // write could race another run's read. Fresh names per call; the data
+  // dirs live under the shutdown-swept scratch root and stay MBs-scale
+  // across a bench's passes.
 
   /** q101 — the bucketed co-located join as a declared round-trip: write
     * orders and customer bucketed on the customer key (8 buckets, sorted
@@ -116,7 +115,7 @@ object ScaleTechniques {
   def q101BucketedJoin(t: graft.Tables.T): DataFrame = {
     import graft.Serve._
     val spark = t.spark
-    val run = q101RunSeq.incrementAndGet()
+    val run = graft.TmpDirs.nextRunId()
     val key = s"sf${sfIds.computeIfAbsent(t.sfDir, _ => sfIdSeq.incrementAndGet())}_r$run"
     val root = graft.TmpDirs.keyed("graft_q101_", s"${t.sfDir}#r$run")
     def write(df: DataFrame, name: String, bucketCol: String): String = {

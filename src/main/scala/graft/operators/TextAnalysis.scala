@@ -329,8 +329,7 @@ object TextAnalysis {
     * adversarial streams. */
   def q125HeavyHitters(t: T): DataFrame =
     t.documents
-      .select(col("lang"), explode(filter(
-        split(lower(trim(col("text"))), "\\s+"), _ =!= "")).as("w"))
+      .select(col("lang"), explode(TextDedup.tokens(col("text"))).as("w"))
       .groupBy("lang")
       .agg(expr("heavy_hitters(w, 64)").as("hh"))
       .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
@@ -384,7 +383,7 @@ object TextAnalysis {
   /** The rule core over any (doc_id, text) frame — public for the spec's
     * hand corpus. */
   def gopherRules(documents: DataFrame): DataFrame = {
-    val words = filter(split(lower(trim(col("text"))), "\\s+"), _ =!= "")
+    val words = TextDedup.tokens(col("text"))
     val stopLits = array(GopherStops.map(lit): _*)
     documents
       .select(col("doc_id"), words.as("w"))
@@ -452,7 +451,7 @@ object TextAnalysis {
     * drive hand-built pools through the identical pipeline. */
   def dsirResample(documents: DataFrame, targetLang: String = "en",
                    keep: Int = DsirKeep): DataFrame = {
-    val words = filter(split(lower(trim(col("text"))), "\\s+"), _ =!= "")
+    val words = TextDedup.tokens(col("text"))
     // unigrams ++ word-bigrams ("a b") — bigram leg guarded so 0/1-word
     // docs contribute unigrams only
     val bigrams = when(size(col("w")) >= 2,

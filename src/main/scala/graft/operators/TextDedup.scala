@@ -26,6 +26,14 @@ object TextDedup {
   def h60(seed: Int, e: String): String =
     s"CAST(conv(substring(md5(concat('$seed:', $e)), 1, 15), 16, 10) AS BIGINT)"
 
+  /** The corpus word tokenizer (q119/q120/q121/q125 share it, and every
+    * oracle replays it as `list_filter(regexp_split_to_array(lower(trim
+    * (text)), '\s+'), x -> x <> '')`): whitespace tokens of the folded
+    * text, empties dropped. One definition so a tokenizer tweak cannot
+    * drift across operators and their oracle SQL independently. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), _ =!= "")
+
   /** Affine minhash permutation coefficients (fixed primes; the oracle SQL
     * carries the same table). */
   val MinhashA: Seq[Int] = Seq(257, 643, 1031, 1543, 2053, 3079,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning, SinglePartition}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning, PartitioningCollection, SinglePartition}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** A native AS-OF JOIN operator — the full custom-operator path the brief
@@ -144,27 +144,34 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     // enough: both children must be hash-partitioned by the same function
     // on exactly the join key (a RangePartitioning also satisfies
     // ClusteredDistribution but maps rows differently — silent row loss).
-    // Accept the three shapes EnsureRequirements can legally deliver:
-    // plain hash, AQE-coalesced hash with identical boundaries, single.
+    // Accept the three shapes EnsureRequirements can legally deliver —
+    // plain hash, AQE-coalesced hash with identical boundaries, single —
+    // including any of them wrapped in a PartitioningCollection (a child
+    // that is itself a join on the key advertises one; its rows ARE
+    // hash-placed by the member partitioning, so unwrap and accept).
     def hashOnKey(exprs: Seq[Expression], key: Attribute): Boolean =
       exprs.length == 1 && exprs.head.semanticEquals(key)
-    (left.outputPartitioning, right.outputPartitioning) match {
-      case (SinglePartition, SinglePartition) => ()
-      case (HashPartitioning(le, ln), HashPartitioning(re, rn)) =>
-        require(ln == rn && hashOnKey(le, leftKey) && hashOnKey(re, rightKey),
-          s"as-of join: children hash-partitioned incompatibly " +
-            s"($le×$ln vs $re×$rn, keys $leftKey/$rightKey)")
-      case (CoalescedHashPartitioning(HashPartitioning(le, ln), lb),
-            CoalescedHashPartitioning(HashPartitioning(re, rn), rb)) =>
-        require(ln == rn && lb == rb &&
-          hashOnKey(le, leftKey) && hashOnKey(re, rightKey),
-          s"as-of join: AQE-coalesced children misaligned " +
-            s"($le×$ln/$lb vs $re×$rn/$rb)")
-      case (lp, rp) =>
+    def shapeOf(p: Partitioning, key: Attribute): Option[(String, Int, Seq[Any])] =
+      p match {
+        case SinglePartition => Some(("single", 1, Nil))
+        case HashPartitioning(e, n) if hashOnKey(e, key) =>
+          Some(("hash", n, Nil))
+        case CoalescedHashPartitioning(HashPartitioning(e, n), b)
+            if hashOnKey(e, key) =>
+          Some(("coalesced", n, b))
+        case pc: PartitioningCollection =>
+          pc.partitionings.iterator.map(shapeOf(_, key))
+            .collectFirst { case Some(s) => s }
+        case _ => None
+      }
+    (shapeOf(left.outputPartitioning, leftKey),
+      shapeOf(right.outputPartitioning, rightKey)) match {
+      case (Some(ls), Some(rs)) if ls == rs => ()
+      case (ls, rs) =>
         throw new IllegalStateException(
           "as-of join: children must be hash-co-partitioned on the join " +
-            s"keys; got ${lp.getClass.getSimpleName}($lp) vs " +
-            s"${rp.getClass.getSimpleName}($rp)")
+            s"keys; got ${left.outputPartitioning} vs " +
+            s"${right.outputPartitioning} (accepted shapes: $ls vs $rs)")
     }
     val lRdd = left.execute(); val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,

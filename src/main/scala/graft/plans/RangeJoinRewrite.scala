@@ -43,7 +43,12 @@ import org.apache.spark.sql.types._
   * lo exactly the other, and lo's type equal to p's (a mismatched pair
   * arrives wrapped in casts this rule does not see through). Strict
   * bounds rewrite too — the bin containment argument only uses the
-  * inclusive hull. Inner joins only; disabled
+  * inclusive hull. Inner BATCH joins with NO cross-side equality
+  * conjunct only: an equi-key means Spark already plans a scalable
+  * equi-join with the range as a filter (binning there just adds a 2×
+  * interval-side explode and a redundant key), and on a streaming join
+  * the added key would silently change the state-store layout and break
+  * existing checkpoints — both bail. Disabled
   * with `spark.graft.rangeJoin.rewrite=false`; bucket attributes carry
   * the `__grj_` prefix, and a join already referencing one is skipped —
   * the fixed-point batch cannot re-match this rule's own output.
@@ -142,6 +147,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def floorBucket(x: Expression, k: Long): Expression =
     IntegralDivide(Subtract(x, Pmod(x, Literal(k))), Literal(k))
 
+  private def lowers(conjuncts: Seq[Expression]): Seq[(Expression, Expression)] =
+    conjuncts.collect { case Lower(p, lo) => (p, lo) }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transform {
@@ -150,21 +158,35 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val conjuncts = splitConjunctivePredicates(cond)
         def onlyIn(e: Expression, p: LogicalPlan) =
           e.references.nonEmpty && e.references.subsetOf(p.outputSet)
-        val lowers = conjuncts.collect { case Lower(p, lo) => (p, lo) }
-        val matched = conjuncts.iterator.flatMap {
-          case Upper(p, hi) =>
-            lowers.filter(_._1.semanticEquals(p)).flatMap { case (_, lo) =>
-              val oriented =
-                (onlyIn(p, left) && onlyIn(lo, right)) ||
-                (onlyIn(p, right) && onlyIn(lo, left))
-              if (oriented && lo.dataType == p.dataType &&
-                  (p.dataType == DateType || p.dataType == TimestampType ||
-                    isIntegral(p.dataType)))
-                widthOf(hi, lo, p.dataType).map(k => (p, lo, k))
-              else None
-            }
-          case _ => None
-        }.toSeq.headOption
+        // Bail when the join is already scalable or the rewrite would be
+        // unsafe: a cross-side EQUALITY conjunct means Spark plans an
+        // equi-join with the range as a filter — binning there only adds
+        // a 2× interval-side explode and a redundant key (and, for a
+        // STREAMING join, silently changes the state-store key layout,
+        // breaking existing checkpoints). This rule exists for the
+        // range-ONLY joins stock Spark can only plan as products.
+        val hasEqui = conjuncts.exists {
+          case EqualTo(a, b) =>
+            (onlyIn(a, left) && onlyIn(b, right)) ||
+            (onlyIn(b, left) && onlyIn(a, right))
+          case _ => false
+        }
+        val matched =
+          if (hasEqui || left.isStreaming || right.isStreaming) None
+          else conjuncts.iterator.flatMap {
+            case Upper(p, hi) =>
+              lowers(conjuncts).filter(_._1.semanticEquals(p)).flatMap { case (_, lo) =>
+                val oriented =
+                  (onlyIn(p, left) && onlyIn(lo, right)) ||
+                  (onlyIn(p, right) && onlyIn(lo, left))
+                if (oriented && lo.dataType == p.dataType &&
+                    (p.dataType == DateType || p.dataType == TimestampType ||
+                      isIntegral(p.dataType)))
+                  widthOf(hi, lo, p.dataType).map(k => (p, lo, k))
+                else None
+              }
+            case _ => None
+          }.toSeq.headOption
         matched match {
           case Some((p, lo, k)) => rewrite(j, cond, p, lo, k)
           case None => j
@@ -197,7 +219,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val (newLeft, newRight) =
       if (pointOnLeft) (pointPlan, intervalPlan) else (intervalPlan, pointPlan)
     val joined = Join(newLeft, newRight, Inner,
-      Some(And(EqualTo(pbAlias.toAttribute, ibAttr), cond)), JoinHint.NONE)
+      // sides keep their original left/right positions, so the user's
+      // broadcast/shuffle hints still point at the frames they named
+      Some(And(EqualTo(pbAlias.toAttribute, ibAttr), cond)), j.hint)
     Project(j.output.map(_.asInstanceOf[NamedExpression]), joined)
   }
 }

@@ -17,9 +17,6 @@ import org.apache.spark.sql.types.{ArrayType, DateType, StructType, TimestampTyp
   */
 object Sources {
 
-  /** Per-invocation scratch id for q114 (see its scaladoc). */
-  private val q114RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** S7 — extension-dispatched load with a required explicit schema for
     * text formats (parquet carries its own). */
   def loadFile(spark: SparkSession, path: String,
@@ -80,8 +77,7 @@ object Sources {
       .filter(col("event_id") % 100 === 0)
       .select(col("event_id"), col("ts"),
         array(col("event_type"), concat(lit("u"), col("user_id"))).as("tags"))
-    val outDir = graft.TmpDirs.keyed("graft_q114_",
-      s"${t.sfDir}#r${q114RunSeq.incrementAndGet()}")
+    val outDir = graft.TmpDirs.fresh("graft_q114_", t.sfDir)
     Sources.exportCsv(slice, outDir)
     val schema = StructType(Seq("event_id", "ts", "tags")
       .map(org.apache.spark.sql.types.StructField(_, StringType)))

@@ -21,9 +21,6 @@ import org.apache.spark.sql.types.StructType
   */
 object Incremental {
 
-  /** Per-invocation scratch id for q110 (see its scaladoc). */
-  private val q110RunSeq = new java.util.concurrent.atomic.AtomicLong(0)
-
   /** ST1/ST2 — one incremental batch pull: rows strictly after `since`,
     * plus the new watermark to persist (null-safe when nothing new). */
   def incrementalSlice(df: DataFrame, tsCol: String,
@@ -218,8 +215,7 @@ object Incremental {
     // commit log would treat the rewritten input as already processed),
     // fresh dirs make that trivially true, the slice is ~1% of events so
     // per-rep growth is KBs, and the whole root is shutdown-swept.
-    val tmp = graft.TmpDirs.keyed("graft_q110_",
-      s"${t.sfDir}#r${q110RunSeq.incrementAndGet()}")
+    val tmp = graft.TmpDirs.fresh("graft_q110_", t.sfDir)
     val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/table"
     base.coalesce(1).write.mode("overwrite").json(inDir)
     runFileUpsertStream(spark, inDir, base.schema,

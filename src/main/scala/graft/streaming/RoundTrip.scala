@@ -34,7 +34,6 @@ import org.apache.spark.sql.streaming.Trigger
   * aggregates in append mode) must keep it true.
   */
 object RoundTrip {
-  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   def run(spark: SparkSession, prefix: String, inputs: Seq[DataFrame],
           noDataBatches: Boolean = true)
@@ -42,7 +41,7 @@ object RoundTrip {
     // Fresh in/ckpt/out dirs per run nested under one shutdown-swept root
     // (a reused checkpoint would replay rewritten input against
     // already-evicted state), the q82-leak-fix shape.
-    val tmp = graft.TmpDirs.keyed(prefix, s"run_${runSeq.incrementAndGet()}")
+    val tmp = graft.TmpDirs.fresh(prefix, "run")
     val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")

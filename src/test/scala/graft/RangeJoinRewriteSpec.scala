@@ -150,6 +150,36 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got == naive && got == 1L)
   }
 
+  test("joins that already carry a cross-side equi key are left alone") {
+    import spark.implicits._
+    // q87's shape: equi on user + a fixed-width time window. Spark plans
+    // this as an equi-join with the range as a filter — already scalable;
+    // binning would only add a 2x interval-side explode (r12 review)
+    val is = Seq((1L, "u1", 10L), (2L, "u2", 0L)).toDF("i_id", "u", "lo")
+    val ps = Seq((1L, "u1", 12L), (2L, "u2", 90L)).toDF("p_id", "pu", "p")
+    val j = is.join(ps, col("u") === col("pu") &&
+      col("p") >= col("lo") && col("p") <= col("lo") + lit(5))
+    val plan = withRule(on = true)(j.queryExecution.optimizedPlan.toString)
+    assert(!plan.contains("__grj_"), plan)
+    assert(withRule(on = true)(j.count()) == 1L)
+  }
+
+  test("streaming joins are left alone (state-store layout must not change)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s1 = MemoryStream[(Long, Long)].toDF()
+      .select(col("_1").as("i_id"), col("_2").as("lo"))
+    val s2 = MemoryStream[(Long, Long)].toDF()
+      .select(col("_1").as("p_id"), col("_2").as("p"))
+    val j = s1.join(s2, col("p") >= col("lo") && col("p") <= col("lo") + lit(5))
+    // a streaming query's optimized plan only exists per micro-batch —
+    // apply the rule directly to the analyzed plan instead
+    val analyzed = j.queryExecution.analyzed
+    val rewritten = graft.plans.RangeJoinRewrite(analyzed)
+    assert(rewritten.fastEquals(analyzed), rewritten.toString)
+  }
+
   test("null points and null bounds drop rows exactly like the naive join") {
     import spark.implicits._
     val is = Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
