@@ -73,6 +73,32 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == 0)
   }
 
+  test("ObjectHashAggregate sort-based fallback path keeps exact-mode counts") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "2")
+      val rnd = new scala.util.Random(65)
+      val rows = (1L to 3000L).map(i => (s"g${rnd.nextInt(80)}", s"w${rnd.nextInt(10)}"))
+      val df = rows.toDF("g", "w").repartition(8)
+      val got = df.groupBy("g").agg(expr("heavy_hitters(w, 16)").as("hh"))
+        .select(col("g"), explode(col("hh")).as("e"))
+        .select(col("g"), col("e.item"), col("e.count"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // 10 distinct words < k = 16 → exact everywhere, even through the
+      // serialize/merge-heavy fallback path
+      val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (g, w, cnt, err) =>
+        assert(err == 0L, s"$g/$w err $err")
+        assert(cnt == truth((g, w)), s"$g/$w")
+      }
+      assert(got.size == truth.size)
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming aggregation: sketch state survives state-store round-trips") {
     import org.apache.spark.sql.types._
     // two source files → two micro-batches; the batch-2 update must merge

@@ -43,6 +43,31 @@ class TopKSpec extends SparkSpec {
     assert(got == List(9, 4, 2))
   }
 
+  test("ObjectHashAggregate sort-based fallback path keeps exactness") {
+    // force the fallback after 2 in-memory groups: the buffers then
+    // travel through serialize/deserialize + merge on the sort-based
+    // path — the state-store-grade exercise for the heap buffer
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "2")
+      val rnd = new scala.util.Random(64)
+      val rows = (1L to 3000L).map(i => (s"g${rnd.nextInt(100)}", rnd.nextInt(1000), i))
+      val df = rows.toDF("g", "v", "id").repartition(8)
+      val got = df.groupBy("g").agg(expr("topk(struct(v, id), 3)").as("tk"))
+        .select(col("g"), explode(col("tk")).as("e"))
+        .select(col("g"), col("e.v"), col("e.id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+        vs.map(t => (t._2, t._3)).sorted(Ordering.Tuple2[Int, Long].reverse)
+          .take(3).map { case (v, id) => (g, v, id) }
+      }.toSet
+      assert(got == expected)
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("nulls skipped; all-null group yields empty array") {
     val got = Seq[Option[Int]](None, Some(3), None).toDF("v")
       .agg(expr("topk(v, 2)").as("tk")).select(col("tk"))
