@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, HeavyHitters, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -111,6 +111,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "combine pointwise and trim to k (Agarwal et al. 2012).") { x =>
       HeavyHitters(x.head, intLit("heavy_hitters", x(1), "k"))
         .toAggregateExpression()
+    }
+    inject(e, "hll_distinct", 1, classOf[HllDistinct],
+      usage = "hll_distinct(expr) - deterministic HyperLogLog distinct sketch " +
+        "(p = 9, portable md5 hash) as the exact-integer register summary " +
+        "struct<n_zero, sum_rho, reg_fp, z_scaled>; the estimate is " +
+        "0.7213/(1 + 1.079/512) * 512^2 * 2^52 / z_scaled, with linear " +
+        "counting 512*ln(512/n_zero) when n_zero > 0 and the raw estimate " +
+        "is <= 1280. Mergeable (pointwise register max); state is exactly " +
+        "order- and partition-independent.") { x =>
+      HllDistinct(x.head).toAggregateExpression()
+    }
+    inject(e, "cms_sketch", 1, classOf[CmsSketch],
+      usage = "cms_sketch(expr) - Count-Min frequency sketch (4 x 256, " +
+        "portable md5 row hashes) as the raw row-major array<bigint> " +
+        "matrix. Point estimate: min over r of " +
+        "element_at(m, r*256 + h60('130', r || ':' || item) % 256 + 1); " +
+        "always >= the true count. Mergeable (pointwise sum); state is " +
+        "exactly order- and partition-independent.") { x =>
+      CmsSketch(x.head).toAggregateExpression()
     }
     inject(e, "max2", 1, classOf[Max2],
       usage = "max2(expr) - the two largest values of expr in one pass, as " +

@@ -185,6 +185,9 @@ object SparkEntry {
     "q125_heavy_hitters"  -> ((s, d) => TextAnalysis.q125HeavyHitters(T(s, d))),
     "q126_topk_per_group" -> ((s, d) => TextAnalysis.q126TopkPerGroup(T(s, d))),
     "q127_video_decode"   -> ((s, d) => Multimodal.q127VideoDecode(T(s, d))),
+    "q128_perplexity"     -> ((s, d) => TextAnalysis.q128Perplexity(T(s, d))),
+    "q129_hll_distinct"   -> ((s, d) => TextAnalysis.q129HllDistinct(T(s, d))),
+    "q130_cms_freq"       -> ((s, d) => TextAnalysis.q130CmsFreq(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2798,5 +2801,141 @@ object SparkEntry {
         |  CAST(sum(s) AS BIGINT) AS checksum,
         |  CAST(sum(s) FILTER (WHERE f % 2 = 0) AS BIGINT) AS sampled_checksum
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q128: the stupid-backoff bigram LM replayed end-to-end — train on
+    // even doc_ids, score odd ones. Each bigram's -ln p is rounded to
+    // integer micro-nats BEFORE the per-doc sum, so nll_micro is exact
+    // integer arithmetic on both engines; the only float steps are one
+    // ln and one exp of deterministic operands + the 4-dp round (q85
+    // precedent).
+    "q128_perplexity" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |docs AS (SELECT * FROM d0 WHERE len(ws) >= 2),
+        |bi0 AS (SELECT doc_id, lang,
+        |    unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z FROM docs),
+        |bi AS (SELECT doc_id, lang, z[1] AS w1, z[2] AS w2 FROM bi0),
+        |tb AS (SELECT * FROM bi WHERE doc_id % 2 = 0),
+        |lm2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM tb GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, sum(c2) AS cctx FROM lm2 GROUP BY 1, 2),
+        |lm AS (SELECT lm2.lang, lm2.w1, lm2.w2,
+        |    CAST(c2 AS DOUBLE) / CAST(cctx AS DOUBLE) AS p2
+        |  FROM lm2 JOIN ctx USING (lang, w1)),
+        |uni AS (
+        |  SELECT lang, w2, count(*) AS c1 FROM (
+        |    SELECT lang, unnest(ws) AS w2 FROM docs WHERE doc_id % 2 = 0)
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS big_n,
+        |    CAST(count(*) AS BIGINT) AS vocab FROM uni GROUP BY 1),
+        |sc AS (
+        |  SELECT b.doc_id, b.lang, lm.p2,
+        |    CASE WHEN lm.p2 IS NOT NULL THEN lm.p2
+        |      ELSE 0.4 * (CAST(coalesce(u.c1, 0) AS DOUBLE) + 1.0) /
+        |        (CAST(s.big_n AS DOUBLE) + CAST(s.vocab AS DOUBLE)) END AS p
+        |  FROM bi b
+        |  LEFT JOIN lm ON lm.lang = b.lang AND lm.w1 = b.w1 AND lm.w2 = b.w2
+        |  LEFT JOIN uni u ON u.lang = b.lang AND u.w2 = b.w2
+        |  JOIN stats s ON s.lang = b.lang
+        |  WHERE b.doc_id % 2 = 1),
+        |pb AS (SELECT doc_id, lang, p2,
+        |    CAST(round(-ln(p) * 1000000.0) AS BIGINT) AS nllu FROM sc),
+        |ag AS (SELECT doc_id, lang,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN p2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_backoff,
+        |    CAST(sum(nllu) AS BIGINT) AS nll_micro
+        |  FROM pb GROUP BY 1, 2),
+        |fin AS (SELECT doc_id, lang, n_bigrams, n_backoff, nll_micro,
+        |    round(exp(CAST(nll_micro AS DOUBLE) / 1000000.0 /
+        |      CAST(n_bigrams AS DOUBLE)), 4) AS ppl
+        |  FROM ag)
+        |SELECT doc_id, lang, n_bigrams, n_backoff, nll_micro, ppl,
+        |  CASE WHEN ppl < 32.0 THEN 'head'
+        |    WHEN ppl < 36.0 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    // q129: every HLL register replayed from the same portable md5
+    // arithmetic (bucket = h % 512, rho = 52 - bitlength(h // 512));
+    // z_scaled is the harmonic-mean denominator as an EXACT integer, so
+    // the estimate is one deterministic double division on both engines.
+    "q129_hll_distinct" ->
+      """WITH t0 AS (
+        |  SELECT lang, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT lang, unnest(list_zip(ws[1:len(ws)-2],
+        |    ws[2:len(ws)-1], ws[3:len(ws)])) AS z
+        |  FROM t0 WHERE len(ws) >= 3),
+        |toks AS (SELECT lang, z[1] || ' ' || z[2] || ' ' || z[3] AS w FROM sh0),
+        |d AS (SELECT DISTINCT lang, w FROM toks),
+        |h AS (SELECT lang,
+        |    ('0x' || substr(md5(concat(129, ':', w)), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |b AS (SELECT lang, CAST(hv % 512 AS INT) AS bucket, hv // 512 AS wv
+        |  FROM h),
+        |r AS (SELECT lang, bucket,
+        |    CASE WHEN wv = 0 THEN 52 ELSE 52 - length(bin(wv)) END AS rho
+        |  FROM b),
+        |regs AS (SELECT lang, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |ag AS (SELECT lang,
+        |    CAST(512 - count(*) AS INT) AS n_zero,
+        |    CAST(sum(mj) AS BIGINT) AS sum_rho,
+        |    CAST(sum((bucket + 1) * mj) AS BIGINT) AS reg_fp,
+        |    CAST(sum(1::BIGINT << (52 - mj)) +
+        |      (512 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS exact
+        |  FROM toks GROUP BY 1),
+        |est0 AS (SELECT ag.lang, n_zero, sum_rho, reg_fp, z_scaled, exact,
+        |    0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(z_scaled AS DOUBLE) AS raw_est
+        |  FROM ag JOIN ex ON ag.lang = ex.lang),
+        |est1 AS (SELECT lang, n_zero, sum_rho, reg_fp, z_scaled, exact,
+        |    round(CASE WHEN n_zero > 0 AND raw_est <= 1280.0
+        |      THEN 512.0 * ln(512.0 / CAST(n_zero AS DOUBLE))
+        |      ELSE raw_est END, 4) AS est
+        |  FROM est0)
+        |SELECT lang, CAST(512 AS INT) AS m, n_zero, sum_rho, reg_fp,
+        |  z_scaled, est, exact,
+        |  abs(est / CAST(exact AS DOUBLE) - 1.0) <= 0.15 AS ok
+        |FROM est1 ORDER BY lang""".stripMargin,
+    // q130: all 1024 CMS cells are plain per-bucket counts under the
+    // portable md5 row hashes — the sketch matrix, the probe estimates
+    // (min over 4 cells), and the one-sided overcount are exact-integer
+    // replays; top-20 tie-break is (cnt DESC, w DESC), the topk struct
+    // order.
+    "q130_cms_freq" ->
+      """WITH t0 AS (
+        |  SELECT lang, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |b0 AS (SELECT lang, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+        |  FROM t0 WHERE len(ws) >= 2),
+        |toks AS (SELECT lang, z[1] || ' ' || z[2] AS w FROM b0),
+        |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |top AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, w DESC) AS rank FROM c),
+        |cells AS (
+        |  SELECT lang, r,
+        |    CAST(('0x' || substr(md5(concat(130, ':', r, ':', w)), 1, 15))
+        |      ::BIGINT % 256 AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cell
+        |  FROM toks CROSS JOIN range(4) AS tr(r) GROUP BY 1, 2, 3),
+        |fp AS (SELECT lang,
+        |    CAST(sum(cell * (r * 256 + bucket + 1)) AS BIGINT) AS matrix_fp
+        |  FROM cells GROUP BY 1),
+        |probe AS (
+        |  SELECT t.lang, t.rank, t.w, t.cnt AS true_cnt, min(cl.cell) AS est_cnt
+        |  FROM top t CROSS JOIN range(4) AS tr(r)
+        |  JOIN cells cl ON cl.lang = t.lang AND cl.r = tr.r
+        |    AND cl.bucket = CAST(('0x' || substr(md5(concat(130, ':', tr.r,
+        |      ':', t.w)), 1, 15))::BIGINT % 256 AS INT)
+        |  WHERE t.rank <= 20
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p.lang, CAST(p.rank AS INT) AS rank, p.w, p.true_cnt,
+        |  p.est_cnt, p.est_cnt - p.true_cnt AS overcount, f.matrix_fp
+        |FROM probe p JOIN fp f ON p.lang = f.lang
+        |ORDER BY p.lang, p.rank""".stripMargin,
   )
 }

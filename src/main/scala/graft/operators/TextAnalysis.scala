@@ -513,4 +513,153 @@ object TextAnalysis {
           .orderBy(col("gkey").desc, col("doc_id"))))
       .select("doc_id", "n_grams", "logw", "gkey", "pick")
   }
+
+  /** q128 — CCNet-style perplexity quality filter (Wenzek et al., LREC
+    * 2020: score crawl text with an LM trained on a clean corpus, bucket
+    * into head/middle/tail): a stupid-backoff bigram LM (Brants et al.,
+    * EMNLP 2007 — `p(w2|w1) = c(w1,w2)/c(w1·)` when the bigram was seen,
+    * else `0.4 · (c(w2)+1)/(N+V)` add-one unigram backoff) trained on the
+    * EVEN doc_ids and scoring the ODD ones. Lifts the reference's static
+    * quality heuristics (study_scraper/auto_review.py:41-66) to a learned
+    * model, the same shape as q100's classifier but with a 2-gram LM.
+    *
+    * FP-safety contract: each bigram's −ln p is rounded to integer
+    * MICRO-NATS before the per-document sum, so the summed `nll_micro`
+    * is exact integer arithmetic — order- and partition-independent —
+    * and the only cross-engine float ops are one ln and one exp of
+    * deterministic operands (the q85/q107 rounding precedent covers the
+    * final 4-dp perplexity). 100 TB shape: the bigram explode is
+    * map-side; the LM build is ONE corpus shuffle on (lang, w1, w2) plus
+    * a vocabulary-sized context aggregate; scoring is hash joins keyed
+    * by bigram/unigram (AQE broadcasts the LM when it is small) and a
+    * per-doc aggregate. At real scale the LM would be count-pruned
+    * (drop hapax bigrams) — same plan, smaller build side. */
+  def q128Perplexity(t: T): DataFrame = perplexityFilter(t.documents)
+
+  def perplexityFilter(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("lang"), TextDedup.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bi = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainBi = bi.filter(col("doc_id") % 2 === 0)
+    // collapsed bigram counts feed ctx AND the probability join — the
+    // 2-consumer localCheckpoint treatment (q76/q85), on the aggregate,
+    // never the raw bigram stream
+    val lm2 = trainBi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    val ctx = lm2.groupBy("lang", "w1").agg(sum("c2").as("cctx"))
+    val lm = lm2.join(ctx, Seq("lang", "w1"))
+      .select(col("lang"), col("w1"), col("w2"),
+        (col("c2").cast("double") / col("cctx").cast("double")).as("p2"))
+    val uni = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), explode(col("ws")).as("w2"))
+      .groupBy("lang", "w2").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
+    val stats = uni.groupBy("lang")
+      .agg(sum("c1").as("big_n"), count(lit(1)).as("vocab"))
+    bi.filter(col("doc_id") % 2 =!= 0)
+      .join(lm, Seq("lang", "w1", "w2"), "left")
+      .join(uni, Seq("lang", "w2"), "left")
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("p", when(col("p2").isNotNull, col("p2"))
+        .otherwise(lit(0.4) * (coalesce(col("c1"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("big_n").cast("double") + col("vocab").cast("double"))))
+      .withColumn("nllu", round(-log(col("p")) * lit(1000000.0), 0).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p2").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum("nllu").as("nll_micro"))
+      .withColumn("ppl", round(
+        exp(col("nll_micro").cast("double") / lit(1000000.0) /
+          col("n_bigrams").cast("double")), 4))
+      .withColumn("ppl_bucket",
+        when(col("ppl") < 32.0, "head")
+          .when(col("ppl") < 36.0, "middle").otherwise("tail"))
+      .select("doc_id", "lang", "n_bigrams", "n_backoff", "nll_micro", "ppl",
+        "ppl_bucket")
+      .orderBy("doc_id")
+  }
+
+  /** q129 — per-language distinct word-3-shingle cardinality (the q27
+    * shingle universe — thousands of keys per language, where the raw
+    * 31-word synthetic vocabulary would be degenerate) via the native
+    * deterministic HyperLogLog sketch (`functions/HllDistinct.scala`):
+    * 512-byte register buffers partial-aggregate map-side and merge by
+    * pointwise max — the 100 TB "distinct per stratum" shape, where the
+    * exact `count(DISTINCT)` beside it (the verification column, and the
+    * cost this sketch deletes at scale) shuffles the full key universe.
+    * The estimator formula lives HERE in the query over the sketch's
+    * exact-integer register summary — one double division of exact
+    * integers (`z_scaled` is Σ2^(52−M_j) pre-scaled to an exact BIGINT),
+    * so the oracle replays estimate and registers bit-for-bit. */
+  def q129HllDistinct(t: T): DataFrame = {
+    val toks = t.documents
+      .select(col("lang"), TextDedup.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")).as("w"))
+    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
+      col("z_scaled").cast("double")
+    toks.groupBy("lang")
+      .agg(expr("hll_distinct(w)").as("h"), countDistinct(col("w")).as("exact"))
+      .select(col("lang"), lit(512).as("m"),
+        col("h.n_zero").as("n_zero"), col("h.sum_rho").as("sum_rho"),
+        col("h.reg_fp").as("reg_fp"), col("h.z_scaled").as("z_scaled"),
+        col("exact"))
+      .withColumn("est", round(
+        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
+          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
+          .otherwise(rawEst), 4))
+      .withColumn("ok",
+        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .select("lang", "m", "n_zero", "sum_rho", "reg_fp", "z_scaled", "est",
+        "exact", "ok")
+      .orderBy("lang")
+  }
+
+  /** q130 — point-frequency estimates for each language's top-20 word
+    * BIGRAMS (~900 distinct keys per language against 256 buckets, so
+    * collisions — and the min-over-rows estimate they exercise — are
+    * real) via the native Count–Min sketch (`functions/CmsSketch.scala`): the
+    * 8 KiB matrix partial-aggregates map-side and merges by pointwise
+    * sum, then the probe side broadcast-joins it and reads 4 cells per
+    * item — answering "how often does THIS key occur" without shuffling
+    * the key universe (the exact `cnt` beside it is the verification
+    * column and the deleted cost). The probe set is the true top-20 per
+    * language through the bounded-heap `topk` aggregate (q126's shape —
+    * no per-group window sort), `matrix_fp` pins all 1024 cells, and
+    * `overcount = est − true ≥ 0` pins the CMS one-sided guarantee row
+    * by row. */
+  def q130CmsFreq(t: T): DataFrame = {
+    val toks = t.documents
+      .select(col("lang"), TextDedup.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1]))")).as("w"))
+    val top = toks.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("lang").agg(expr("topk(struct(cnt, w), 20)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.w").as("w"), col("e.cnt").as("true_cnt"))
+    val mat = toks.groupBy("lang").agg(expr("cms_sketch(w)").as("cm"))
+      .withColumn("matrix_fp", expr(
+        "aggregate(zip_with(cm, sequence(1, 1024), (c, i) -> c * i), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val ests = (0 until 4).map { r =>
+      expr(s"element_at(cm, CAST($r * 256 + " +
+        s"${TextDedup.h60(130, s"concat('$r:', w)")} % 256 + 1 AS INT))")
+    }
+    top.join(broadcast(mat), Seq("lang"))
+      .withColumn("est_cnt", least(ests: _*))
+      .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+      .select("lang", "rank", "w", "true_cnt", "est_cnt", "overcount",
+        "matrix_fp")
+      .orderBy("lang", "rank")
+  }
 }

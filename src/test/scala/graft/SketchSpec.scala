@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The deterministic HLL and Count–Min sketch aggregates: register state
+  * recomputed independently from the portable md5 hash, exact order- and
+  * partition-independence (the property a float-summing aggregate cannot
+  * have), mergeability across partition layouts, the CMS one-sided
+  * guarantee, and the ObjectHashAggregate sort-based fallback path. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = (1 to 400).map(i => s"tok$i")
+  // a skewed multiset: tok1 appears 400 times, tok400 once
+  private val stream: Seq[String] =
+    words.zipWithIndex.flatMap { case (w, i) => Seq.fill(400 - i)(w) }
+
+  // Independent h60: first 15 hex chars of md5("<seed>:<s>") as a 60-bit
+  // int — recomputed from MessageDigest here, NOT via the production
+  // helper, so a hash regression cannot cancel out of the comparison.
+  private def h60(seed: Int, s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$s".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  // --- independent register model (same arithmetic as the scaladoc) ---
+  private def hllRegisters(distinct: Seq[String]): Array[Int] = {
+    val regs = new Array[Int](512)
+    distinct.foreach { w =>
+      val h = h60(129, w)
+      val bucket = (h % 512).toInt
+      val rho = java.lang.Long.numberOfLeadingZeros(h / 512) - 12
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    regs
+  }
+
+  private def hllSummary(regs: Array[Int]): (Int, Long, Long, Long) = {
+    var nZero = 0; var sumRho = 0L; var regFp = 0L; var z = 0L
+    regs.zipWithIndex.foreach { case (r, j) =>
+      if (r == 0) nZero += 1
+      sumRho += r; regFp += (j + 1).toLong * r; z += 1L << (52 - r)
+    }
+    (nZero, sumRho, regFp, z)
+  }
+
+  test("hll_distinct register summary matches the independent model and " +
+    "is identical at 1, 7, and 32 partitions") {
+    val (nZero, sumRho, regFp, z) = hllSummary(hllRegisters(words))
+    for (parts <- Seq(1, 7, 32)) {
+      val row = stream.toDF("w").repartition(parts)
+        .agg(expr("hll_distinct(w)").as("h")).select("h.*").head()
+      assert(row == Row(nZero, sumRho, regFp, z), s"parts=$parts")
+    }
+  }
+
+  test("hll_distinct ignores duplicates: multiset and distinct inputs " +
+    "produce the same state") {
+    val a = stream.toDF("w").agg(expr("hll_distinct(w)")).head()
+    val b = words.toDF("w").agg(expr("hll_distinct(w)")).head()
+    assert(a == b)
+  }
+
+  test("hll estimate lands within the 512-register error envelope") {
+    val row = stream.toDF("w")
+      .agg(expr("hll_distinct(w)").as("h")).select("h.z_scaled").head()
+    val est = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+      4503599627370496.0 / row.getLong(0).toDouble
+    // 400 distinct, sigma ~ 4.6%; 15% is the q129 contract bound — but
+    // n = 400 < 2.5m means q129 would take the linear-counting branch
+    // here; the raw estimator alone is still required to be in the
+    // right ballpark (biased high at low fill, hence the loose bound)
+    assert(est > 200 && est < 800, s"raw est $est for 400 distinct")
+  }
+
+  private def cmsMatrix(items: Seq[String]): Array[Long] = {
+    val m = new Array[Long](1024)
+    items.foreach { w =>
+      (0 until 4).foreach { r =>
+        m(r * 256 + (h60(130, s"$r:$w") % 256).toInt) += 1L
+      }
+    }
+    m
+  }
+
+  test("cms_sketch matrix equals the independent model at 1 and 32 " +
+    "partitions, and estimates upper-bound every true count") {
+    val expected = cmsMatrix(stream)
+    for (parts <- Seq(1, 32)) {
+      val got = stream.toDF("w").repartition(parts)
+        .agg(expr("cms_sketch(w)").as("m")).head().getSeq[Long](0)
+      assert(got == expected.toSeq, s"parts=$parts")
+    }
+    // one-sided guarantee on every word, exercised via the same
+    // element_at-min probe q130 uses, against the 1-row matrix
+    val mat = stream.toDF("w").agg(expr("cms_sketch(w)").as("m"))
+    val joined = words.toDF("w").crossJoin(broadcast(mat))
+      .select(col("w"), least((0 until 4).map(r => expr(
+        s"element_at(m, CAST($r * 256 + " +
+          s"${operators.TextDedup.h60(130, s"concat('$r:', w)")} % 256 + 1 AS INT))")): _*)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    words.foreach { w =>
+      assert(joined(w) >= truth(w), s"$w: est ${joined(w)} < true ${truth(w)}")
+    }
+  }
+
+  test("sketch merge across a shuffle equals the single-pass sketch per group") {
+    // grouped: each group's sketch must equal a sketch of just its rows
+    val df = stream.zipWithIndex
+      .map { case (w, i) => (s"g${i % 3}", w) }.toDF("g", "w")
+    val grouped = df.repartition(16)
+      .groupBy("g").agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getStruct(1), r.getSeq[Long](2))).toMap
+    (0 until 3).foreach { g =>
+      val rows = stream.zipWithIndex.collect { case (w, i) if i % 3 == g => w }
+      val single = rows.toDF("w").coalesce(1)
+        .agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m")).head()
+      assert(grouped(s"g$g")._1 == single.getStruct(0), s"hll g$g")
+      assert(grouped(s"g$g")._2 == single.getSeq[Long](1), s"cms g$g")
+    }
+  }
+
+  test("ObjectHashAggregate sort-based fallback keeps both sketch states exact") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "2")
+      val df = stream.zipWithIndex
+        .map { case (w, i) => (s"g${i % 7}", w) }.toDF("g", "w")
+      val got = df.repartition(8).groupBy("g")
+        .agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m"))
+        .collect().map(r => r.getString(0) -> (r.getStruct(1), r.getSeq[Long](2))).toMap
+      (0 until 7).foreach { g =>
+        val rows = stream.zipWithIndex.collect { case (w, i) if i % 7 == g => w }
+        val single = rows.toDF("w").coalesce(1)
+          .agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m")).head()
+        assert(got(s"g$g")._1 == single.getStruct(0), s"hll g$g")
+        assert(got(s"g$g")._2 == single.getSeq[Long](1), s"cms g$g")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("null inputs are skipped by both sketches") {
+    val withNulls = (stream.map(Option(_)) ++ Seq(None, None)).toDF("w")
+    val a = withNulls.agg(expr("hll_distinct(w)"), expr("cms_sketch(w)")).head()
+    val b = stream.toDF("w").agg(expr("hll_distinct(w)"), expr("cms_sketch(w)")).head()
+    assert(a == b)
+  }
+}
