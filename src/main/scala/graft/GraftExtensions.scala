@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, BloomBits, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, KmvSketch, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -130,6 +130,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "always >= the true count. Mergeable (pointwise sum); state is " +
         "exactly order- and partition-independent.") { x =>
       CmsSketch(x.head).toAggregateExpression()
+    }
+    inject(e, "bloom_bits", 1, classOf[BloomBits],
+      usage = "bloom_bits(h) - Bloom filter over a bigint 60-bit-hash " +
+        "column as 256 raw array<bigint> words (16384 bits, k = 3 " +
+        "probes from disjoint 14-bit fields: h%16384, (h div 2^14)%16384, " +
+        "(h div 2^28)%16384). Membership: all three probed bits set. No " +
+        "false negatives; mergeable (pointwise OR); state is exactly " +
+        "order- and partition-independent.") { x =>
+      BloomBits(x.head).toAggregateExpression()
+    }
+    inject(e, "kmv_sketch", 2, classOf[KmvSketch],
+      usage = "kmv_sketch(h, k) - K-Minimum-Values distinct sketch over a " +
+        "non-negative bigint hash column: the k smallest DISTINCT values " +
+        "as an ascending array<bigint>. Supports set operations between " +
+        "groups (union/intersection/Jaccard estimates - see q132); exact " +
+        "whenever the group has < k distinct values. Mergeable " +
+        "(union-then-trim); state is exactly order- and " +
+        "partition-independent.") { x =>
+      KmvSketch(x.head, intLit("kmv_sketch", x(1), "k")).toAggregateExpression()
     }
     inject(e, "max2", 1, classOf[Max2],
       usage = "max2(expr) - the two largest values of expr in one pass, as " +

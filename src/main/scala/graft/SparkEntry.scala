@@ -188,6 +188,8 @@ object SparkEntry {
     "q128_perplexity"     -> ((s, d) => TextAnalysis.q128Perplexity(T(s, d))),
     "q129_hll_distinct"   -> ((s, d) => TextAnalysis.q129HllDistinct(T(s, d))),
     "q130_cms_freq"       -> ((s, d) => TextAnalysis.q130CmsFreq(T(s, d))),
+    "q131_bloom_decontam" -> ((s, d) => Corpus.q131BloomDecontam(T(s, d))),
+    "q132_kmv_overlap"    -> ((s, d) => TextAnalysis.q132KmvOverlap(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -2937,5 +2939,110 @@ object SparkEntry {
         |  p.est_cnt, p.est_cnt - p.true_cnt AS overcount, f.matrix_fp
         |FROM probe p JOIN fp f ON p.lang = f.lang
         |ORDER BY p.lang, p.rank""".stripMargin,
+    // q131: the Bloom filter replayed SEMANTICALLY — a set bit is a
+    // distinct (g // 2^(14*i)) % 16384 value (i = 0, 1, 2: disjoint
+    // 14-bit fields of the 60-bit gram hash) over the eval grams, and a
+    // train gram is a candidate iff all three of its probe positions
+    // are in that set. Exact integer arithmetic end to end, so bit-array
+    // words on the Spark side and the position set here must agree
+    // exactly (n_set_bits pins the fill, no_false_negatives the safety
+    // contract, n_false_pos the wasted-work sliver).
+    "q131_bloom_decontam" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 5),
+        |    i -> ('0x' || substr(md5(concat('79:',
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
+        |      ::BIGINT))) AS gram
+        |  FROM words WHERE len(w) >= 7),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id AS train_doc, gram FROM g WHERE doc_id % 97 != 0),
+        |ks AS (SELECT * FROM (VALUES (1), (16384), (268435456)) AS k(d)),
+        |bits AS (SELECT DISTINCT (gram // ks.d) % 16384 AS bp
+        |  FROM ev CROSS JOIN ks),
+        |nb AS (SELECT CAST(count(*) AS INT) AS n_set_bits FROM bits),
+        |tp AS (
+        |  SELECT t.train_doc, t.gram, count(bi.bp) = 3 AS candidate
+        |  FROM tr t CROSS JOIN ks
+        |  LEFT JOIN bits bi ON bi.bp = (t.gram // ks.d) % 16384
+        |  GROUP BY t.train_doc, t.gram),
+        |ex AS (SELECT gram, TRUE AS in_eval FROM ev),
+        |sc AS (
+        |  SELECT tp.train_doc, tp.candidate, ex.in_eval
+        |  FROM tp LEFT JOIN ex ON ex.gram = tp.gram)
+        |SELECT train_doc,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_candidates,
+        |  CAST(sum(CASE WHEN in_eval IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN candidate AND in_eval IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  min(CASE WHEN in_eval IS NOT NULL
+        |    THEN CASE WHEN candidate THEN 1 ELSE 0 END ELSE 1 END) = 1
+        |    AS no_false_negatives,
+        |  (SELECT n_set_bits FROM nb) AS n_set_bits
+        |FROM sc GROUP BY train_doc ORDER BY train_doc""".stripMargin,
+    // q132: the KMV sketch replayed as list(DISTINCT hv ORDER BY hv)[1:k]
+    // — plain SQL on exact integers — then the identical set-operation
+    // estimators over the union's bottom-k. theta and inter_in_u pin the
+    // sketch pair state; est_* are single deterministic double chains;
+    // ok pins the accuracy claim against the exact join.
+    "q132_kmv_overlap" ->
+      """WITH t0 AS (
+        |  SELECT lang, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh0 AS (SELECT lang, unnest(list_zip(ws[1:len(ws)-2],
+        |    ws[2:len(ws)-1], ws[3:len(ws)])) AS z
+        |  FROM t0 WHERE len(ws) >= 3),
+        |hv AS (SELECT lang, ('0x' || substr(md5(concat('132:',
+        |    z[1] || ' ' || z[2] || ' ' || z[3])), 1, 15))::BIGINT AS h
+        |  FROM sh0),
+        |d AS (SELECT DISTINCT lang, h FROM hv),
+        |sk AS (SELECT lang, (list_sort(list(h)))[1:256] AS kmv
+        |  FROM d GROUP BY lang),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY lang),
+        |xi AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM d a JOIN d b ON a.h = b.h AND a.lang < b.lang
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    (list_sort(list_distinct(list_concat(a.kmv, b.kmv))))[1:256] AS u,
+        |    list_intersect(a.kmv, b.kmv) AS ab
+        |  FROM sk a JOIN sk b ON a.lang < b.lang),
+        |est AS (
+        |  SELECT lang_a, lang_b,
+        |    u[len(u)] AS theta,
+        |    CAST(len(list_intersect(u, ab)) AS INT) AS inter_in_u,
+        |    len(u) AS ulen
+        |  FROM pairs),
+        |fin AS (
+        |  SELECT lang_a, lang_b, theta, inter_in_u,
+        |    round(CASE WHEN ulen < 256 THEN CAST(ulen AS DOUBLE)
+        |      ELSE 255.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+        |      END, 4) AS est_union,
+        |    round(CASE WHEN ulen < 256 THEN CAST(inter_in_u AS DOUBLE)
+        |      ELSE CAST(inter_in_u AS DOUBLE) / 256.0 *
+        |        (255.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE))
+        |      END, 4) AS est_inter
+        |  FROM est)
+        |SELECT f.lang_a, f.lang_b, f.theta, f.inter_in_u, f.est_union,
+        |  f.est_inter,
+        |  na.n + nb.n - xi.exact_inter AS exact_union, xi.exact_inter,
+        |  abs(f.est_union / CAST(na.n + nb.n - xi.exact_inter AS DOUBLE)
+        |    - 1.0) <= 0.25 AS ok_union,
+        |  abs(f.est_inter / CAST(xi.exact_inter AS DOUBLE) - 1.0) <= 0.75
+        |    AS ok_inter
+        |FROM fin f
+        |JOIN xi ON xi.lang_a = f.lang_a AND xi.lang_b = f.lang_b
+        |JOIN n na ON na.lang = f.lang_a
+        |JOIN n nb ON nb.lang = f.lang_b
+        |ORDER BY f.lang_a, f.lang_b""".stripMargin,
   )
 }

@@ -173,8 +173,11 @@ object Corpus {
     * 100 TB design: the q27 shingling shape — distinct (doc, gram) rows,
     * one equi-join on the gram (never doc×doc), two groupBys. The probe
     * side is eval-set-sized; AQE broadcasts it when small. */
-  def q79Decontaminate(t: T): DataFrame = {
-    val grams = t.documents
+  /** The q79/q131 probe-gram frame: per-doc DISTINCT 7-word-shingle
+    * 60-bit hashes, built map-side (see the q79 scaladoc for why the
+    * distinct is per-row and the string never crosses an exchange). */
+  private def probeGrams(t: T): DataFrame =
+    t.documents
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= ProbeGram)
       // per-row array_distinct, not a corpus-wide .distinct(): 7-word
@@ -192,6 +195,9 @@ object Corpus {
           s"${TextDedup.h60(79,
             (0 until ProbeGram).map(k => s"words[i + $k]")
               .mkString("concat_ws(' ', ", ", ", ")"))})"))).as("gram"))
+
+  def q79Decontaminate(t: T): DataFrame = {
+    val grams = probeGrams(t)
     val probe = grams.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("probe_doc"), col("gram"))
     val train = grams.filter(col("doc_id") % 97 =!= 0)
@@ -214,6 +220,56 @@ object Corpus {
       // corpus, so keep the distributed sort (a deployed eval set is
       // fixed-size and could smallSort)
       .orderBy("probe_doc")
+  }
+
+  /** q131 — the Bloom-filter decontamination PRE-FILTER: q79's exact
+    * gram join, fronted by the 100 TB pushdown a real pipeline would
+    * deploy (the shape Spark itself automates for equi-joins via
+    * `spark.sql.optimizer.runtime.bloomFilter` — built explicitly here
+    * because the eval set is a REUSABLE artifact, not a per-query
+    * runtime filter). The eval side's distinct gram hashes collapse to
+    * one 2 KiB `bloom_bits` bit array (`functions/BloomBits.scala`)
+    * broadcast to every task; each train gram is tested MAP-SIDE with
+    * three shift-and-mask probes, and only candidates would need the
+    * exact join. Both legs run here side by side — `n_candidates` from
+    * the bloom, `n_exact` from the q79-style gram equi-join — so the
+    * output pins the filter's two contractual properties row by row:
+    * NO FALSE NEGATIVES (`no_false_negatives`: every exact hit is a
+    * candidate — what makes the pushdown safe) and a bounded
+    * false-positive sliver (`n_false_pos`, the only wasted work at
+    * scale; ~(fill)^3 of each doc's grams at the measured ~10-35%%
+    * fill). The 1-row broadcast crossJoin is the q16/q83 allowlisted
+    * scalar-broadcast pattern. */
+  def q131BloomDecontam(t: T): DataFrame = {
+    val grams = probeGrams(t)
+    val evalG = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val trainG = grams.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
+      .withColumn("n_set_bits", expr(
+        "aggregate(transform(bf, x -> bit_count(x)), 0, (a, x) -> a + x)"))
+    val candidate = (0 until 3).map { i =>
+      val bp = s"((gram DIV ${1L << (14 * i)}) % 16384)"
+      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
+        s"CAST($bp % 64 AS INT)) & 1) = 1)"
+    }.mkString("(", " AND ", ")")
+    trainG.crossJoin(broadcast(bloom))
+      .withColumn("candidate", expr(candidate))
+      .join(evalG.withColumn("in_eval", lit(true)), Seq("gram"), "left")
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("candidate"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("in_eval").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("candidate") && col("in_eval").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        min(when(col("in_eval").isNotNull, when(col("candidate"), 1).otherwise(0))
+          .otherwise(1)).as("nfn_i"),
+        max(col("n_set_bits")).as("n_set_bits"))
+      .withColumn("no_false_negatives", col("nfn_i") === 1)
+      .select("train_doc", "n_grams", "n_candidates", "n_exact",
+        "n_false_pos", "no_false_negatives", "n_set_bits")
+      .orderBy("train_doc")
   }
 
   /** Tokens per training sequence (q77). */

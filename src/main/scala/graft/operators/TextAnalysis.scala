@@ -662,4 +662,68 @@ object TextAnalysis {
         "matrix_fp")
       .orderBy("lang", "rank")
   }
+
+  /** q132 — cross-stratum distinct-set OVERLAP via the native KMV
+    * (bottom-k) sketch (`functions/KmvSketch.scala`): per-language
+    * word-3-shingle vocabularies collapse to 256 retained hash values,
+    * and every language PAIR's union/intersection/Jaccard is estimated
+    * from sketch set-operations alone — the "how much of stratum B is
+    * already in stratum A" question (cross-snapshot crawl overlap,
+    * cross-source contamination) that HLL registers cannot answer. The
+    * exact pair join beside it is the verification column and the
+    * deleted cost: at 100 TB only 2 KiB sketches meet, never the raw
+    * key universes. Estimators (mirrored by the oracle, from
+    * exact-integer state): θ = max of the union's bottom-k,
+    * `est_union = 255·2^60/θ`, `est_inter = (|A∩B| ∩ bottom-k(A∪B))
+    * / 256 · est_union`; both exact when the union has < 256 distinct
+    * values. Accuracy pins are SEPARATE because the two estimators have
+    * different error scales: `ok_union` within ±25%% (σ ≈ 1/√(k−1) ≈
+    * 6%% → ~4σ), `ok_inter` within ±75%% (relative σ ≈ 1/√(J·k) ≈ 24%%
+    * at the observed J ≈ 0.07 → ~3σ; a tighter bound at this J would
+    * flicker — the honest statement of what k = 256 buys on a
+    * low-Jaccard pair). The 10-row sketch-pair join is a
+    * tiny-by-construction broadcast (allowlisted, q131's pattern). */
+  def q132KmvOverlap(t: T): DataFrame = {
+    val sh = t.documents
+      .select(col("lang"), TextDedup.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("lang"), explode(expr(
+        s"transform(sequence(0, size(ws) - 3), i -> ${TextDedup.h60(132,
+          "concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])")})")).as("h"))
+    // the exact side (verification columns): distinct shingle hashes
+    val d = sh.distinct().localCheckpoint(false)
+    val sk = sh.groupBy("lang").agg(expr("kmv_sketch(h, 256)").as("kmv"))
+    val exactN = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val exactInter = d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val estU = expr("CASE WHEN size(u) < 256 THEN CAST(size(u) AS DOUBLE) " +
+      "ELSE 255.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE) END")
+    val estI = expr("CASE WHEN size(u) < 256 THEN CAST(inter_in_u AS DOUBLE) " +
+      "ELSE CAST(inter_in_u AS DOUBLE) / 256.0 * " +
+      "(255.0 * 1152921504606846976.0 / CAST(theta AS DOUBLE)) END")
+    sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.kmv").as("ka"), col("b.kmv").as("kb"))
+      .withColumn("u", expr("slice(array_sort(array_union(ka, kb)), 1, 256)"))
+      .withColumn("theta", expr("element_at(u, size(u))"))
+      .withColumn("inter_in_u",
+        expr("size(array_intersect(u, array_intersect(ka, kb)))"))
+      .withColumn("est_union", round(estU, 4))
+      .withColumn("est_inter", round(estI, 4))
+      .join(exactInter, Seq("lang_a", "lang_b"))
+      .join(exactN.withColumnRenamed("lang", "lang_a")
+        .withColumnRenamed("n", "na"), Seq("lang_a"))
+      .join(exactN.withColumnRenamed("lang", "lang_b")
+        .withColumnRenamed("n", "nb"), Seq("lang_b"))
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+      .withColumn("ok_union",
+        abs(col("est_union") / col("exact_union").cast("double") - lit(1.0)) <= lit(0.25))
+      .withColumn("ok_inter",
+        abs(col("est_inter") / col("exact_inter").cast("double") - lit(1.0)) <= lit(0.75))
+      .select("lang_a", "lang_b", "theta", "inter_in_u", "est_union",
+        "est_inter", "exact_union", "exact_inter", "ok_union", "ok_inter")
+      .orderBy("lang_a", "lang_b")
+  }
 }

@@ -53,11 +53,20 @@ class PlanAuditSpec extends SparkSpec {
   //                        EVAL side is bounded by construction (an eval
   //                        suite, not a corpus) and streams against the
   //                        train side map-side (r12)
+  //   q131               — broadcast 1-row bloom bit array (2 KiB by
+  //                        construction) tested map-side against every
+  //                        train gram — the pre-filter pushdown IS the
+  //                        point of the query (r12)
+  //   q132               — the lang-pair sketch join: 5 rows × 5 rows of
+  //                        2 KiB KMV arrays under a < predicate; both
+  //                        sides post-aggregate-small by construction
+  //                        (r12)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
-    "q114_export_manifest", "q118_hybrid_rrf", "q122_semantic_decontam")
+    "q114_export_manifest", "q118_hybrid_rrf", "q122_semantic_decontam",
+    "q131_bloom_decontam", "q132_kmv_overlap")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq

@@ -155,4 +155,47 @@ class SketchSpec extends SparkSpec {
     val b = stream.toDF("w").agg(expr("hll_distinct(w)"), expr("cms_sketch(w)")).head()
     assert(a == b)
   }
+
+  // --- kmv_sketch ---
+
+  private val kmvHashes: Seq[Long] =
+    (1L to 5000L).map(i => i * 1125899906842597L % (1L << 60))
+
+  test("kmv_sketch keeps exactly the k smallest distinct values, " +
+    "ascending, at 1 and 32 partitions") {
+    val expected = kmvHashes.distinct.sorted.take(64)
+    // duplicates in the stream must not occupy extra slots
+    val dup = kmvHashes ++ kmvHashes.take(500)
+    for (parts <- Seq(1, 32)) {
+      val got = dup.toDF("h").repartition(parts)
+        .agg(expr("kmv_sketch(h, 64)")).head().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("kmv_sketch is exact (the distinct set itself) below k") {
+    val small = Seq(9L, 3L, 3L, 7L, 1L)
+    val got = small.toDF("h").agg(expr("kmv_sketch(h, 64)")).head().getSeq[Long](0)
+    assert(got == Seq(1L, 3L, 7L, 9L))
+  }
+
+  test("kmv union estimator lands near the true distinct union") {
+    import org.apache.spark.sql.functions.col
+    val a = kmvHashes.take(3000).map(("a", _))
+    val b = kmvHashes.drop(2000).map(("b", _)) // overlap of 1000
+    val sk = (a ++ b).toDF("g", "h").repartition(8)
+      .groupBy("g").agg(expr("kmv_sketch(h, 256)").as("kmv"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val u = (sk("a") ++ sk("b")).distinct.sorted.take(256)
+    val theta = u.last
+    val estUnion = 255.0 * 1152921504606846976.0 / theta.toDouble
+    val trueUnion = (kmvHashes.take(3000) ++ kmvHashes.drop(2000)).distinct.size
+    assert(math.abs(estUnion / trueUnion - 1.0) < 0.25,
+      s"est $estUnion vs true $trueUnion")
+    val interInU = u.toSet.intersect(sk("a").toSet.intersect(sk("b").toSet)).size
+    val estInter = interInU / 256.0 * estUnion
+    val trueInter = 1000.0
+    assert(math.abs(estInter / trueInter - 1.0) < 0.45,
+      s"est $estInter vs true $trueInter")
+  }
 }
