@@ -160,21 +160,33 @@ object Bench {
       // is empty and costs ~12 bytes; on a noisy one it names exactly the
       // queries whose official number to distrust (r7's q27 4.03 med vs
       // 1.70 min was visible only in bench_detail.json).
-      // Capped at the 8 worst med/min ratios (r12): at 115 queries the
-      // base compact line is ~1.7 KB against the driver's ~2 KB captured
-      // tail, so an unbounded contended map on a noisy host could
-      // truncate the artifact it exists to annotate.
-      val hot = results.collect {
+      // Capped at the 8 worst med/min ratios, then trimmed further until
+      // the WHOLE compact line fits a 1900-byte budget (r12: at 132
+      // queries the base line alone is ~1.85 KB against the driver's
+      // ~2 KB captured tail, so even a small contended map could
+      // truncate the artifact it exists to annotate — drop the least
+      // contended entries first, never the timings).
+      val hotAll = results.collect {
         case (k, (med, mn, _)) if mn > 0 && med > mn * 1.5 =>
           (med / mn, s""""${key(k)}":{"med":${fmt2(med)},"min":${fmt2(mn)}}""")
-      }.sortBy(-_._1).take(8).map(_._2).mkString("{", ",", "}")
-      // contended/errors omitted entirely when empty — bytes again.
-      val hotPart = if (hot == "{}") "" else s""","contended":$hot"""
+      }.sortBy(-_._1).take(8).map(_._2)
       // "fmt":2 marks the r10+ compact schema (qNN short keys, empty-map
       // elision) so cross-round tooling can branch explicitly instead of
       // sniffing which optional keys appear (r10 advice).
-      val compact =
+      def mkCompact(hotEntries: Seq[String]): String = {
+        val hotPart = if (hotEntries.isEmpty) ""
+          else s""","contended":${hotEntries.mkString("{", ",", "}")}"""
         s"""{"metric":"total","fmt":2,"value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart$hotPart,"sf":"$sfDir"}"""
+      }
+      val compact = {
+        var hot: Seq[String] = hotAll
+        var line = mkCompact(hot)
+        while (line.length > 1900 && hot.nonEmpty) {
+          hot = hot.init
+          line = mkCompact(hot)
+        }
+        line
+      }
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
       (compact, detail)

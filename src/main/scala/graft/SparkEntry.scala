@@ -190,6 +190,7 @@ object SparkEntry {
     "q130_cms_freq"       -> ((s, d) => TextAnalysis.q130CmsFreq(T(s, d))),
     "q131_bloom_decontam" -> ((s, d) => Corpus.q131BloomDecontam(T(s, d))),
     "q132_kmv_overlap"    -> ((s, d) => TextAnalysis.q132KmvOverlap(T(s, d))),
+    "q133_corpus_pipeline" -> ((s, d) => Corpus.q133CorpusPipeline(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3044,5 +3045,84 @@ object SparkEntry {
         |JOIN n na ON na.lang = f.lang_a
         |JOIN n nb ON nb.lang = f.lang_b
         |ORDER BY f.lang_a, f.lang_b""".stripMargin,
+    // q133: the composed pipeline replayed stage by stage from the same
+    // verified fragments — q24's sha256 canonicalizer, q121's rule
+    // battery (minus r_stop, degenerate on this vocabulary — see the
+    // operator scaladoc), q79's gram semi-join, q75's ppm-hash mixture
+    // device (seed 133), and the survivor shard hash (seed 134). Every
+    // stage verdict is a boolean on exact integers / int-division
+    // doubles.
+    "q133_corpus_pipeline" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+        |  FROM documents),
+        |qd AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_words,
+        |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
+        |      AS n_sym
+        |  FROM qd),
+        |quality AS (
+        |  SELECT doc_id, n_words,
+        |    ((n_words >= 50 AND n_words <= 100000)
+        |      AND (CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
+        |        / n_words ELSE 0 END >= 3
+        |        AND CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
+        |        / n_words ELSE 0 END <= 10)
+        |      AND (CASE WHEN n_words > 0 THEN n_sym * CAST(1 AS DOUBLE)
+        |        / n_words ELSE 0 END <= 0.1)
+        |      AND (CASE WHEN n_words > 0 THEN n_alpha * CAST(1 AS DOUBLE)
+        |        / n_words ELSE 0 END >= 0.8)) AS quality_pass
+        |  FROM qm),
+        |words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 5),
+        |    i -> ('0x' || substr(md5(concat('79:',
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
+        |      ::BIGINT))) AS gram
+        |  FROM words WHERE len(w) >= 7),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id FROM g
+        |  JOIN ev ON ev.gram = g.gram
+        |  WHERE g.doc_id % 97 != 0),
+        |mix AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(concat(133, ':', CAST(doc_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 1000 AS bucket
+        |  FROM documents WHERE doc_id % 97 != 0)
+        |SELECT m.doc_id, m.lang, q.n_words, c.is_dup, q.quality_pass,
+        |  (ct.doc_id IS NOT NULL) AS contaminated,
+        |  m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+        |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
+        |    ELSE 250 END) AS mixture_keep,
+        |  (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
+        |    AND m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+        |      WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
+        |      ELSE 250 END)) AS survives,
+        |  CASE WHEN (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
+        |    AND m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+        |      WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
+        |      ELSE 250 END))
+        |    THEN ('0x' || substr(md5(concat(134, ':',
+        |      CAST(m.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
+        |    ELSE NULL END AS shard
+        |FROM mix m
+        |JOIN canon c ON c.doc_id = m.doc_id
+        |JOIN quality q ON q.doc_id = m.doc_id
+        |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
   )
 }

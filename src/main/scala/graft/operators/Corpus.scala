@@ -173,11 +173,11 @@ object Corpus {
     * 100 TB design: the q27 shingling shape — distinct (doc, gram) rows,
     * one equi-join on the gram (never doc×doc), two groupBys. The probe
     * side is eval-set-sized; AQE broadcasts it when small. */
-  /** The q79/q131 probe-gram frame: per-doc DISTINCT 7-word-shingle
+  /** The q79/q131/q133 probe-gram frame: per-doc DISTINCT 7-word-shingle
     * 60-bit hashes, built map-side (see the q79 scaladoc for why the
     * distinct is per-row and the string never crosses an exchange). */
-  private def probeGrams(t: T): DataFrame =
-    t.documents
+  private def probeGrams(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .filter(size(col("words")) >= ProbeGram)
       // per-row array_distinct, not a corpus-wide .distinct(): 7-word
@@ -197,7 +197,7 @@ object Corpus {
               .mkString("concat_ws(' ', ", ", ", ")"))})"))).as("gram"))
 
   def q79Decontaminate(t: T): DataFrame = {
-    val grams = probeGrams(t)
+    val grams = probeGrams(t.documents)
     val probe = grams.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("probe_doc"), col("gram"))
     val train = grams.filter(col("doc_id") % 97 =!= 0)
@@ -241,7 +241,7 @@ object Corpus {
     * fill). The 1-row broadcast crossJoin is the q16/q83 allowlisted
     * scalar-broadcast pattern. */
   def q131BloomDecontam(t: T): DataFrame = {
-    val grams = probeGrams(t)
+    val grams = probeGrams(t.documents)
     val evalG = grams.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()
     val trainG = grams.filter(col("doc_id") % 97 =!= 0)
@@ -544,5 +544,64 @@ object Corpus {
       .agg(sum("wc").as("cnt"))
       .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
       .limit(limit)
+  }
+
+  /** q133 — the END-TO-END corpus build: the pipeline a data recipe
+    * actually runs, composed from this engine's own stages in their
+    * deployment order — exact dedup (q24's content-hash canonicalizer),
+    * Gopher quality battery (q121's rules via `TextAnalysis.gopherRules`,
+    * minus the stopword rule: the synthetic vocabulary contains at most
+    * one of the eight Gopher stopwords, so r_stop rejects EVERY document
+    * and the composed pipeline would be a zero-survivor degenerate —
+    * the word-count rule is the discriminating one here, passing ~55%%),
+    * eval-set decontamination (q79's exact
+    * 7-gram leg — q131's bloom is the at-scale pre-filter for the same
+    * decision), stratified mixture sampling (q75's replayable ppm-hash
+    * device, seed 133), and hash shard assignment for the survivors.
+    * One row per TRAIN doc with every stage's verdict pinned — the
+    * audit log a corpus build ships with its output, so attrition at
+    * each stage is attributable per document, not just in aggregate.
+    *
+    * 100 TB shape = the union of its stages' shapes, which is the
+    * point: one content-hash shuffle (dedup window), map-side quality
+    * flags, one gram equi-join against the eval side (never doc×doc),
+    * map-side mixture/shard hashes, and doc_id-keyed joins to assemble
+    * the log. No stage introduces a plan shape the standalone queries
+    * have not already audited. */
+  def q133CorpusPipeline(t: T): DataFrame = corpusPipeline(t.documents)
+
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val canon = docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("canon_id",
+        min("doc_id").over(Window.partitionBy("content_hash")))
+      .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
+    val quality = TextAnalysis.gopherRules(docs)
+      .select(col("doc_id"), col("n_words"),
+        (col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha"))
+          .as("quality_pass"))
+    val grams = probeGrams(docs)
+    val evalG = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(evalG, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        expr(s"${TextDedup.h60(133, "CAST(doc_id AS STRING)")} % 1000"))
+      .withColumn("mixture_keep", col("bucket") < keepRate(col("lang")))
+      .join(canon, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("survives", !col("is_dup") && col("quality_pass") &&
+        !col("contaminated") && col("mixture_keep"))
+      .withColumn("shard", when(col("survives"),
+        expr(s"${TextDedup.h60(134, "CAST(doc_id AS STRING)")} % 8"))
+        .otherwise(lit(null).cast("long")))
+      .select("doc_id", "lang", "n_words", "is_dup", "quality_pass",
+        "contaminated", "mixture_keep", "survives", "shard")
+      .orderBy("doc_id")
   }
 }
