@@ -191,6 +191,9 @@ object SparkEntry {
     "q131_bloom_decontam" -> ((s, d) => Corpus.q131BloomDecontam(T(s, d))),
     "q132_kmv_overlap"    -> ((s, d) => TextAnalysis.q132KmvOverlap(T(s, d))),
     "q133_corpus_pipeline" -> ((s, d) => Corpus.q133CorpusPipeline(T(s, d))),
+    // q134 is EAGER like q72/q92/q102 (streaming round-trip at
+    // construction): the HLL sketch as streaming aggregation state.
+    "q134_streaming_hll"  -> ((s, d) => streaming.Incremental.q134StreamingHll(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3124,5 +3127,56 @@ object SparkEntry {
         |JOIN quality q ON q.doc_id = m.doc_id
         |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // q134: the streaming HLL replayed as batch registers per
+    // epoch-aligned 24h bucket (q129's register arithmetic keyed by
+    // window) plus q102's append-mode flush rule (win_end ≤ max event
+    // time). The estimate takes the LINEAR-COUNTING branch at these
+    // per-day cardinalities — one deterministic ln of exact integers.
+    "q134_streaming_hll" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |d AS (
+        |  SELECT DISTINCT time_bucket(INTERVAL 24 HOUR, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00') AS win_start, user_id
+        |  FROM e),
+        |h AS (SELECT win_start,
+        |    ('0x' || substr(md5(concat(129, ':', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT AS hv
+        |  FROM d),
+        |b AS (SELECT win_start, CAST(hv % 512 AS INT) AS bucket,
+        |    hv // 512 AS wv FROM h),
+        |r AS (SELECT win_start, bucket,
+        |    CASE WHEN wv = 0 THEN 52 ELSE 52 - length(bin(wv)) END AS rho
+        |  FROM b),
+        |regs AS (SELECT win_start, bucket, max(rho) AS mj
+        |  FROM r GROUP BY 1, 2),
+        |ag AS (SELECT win_start,
+        |    CAST(512 - count(*) AS INT) AS n_zero,
+        |    CAST(sum(mj) AS BIGINT) AS sum_rho,
+        |    CAST(sum((bucket + 1) * mj) AS BIGINT) AS reg_fp,
+        |    CAST(sum(1::BIGINT << (52 - mj)) +
+        |      (512 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |nev AS (SELECT time_bucket(INTERVAL 24 HOUR, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        |  FROM e GROUP BY 1),
+        |est0 AS (SELECT ag.win_start, n_zero, sum_rho, reg_fp, z_scaled,
+        |    n_events, exact,
+        |    0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(z_scaled AS DOUBLE) AS raw_est
+        |  FROM ag JOIN nev ON nev.win_start = ag.win_start),
+        |est1 AS (SELECT win_start, n_zero, sum_rho, reg_fp, z_scaled,
+        |    n_events, exact,
+        |    round(CASE WHEN n_zero > 0 AND raw_est <= 1280.0
+        |      THEN 512.0 * ln(512.0 / CAST(n_zero AS DOUBLE))
+        |      ELSE raw_est END, 4) AS est
+        |  FROM est0)
+        |SELECT win_start, win_start + INTERVAL 24 HOUR AS win_end,
+        |  n_events, n_zero, sum_rho, reg_fp, z_scaled, est, exact,
+        |  abs(est / CAST(exact AS DOUBLE) - 1.0) <= 0.15 AS ok
+        |FROM est1
+        |WHERE win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
+        |ORDER BY win_start""".stripMargin,
   )
 }

@@ -186,6 +186,64 @@ object Incremental {
           round(col("total"), 2).as("total"))
     }.orderBy("win_start", "event_type")
 
+  /** q134 — a MERGEABLE SKETCH AS STREAMING STATE: per-day distinct-user
+    * cardinality through a real watermarked streaming aggregation whose
+    * aggregate is the engine's own `hll_distinct`
+    * (`functions/HllDistinct.scala`). This is the capstone the sketch
+    * family exists for at 100 TB: the state store holds one 512-byte
+    * register buffer per open window (a streaming `count(DISTINCT)` is
+    * impossible — Spark rejects distinct aggregates on streams, and an
+    * exact per-window user set would grow with the key universe), the
+    * buffer partial-merges across micro-batches exactly like any sum,
+    * and append mode flushes each window's summary once the watermark
+    * passes its end (q102's cutoff rule; the oracle replays it as the
+    * same filter). The exact verification column CANNOT come from the
+    * stream for the same reason — the batch readback joins a plain
+    * `count(DISTINCT)` over the identical input slice, and `ok` pins
+    * the estimate within 15%%. At ~100–150 users per day against 512
+    * registers the raw estimator's small-range bias would dominate, so
+    * these windows exercise HLL's LINEAR-COUNTING branch (n_zero > 0,
+    * raw ≤ 2.5m) — the branch q129's large shingle strata never hit;
+    * between the two queries both estimator paths are oracle-pinned. */
+  def q134StreamingHll(t: graft.Tables.T): DataFrame =
+    streamWindowHll(t.spark, t.events.filter(col("event_id") % 2 === 0)
+      .select("event_id", "ts", "user_id"))
+
+  /** The reusable round-trip — public so a spec can drive hand-built
+    * logs through the identical stage → stream → flush → readback
+    * pipeline. */
+  def streamWindowHll(spark: SparkSession, input: DataFrame): DataFrame = {
+    val streamed = RoundTrip.run(spark, "graft_q134_", Seq(input)) {
+      case Seq(stream) =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "24 hours"))
+          .agg(expr("hll_distinct(CAST(user_id AS STRING))").as("h"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"),
+            col("h.n_zero").as("n_zero"), col("h.sum_rho").as("sum_rho"),
+            col("h.reg_fp").as("reg_fp"), col("h.z_scaled").as("z_scaled"),
+            col("n_events"))
+    }
+    val exact = input
+      .groupBy(window(col("ts"), "24 hours"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(col("window.start").as("win_start"), col("exact"))
+    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
+      col("z_scaled").cast("double")
+    streamed.join(exact, Seq("win_start"))
+      .withColumn("est", round(
+        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
+          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
+          .otherwise(rawEst), 4))
+      .withColumn("ok",
+        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .select("win_start", "win_end", "n_events", "n_zero", "sum_rho",
+        "reg_fp", "z_scaled", "est", "exact", "ok")
+      .orderBy("win_start")
+  }
+
   /** q110 — the ST3 checkpointed foreachBatch upsert end-to-end as a
     * declared query (previously spec-only, the last §2.13 leg without a
     * CORRECTNESS row): TWO ingest waves through [[runFileUpsertStream]]
