@@ -124,22 +124,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("ObjectHashAggregate sort-based fallback keeps both sketch states exact") {
+  test("ObjectHashAggregate sort-based fallback keeps all four sketch states exact") {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = spark.conf.getOption(key)
     try {
       spark.conf.set(key, "2")
       val df = stream.zipWithIndex
-        .map { case (w, i) => (s"g${i % 7}", w) }.toDF("g", "w")
-      val got = df.repartition(8).groupBy("g")
-        .agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m"))
-        .collect().map(r => r.getString(0) -> (r.getStruct(1), r.getSeq[Long](2))).toMap
+        .map { case (w, i) => (s"g${i % 7}", w, (i * 2654435761L) & ((1L << 60) - 1)) }
+        .toDF("g", "w", "h")
+      val aggs = Seq(expr("hll_distinct(w)").as("hl"), expr("cms_sketch(w)").as("m"),
+        expr("bloom_bits(h)").as("bf"), expr("kmv_sketch(h, 32)").as("kmv"))
+      val got = df.repartition(8).groupBy("g").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0) ->
+          (r.getStruct(1), r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
       (0 until 7).foreach { g =>
-        val rows = stream.zipWithIndex.collect { case (w, i) if i % 7 == g => w }
-        val single = rows.toDF("w").coalesce(1)
-          .agg(expr("hll_distinct(w)").as("h"), expr("cms_sketch(w)").as("m")).head()
+        val rows = stream.zipWithIndex.collect { case (w, i) if i % 7 == g =>
+          (w, (i * 2654435761L) & ((1L << 60) - 1)) }
+        val single = rows.toDF("w", "h").coalesce(1)
+          .agg(aggs.head, aggs.tail: _*).head()
         assert(got(s"g$g")._1 == single.getStruct(0), s"hll g$g")
         assert(got(s"g$g")._2 == single.getSeq[Long](1), s"cms g$g")
+        assert(got(s"g$g")._3 == single.getSeq[Long](2), s"bloom g$g")
+        assert(got(s"g$g")._4 == single.getSeq[Long](3), s"kmv g$g")
       }
     } finally {
       prev match {
