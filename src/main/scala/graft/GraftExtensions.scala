@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, BloomBits, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, KmvSketch, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, BloomBits, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, HllMergeRegs, HllRegs, KmvSketch, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -139,6 +139,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "false negatives; mergeable (pointwise OR); state is exactly " +
         "order- and partition-independent.") { x =>
       BloomBits(x.head).toAggregateExpression()
+    }
+    inject(e, "hll_regs", 1, classOf[HllRegs],
+      usage = "hll_regs(expr) - the hll_distinct register file RAW as " +
+        "array<int> (512 ranks), for persisting fine-grain sketches that " +
+        "hll_merge_regs re-aggregates to coarser grains without a second " +
+        "pass over raw data.") { x =>
+      HllRegs(x.head).toAggregateExpression()
+    }
+    inject(e, "hll_merge_regs", 1, classOf[HllMergeRegs],
+      usage = "hll_merge_regs(regs) - second-stage merge of hll_regs " +
+        "arrays by pointwise max; exactly the register file a direct " +
+        "sketch of the union would produce (max is idempotent, so " +
+        "overlapping grains re-merge exactly).") { x =>
+      HllMergeRegs(x.head).toAggregateExpression()
     }
     inject(e, "kmv_sketch", 2, classOf[KmvSketch],
       usage = "kmv_sketch(h, k) - K-Minimum-Values distinct sketch over a " +

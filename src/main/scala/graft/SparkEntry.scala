@@ -194,6 +194,7 @@ object SparkEntry {
     // q134 is EAGER like q72/q92/q102 (streaming round-trip at
     // construction): the HLL sketch as streaming aggregation state.
     "q134_streaming_hll"  -> ((s, d) => streaming.Incremental.q134StreamingHll(T(s, d))),
+    "q135_hll_rollup"     -> ((s, d) => Monitoring.q135HllRollup(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3178,5 +3179,73 @@ object SparkEntry {
         |FROM est1
         |WHERE win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
         |ORDER BY win_start""".stripMargin,
+    // q135: the rollup identity replayed semantically — per-(type, day)
+    // registers max-merged across days vs the direct per-type registers
+    // are the SAME group-by restated (max is associative), so the
+    // equality is computed from both CTEs rather than assumed; registers,
+    // fingerprints, and the linear-counting estimate replay q129/q134's
+    // exact-integer arithmetic keyed by event_type.
+    "q135_hll_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    concat(CAST(user_id AS VARCHAR), ':',
+        |      CAST(CAST(ts AS DATE) AS VARCHAR)) AS u,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |nd AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT)
+        |    AS n_days FROM e GROUP BY 1),
+        |ddu AS (SELECT DISTINCT event_type, day, u FROM e),
+        |hd AS (SELECT event_type, day,
+        |    ('0x' || substr(md5(concat(129, ':', u)), 1, 15))::BIGINT AS hv
+        |  FROM ddu),
+        |rd AS (SELECT event_type, day, CAST(hv % 512 AS INT) AS bucket,
+        |    CASE WHEN hv // 512 = 0 THEN 52
+        |      ELSE 52 - length(bin(hv // 512)) END AS rho
+        |  FROM hd),
+        |rday AS (SELECT event_type, day, bucket, max(rho) AS mj
+        |  FROM rd GROUP BY 1, 2, 3),
+        |rmerged AS (SELECT event_type, bucket, max(mj) AS mj
+        |  FROM rday GROUP BY 1, 2),
+        |du AS (SELECT DISTINCT event_type, u FROM e),
+        |hq AS (SELECT event_type,
+        |    ('0x' || substr(md5(concat(129, ':', u)), 1, 15))::BIGINT AS hv
+        |  FROM du),
+        |rq AS (SELECT event_type, CAST(hv % 512 AS INT) AS bucket,
+        |    CASE WHEN hv // 512 = 0 THEN 52
+        |      ELSE 52 - length(bin(hv // 512)) END AS rho
+        |  FROM hq),
+        |rdirect AS (SELECT event_type, bucket, max(rho) AS mj
+        |  FROM rq GROUP BY 1, 2),
+        |cmp AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    count(*) FILTER (coalesce(a.mj, 0) <> coalesce(b.mj, 0)) AS ndiff
+        |  FROM rmerged a FULL JOIN rdirect b
+        |    ON a.event_type = b.event_type AND a.bucket = b.bucket
+        |  GROUP BY 1),
+        |ag AS (SELECT event_type,
+        |    CAST(512 - count(*) AS INT) AS n_zero,
+        |    CAST(sum(mj) AS BIGINT) AS sum_rho,
+        |    CAST(sum((bucket + 1) * mj) AS BIGINT) AS reg_fp,
+        |    CAST(sum(1::BIGINT << (52 - mj)) +
+        |      (512 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS z_scaled
+        |  FROM rmerged GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT u) AS BIGINT) AS exact
+        |  FROM e GROUP BY 1),
+        |est0 AS (SELECT ag.event_type, n_zero, sum_rho, reg_fp, z_scaled,
+        |    exact,
+        |    0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(z_scaled AS DOUBLE) AS raw_est
+        |  FROM ag JOIN ex ON ex.event_type = ag.event_type),
+        |est1 AS (SELECT event_type, n_zero, sum_rho, reg_fp, z_scaled,
+        |    exact,
+        |    round(CASE WHEN n_zero > 0 AND raw_est <= 1280.0
+        |      THEN 512.0 * ln(512.0 / CAST(n_zero AS DOUBLE))
+        |      ELSE raw_est END, 4) AS est
+        |  FROM est0)
+        |SELECT f.event_type, nd.n_days, c.ndiff = 0 AS merge_matches_direct,
+        |  f.n_zero, f.sum_rho, f.reg_fp, f.z_scaled, f.est, f.exact,
+        |  abs(f.est / CAST(f.exact AS DOUBLE) - 1.0) <= 0.15 AS ok
+        |FROM est1 f
+        |JOIN nd ON nd.event_type = f.event_type
+        |JOIN cmp c ON c.event_type = f.event_type
+        |ORDER BY f.event_type""".stripMargin,
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -46,6 +47,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * universe. Re-expresses the reference's status-rollup distinct tallies
   * (study_scraper/status.py:80-222) at sketch scale.
   */
+private[functions] object HllCore {
+  val m = 512
+
+  /** One value into the register file: bucket = h % 512, rank =
+    * nlz64(h / 512) − 12 ∈ [1, 52], keep the max. */
+  def add(buf: Array[Byte], s: String): Unit = {
+    val h = Shingles.h60(129, s)
+    val bucket = (h % m).toInt
+    val rho = java.lang.Long.numberOfLeadingZeros(h / m) - 12
+    if (rho > buf(bucket)) buf(bucket) = rho.toByte
+  }
+
+  def mergeMax(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) {
+      if (other(j) > buf(j)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+}
+
 case class HllDistinct(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -71,24 +94,12 @@ case class HllDistinct(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input).asInstanceOf[UTF8String]
-    if (v != null) {
-      val h = Shingles.h60(129, v.toString)
-      val bucket = (h % m).toInt
-      val w = h / m
-      val rho = java.lang.Long.numberOfLeadingZeros(w) - 12
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
+    if (v != null) HllCore.add(buf, v.toString)
     buf
   }
 
-  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
-    var j = 0
-    while (j < m) {
-      if (other(j) > buf(j)) buf(j) = other(j)
-      j += 1
-    }
-    buf
-  }
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    HllCore.mergeMax(buf, other)
 
   override def eval(buf: Array[Byte]): Any = {
     var nZero = 0
@@ -117,4 +128,112 @@ case class HllDistinct(
   override protected def withNewChildInternal(newChild: Expression): HllDistinct =
     copy(child = newChild)
   override def prettyName: String = "hll_distinct"
+}
+
+/** `hll_regs(expr)` — the same HLL register file as `hll_distinct`, but
+  * emitted RAW (`array<int>`, 512 ranks) instead of summarized. The raw
+  * form is what makes the sketch a WAREHOUSE PRIMITIVE rather than a
+  * one-shot estimate: a fine-grain run (per day, per source) persists
+  * its register arrays once, and any coarser grain is re-aggregated
+  * later from the arrays alone via [[HllMergeRegs]] — no second pass
+  * over raw data, the q135 rollup contract. Summaries (n_zero,
+  * z_scaled, the estimate) are higher-order array functions over the
+  * output, kept in the query so the oracle mirrors them. */
+case class HllRegs(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"hll_regs requires a string column, got ${child.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllCore.m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input).asInstanceOf[UTF8String]
+    if (v != null) HllCore.add(buf, v.toString)
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    HllCore.mergeMax(buf, other)
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt: Any))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegs =
+    copy(child = newChild)
+  override def prettyName: String = "hll_regs"
+}
+
+/** `hll_merge_regs(regs)` — SECOND-STAGE aggregation over persisted
+  * [[HllRegs]] arrays: pointwise max across rows, yielding exactly the
+  * register file a direct sketch of the union would produce (max is
+  * associative/commutative/idempotent, so any merge tree — including
+  * re-merging overlapping grains — is exact). This is the re-aggregation
+  * half of the q135 rollup contract; the q135 query pins
+  * merge(fine grains) ≡ direct(union) register-for-register. */
+case class HllMergeRegs(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_merge_regs requires array<int> registers, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](HllCore.m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == HllCore.m,
+        s"hll_merge_regs expects ${HllCore.m} registers, got ${arr.numElements()}")
+      var j = 0
+      while (j < HllCore.m) {
+        val r = arr.getInt(j)
+        if (r > buf(j)) buf(j) = r.toByte
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    HllCore.mergeMax(buf, other)
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt: Any))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeRegs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeRegs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeRegs =
+    copy(child = newChild)
+  override def prettyName: String = "hll_merge_regs"
 }

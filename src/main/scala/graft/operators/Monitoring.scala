@@ -381,4 +381,61 @@ object Monitoring {
     }
     sb.toString
   }
+
+  /** q135 — the HLL ROLLUP CUBE: fine-grain register sketches persisted
+    * once, re-aggregated to any coarser grain without touching raw data
+    * — the sketch-as-warehouse-primitive pattern that makes A12's
+    * distinct rollups (status.py:80-222) viable at 100 TB. Per
+    * (event_type, day) the RAW register file (`hll_regs`) is built in
+    * one pass; the per-type total is then `hll_merge_regs` over those
+    * 30 arrays ALONE — pointwise max, associative and idempotent, so
+    * any merge tree (re-merging overlapping grains included) is exact.
+    * The query pins the whole contract:
+    * `merge_matches_direct` compares the rolled-up register file
+    * register-for-register against a direct sketch of the same rows
+    * (must be TRUE — the algebraic identity the pattern rests on), the
+    * register summary/estimate are HOFs over the merged array (mirrored
+    * by the oracle from the same md5 arithmetic), and the exact
+    * count(DISTINCT) beside it is the verification column and the
+    * deleted cost. At ~150 users per type the estimate takes the
+    * linear-counting branch, q134's regime. */
+  def q135HllRollup(t: graft.Tables.T): DataFrame = {
+    // The sketched key is the ACTIVE USER-DAY (user:day) — the
+    // DAU-style metric whose per-type cardinality genuinely varies on
+    // this corpus (plain distinct users per type is the full 150-user
+    // universe for every type — a degenerate identical-rows demo).
+    val e = t.events.select(col("event_type"),
+      concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string")).as("u"),
+      to_date(col("ts")).as("day"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(expr("hll_regs(u)").as("regs"))
+    val rolled = daily.groupBy("event_type")
+      .agg(expr("hll_merge_regs(regs)").as("mr"), count(lit(1)).as("n_days"))
+    val direct = e.groupBy("event_type")
+      .agg(expr("hll_regs(u)").as("dr"), countDistinct(col("u")).as("exact"))
+    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
+      col("z_scaled").cast("double")
+    rolled.join(direct, Seq("event_type"))
+      .withColumn("merge_matches_direct", col("mr") === col("dr"))
+      .withColumn("n_zero", expr("size(filter(mr, x -> x = 0))"))
+      .withColumn("sum_rho",
+        expr("aggregate(mr, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("reg_fp", expr(
+        "aggregate(zip_with(mr, sequence(1, 512), " +
+          "(x, j) -> CAST(j AS BIGINT) * x), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("z_scaled", expr(
+        "aggregate(mr, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + shiftleft(CAST(1 AS BIGINT), 52 - x))"))
+      .withColumn("est", round(
+        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
+          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
+          .otherwise(rawEst), 4))
+      .withColumn("ok",
+        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .select("event_type", "n_days", "merge_matches_direct", "n_zero",
+        "sum_rho", "reg_fp", "z_scaled", "est", "exact", "ok")
+      .smallSort("event_type")
+  }
 }

@@ -162,6 +162,41 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --- hll_regs / hll_merge_regs (the q135 rollup pair) ---
+
+  test("hll_regs emits the raw register model; hll_merge_regs over any " +
+    "grouping reproduces the direct sketch exactly") {
+    val expected = hllRegisters(words).toSeq
+    val direct = stream.toDF("w").repartition(8)
+      .agg(expr("hll_regs(w)")).head().getSeq[Int](0)
+    assert(direct == expected)
+    // split the stream into 5 arbitrary fine grains, sketch each, then
+    // re-aggregate the ARRAYS alone — must equal the direct registers
+    val fine = stream.zipWithIndex.map { case (w, i) => (s"d${i % 5}", w) }
+      .toDF("g", "w").repartition(8)
+      .groupBy("g").agg(expr("hll_regs(w)").as("regs"))
+    val merged = fine.agg(expr("hll_merge_regs(regs)")).head().getSeq[Int](0)
+    assert(merged == expected)
+    // idempotence: re-merging an overlapping grain changes nothing
+    val overlapped = fine.unionByName(fine.limit(2))
+      .agg(expr("hll_merge_regs(regs)")).head().getSeq[Int](0)
+    assert(overlapped == expected)
+  }
+
+  test("hll_distinct summary is derivable from hll_regs output") {
+    val row = stream.toDF("w")
+      .agg(expr("hll_distinct(w)").as("h"), expr("hll_regs(w)").as("r"))
+      .selectExpr("h.n_zero", "h.sum_rho", "h.z_scaled",
+        "size(filter(r, x -> x = 0)) AS nz",
+        "aggregate(r, CAST(0 AS BIGINT), (a, x) -> a + x) AS sr",
+        "aggregate(r, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + shiftleft(CAST(1 AS BIGINT), 52 - x)) AS z")
+      .head()
+    assert(row.getInt(0) == row.getInt(3))
+    assert(row.getLong(1) == row.getLong(4))
+    assert(row.getLong(2) == row.getLong(5))
+  }
+
   // --- kmv_sketch ---
 
   private val kmvHashes: Seq[Long] =
