@@ -554,9 +554,9 @@ object Corpus {
     * one of the eight Gopher stopwords, so r_stop rejects EVERY document
     * and the composed pipeline would be a zero-survivor degenerate —
     * the word-count rule is the discriminating one here, passing ~55%%),
-    * eval-set decontamination (q79's exact
-    * 7-gram leg — q131's bloom is the at-scale pre-filter for the same
-    * decision), stratified mixture sampling (q75's replayable ppm-hash
+    * eval-set decontamination (q131's bloom pre-filter RUN FOR REAL in
+    * front of q79's exact 7-gram join — see the stage comment),
+    * stratified mixture sampling (q75's replayable ppm-hash
     * device, seed 133), and hash shard assignment for the survivors.
     * One row per TRAIN doc with every stage's verdict pinned — the
     * audit log a corpus build ships with its output, so attrition at
@@ -582,7 +582,22 @@ object Corpus {
           .as("quality_pass"))
     val grams = probeGrams(docs)
     val evalG = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    // The contamination stage runs q131's bloom pre-filter FOR REAL:
+    // only grams whose three probed bits are set reach the exact
+    // equi-join. Semantics-neutral by the no-false-negative contract
+    // (BloomSpec/q131 pin it), so the oracle replays the plain join —
+    // what the pre-filter buys is the PLAN: the shuffled side shrinks
+    // from every train gram to the ~fill³ candidate sliver (~98% cut
+    // at sf0.1), which is the 100 TB deployment shape.
+    val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
+    val candidate = (0 until 3).map { i =>
+      val bp = s"((gram DIV ${1L << (14 * i)}) % 16384)"
+      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
+        s"CAST($bp % 64 AS INT)) & 1) = 1)"
+    }.mkString("(", " AND ", ")")
     val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .filter(expr(candidate))
       .join(evalG, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
