@@ -65,15 +65,23 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("partitioned sorted write prunes partitions at read") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
-    val dir = Files.createTempDirectory("graft-partwrite").toString + "/orders"
-    ScaleTechniques.writePartitionedSorted(
-      t.orders.withColumn("o_month", date_format(col("o_orderdate"), "yyyyMM")),
-      dir, "o_month", Seq("o_orderkey"))
-    val pruned = spark.read.parquet(dir).filter(col("o_month") === "199506")
-    val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters: [isnotnull(o_month"),
-      "partition filter must reach the scan")
-    assert(pruned.count() ==
-      t.orders.filter(date_format(col("o_orderdate"), "yyyyMM") === "199506").count())
+    val base = Files.createTempDirectory("graft-partwrite")
+    try {
+      val dir = base.toString + "/orders"
+      ScaleTechniques.writePartitionedSorted(
+        t.orders.withColumn("o_month", date_format(col("o_orderdate"), "yyyyMM")),
+        dir, "o_month", Seq("o_orderkey"))
+      val pruned = spark.read.parquet(dir).filter(col("o_month") === "199506")
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(o_month"),
+        "partition filter must reach the scan")
+      assert(pruned.count() ==
+        t.orders.filter(date_format(col("o_orderdate"), "yyyyMM") === "199506").count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+    }
   }
 }

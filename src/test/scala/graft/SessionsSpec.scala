@@ -99,6 +99,7 @@ class SessionsSpec extends SparkSpec {
 
   test("session_window: the same query shape runs as a streaming aggregation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sesswin").toString
+    try {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/e.json"),
       """{"user_id":1,"event_id":1,"ts":"2024-01-01T00:00:00.000Z","event_type":"view","value":1.0}
         |{"user_id":1,"event_id":2,"ts":"2024-01-01T02:00:00.000Z","event_type":"view","value":2.0}
@@ -123,6 +124,12 @@ class SessionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toList
     assert(streamed == batch)
     assert(streamed.map(x => (x._1, x._3)) == List((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("streaming sessions: append mode withholds the session still inside the watermark") {

@@ -10,8 +10,24 @@ import java.nio.file.Files
 class SourcesStreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // every dir this suite creates is deleted in afterAll — a bare
+  // createTempDirectory leaked one 36K tree per suite run
+  private val created = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  private def tmp(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix).toFile
+    created += dir
+    dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    created.foreach(rm)
+    super.afterAll()
+  }
 
   test("csv export joins arrays with | and writes a manifest") {
     val dir = tmp("graft-export")
