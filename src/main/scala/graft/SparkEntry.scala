@@ -195,6 +195,7 @@ object SparkEntry {
     // construction): the HLL sketch as streaming aggregation state.
     "q134_streaming_hll"  -> ((s, d) => streaming.Incremental.q134StreamingHll(T(s, d))),
     "q135_hll_rollup"     -> ((s, d) => Monitoring.q135HllRollup(T(s, d))),
+    "q136_corpus_profile" -> ((s, d) => TextAnalysis.q136CorpusProfile(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3247,5 +3248,63 @@ object SparkEntry {
         |JOIN nd ON nd.event_type = f.event_type
         |JOIN cmp c ON c.event_type = f.event_type
         |ORDER BY f.event_type""".stripMargin,
+    // q136: the profile replayed component by component — small exact
+    // aggregates directly, the SpaceSaving top tokens as ranked plain
+    // counts (exact because per-source vocabulary ≤ k, tie-break
+    // (count DESC, item ASC)), and the HLL bigram ndv from the q129
+    // register arithmetic keyed by source.
+    "q136_corpus_profile" ->
+      """WITH t0 AS (
+        |  SELECT source, lang, n_chars, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |  FROM t0 GROUP BY 1),
+        |w AS (SELECT source, unnest(ws) AS w FROM t0),
+        |wc AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |tt AS (SELECT source, w, c, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, w ASC) AS rn FROM wc),
+        |top1 AS (SELECT source, w AS top_token,
+        |    CAST(c AS BIGINT) AS top_token_cnt FROM tt WHERE rn = 1),
+        |top2 AS (SELECT source, w AS second_token FROM tt WHERE rn = 2),
+        |b0 AS (SELECT source, unnest(list_zip(ws[1:len(ws)-1],
+        |    ws[2:len(ws)])) AS z FROM t0 WHERE len(ws) >= 2),
+        |bgd AS (SELECT DISTINCT source, z[1] || ' ' || z[2] AS b FROM b0),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5(concat(129, ':', b)), 1, 15))::BIGINT AS hv
+        |  FROM bgd),
+        |r AS (SELECT source, CAST(hv % 512 AS INT) AS bucket,
+        |    CASE WHEN hv // 512 = 0 THEN 52
+        |      ELSE 52 - length(bin(hv // 512)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |ag AS (SELECT source,
+        |    CAST(512 - count(*) AS INT) AS n_zero,
+        |    CAST(sum(1::BIGINT << (52 - mj)) +
+        |      (512 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS ndv_exact
+        |  FROM bgd GROUP BY 1),
+        |est0 AS (SELECT ag.source, n_zero, z_scaled, ndv_exact,
+        |    0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0 *
+        |      4503599627370496.0 / CAST(z_scaled AS DOUBLE) AS raw_est
+        |  FROM ag JOIN ex ON ex.source = ag.source),
+        |est1 AS (SELECT source, ndv_exact,
+        |    round(CASE WHEN n_zero > 0 AND raw_est <= 1280.0
+        |      THEN 512.0 * ln(512.0 / CAST(n_zero AS DOUBLE))
+        |      ELSE raw_est END, 4) AS ndv_est
+        |  FROM est0)
+        |SELECT ds.source, ds.n_docs, ds.n_langs, ds.n_tokens,
+        |  ds.n_chars_total, top1.top_token, top1.top_token_cnt,
+        |  top2.second_token, e.ndv_est, e.ndv_exact,
+        |  abs(e.ndv_est / CAST(e.ndv_exact AS DOUBLE) - 1.0) <= 0.15 AS ok_ndv
+        |FROM ds
+        |JOIN top1 ON top1.source = ds.source
+        |JOIN top2 ON top2.source = ds.source
+        |JOIN est1 e ON e.source = ds.source
+        |ORDER BY ds.source""".stripMargin,
   )
 }

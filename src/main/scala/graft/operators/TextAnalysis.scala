@@ -663,6 +663,58 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** q136 — the per-source CORPUS PROFILE: the one-pass report a
+    * pipeline runs on every new crawl slice before admitting it, with
+    * every unbounded-state statistic served by a bounded sketch —
+    * distinct-bigram vocabulary via `hll_distinct` (the exact
+    * `count(DISTINCT)` beside it is the verification column and the
+    * deleted cost), dominant tokens via the SpaceSaving
+    * `heavy_hitters` (EXACT here — per-source vocabulary ≤ k = 64, so
+    * err = 0 and the oracle replays it as plain ranked counts), plus
+    * the small exact aggregates (docs, tokens, chars, languages). One
+    * shuffle on the group key carries only fixed-size buffers; at
+    * 100 TB this is the profile job's entire memory story. Extends
+    * the reference's per-source status tallies
+    * (study_scraper/status.py:80-222) with cardinality/frequency
+    * columns an exact plan could not afford at scale. */
+  def q136CorpusProfile(t: T): DataFrame = corpusProfile(t.documents)
+
+  def corpusProfile(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("source"), col("lang"), col("n_chars"),
+      TextDedup.tokens(col("text")).as("ws"))
+    val docStats = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(expr("size(ws)")).as("n_tokens"),
+      sum("n_chars").as("n_chars_total"))
+    val topTok = base.select(col("source"), explode(col("ws")).as("w"))
+      .groupBy("source").agg(expr("heavy_hitters(w, 64)").as("hh"))
+      .select(col("source"),
+        col("hh").getItem(0).getField("item").as("top_token"),
+        col("hh").getItem(0).getField("count").as("top_token_cnt"),
+        col("hh").getItem(1).getField("item").as("second_token"))
+    val ndv = base.filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1]))")).as("b"))
+      .groupBy("source").agg(
+        expr("hll_distinct(b)").as("h"), countDistinct(col("b")).as("ndv_exact"))
+    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
+      col("h.z_scaled").cast("double")
+    docStats.join(topTok, Seq("source")).join(ndv, Seq("source"))
+      .withColumn("ndv_est", round(
+        when(col("h.n_zero") > 0 && rawEst <= lit(1280.0),
+          lit(512.0) * log(lit(512.0) / col("h.n_zero").cast("double")))
+          .otherwise(rawEst), 4))
+      .withColumn("ok_ndv",
+        abs(col("ndv_est") / col("ndv_exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .select("source", "n_docs", "n_langs", "n_tokens", "n_chars_total",
+        "top_token", "top_token_cnt", "second_token", "ndv_est", "ndv_exact",
+        "ok_ndv")
+      .orderBy("source")
+  }
+
   /** q132 — cross-stratum distinct-set OVERLAP via the native KMV
     * (bottom-k) sketch (`functions/KmvSketch.scala`): per-language
     * word-3-shingle vocabularies collapse to 256 retained hash values,

@@ -197,6 +197,29 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(2) == row.getLong(5))
   }
 
+  test("q136 profile composition: exact columns and top-token ranks on " +
+    "a hand corpus") {
+    val docs = Seq(
+      ("sa", "en", "b b b a a c", 11L),
+      ("sa", "de", "a a b", 5L),
+      ("sb", "en", "z y", 3L)
+    ).toDF("source", "lang", "text", "n_chars")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val got = operators.TextAnalysis.corpusProfile(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sa = got("sa")
+    assert(sa.getLong(1) == 2L && sa.getLong(2) == 2L)   // n_docs, n_langs
+    assert(sa.getLong(3) == 9L && sa.getLong(4) == 16L)  // n_tokens, chars
+    // counts: a=4, b=4 -> tie broken item ASC: top=a, second=b
+    assert(sa.getString(5) == "a" && sa.getLong(6) == 4L)
+    assert(sa.getString(7) == "b")
+    // bigrams: doc1 {bb, ba, aa, ac} + doc2 {aa, ab} -> 5 distinct
+    assert(sa.getLong(9) == 5L)
+    assert(sa.getBoolean(10))
+    val sb = got("sb")
+    assert(sb.getLong(1) == 1L && sb.getString(5) == "y") // ties: y < z
+  }
+
   // --- kmv_sketch ---
 
   private val kmvHashes: Seq[Long] =
