@@ -2528,7 +2528,7 @@ object SparkEntry {
         |SELECT CAST(event_id AS VARCHAR) AS event_id, ts, tags,
         |  (SELECT count(*) FROM exp) AS manifest_rows,
         |  CAST(3 AS BIGINT) AS manifest_columns
-        |FROM exp ORDER BY event_id""".stripMargin,
+        |FROM exp ORDER BY CAST(event_id AS BIGINT)""".stripMargin,
     // q115: header once + the data lines IS the chunk-merge semantics.
     "q115_csv_chunks" ->
       """SELECT 'id;n_chars' AS line
@@ -3303,7 +3303,7 @@ object SparkEntry {
         |  abs(e.ndv_est / CAST(e.ndv_exact AS DOUBLE) - 1.0) <= 0.15 AS ok_ndv
         |FROM ds
         |JOIN top1 ON top1.source = ds.source
-        |JOIN top2 ON top2.source = ds.source
+        |LEFT JOIN top2 ON top2.source = ds.source
         |JOIN est1 e ON e.source = ds.source
         |ORDER BY ds.source""".stripMargin,
   )

@@ -240,6 +240,22 @@ object Corpus {
     * scale; ~(fill)^3 of each doc's grams at the measured ~10-35%%
     * fill). The 1-row broadcast crossJoin is the q16/q83 allowlisted
     * scalar-broadcast pattern. */
+  /** The READ side of `bloom_bits`' geometry (m = 16384 bits, k = 3
+    * disjoint 14-bit fields of the 60-bit hash —
+    * `functions/BloomBits.scala:15-28`): a SQL predicate testing column
+    * `gram` against a broadcast `bf` bit-array column with three
+    * shift-and-mask probes. ONE definition shared by q131 (the audit
+    * that pins no-false-negatives) and q133 (the wired-in pre-filter):
+    * the r12 review flagged the verbatim duplicate — a geometry change
+    * applied to one site but not the other would silently desynchronize
+    * candidacy and make q133 drop true contamination hits. */
+  private def bloomCandidateSql: String =
+    (0 until 3).map { i =>
+      val bp = s"((gram DIV ${1L << (14 * i)}) % 16384)"
+      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
+        s"CAST($bp % 64 AS INT)) & 1) = 1)"
+    }.mkString("(", " AND ", ")")
+
   def q131BloomDecontam(t: T): DataFrame = {
     val grams = probeGrams(t.documents)
     val evalG = grams.filter(col("doc_id") % 97 === 0)
@@ -249,13 +265,8 @@ object Corpus {
     val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
       .withColumn("n_set_bits", expr(
         "aggregate(transform(bf, x -> bit_count(x)), 0, (a, x) -> a + x)"))
-    val candidate = (0 until 3).map { i =>
-      val bp = s"((gram DIV ${1L << (14 * i)}) % 16384)"
-      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
-        s"CAST($bp % 64 AS INT)) & 1) = 1)"
-    }.mkString("(", " AND ", ")")
     trainG.crossJoin(broadcast(bloom))
-      .withColumn("candidate", expr(candidate))
+      .withColumn("candidate", expr(bloomCandidateSql))
       .join(evalG.withColumn("in_eval", lit(true)), Seq("gram"), "left")
       .groupBy("train_doc")
       .agg(count(lit(1)).as("n_grams"),
@@ -590,14 +601,9 @@ object Corpus {
     // from every train gram to the ~fill³ candidate sliver (~98% cut
     // at sf0.1), which is the 100 TB deployment shape.
     val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
-    val candidate = (0 until 3).map { i =>
-      val bp = s"((gram DIV ${1L << (14 * i)}) % 16384)"
-      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
-        s"CAST($bp % 64 AS INT)) & 1) = 1)"
-    }.mkString("(", " AND ", ")")
     val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
       .crossJoin(broadcast(bloom))
-      .filter(expr(candidate))
+      .filter(expr(bloomCandidateSql))
       .join(evalG, Seq("gram"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))

@@ -414,9 +414,6 @@ object Monitoring {
       .agg(expr("hll_merge_regs(regs)").as("mr"), count(lit(1)).as("n_days"))
     val direct = e.groupBy("event_type")
       .agg(expr("hll_regs(u)").as("dr"), countDistinct(col("u")).as("exact"))
-    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
-      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
-      col("z_scaled").cast("double")
     rolled.join(direct, Seq("event_type"))
       .withColumn("merge_matches_direct", col("mr") === col("dr"))
       .withColumn("n_zero", expr("size(filter(mr, x -> x = 0))"))
@@ -428,12 +425,8 @@ object Monitoring {
       .withColumn("z_scaled", expr(
         "aggregate(mr, CAST(0 AS BIGINT), " +
           "(a, x) -> a + shiftleft(CAST(1 AS BIGINT), 52 - x))"))
-      .withColumn("est", round(
-        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
-          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
-          .otherwise(rawEst), 4))
-      .withColumn("ok",
-        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .withColumn("est", HllEstimate.estimate(col("n_zero"), col("z_scaled")))
+      .withColumn("ok", HllEstimate.okBound(col("est"), col("exact")))
       .select("event_type", "n_days", "merge_matches_direct", "n_zero",
         "sum_rho", "reg_fp", "z_scaled", "est", "exact", "ok")
       .smallSort("event_type")

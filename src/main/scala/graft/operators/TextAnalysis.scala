@@ -602,21 +602,14 @@ object TextAnalysis {
       .select(col("lang"), explode(expr(
         "transform(sequence(0, size(ws) - 3), " +
           "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))")).as("w"))
-    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
-      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
-      col("z_scaled").cast("double")
     toks.groupBy("lang")
       .agg(expr("hll_distinct(w)").as("h"), countDistinct(col("w")).as("exact"))
       .select(col("lang"), lit(512).as("m"),
         col("h.n_zero").as("n_zero"), col("h.sum_rho").as("sum_rho"),
         col("h.reg_fp").as("reg_fp"), col("h.z_scaled").as("z_scaled"),
         col("exact"))
-      .withColumn("est", round(
-        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
-          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
-          .otherwise(rawEst), 4))
-      .withColumn("ok",
-        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .withColumn("est", HllEstimate.estimate(col("n_zero"), col("z_scaled")))
+      .withColumn("ok", HllEstimate.okBound(col("est"), col("exact")))
       .select("lang", "m", "n_zero", "sum_rho", "reg_fp", "z_scaled", "est",
         "exact", "ok")
       .orderBy("lang")
@@ -699,16 +692,10 @@ object TextAnalysis {
           "i -> concat_ws(' ', ws[i], ws[i + 1]))")).as("b"))
       .groupBy("source").agg(
         expr("hll_distinct(b)").as("h"), countDistinct(col("b")).as("ndv_exact"))
-    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
-      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
-      col("h.z_scaled").cast("double")
     docStats.join(topTok, Seq("source")).join(ndv, Seq("source"))
-      .withColumn("ndv_est", round(
-        when(col("h.n_zero") > 0 && rawEst <= lit(1280.0),
-          lit(512.0) * log(lit(512.0) / col("h.n_zero").cast("double")))
-          .otherwise(rawEst), 4))
-      .withColumn("ok_ndv",
-        abs(col("ndv_est") / col("ndv_exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .withColumn("ndv_est",
+        HllEstimate.estimate(col("h.n_zero"), col("h.z_scaled")))
+      .withColumn("ok_ndv", HllEstimate.okBound(col("ndv_est"), col("ndv_exact")))
       .select("source", "n_docs", "n_langs", "n_tokens", "n_chars_total",
         "top_token", "top_token_cnt", "second_token", "ndv_est", "ndv_exact",
         "ok_ndv")

@@ -30,9 +30,9 @@ import org.apache.spark.sql.types._
   * ⌊p/k⌋ ∈ {⌊lo/k⌋, ⌊lo/k⌋+1}. The point side is never exploded and the
   * two interval bins are distinct, so every pair surfaces exactly once —
   * no dedup pass, multiplicity is the naive join's by construction.
-  * Floor division is exact for ALL inputs (negatives included): it is
-  * built as `(x − pmod(x, k)) div k` — pure integral arithmetic, no
-  * double rounding.
+  * Floor division is exact for ALL inputs (negatives included): pure
+  * integral truncating-divide with a remainder-sign correction — no
+  * double rounding, no overflow anywhere in the Long domain.
   *
   * Matched shapes: conjuncts `p ≥/> lo` and `p ≤/< hi` over the same
   * point expression, where hi is `date_add(lo, k)` (DateType p, k days),
@@ -143,9 +143,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => throw new IllegalStateException(s"unexpected range type $other")
   }
 
-  /** Exact ⌊x/k⌋ over longs: (x − pmod(x, k)) div k. */
-  private def floorBucket(x: Expression, k: Long): Expression =
-    IntegralDivide(Subtract(x, Pmod(x, Literal(k))), Literal(k))
+  /** Exact ⌊x/k⌋ over longs, overflow-free for the full Long range:
+    * truncating `x div k` corrected down by one when the remainder is
+    * negative (Math.floorDiv's identity, k ≥ 1 here). The tempting
+    * `(x − pmod(x, k)) div k` wraps for x within k of Long.MinValue —
+    * the subtraction underflows before the divide — silently mis-binning
+    * those points (or throwing under ANSI mode). div/rem themselves
+    * cannot overflow for positive k, and the −1 correction only fires
+    * when r < 0, which requires k ≥ 2 and |q| ≤ MaxValue/2. */
+  private def floorBucket(x: Expression, k: Long): Expression = {
+    val q = IntegralDivide(x, Literal(k))
+    val r = Remainder(x, Literal(k))
+    Subtract(q, If(LessThan(r, Literal(0L)), Literal(1L), Literal(0L)))
+  }
 
   private def lowers(conjuncts: Seq[Expression]): Seq[(Expression, Expression)] =
     conjuncts.collect { case Lower(p, lo) => (p, lo) }
@@ -166,7 +176,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // breaking existing checkpoints). This rule exists for the
         // range-ONLY joins stock Spark can only plan as products.
         val hasEqui = conjuncts.exists {
-          case EqualTo(a, b) =>
+          case Equality(a, b) => // EqualTo and EqualNullSafe both plan as equi-keys
             (onlyIn(a, left) && onlyIn(b, right)) ||
             (onlyIn(b, left) && onlyIn(a, right))
           case _ => false

@@ -229,16 +229,11 @@ object Incremental {
       .groupBy(window(col("ts"), "24 hours"))
       .agg(countDistinct(col("user_id")).as("exact"))
       .select(col("window.start").as("win_start"), col("exact"))
-    val rawEst = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
-      lit(512.0) * lit(512.0) * lit(4503599627370496.0) /
-      col("z_scaled").cast("double")
     streamed.join(exact, Seq("win_start"))
-      .withColumn("est", round(
-        when(col("n_zero") > 0 && rawEst <= lit(1280.0),
-          lit(512.0) * log(lit(512.0) / col("n_zero").cast("double")))
-          .otherwise(rawEst), 4))
-      .withColumn("ok",
-        abs(col("est") / col("exact").cast("double") - lit(1.0)) <= lit(0.15))
+      .withColumn("est", graft.operators.HllEstimate.estimate(
+        col("n_zero"), col("z_scaled")))
+      .withColumn("ok", graft.operators.HllEstimate.okBound(
+        col("est"), col("exact")))
       .select("win_start", "win_end", "n_events", "n_zero", "sum_rho",
         "reg_fp", "z_scaled", "est", "exact", "ok")
       .orderBy("win_start")

@@ -105,6 +105,7 @@ class HeavyHittersSpec extends SparkSpec {
     // against batch-1's sketch deserialized from the state store
     val dir = java.nio.file.Files.createTempDirectory("graft-hh-stream").toString
     val schema = StructType(Seq(StructField("g", StringType), StructField("w", StringType)))
+    try {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
       """{"g":"x","w":"a"}
         |{"g":"x","w":"a"}
@@ -124,9 +125,11 @@ class HeavyHittersSpec extends SparkSpec {
           (r.getString(0), e.getString(0), e.getLong(1), e.getLong(2)))
       }.toSet
     assert(got == Set(("x", "a", 3L, 0L), ("x", "b", 1L, 0L), ("y", "c", 1L, 0L)))
-    def rm(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+    } finally { // cleanup must survive assertion failures (r12 review)
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
     }
-    rm(new java.io.File(dir))
   }
 }

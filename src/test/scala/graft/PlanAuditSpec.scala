@@ -26,7 +26,12 @@ class PlanAuditSpec extends SparkSpec {
     // construction (driver-side rendering is the product's contract);
     // the aggregates beneath them are q64's (audited) and a plain
     // groupBy — covered by their oracle rows.
-    "q112_digest_markdown", "q113_gap_markdown")
+    "q112_digest_markdown", "q113_gap_markdown",
+    // eager at construction too (r12 review): q114 runs the CSV export +
+    // manifest write and q134 a full AvailableNow streaming round-trip —
+    // the returned frame is only the readback scan, nothing to audit;
+    // covered by SourcesSpec/StreamingHllSpec and their oracle rows
+    "q114_export_manifest", "q134_streaming_hll")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
@@ -44,8 +49,6 @@ class PlanAuditSpec extends SparkSpec {
   //                        (IVF nprobe=1; centroid count is fixed)
   //   q103               — THE salting pattern: the dim side crossJoins
   //                        the 8-row salt table (one replica per salt)
-  //   q114               — broadcast 1-row manifest counters joined to
-  //                        the CSV readback (r12)
   //   q118               — the q85 stats scalar (lexical leg) + the
   //                        broadcast 1-row query embedding (dense leg,
   //                        q25's documented shape) (r12)
@@ -67,7 +70,7 @@ class PlanAuditSpec extends SparkSpec {
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
-    "q114_export_manifest", "q118_hybrid_rrf", "q122_semantic_decontam",
+    "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline")
 
   test("no declared query plans a cartesian or nested-loop join") {

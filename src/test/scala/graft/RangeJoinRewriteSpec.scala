@@ -83,6 +83,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 6 && got.count(_._1 == 2L) == 6)
   }
 
+  test("points within k of Long.MinValue/MaxValue bucket without overflow") {
+    // the pre-r12-review floorBucket built (x − pmod(x, k)) div k, whose
+    // subtraction wraps for x within k of Long.MinValue: lo = MinValue
+    // binned via the wrapped value while p = MinValue + 5 binned without
+    // wrap, so the bucket equi-join silently dropped the matching pair
+    val min = Long.MinValue
+    val max = Long.MaxValue
+    val is = intervals(Seq((1L, min), (2L, max - 5L)))
+    val ps = points(Seq((1L, min), (2L, min + 5L), (3L, min + 6L),
+      (4L, max - 5L), (5L, max)))
+    val expected = withRule(on = false)(pairs(naive(ps, is, 5)))
+    val got = withRule(on = true)(pairs(naive(ps, is, 5)))
+    assert(got == expected)
+    assert(got == List((1L, 1L), (1L, 2L), (2L, 4L), (2L, 5L)), got.toString)
+  }
+
   test("duplicate rows keep their multiplicity") {
     val is = intervals(Seq((1L, 0L), (1L, 0L)))
     val ps = points(Seq((7L, 2L), (7L, 2L)))
@@ -162,6 +178,13 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val plan = withRule(on = true)(j.queryExecution.optimizedPlan.toString)
     assert(!plan.contains("__grj_"), plan)
     assert(withRule(on = true)(j.count()) == 1L)
+    // null-safe equality is an equi-key too (r12 review: EqualNullSafe
+    // also plans as a hash-join key, so binning is equally redundant)
+    val jns = is.join(ps, col("u") <=> col("pu") &&
+      col("p") >= col("lo") && col("p") <= col("lo") + lit(5))
+    val planNs = withRule(on = true)(jns.queryExecution.optimizedPlan.toString)
+    assert(!planNs.contains("__grj_"), planNs)
+    assert(withRule(on = true)(jns.count()) == 1L)
   }
 
   test("streaming joins are left alone (state-store layout must not change)") {
