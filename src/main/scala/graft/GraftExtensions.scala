@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramJaccard, BloomBits, ClaimPcts, CmsSketch, HeavyHitters, HllDistinct, HllMergeRegs, HllRegs, KmvSketch, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
+import graft.functions.{BigramJaccard, BloomBits, ClaimPcts, CmsSketch, HeavyHitters, HistSketch, HllDistinct, HllMergeRegs, HllRegs, KmvSketch, Max2, MinGramHash, MinhashSigs, PdfText, ShingleJaccard, SimHash60, SparseCosine, StancePct, TokenCounts, TopGramCount, TopK, TrigramSet, TrigramSimSorted, TrigramSimilarity, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -153,6 +153,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sketch of the union would produce (max is idempotent, so " +
         "overlapping grains re-merge exactly).") { x =>
       HllMergeRegs(x.head).toAggregateExpression()
+    }
+    inject(e, "hist_sketch", 1, classOf[HistSketch],
+      usage = "hist_sketch(v) - mergeable quantile histogram over " +
+        "non-negative bigint values (HDR geometry: base-2 octaves x 16 " +
+        "sub-buckets, 960 cells) as the raw array<bigint> of counts. " +
+        "Bucket: v < 32 -> v, else (e-4)*16 + (v >> (e-4)) with " +
+        "e = floor(log2 v); lower bound (the quantile estimate) is " +
+        "(b%16 + 16) << (b div 16 - 1). Any quantile read from the " +
+        "cumulative counts carries <= 1/16 relative error by " +
+        "construction. Mergeable (pointwise sum); state is exactly " +
+        "order- and partition-independent.") { x =>
+      HistSketch(x.head).toAggregateExpression()
     }
     inject(e, "kmv_sketch", 2, classOf[KmvSketch],
       usage = "kmv_sketch(h, k) - K-Minimum-Values distinct sketch over a " +

@@ -196,6 +196,7 @@ object SparkEntry {
     "q134_streaming_hll"  -> ((s, d) => streaming.Incremental.q134StreamingHll(T(s, d))),
     "q135_hll_rollup"     -> ((s, d) => Monitoring.q135HllRollup(T(s, d))),
     "q136_corpus_profile" -> ((s, d) => TextAnalysis.q136CorpusProfile(T(s, d))),
+    "q137_hist_quantiles" -> ((s, d) => ScaleTechniques.q137HistQuantiles(T(s, d))),
   )
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3306,5 +3307,67 @@ object SparkEntry {
         |LEFT JOIN top2 ON top2.source = ds.source
         |JOIN est1 e ON e.source = ds.source
         |ORDER BY ds.source""".stripMargin,
+    // q137: the quantile histogram replayed from integer bucket
+    // arithmetic — `length(bin(v))` is ⌊log₂v⌋+1 exactly as in q129 —
+    // with the cumulative walk and the exact rank walk side by side.
+    // merge_matches_direct is literal TRUE here because the oracle's
+    // merged and direct global cells are the same GROUP BY by
+    // construction; the Spark side genuinely compares the native
+    // aggregate's pointwise-merged sketch against a direct one.
+    "q137_hist_quantiles" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS grain,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |av AS (
+        |  SELECT grain, cents FROM vals
+        |  UNION ALL SELECT 'ALL', cents FROM vals),
+        |bk AS (
+        |  SELECT grain, CASE WHEN cents < 32 THEN cents
+        |    ELSE (length(bin(cents)) - 5) * 16 +
+        |      (cents >> (length(bin(cents)) - 5)) END AS pos
+        |  FROM av),
+        |cells AS (
+        |  SELECT grain, pos, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grain, pos, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY grain ORDER BY pos) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY grain) AS BIGINT) AS n,
+        |    CASE WHEN pos < 32 THEN pos
+        |      ELSE (pos % 16 + 16) << (pos // 16 - 1) END AS lb
+        |  FROM cells),
+        |est AS (
+        |  SELECT grain, max(n) AS n,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN lb END) AS p50_est,
+        |    min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS p90_est,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS p99_est,
+        |    CAST(sum((pos + 1) * cnt) AS BIGINT) AS hist_fp
+        |  FROM cum GROUP BY 1),
+        |rk AS (
+        |  SELECT grain, cents,
+        |    row_number() OVER (PARTITION BY grain ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY grain) AS n
+        |  FROM av),
+        |ex AS (
+        |  SELECT grain,
+        |    min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_exact,
+        |    min(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END) AS p90_exact,
+        |    min(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+        |      AS p99_exact
+        |  FROM rk GROUP BY 1)
+        |SELECT e.grain, e.n, e.p50_est, x.p50_exact,
+        |  e.p50_est <= x.p50_exact AND x.p50_exact * 16 <= e.p50_est * 17
+        |    AS ok50,
+        |  e.p90_est, x.p90_exact,
+        |  e.p90_est <= x.p90_exact AND x.p90_exact * 16 <= e.p90_est * 17
+        |    AS ok90,
+        |  e.p99_est, x.p99_exact,
+        |  e.p99_est <= x.p99_exact AND x.p99_exact * 16 <= e.p99_est * 17
+        |    AS ok99,
+        |  e.hist_fp, TRUE AS merge_matches_direct
+        |FROM est e JOIN ex x ON x.grain = e.grain
+        |ORDER BY e.grain""".stripMargin,
   )
 }

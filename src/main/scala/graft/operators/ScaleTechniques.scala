@@ -138,4 +138,114 @@ object ScaleTechniques {
         round(sum("o_totalprice"), 2).as("total_price"))
       .smallSort("c_mktsegment")
   }
+
+  /** q137 — percentiles WITHOUT the global sort: p50/p90/p99 of line-item
+    * price (integer cents) per return flag AND globally, read from the
+    * mergeable `hist_sketch` quantile histogram
+    * (`functions/HistSketch.scala`). The sketch leg is the 100 TB shape:
+    * a 7.5 KiB buffer partial-aggregates map-side, one tiny shuffle of
+    * (grain, cell) rows, and the cumulative walk runs over
+    * post-aggregate-small cells. The global grain is NOT a second pass:
+    * it is the per-flag sketches merged POINTWISE (cells summed by
+    * position) — re-aggregation across grains exactly like q135's HLL
+    * register rollup — and `merge_matches_direct` pins cell-for-cell
+    * equality against a directly-computed global sketch.
+    *
+    * The EXACT percentiles beside the estimates come from sketch-GUIDED
+    * selection, not a per-grain global sort: the cumulative walk yields,
+    * for each quantile, the bucket holding rank ⌈q·n⌉ and the rank's
+    * offset within it; a ≤12-row broadcast of (grain, bucket, offset)
+    * then prunes the raw rows map-side to just the candidate buckets
+    * (≈ the mass of three ≤6.25%-wide value slices), and only that
+    * sliver is sorted. Identical to the naive rank walk BY CONSTRUCTION
+    * (the rank-target value lies in its bucket: cum_before < target ≤
+    * cum), which is exactly what the DuckDB oracle replays — so the
+    * match is between two genuinely different algorithms. Each `okNN`
+    * pins the geometry bound est ≤ exact ≤ est·17/16 in pure integer
+    * arithmetic (exact·16 ≤ est·17 — no FP anywhere in the query).
+    * Worst-case honesty: a single-bucket value distribution makes the
+    * pruned sliver the whole grain — but then the sort's key domain is
+    * one bucket's ≤1/16-relative width, and the adversary needs every
+    * row inside it. Re-expresses the reference's summary percentile
+    * reporting (study_scraper/status.py:80-222,
+    * transform/polls.py:212-214) at sketch scale. */
+  def q137HistQuantiles(t: graft.Tables.T): DataFrame =
+    histQuantiles(t.lineitem)
+
+  def histQuantiles(lineitem: DataFrame): DataFrame = {
+    import graft.Serve._
+    import org.apache.spark.sql.expressions.Window
+    val vals = lineitem.select(col("l_returnflag").as("grain"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    val perFlag = vals.groupBy("grain").agg(expr("hist_sketch(cents)").as("h"))
+    val cells = perFlag.select(col("grain"),
+      posexplode(col("h")).as(Seq("pos", "cnt")))
+    // the pointwise merge IS the ALL grain — no second pass over raw rows
+    val mergedAll = cells.groupBy("pos").agg(sum("cnt").as("cnt"))
+      .withColumn("grain", lit("ALL"))
+    val directAll = vals.groupBy().agg(expr("hist_sketch(cents)").as("h"))
+      .select(posexplode(col("h")).as(Seq("pos", "dcnt")))
+    val mergeOk = mergedAll.join(directAll, Seq("pos"))
+      .agg(min(col("cnt") === col("dcnt")).as("merge_matches_direct"))
+    val lb = expr("CASE WHEN pos < 32 THEN CAST(pos AS BIGINT) " +
+      "ELSE shiftleft(CAST(pos % 16 + 16 AS BIGINT), pos DIV 16 - 1) END")
+    // first bucket whose cumulative count reaches rank ⌈q·n⌉ always has
+    // cnt > 0 (cum is non-decreasing), so zero cells never distort the
+    // min() picks below; and because cum_before = cum − cnt is itself
+    // non-decreasing, min(pos) and min(cum_before) over qualifying cells
+    // both come from that same first bucket.
+    val cum = cells.select("grain", "pos", "cnt")
+      .unionByName(mergedAll.select("grain", "pos", "cnt"))
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("grain").orderBy("pos")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grain")))
+      .withColumn("lb", lb)
+    val quantiles = Seq( // (tag, ⌈q·n⌉ as integer arithmetic)
+      ("p50", "(n + 1) DIV 2"),
+      ("p90", "(n * 9 + 9) DIV 10"),
+      ("p99", "(n * 99 + 99) DIV 100"))
+    val estAggs = Seq(max("n").as("n"),
+      sum(expr("(pos + 1) * cnt")).as("hist_fp")) ++
+      quantiles.flatMap { case (tag, target) => Seq(
+        min(when(col("cum") >= expr(target), col("lb"))).as(s"${tag}_est"),
+        min(when(col("cum") >= expr(target), col("pos"))).as(s"${tag}_pos"),
+        // the rank's offset inside its bucket: target − cum_before. MAX,
+        // not min: cum_before grows with pos, so the offset DECREASES
+        // across qualifying buckets and peaks at the first one (where it
+        // is the only positive value — later buckets have cum_before ≥
+        // target already)
+        max(when(col("cum") >= expr(target),
+          expr(target) - (col("cum") - col("cnt")))).as(s"${tag}_rk"))
+      }
+    val est = cum.groupBy("grain").agg(estAggs.head, estAggs.tail: _*)
+    // ≤12-row guide: one (grain, bucket, in-bucket rank) per quantile
+    val guide = est.select(col("grain"), expr(
+      "explode(array(" + quantiles.map { case (tag, _) =>
+        s"struct('$tag' AS tag, ${tag}_pos AS pos, ${tag}_rk AS rk)"
+      }.mkString(", ") + ")) AS g")).select(col("grain"), col("g.*"))
+    val posOf = expr("CASE WHEN cents < 32 THEN CAST(cents AS INT) " +
+      "ELSE CAST((length(bin(cents)) - 5) * 16 + " +
+      "shiftrightunsigned(cents, length(bin(cents)) - 5) AS INT) END")
+    // map-side prune to candidate buckets, then sort only the sliver
+    val hits = vals.unionByName(vals.withColumn("grain", lit("ALL")))
+      .withColumn("pos", posOf)
+      .join(broadcast(guide), Seq("grain", "pos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grain", "tag").orderBy("cents")))
+      .filter(col("rn") === col("rk"))
+    val exactAggs = quantiles.map { case (tag, _) =>
+      min(when(col("tag") === tag, col("cents"))).as(s"${tag}_exact")
+    }
+    val exact = hits.groupBy("grain").agg(exactAggs.head, exactAggs.tail: _*)
+    def ok(e: String, x: String) = col(e) <= col(x) && col(x) * 16 <= col(e) * 17
+    est.join(exact, Seq("grain"))
+      .crossJoin(broadcast(mergeOk)) // 1-row scalar, the q16/q83 pattern
+      .withColumn("ok50", ok("p50_est", "p50_exact"))
+      .withColumn("ok90", ok("p90_est", "p90_exact"))
+      .withColumn("ok99", ok("p99_est", "p99_exact"))
+      .select("grain", "n", "p50_est", "p50_exact", "ok50", "p90_est",
+        "p90_exact", "ok90", "p99_est", "p99_exact", "ok99", "hist_fp",
+        "merge_matches_direct")
+      .smallSort("grain")
+  }
 }

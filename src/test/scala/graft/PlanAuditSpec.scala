@@ -66,12 +66,16 @@ class PlanAuditSpec extends SparkSpec {
   //                        (r12)
   //   q133               — the pipeline's contamination stage runs
   //                        q131's broadcast 1-row bloom pre-filter (r12)
+  //   q137               — broadcast 1-row merge_matches_direct scalar
+  //                        (the q16/q83 pattern) joined to the 4 grain
+  //                        rows (r12)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
     "q118_hybrid_rrf", "q122_semantic_decontam",
-    "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline")
+    "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
+    "q137_hist_quantiles")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq

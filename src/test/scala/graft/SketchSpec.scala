@@ -124,7 +124,7 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("ObjectHashAggregate sort-based fallback keeps all four sketch states exact") {
+  test("ObjectHashAggregate sort-based fallback keeps all five sketch states exact") {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = spark.conf.getOption(key)
     try {
@@ -133,10 +133,12 @@ class SketchSpec extends SparkSpec {
         .map { case (w, i) => (s"g${i % 7}", w, (i * 2654435761L) & ((1L << 60) - 1)) }
         .toDF("g", "w", "h")
       val aggs = Seq(expr("hll_distinct(w)").as("hl"), expr("cms_sketch(w)").as("m"),
-        expr("bloom_bits(h)").as("bf"), expr("kmv_sketch(h, 32)").as("kmv"))
+        expr("bloom_bits(h)").as("bf"), expr("kmv_sketch(h, 32)").as("kmv"),
+        expr("hist_sketch(h)").as("hs"))
       val got = df.repartition(8).groupBy("g").agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getString(0) ->
-          (r.getStruct(1), r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+          (r.getStruct(1), r.getSeq[Long](2), r.getSeq[Long](3),
+            r.getSeq[Long](4), r.getSeq[Long](5))).toMap
       (0 until 7).foreach { g =>
         val rows = stream.zipWithIndex.collect { case (w, i) if i % 7 == g =>
           (w, (i * 2654435761L) & ((1L << 60) - 1)) }
@@ -146,6 +148,7 @@ class SketchSpec extends SparkSpec {
         assert(got(s"g$g")._2 == single.getSeq[Long](1), s"cms g$g")
         assert(got(s"g$g")._3 == single.getSeq[Long](2), s"bloom g$g")
         assert(got(s"g$g")._4 == single.getSeq[Long](3), s"kmv g$g")
+        assert(got(s"g$g")._5 == single.getSeq[Long](4), s"hist g$g")
       }
     } finally {
       prev match {
@@ -218,6 +221,83 @@ class SketchSpec extends SparkSpec {
     assert(sa.getBoolean(10))
     val sb = got("sb")
     assert(sb.getLong(1) == 1L && sb.getString(5) == "y") // ties: y < z
+  }
+
+  // --- hist_sketch (the q137 quantile histogram) ---
+
+  // independent bucket model, recomputed here from the scaladoc formula
+  private def histModel(vs: Seq[Long]): Seq[Long] = {
+    val h = new Array[Long](960)
+    vs.foreach { v0 =>
+      val v = math.max(0L, v0)
+      val b =
+        if (v < 32L) v.toInt
+        else {
+          val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+          ((e - 4) * 16 + (v >>> (e - 4))).toInt
+        }
+      h(b) += 1L
+    }
+    h.toSeq
+  }
+
+  test("hist_sketch bucket geometry: monotone, in-range, and every value " +
+    "sits in [lowerBound(b), lowerBound(b+1)) across the full Long domain") {
+    import graft.functions.HistSketch.{bucketOf, lowerBound}
+    val rnd = new scala.util.Random(7)
+    val edges = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1023L, 1024L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val vs = (edges ++ Seq.fill(5000)(math.abs(rnd.nextLong()))).sorted
+    vs.foreach { v =>
+      val b = bucketOf(v)
+      assert(b >= 0 && b < 960, s"v=$v b=$b")
+      assert(lowerBound(b) <= v, s"v=$v lb=${lowerBound(b)}")
+      if (b < 959) assert(v < lowerBound(b + 1), s"v=$v next=${lowerBound(b + 1)}")
+      // the <= 1/16 relative-width contract the q137 ok flags rest on
+      if (b < 959) assert((lowerBound(b + 1) - lowerBound(b)) * 16 <= math.max(lowerBound(b), 16L))
+    }
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      assert(bucketOf(a) <= bucketOf(b), s"monotonicity $a -> $b")
+    }
+    assert(bucketOf(-5L) == 0, "negatives clamp to bucket 0")
+  }
+
+  test("hist_sketch counts equal the independent model at 1 and 32 " +
+    "partitions; nulls skipped") {
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(3000)(math.abs(rnd.nextLong()) % 10000000L) ++
+      Seq(0L, 1L, 31L, 32L, Long.MaxValue)
+    val expected = histModel(vs)
+    for (parts <- Seq(1, 32)) {
+      val got = vs.toDF("v").repartition(parts)
+        .agg(expr("hist_sketch(v)")).head().getSeq[Long](0)
+      assert(got == expected, s"parts=$parts")
+    }
+    val withNulls = (vs.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    assert(withNulls.agg(expr("hist_sketch(v)")).head().getSeq[Long](0) == expected)
+  }
+
+  test("q137 composition: estimates bracket the exact percentiles within " +
+    "1/16 and the pointwise merge matches the direct global sketch") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 4000).map { i =>
+      val flag = Seq("A", "N", "R")(i % 3)
+      // log-uniform cents so every octave region is exercised
+      (flag, math.round(math.exp(rnd.nextDouble() * 14.0)) / 100.0)
+    }
+    val df = rows.toDF("l_returnflag", "l_extendedprice")
+    val got = operators.ScaleTechniques.histQuantiles(df).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "ALL", "N", "R"))
+    got.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(7) && r.getBoolean(10),
+        s"ok flags: $r")
+      assert(r.getBoolean(12), s"merge_matches_direct: $r")
+      // ok flags are claims; re-assert the arithmetic behind them
+      for ((e, x) <- Seq((2, 3), (5, 6), (8, 9))) {
+        assert(r.getLong(e) <= r.getLong(x) && r.getLong(x) * 16 <= r.getLong(e) * 17,
+          s"est ${r.getLong(e)} vs exact ${r.getLong(x)}")
+      }
+    }
   }
 
   // --- kmv_sketch ---
