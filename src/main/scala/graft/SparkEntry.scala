@@ -197,7 +197,43 @@ object SparkEntry {
     "q135_hll_rollup"     -> ((s, d) => Monitoring.q135HllRollup(T(s, d))),
     "q136_corpus_profile" -> ((s, d) => TextAnalysis.q136CorpusProfile(T(s, d))),
     "q137_hist_quantiles" -> ((s, d) => ScaleTechniques.q137HistQuantiles(T(s, d))),
+    "q138_zorder_layout"  -> ((s, d) => ScaleTechniques.q138ZorderLayout(T(s, d))),
+    "q139_pagerank"       -> ((s, d) => operators.Graph.q139Pagerank(T(s, d))),
   )
+
+  /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
+    * integer fixed-point arithmetic (ppb scale, truncating division) the
+    * Spark side iterates, so ranks match bit-for-bit; inflow sums cast
+    * back to BIGINT to keep DuckDB's HUGEINT widening out of the
+    * arithmetic. */
+  private def q139OracleSql: String = {
+    val steps = (1 to operators.Graph.Iterations).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // r.outdeg) AS BIGINT) AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+         |r$k AS (
+         |  SELECT d.node, d.outdeg,
+         |    (15 * CAST(1000000000 AS BIGINT) // 100) // n
+         |      + (85 * COALESCE(s$k.inflow, CAST(0 AS BIGINT))) // 100 AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s$k ON s$k.node = d.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) // n AS r
+       |  FROM deg, nn),
+       |$steps
+       |SELECT CAST(substring(node, 2) AS BIGINT) AS supplier,
+       |  CAST(r AS BIGINT) AS rank_ppb
+       |FROM r${operators.Graph.Iterations}
+       |WHERE node LIKE 's%' ORDER BY supplier""".stripMargin
+  }
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
     * same rounding, same total ordering). */
@@ -3369,5 +3405,82 @@ object SparkEntry {
         |  e.hist_fp, TRUE AS merge_matches_direct
         |FROM est e JOIN ex x ON x.grain = e.grain
         |ORDER BY e.grain""".stripMargin,
+    // q138: the full layout pipeline replayed — integer normalization,
+    // the Morton interleave as a list_transform over bit positions, the
+    // q137 histogram-bucket walk for the 31 equal-frequency cuts, file
+    // assignment as |{cuts <= k}| via a distinct-key map (values equal
+    // Spark's per-row HOF count by construction), then identical footer
+    // stats + box-overlap audit. Everything integer — no FP anywhere.
+    "q138_zorder_layout" ->
+      """WITH xy AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |b AS (
+        |  SELECT min(x) AS xmin, max(x) AS xmax,
+        |    min(y) AS ymin, max(y) AS ymax,
+        |    min(x) + ((max(x) - min(x)) * 30) // 100 AS qxlo,
+        |    min(x) + ((max(x) - min(x)) * 40) // 100 AS qxhi,
+        |    min(y) + ((max(y) - min(y)) * 30) // 100 AS qylo,
+        |    min(y) + ((max(y) - min(y)) * 40) // 100 AS qyhi
+        |  FROM xy),
+        |nz AS (
+        |  SELECT x, y,
+        |    ((x - xmin) * 65535) // greatest(xmax - xmin, 1) AS xn,
+        |    ((y - ymin) * 65535) // greatest(ymax - ymin, 1) AS yn,
+        |    x BETWEEN qxlo AND qxhi AND y BETWEEN qylo AND qyhi AS hit
+        |  FROM xy, b),
+        |zz AS (
+        |  SELECT x, y, xn, hit, list_sum(list_transform(range(0, 16),
+        |    i -> (((xn >> i) & 1) << (2 * i)) +
+        |         (((yn >> i) & 1) << (2 * i + 1)))) AS z
+        |  FROM nz),
+        |kv AS (
+        |  SELECT 'zorder' AS layout, x, y, hit, z AS k FROM zz
+        |  UNION ALL SELECT 'linear', x, y, hit, xn FROM zz),
+        |bk AS (
+        |  SELECT layout, x, y, hit, k, CASE WHEN k < 32 THEN k
+        |    ELSE (length(bin(k)) - 5) * 16 + (k >> (length(bin(k)) - 5))
+        |    END AS pos
+        |  FROM kv),
+        |cells AS (
+        |  SELECT layout, pos, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT layout, pos, cnt,
+        |    sum(cnt) OVER (PARTITION BY layout ORDER BY pos) AS cum,
+        |    sum(cnt) OVER (PARTITION BY layout) AS n,
+        |    CASE WHEN pos < 32 THEN pos
+        |      ELSE (pos % 16 + 16) << (pos // 16 - 1) END AS lb
+        |  FROM cells),
+        |cuts AS (
+        |  SELECT layout, js.j,
+        |    min(CASE WHEN cum >= (js.j * n + 31) // 32 THEN lb END) AS cut
+        |  FROM cum CROSS JOIN (SELECT unnest(range(1, 32)) AS j) js
+        |  GROUP BY 1, 2),
+        |fmap AS (
+        |  SELECT kf.layout, kf.k, count(c.cut) AS file
+        |  FROM (SELECT DISTINCT layout, k FROM bk) kf
+        |  LEFT JOIN cuts c ON c.layout = kf.layout AND c.cut <= kf.k
+        |  GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT bk.layout, f.file, CAST(count(*) AS BIGINT) AS nr,
+        |    min(bk.x) AS fxmin, max(bk.x) AS fxmax,
+        |    min(bk.y) AS fymin, max(bk.y) AS fymax,
+        |    CAST(sum(CASE WHEN bk.hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr_in_box
+        |  FROM bk JOIN fmap f ON f.layout = bk.layout AND f.k = bk.k
+        |  GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(nr) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN fxmax >= qxlo AND fxmin <= qxhi
+        |    AND fymax >= qylo AND fymin <= qyhi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_scanned,
+        |  CAST(sum(CASE WHEN fxmax >= qxlo AND fxmin <= qxhi
+        |    AND fymax >= qylo AND fymin <= qyhi THEN nr ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned,
+        |  CAST(sum(CASE WHEN fxmax >= qxlo AND fxmin <= qxhi
+        |    AND fymax >= qylo AND fymin <= qyhi THEN nr ELSE 0 END) * 100
+        |    // sum(nr) AS BIGINT) AS scan_pct,
+        |  CAST(sum(nr_in_box) AS BIGINT) AS rows_matched
+        |FROM fs, b GROUP BY layout ORDER BY layout""".stripMargin,
+    "q139_pagerank" -> q139OracleSql,
   )
 }

@@ -123,4 +123,35 @@ object HistSketch {
   def lowerBound(bucket: Int): Long =
     if (bucket < 32) bucket.toLong
     else ((bucket % 16) + 16).toLong << (bucket / 16 - 1)
+
+  // --- SQL fragments shared by the sketch's consumers (q137/q138/q140):
+  // the cumulative walk and bucket algebra as in-row array expressions,
+  // never a posexplode + window over cells ---
+
+  /** Running-sum array over a 960-cell histogram column (960 fold steps
+    * per row — use only on post-aggregate-small frames, and keep a
+    * projection barrier between this and any lambda consuming it, or
+    * CollapseProject re-inlines the fold per lambda iteration). */
+  def cumSql(h: String): String =
+    s"aggregate($h, struct(array_repeat(0L, 0) AS a, 0L AS s), " +
+      s"(acc, x) -> struct(array_append(acc.a, acc.s + x) AS a, " +
+      s"(acc.s + x) AS s), acc -> acc.a)"
+
+  /** Bucket index of a non-negative BIGINT value column (the class-doc
+    * formula via length(bin(v)) = ⌊log₂v⌋ + 1). */
+  def posSql(v: String): String =
+    s"CASE WHEN $v < 32 THEN CAST($v AS INT) " +
+      s"ELSE CAST((length(bin($v)) - 5) * 16 + " +
+      s"shiftrightunsigned($v, length(bin($v)) - 5) AS INT) END"
+
+  /** Inclusive lower bound of a bucket-index column — the quantile
+    * estimate value. */
+  def lbSql(pos: String): String =
+    s"CASE WHEN $pos < 32 THEN CAST($pos AS BIGINT) " +
+      s"ELSE shiftleft(CAST($pos % 16 + 16 AS BIGINT), $pos DIV 16 - 1) END"
+
+  /** Weighted cell fingerprint Σ (pos+1)·cnt of a histogram column. */
+  def fpSql(h: String): String =
+    s"aggregate(zip_with($h, sequence(1, 960), (c, i) -> c * i), " +
+      s"0L, (a, x) -> a + x)"
 }

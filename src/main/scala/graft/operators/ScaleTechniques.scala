@@ -174,72 +174,101 @@ object ScaleTechniques {
 
   def histQuantiles(lineitem: DataFrame): DataFrame = {
     import graft.Serve._
-    import org.apache.spark.sql.expressions.Window
-    val vals = lineitem.select(col("l_returnflag").as("grain"),
-      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    val perFlag = vals.groupBy("grain").agg(expr("hist_sketch(cents)").as("h"))
-    val cells = perFlag.select(col("grain"),
-      posexplode(col("h")).as(Seq("pos", "cnt")))
-    // the pointwise merge IS the ALL grain — no second pass over raw rows
-    val mergedAll = cells.groupBy("pos").agg(sum("cnt").as("cnt"))
-      .withColumn("grain", lit("ALL"))
-    val directAll = vals.groupBy().agg(expr("hist_sketch(cents)").as("h"))
-      .select(posexplode(col("h")).as(Seq("pos", "dcnt")))
-    val mergeOk = mergedAll.join(directAll, Seq("pos"))
-      .agg(min(col("cnt") === col("dcnt")).as("merge_matches_direct"))
-    val lb = expr("CASE WHEN pos < 32 THEN CAST(pos AS BIGINT) " +
-      "ELSE shiftleft(CAST(pos % 16 + 16 AS BIGINT), pos DIV 16 - 1) END")
-    // first bucket whose cumulative count reaches rank ⌈q·n⌉ always has
-    // cnt > 0 (cum is non-decreasing), so zero cells never distort the
-    // min() picks below; and because cum_before = cum − cnt is itself
-    // non-decreasing, min(pos) and min(cum_before) over qualifying cells
-    // both come from that same first bucket.
-    val cum = cells.select("grain", "pos", "cnt")
-      .unionByName(mergedAll.select("grain", "pos", "cnt"))
-      .withColumn("cum", sum("cnt").over(
-        Window.partitionBy("grain").orderBy("pos")))
-      .withColumn("n", sum("cnt").over(Window.partitionBy("grain")))
-      .withColumn("lb", lb)
+    // explicit NOT-NULL pins on the base columns (free parquet-stat
+    // filters): without them cents — and therefore the bucket expression
+    // joined on below — stays nullable, and the join's inferred
+    // isnotnull(pos) pushes the whole CASE + bin() chain into the scan
+    // as a DataFilter, evaluating it twice per row (measured ~2× on the
+    // exact leg's scan stage)
+    val vals = lineitem
+      .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("grain"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    // per-flag AND direct-global sketches out of ONE scan: ROLLUP expands
+    // each input row into both grouping sets map-side, where partial
+    // aggregation absorbs them — the grand-total row IS the direct global
+    // sketch (grouping() = 1), with no second pass over raw rows
+    // lazy localCheckpoint: sk is ≤5 rows × 7.7 KiB but feeds THREE
+    // branches (per-flag cells, the direct-global sketch, and through
+    // mergedAll both the cum walk and the merge check) — without the
+    // checkpoint each reference re-runs the corpus aggregate (no
+    // common-subplan sharing across DataFrame references)
+    val sk = vals.rollup("grain").agg(expr("hist_sketch(cents)").as("h"),
+      grouping(col("grain")).as("g"))
+      .localCheckpoint(false)
+    val perFlag = sk.filter(col("g") === 0).select("grain", "h")
+    // the pointwise merge IS the ALL grain — no second pass over raw
+    // rows: fold the ≤4 per-flag arrays cell-for-cell
+    // also checkpointed: referenced by the merge check AND the est path,
+    // and each reference would otherwise replay the fold's two-stage agg
+    val mergedAll = perFlag.agg(expr(
+      "aggregate(collect_list(h), array_repeat(0L, 960), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("h"))
+      .localCheckpoint(false)
+    // the merge check rides INSIDE the est frame (computed once at the
+    // est checkpoint, carried as a column) — not a separate 1-row frame
+    // crossJoined at the end, which cost two more broadcast stages per
+    // execution
+    val mergeOk = mergedAll
+      .crossJoin(broadcast(sk.filter(col("g") === 1).select(col("h").as("dh"))))
+      .select((col("h") === col("dh")).as("merge_matches_direct"))
+    // The ENTIRE cumulative walk is in-row array algebra on ≤5 rows —
+    // no posexplode, no window, no re-aggregation, so the est path adds
+    // zero corpus-side stages. cumArr is the running sum (960 lambda
+    // steps/row); the first bucket reaching rank ⌈q·n⌉ is
+    // |{cells with cum < target}| (cum non-decreasing), its lower bound
+    // the CASE inverse of the bucket formula, and the rank's in-bucket
+    // offset target − cum_before.
     val quantiles = Seq( // (tag, ⌈q·n⌉ as integer arithmetic)
       ("p50", "(n + 1) DIV 2"),
       ("p90", "(n * 9 + 9) DIV 10"),
       ("p99", "(n * 99 + 99) DIV 100"))
-    val estAggs = Seq(max("n").as("n"),
-      sum(expr("(pos + 1) * cnt")).as("hist_fp")) ++
-      quantiles.flatMap { case (tag, target) => Seq(
-        min(when(col("cum") >= expr(target), col("lb"))).as(s"${tag}_est"),
-        min(when(col("cum") >= expr(target), col("pos"))).as(s"${tag}_pos"),
-        // the rank's offset inside its bucket: target − cum_before. MAX,
-        // not min: cum_before grows with pos, so the offset DECREASES
-        // across qualifying buckets and peaks at the first one (where it
-        // is the only positive value — later buckets have cum_before ≥
-        // target already)
-        max(when(col("cum") >= expr(target),
-          expr(target) - (col("cum") - col("cnt")))).as(s"${tag}_rk"))
-      }
-    val est = cum.groupBy("grain").agg(estAggs.head, estAggs.tail: _*)
+    import graft.functions.HistSketch.{cumSql, fpSql, lbSql}
+    val estIn = perFlag.unionByName(mergedAll.withColumn("grain", lit("ALL")))
+      .withColumn("cumArr", expr(cumSql("h")))
+      .withColumn("n", expr("element_at(cumArr, 960)"))
+      .withColumn("hist_fp", expr(fpSql("h")))
+    val est = quantiles.foldLeft(estIn) { case (df, (tag, target)) =>
+      df.withColumn(s"${tag}_pos",
+          expr(s"size(filter(cumArr, c -> c < ($target)))"))
+        .withColumn(s"${tag}_est", expr(lbSql(s"${tag}_pos")))
+        .withColumn(s"${tag}_rk", expr(s"($target) - CASE WHEN ${tag}_pos = 0 " +
+          s"THEN 0L ELSE element_at(cumArr, ${tag}_pos) END"))
+    }.drop("h", "cumArr")
+      .crossJoin(broadcast(mergeOk))
+      // 4 rows, referenced by both the guide broadcast and the final
+      // join — one more projection barrier, two fewer replayed subtrees
+      .localCheckpoint(false)
     // ≤12-row guide: one (grain, bucket, in-bucket rank) per quantile
     val guide = est.select(col("grain"), expr(
       "explode(array(" + quantiles.map { case (tag, _) =>
         s"struct('$tag' AS tag, ${tag}_pos AS pos, ${tag}_rk AS rk)"
       }.mkString(", ") + ")) AS g")).select(col("grain"), col("g.*"))
-    val posOf = expr("CASE WHEN cents < 32 THEN CAST(cents AS INT) " +
-      "ELSE CAST((length(bin(cents)) - 5) * 16 + " +
-      "shiftrightunsigned(cents, length(bin(cents)) - 5) AS INT) END")
-    // map-side prune to candidate buckets, then sort only the sliver
-    val hits = vals.unionByName(vals.withColumn("grain", lit("ALL")))
+    val posOf = expr(graft.functions.HistSketch.posSql("cents"))
+    // map-side prune to candidate buckets, then sort only the sliver.
+    // The join key is pos ALONE (≤12 distinct buckets — a codegen'd hash
+    // probe drops ~94% of rows before anything else); the grain match,
+    // including the ALL grain claiming rows of every flag, is the
+    // post-join filter — this way the corpus is never doubled for the
+    // ALL leg (no explode/union) and bin() runs once per source row
+    val hits = vals
       .withColumn("pos", posOf)
-      .join(broadcast(guide), Seq("grain", "pos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("grain", "tag").orderBy("cents")))
-      .filter(col("rn") === col("rk"))
+      .join(broadcast(guide.withColumnRenamed("grain", "ggrain")), Seq("pos"))
+      .filter(col("ggrain") === col("grain") || col("ggrain") === "ALL")
+    // rank selection WITHOUT a window: per (grain, tag) the sliver is one
+    // histogram bucket's mass (≤1/16-relative value width — the same
+    // bound the deleted per-group sort would have operated on), so the
+    // rk-th smallest is element_at(sort_array(collect_list(...)), rk) in
+    // ONE exchange where window + rn-filter + re-aggregate cost two
     val exactAggs = quantiles.map { case (tag, _) =>
-      min(when(col("tag") === tag, col("cents"))).as(s"${tag}_exact")
+      expr(s"element_at(sort_array(collect_list(CASE WHEN tag = '$tag' " +
+        s"THEN cents END)), CAST(max(CASE WHEN tag = '$tag' THEN rk END) " +
+        s"AS INT))").as(s"${tag}_exact")
     }
-    val exact = hits.groupBy("grain").agg(exactAggs.head, exactAggs.tail: _*)
+    val exact = hits.groupBy(col("ggrain").as("grain"))
+      .agg(exactAggs.head, exactAggs.tail: _*)
     def ok(e: String, x: String) = col(e) <= col(x) && col(x) * 16 <= col(e) * 17
     est.join(exact, Seq("grain"))
-      .crossJoin(broadcast(mergeOk)) // 1-row scalar, the q16/q83 pattern
       .withColumn("ok50", ok("p50_est", "p50_exact"))
       .withColumn("ok90", ok("p90_est", "p90_exact"))
       .withColumn("ok99", ok("p99_est", "p99_exact"))
@@ -247,5 +276,148 @@ object ScaleTechniques {
         "p90_exact", "ok90", "p99_est", "p99_exact", "ok99", "hist_fp",
         "merge_matches_direct")
       .smallSort("grain")
+  }
+
+  /** q138 — Z-ORDER data layout + min/max file-skipping audit: assign
+    * line items to 32 "files" under two layouts — LINEAR (equal-frequency
+    * ranges of the part key alone) and ZORDER (equal-frequency ranges of
+    * the 32-bit Morton code interleaving part key and supplier key) —
+    * record each file's min/max footer stats for BOTH dimensions, and
+    * measure how many files a 2-D box predicate (the middle ~10% of each
+    * key range) could skip from the stats alone. The layouts see the same
+    * rows, so `rows_matched` is identical across them and doubles as the
+    * cross-layout consistency pin; the interesting columns are
+    * `files_scanned`/`rows_scanned`, where interleaved ranges bound both
+    * dimensions per file while linear ranges bound only one.
+    *
+    * 100 TB design — this IS the write-path decision the audit informs:
+    * a petabyte table laid out z-ordered on its two hottest filter keys
+    * lets every min/max-pruning reader (parquet row groups, Delta/Iceberg
+    * file stats) skip on BOTH predicates, where a sort on one key prunes
+    * only that key. Two scale choices matter in the plan itself:
+    * (1) the equal-frequency cut points come from the mergeable
+    * `hist_sketch` (q137) — one map-side sketch pass and a ≤960-cell
+    * cumulative walk, NOT a global sort or `ntile` (which would shuffle
+    * the corpus into one ordered partition: the RangePartitioner's
+    * sample-then-cut idea, made deterministic); (2) file assignment is
+    * one codegen'd array INDEX per row into a broadcast dense 960-entry
+    * (bucket → file) lookup — no join, no shuffle, and no per-row
+    * higher-order function (a filter() lambda here measured 50× slower:
+    * HOFs are CodegenFallback); the only corpus shuffle is the 64-group
+    * stats aggregate, fully partial-aggregated. Everything is integer
+    * arithmetic (normalization is integer DIV, the Morton code is bit
+    * algebra, cuts are histogram bucket positions), so DuckDB replays
+    * identical values — the oracle's |{cut lb ≤ k}| equals the bucket-
+    * position count by lb-monotonicity — and est/exact FP hazards never
+    * arise. Extends the reference's
+    * partition-layout instinct (sql/create_dataset_topics_table.sql:15-16,
+    * PARTITION BY month + ORDER BY key) to the 2-D case its 1-D sort
+    * cannot serve. */
+  def q138ZorderLayout(t: graft.Tables.T): DataFrame =
+    zorderSkipping(t.lineitem)
+
+  /** Files per layout (also the cut-array length + 1). */
+  val ZFiles = 32
+
+  def zorderSkipping(lineitem: DataFrame): DataFrame = {
+    import graft.Serve._
+    val xy = lineitem.select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    // 1-row bounds + query box, broadcast everywhere (the q16/q83
+    // pattern); lazily checkpointed because keyed — and therefore this
+    // subtree — is referenced by both the sketch pass and the assignment
+    // pass, and each reference would otherwise re-run the bounds scan
+    val bounds = xy.agg(
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+      .withColumn("qxlo", expr("xmin + ((xmax - xmin) * 30) DIV 100"))
+      .withColumn("qxhi", expr("xmin + ((xmax - xmin) * 40) DIV 100"))
+      .withColumn("qylo", expr("ymin + ((ymax - ymin) * 30) DIV 100"))
+      .withColumn("qyhi", expr("ymin + ((ymax - ymin) * 40) DIV 100"))
+      .localCheckpoint(false)
+    // 16-bit normalization (integer DIV; degenerate range guarded), then
+    // the Morton interleave as plain bit algebra — codegen keeps all 32
+    // terms in one whole-stage span
+    val interleave = (0 until 16).map { i =>
+      s"shiftleft(shiftright(xn, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(yn, $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+    val keyed = xy.crossJoin(broadcast(bounds))
+      .withColumn("xn", expr("((x - xmin) * 65535) DIV greatest(xmax - xmin, 1)"))
+      .withColumn("yn", expr("((y - ymin) * 65535) DIV greatest(ymax - ymin, 1)"))
+      .withColumn("z", expr(interleave))
+      .withColumn("hit", col("x").between(col("qxlo"), col("qxhi")) &&
+        col("y").between(col("qylo"), col("qyhi")))
+    // per-layout equal-frequency cuts: hist_sketch + cumulative walk,
+    // never a sort of the data. BOTH layouts' sketches come out of ONE
+    // scan (two aggregate buffers side by side), and the whole walk —
+    // running sum, the 31 rank cuts, the dense lookup — is in-row array
+    // algebra on that single row: zero extra stages, a few 10⁴ one-time
+    // lambda steps.
+    //
+    // Cut POSITIONS, not lower-bound values: file = |{cuts ≤ k}| over lb
+    // values is exactly |{cut positions ≤ bucket(k)}| (lb is monotone in
+    // pos and lb(p) ≤ k < lb(p+1) brackets k's own bucket), which lets
+    // the per-row assignment be a dense array INDEX instead of a
+    // higher-order filter — element_at is codegen'd; a per-corpus-row
+    // filter() lambda here measured 50× slower (HOFs are
+    // CodegenFallback).
+    val sk = keyed.agg(
+      expr("hist_sketch(z)").as("hz"), expr("hist_sketch(xn)").as("hx"))
+    val cumOf = graft.functions.HistSketch.cumSql _
+    // The lookup has a CLOSED FORM from the running sum alone: bucket p's
+    // file id = |{j ∈ 1..31 : cutpos_j ≤ p}|, and cutpos_j ≤ p ⟺
+    // cum[p+1] ≥ ⌈j·n/32⌉ (cumArr is sorted, cutpos is the first-reach
+    // index), whose count over j is ⌊32·cum[p+1]/n⌋ capped at 31 — so no
+    // intermediate cut array exists at all, and the map is one transform
+    // over the running sum. The 1-row lazy checkpoint is a projection
+    // barrier: without it CollapseProject inlines the 960-step fold into
+    // every lambda iteration downstream (measured 6× blowup).
+    val skCum = sk
+      .withColumn("zcum", expr(cumOf("hz")))
+      .withColumn("lcum", expr(cumOf("hx")))
+      .localCheckpoint(false)
+    val mapOf = (cum: String) =>
+      s"transform($cum, c -> CAST(least(${ZFiles - 1}, " +
+        s"($ZFiles * c) DIV element_at($cum, 960)) AS INT))"
+    val cutsRow = skCum
+      .select(expr(mapOf("zcum")).as("zmap"), expr(mapOf("lcum")).as("lmap"))
+    val posOf = graft.functions.HistSketch.posSql _
+    // map-side assignment: one array index per layout; the explode
+    // doubles rows only AT the aggregate's input, where partial
+    // aggregation absorbs them map-side
+    val filed = keyed.crossJoin(broadcast(cutsRow))
+      .withColumn("zfile", expr(s"element_at(zmap, (${posOf("z")}) + 1)"))
+      .withColumn("lfile", expr(s"element_at(lmap, (${posOf("xn")}) + 1)"))
+      .select(col("x"), col("y"), col("hit"),
+        col("qxlo"), col("qxhi"), col("qylo"), col("qyhi"),
+        explode(expr("array(struct('zorder' AS layout, zfile AS file), " +
+          "struct('linear' AS layout, lfile AS file))")).as("lf"))
+      .select(col("x"), col("y"), col("hit"),
+        col("qxlo"), col("qxhi"), col("qylo"), col("qyhi"),
+        col("lf.layout"), col("lf.file"))
+    // the "footer": per-file min/max of BOTH dims + row counts; the box
+    // constants ride through the aggregate via max() (they are per-row
+    // constants from the 1-row broadcast)
+    val stats = filed.groupBy("layout", "file")
+      .agg(count(lit(1)).as("nr"),
+        min("x").as("fxmin"), max("x").as("fxmax"),
+        min("y").as("fymin"), max("y").as("fymax"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("nr_in_box"),
+        max("qxlo").as("qxlo"), max("qxhi").as("qxhi"),
+        max("qylo").as("qylo"), max("qyhi").as("qyhi"))
+    stats
+      .withColumn("scanned",
+        col("fxmax") >= col("qxlo") && col("fxmin") <= col("qxhi") &&
+          col("fymax") >= col("qylo") && col("fymin") <= col("qyhi"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum("nr").as("n_rows"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("scanned"), col("nr")).otherwise(0L)).as("rows_scanned"),
+        sum("nr_in_box").as("rows_matched"))
+      .withColumn("scan_pct", expr("(rows_scanned * 100) DIV n_rows"))
+      .select("layout", "n_files", "n_rows", "files_scanned", "rows_scanned",
+        "scan_pct", "rows_matched")
+      .smallSort("layout")
   }
 }

@@ -239,6 +239,85 @@ object Incremental {
       .orderBy("win_start")
   }
 
+  /** q140 — STREAMING QUANTILES: per-day p50/p90/p99 event-value
+    * latency-style percentiles through the same watermarked streaming
+    * aggregation shape as q134, with `hist_sketch`
+    * (`functions/HistSketch.scala`) as the aggregate. The pair completes
+    * the sketch-as-streaming-state story: an exact streaming percentile
+    * is impossible for the same reason as a streaming count(DISTINCT) —
+    * per-window state would have to hold every value — while the
+    * histogram's 960-cell buffer partial-merges across micro-batches
+    * like any sum and append mode flushes each closed window once. The
+    * SINK PERSISTS THE RAW CELL ARRAY (the q135 registers-as-warehouse
+    * pattern: whoever reads the table can re-aggregate or re-cut
+    * without touching raw events); the batch readback then walks the
+    * STORED sketch in-row (cumArr + rank targets — the q137 machinery)
+    * and joins the exact rank-walk percentiles computed from the same
+    * input slice, pinning est ≤ exact ≤ est·17/16 per window in pure
+    * integer arithmetic, plus the cell fingerprint and mass == n_events
+    * (the state really saw every row). */
+  def q140StreamingQuantiles(t: graft.Tables.T): DataFrame =
+    streamWindowQuantiles(t.spark, t.events.filter(col("event_id") % 2 === 1)
+      .select("event_id", "ts", "value"))
+
+  /** The reusable round-trip — public for spec-driven hand-built logs. */
+  def streamWindowQuantiles(spark: SparkSession, input: DataFrame): DataFrame = {
+    import graft.functions.HistSketch.{cumSql, fpSql, lbSql}
+    val cents = input.select(col("event_id"), col("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val streamed = RoundTrip.run(spark, "graft_q140_", Seq(cents)) {
+      case Seq(stream) =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "24 hours"))
+          .agg(expr("hist_sketch(cents)").as("h"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("h"), col("n_events"))
+    }
+    val quantiles = Seq( // rank target ⌈q·n⌉, templated over the n column
+      ("p50", "(%s + 1) DIV 2"),
+      ("p90", "(%s * 9 + 9) DIV 10"),
+      ("p99", "(%s * 99 + 99) DIV 100"))
+    // quantile read over the STORED arrays: ≤ window-count rows, in-row
+    // walk, no cell explode (localCheckpoint = the projection barrier
+    // the fold needs, see HistSketch.cumSql)
+    val est0 = streamed
+      .withColumn("cumArr", expr(cumSql("h")))
+      .withColumn("n", expr("element_at(cumArr, 960)"))
+      .withColumn("hist_fp", expr(fpSql("h")))
+    val est = quantiles.foldLeft(est0) { case (df, (tag, target)) =>
+      df.withColumn(s"${tag}_pos",
+          expr(s"size(filter(cumArr, c -> c < (${target.format("n")})))"))
+        .withColumn(s"${tag}_est", expr(lbSql(s"${tag}_pos")))
+    }.drop("h", "cumArr")
+      .localCheckpoint(false)
+    // exact verification leg: the naive per-window rank walk over the
+    // same slice — bounded per window, and exactly what the oracle
+    // replays
+    val rk = cents
+      .withColumn("win_start", window(col("ts"), "24 hours")("start"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start").orderBy("cents")))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win_start")))
+    val exactAggs = quantiles.map { case (tag, target) =>
+      min(when(col("rn") === expr(target.format("cnt")), col("cents")))
+        .as(s"${tag}_exact")
+    }
+    val exact = rk.groupBy("win_start").agg(exactAggs.head, exactAggs.tail: _*)
+    def ok(e: String, x: String) = col(e) <= col(x) && col(x) * 16 <= col(e) * 17
+    est.join(exact, Seq("win_start"))
+      .withColumn("ok50", ok("p50_est", "p50_exact"))
+      .withColumn("ok90", ok("p90_est", "p90_exact"))
+      .withColumn("ok99", ok("p99_est", "p99_exact"))
+      .withColumn("mass_matches", col("n") === col("n_events"))
+      .select("win_start", "win_end", "n_events", "hist_fp", "mass_matches",
+        "p50_est", "p50_exact", "ok50", "p90_est", "p90_exact", "ok90",
+        "p99_est", "p99_exact", "ok99")
+      .orderBy("win_start")
+  }
+
   /** q110 — the ST3 checkpointed foreachBatch upsert end-to-end as a
     * declared query (previously spec-only, the last §2.13 leg without a
     * CORRECTNESS row): TWO ingest waves through [[runFileUpsertStream]]

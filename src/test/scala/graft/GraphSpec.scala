@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank must match an independently-written fixed-point model on
+  * small graphs (truncating-division dust and all), hold its mass/
+  * symmetry invariants, and the declared q139 output must cover every
+  * supplier. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference model: same integer arithmetic, plain Scala maps. */
+  private def model(directed: Seq[(String, String)],
+                    iterations: Int): Map[String, Long] = {
+    val edges = directed ++ directed.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = outdeg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val base = ((Graph.DampDen - Graph.DampNum) * Graph.Scale /
+      Graph.DampDen) / n
+    var r = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (base + Graph.DampNum * inflow.getOrElse(v, 0L) /
+          Graph.DampDen)).toMap
+    }
+    r
+  }
+
+  private def run(directed: Seq[(String, String)],
+                  iterations: Int): Map[String, Long] =
+    Graph.pagerank(directed.toDF("src", "dst"), iterations)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+
+  test("two-node path sits at its fixed point and matches the model") {
+    val g = Seq(("a", "b"))
+    val got = run(g, 5)
+    assert(got == model(g, 5))
+    // symmetric pair: identical ranks, fixed point of the update
+    assert(got("a") == got("b"))
+  }
+
+  test("star graph: center dominates, leaves equal, truncation dust " +
+    "matches the model exactly") {
+    val g = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"))
+    for (iters <- Seq(1, 5)) {
+      val got = run(g, iters)
+      val exp = model(g, iters)
+      assert(got == exp, s"iters=$iters")
+      assert(got("c") > got("l1"))
+      assert(got("l1") == got("l2") && got("l2") == got("l3"))
+      // total mass never exceeds the scale; truncation only loses
+      assert(got.values.sum <= Graph.Scale)
+      assert(got.values.forall(_ > 0L))
+    }
+  }
+
+  test("ring is rank-uniform at every iteration count") {
+    // directed 4-ring (no reverse pairs — the symmetrize contract)
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val got = run(g, 3)
+    assert(got.values.toSet.size == 1, s"uniform ranks: $got")
+    assert(got == model(g, 3))
+  }
+
+  test("q139 declared output covers every supplier with positive rank") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Graph.q139Pagerank(t).collect()
+    val nSupp = t.supplier.count()
+    assert(out.length == nSupp)
+    assert(out.forall(_.getLong(1) > 0L))
+    // suppliers ordered, unique
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.distinct.size == ids.size)
+  }
+}

@@ -63,6 +63,52 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  // --- q138 z-order layout ---
+
+  /** Independent Morton model: interleave the low 16 bits of xn (even
+    * positions) and yn (odd positions). */
+  private def morton(xn: Long, yn: Long): Long =
+    (0 until 16).map { i =>
+      (((xn >> i) & 1L) << (2 * i)) | (((yn >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("q138: the in-plan Morton interleave matches the bit model") {
+    val rnd = new scala.util.Random(31)
+    val pairs = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
+      (32768L, 1L)) ++ Seq.fill(200)((rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    val interleave = (0 until 16).map { i =>
+      s"shiftleft(shiftright(xn, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(yn, $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+    val got = pairs.toDF("xn", "yn").withColumn("z", expr(interleave))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x, y), s"($x, $y)")
+    }
+    // locality: z restricted to a fixed top-bit prefix pins BOTH dims
+    assert(morton(65535L, 65535L) == (1L << 32) - 1)
+  }
+
+  test("q138: audit invariants — per-layout totals, matched rows equal " +
+    "across layouts, scanned files cover all matches") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val rows = ScaleTechniques.zorderSkipping(t.lineitem).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("linear", "zorder"))
+    val n = t.lineitem.count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == n, "every row lands in exactly one file")
+      assert(r.getLong(1) <= ScaleTechniques.ZFiles, "file count bounded")
+      assert(r.getLong(3) <= r.getLong(1), "scanned <= files")
+      assert(r.getLong(4) <= r.getLong(2), "rows scanned <= rows")
+      // min/max pruning is sound: a file holding a matching row always
+      // overlaps the box, so every match lies inside scanned files
+      assert(r.getLong(6) <= r.getLong(4), "matches within scanned rows")
+    }
+    assert(rows(0).getLong(6) == rows(1).getLong(6),
+      "both layouts see the same matching rows")
+  }
+
   test("partitioned sorted write prunes partitions at read") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val base = Files.createTempDirectory("graft-partwrite")
