@@ -199,6 +199,10 @@ object SparkEntry {
     "q137_hist_quantiles" -> ((s, d) => ScaleTechniques.q137HistQuantiles(T(s, d))),
     "q138_zorder_layout"  -> ((s, d) => ScaleTechniques.q138ZorderLayout(T(s, d))),
     "q139_pagerank"       -> ((s, d) => operators.Graph.q139Pagerank(T(s, d))),
+    // q140 is EAGER like q134 (streaming round-trip at construction):
+    // the quantile histogram as streaming aggregation state.
+    "q140_streaming_quantiles" -> ((s, d) =>
+      streaming.Incremental.q140StreamingQuantiles(T(s, d))),
   )
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
@@ -3482,5 +3486,66 @@ object SparkEntry {
         |  CAST(sum(nr_in_box) AS BIGINT) AS rows_matched
         |FROM fs, b GROUP BY layout ORDER BY layout""".stripMargin,
     "q139_pagerank" -> q139OracleSql,
+    // q140: the streamed per-window histogram replayed from the q137
+    // bucket arithmetic keyed by time_bucket windows, exact percentiles
+    // by the naive per-window rank walk, the q134 watermark-withholding
+    // cutoff on the last (still-open) window. mass_matches is literal
+    // TRUE here (the oracle's window counts are one GROUP BY); the
+    // Spark side genuinely compares the streamed sketch's cell mass to
+    // the streamed row count.
+    "q140_streaming_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 2 = 1),
+        |w AS (SELECT time_bucket(INTERVAL 24 HOUR, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00') AS win_start, cents FROM e),
+        |bk AS (
+        |  SELECT win_start, cents, CASE WHEN cents < 32 THEN cents
+        |    ELSE (length(bin(cents)) - 5) * 16 +
+        |      (cents >> (length(bin(cents)) - 5)) END AS pos
+        |  FROM w),
+        |cells AS (
+        |  SELECT win_start, pos, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT win_start, pos, cnt,
+        |    sum(cnt) OVER (PARTITION BY win_start ORDER BY pos) AS cum,
+        |    sum(cnt) OVER (PARTITION BY win_start) AS n,
+        |    CASE WHEN pos < 32 THEN pos
+        |      ELSE (pos % 16 + 16) << (pos // 16 - 1) END AS lb
+        |  FROM cells),
+        |est AS (
+        |  SELECT win_start, CAST(max(n) AS BIGINT) AS n_events,
+        |    CAST(sum((pos + 1) * cnt) AS BIGINT) AS hist_fp,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN lb END) AS p50_est,
+        |    min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS p90_est,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS p99_est
+        |  FROM cum GROUP BY 1),
+        |rk AS (
+        |  SELECT win_start, cents,
+        |    row_number() OVER (PARTITION BY win_start ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY win_start) AS cnt
+        |  FROM w),
+        |ex AS (
+        |  SELECT win_start,
+        |    min(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS p50_exact,
+        |    min(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN cents END) AS p90_exact,
+        |    min(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN cents END)
+        |      AS p99_exact
+        |  FROM rk GROUP BY 1)
+        |SELECT s.win_start, s.win_start + INTERVAL 24 HOUR AS win_end,
+        |  s.n_events, s.hist_fp, TRUE AS mass_matches,
+        |  s.p50_est, x.p50_exact,
+        |  s.p50_est <= x.p50_exact AND x.p50_exact * 16 <= s.p50_est * 17
+        |    AS ok50,
+        |  s.p90_est, x.p90_exact,
+        |  s.p90_est <= x.p90_exact AND x.p90_exact * 16 <= s.p90_est * 17
+        |    AS ok90,
+        |  s.p99_est, x.p99_exact,
+        |  s.p99_est <= x.p99_exact AND x.p99_exact * 16 <= s.p99_est * 17
+        |    AS ok99
+        |FROM est s JOIN ex x ON x.win_start = s.win_start
+        |WHERE s.win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
+        |ORDER BY s.win_start""".stripMargin,
   )
 }

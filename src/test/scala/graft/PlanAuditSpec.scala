@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSpec {
     // manifest write and q134 a full AvailableNow streaming round-trip —
     // the returned frame is only the readback scan, nothing to audit;
     // covered by SourcesSpec/StreamingHllSpec and their oracle rows
-    "q114_export_manifest", "q134_streaming_hll")
+    "q114_export_manifest", "q134_streaming_hll",
+    // q140 is q134's AvailableNow round-trip shape for the quantile
+    // sketch — the returned frame is the sink readback; covered by
+    // StreamingQuantilesSpec and its oracle row
+    "q140_streaming_quantiles")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
