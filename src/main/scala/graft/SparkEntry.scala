@@ -203,6 +203,7 @@ object SparkEntry {
     // the quantile histogram as streaming aggregation state.
     "q140_streaming_quantiles" -> ((s, d) =>
       streaming.Incremental.q140StreamingQuantiles(T(s, d))),
+    "q141_bloom_skipping" -> ((s, d) => ScaleTechniques.q141BloomSkipping(T(s, d))),
   )
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
@@ -223,7 +224,7 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS (
-       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
        |deg AS (
@@ -233,10 +234,9 @@ object SparkEntry {
        |r0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) // n AS r
        |  FROM deg, nn),
        |$steps
-       |SELECT CAST(substring(node, 2) AS BIGINT) AS supplier,
-       |  CAST(r AS BIGINT) AS rank_ppb
+       |SELECT node // 2 AS supplier, CAST(r AS BIGINT) AS rank_ppb
        |FROM r${operators.Graph.Iterations}
-       |WHERE node LIKE 's%' ORDER BY supplier""".stripMargin
+       |WHERE node % 2 = 1 ORDER BY supplier""".stripMargin
   }
 
   /** DuckDB-runnable oracle SQL, one per `queries` key (same column names,
@@ -3547,5 +3547,71 @@ object SparkEntry {
         |FROM est s JOIN ex x ON x.win_start = s.win_start
         |WHERE s.win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
         |ORDER BY s.win_start""".stripMargin,
+    // q141: the h60 bigram hashes, the rarity-ladder probe picks
+    // (min by (distance, hash) per divisor), the q131 bloom replay as
+    // distinct bit-position sets per file, the 3-probe candidate test,
+    // and the truth/false-positive accounting — all restated in
+    // DuckDB's dialect.
+    "q141_bloom_skipping" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(
+        |    lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))) AS g
+        |  FROM t0 WHERE len(ws) >= 2),
+        |bg AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS INT) AS file,
+        |    ('0x' || substr(md5(concat('141:', g)), 1, 15))::BIGINT AS bh
+        |  FROM g0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfc AS (SELECT bh, CAST(count(*) AS BIGINT) AS df
+        |  FROM bg GROUP BY 1),
+        |qt AS (
+        |  SELECT target_div, qbh, df FROM (
+        |    SELECT ds.target_div, bh AS qbh, df, row_number() OVER (
+        |      PARTITION BY ds.target_div
+        |      ORDER BY abs(df - (SELECT n FROM nd) // ds.target_div), bh)
+        |      AS rn
+        |    FROM dfc CROSS JOIN
+        |      (SELECT unnest([200, 50, 20, 5]) AS target_div) ds)
+        |  WHERE rn = 1),
+        |ks AS (SELECT * FROM (VALUES (1), (16384), (268435456)) AS k(d)),
+        |bits AS (SELECT DISTINCT file, (bh // ks.d) % 16384 AS bp
+        |  FROM bg CROSS JOIN ks),
+        |probe AS (
+        |  SELECT f.file, q.target_div, q.df, count(bi.bp) = 3 AS hit
+        |  FROM (SELECT DISTINCT file FROM bg) f
+        |  CROSS JOIN qt q CROSS JOIN ks
+        |  LEFT JOIN bits bi ON bi.file = f.file
+        |    AND bi.bp = (q.qbh // ks.d) % 16384
+        |  GROUP BY 1, 2, 3),
+        |tru AS (
+        |  SELECT DISTINCT q.target_div, bg.file
+        |  FROM bg JOIN qt q ON q.qbh = bg.bh),
+        |dm AS (
+        |  SELECT q.target_div, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |    AS docs_matched
+        |  FROM bg JOIN qt q ON q.qbh = bg.bh GROUP BY 1),
+        |audit AS (
+        |  SELECT p.target_div, CAST(max(p.df) AS BIGINT) AS df,
+        |    CAST(count(*) AS BIGINT) AS n_files_probed,
+        |    CAST(sum(CASE WHEN p.hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS files_bloom_hit,
+        |    CAST(sum(CASE WHEN t.file IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS files_true,
+        |    CAST(sum(CASE WHEN p.hit AND t.file IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_false_pos,
+        |    min(CASE WHEN t.file IS NOT NULL
+        |      THEN CASE WHEN p.hit THEN 1 ELSE 0 END ELSE 1 END) = 1
+        |      AS no_false_negatives
+        |  FROM probe p LEFT JOIN tru t ON t.target_div = p.target_div
+        |    AND t.file = p.file
+        |  GROUP BY 1)
+        |SELECT a.target_div, a.df, a.n_files_probed, a.files_bloom_hit,
+        |  a.files_true, a.n_false_pos, a.no_false_negatives, dm.docs_matched
+        |FROM audit a JOIN dm ON dm.target_div = a.target_div
+        |ORDER BY a.target_div""".stripMargin,
   )
 }

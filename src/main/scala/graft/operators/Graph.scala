@@ -53,15 +53,19 @@ object Graph {
     * q91 mixtures consume downstream. */
   def q139Pagerank(t: graft.Tables.T): DataFrame = {
     import graft.Serve._
+    // node ids packed into LONGs (customer = 2k, supplier = 2k+1): the
+    // edge frame is the one corpus-sized, 5×-joined structure, so long
+    // keys beat "c123"-style strings on hash, shuffle bytes and cache
+    // footprint alike — and the class parity bit keeps the two id
+    // spaces disjoint (the symmetrize contract)
     val edgesOnce = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select(expr("o_custkey * 2").as("src"),
+        expr("l_suppkey * 2 + 1").as("dst"))
       .distinct()
     pagerank(edgesOnce, Iterations)
-      .filter(col("node").startsWith("s"))
-      .select(expr("CAST(substring(node, 2) AS BIGINT)").as("supplier"),
-        col("rank_ppb"))
+      .filter(col("node") % 2 === 1)
+      .select(expr("node DIV 2").as("supplier"), col("rank_ppb"))
       .smallSort("supplier")
   }
 

@@ -255,18 +255,27 @@ object ScaleTechniques {
       .withColumn("pos", posOf)
       .join(broadcast(guide.withColumnRenamed("grain", "ggrain")), Seq("pos"))
       .filter(col("ggrain") === col("grain") || col("ggrain") === "ALL")
-    // rank selection WITHOUT a window: per (grain, tag) the sliver is one
-    // histogram bucket's mass (≤1/16-relative value width — the same
-    // bound the deleted per-group sort would have operated on), so the
-    // rk-th smallest is element_at(sort_array(collect_list(...)), rk) in
-    // ONE exchange where window + rn-filter + re-aggregate cost two
+    // rank selection inside the bucket: the sliver can still be large
+    // when the distribution is broad (a 1/16-relative bucket at p99 of
+    // this corpus holds ~30 k rows), so FIRST collapse it map-side to
+    // (grain, tag, cents) counts — partial aggregation shrinks the
+    // shuffle to distinct values — THEN one distributed cumulative
+    // window finds the value whose running count crosses the in-bucket
+    // rank (cum − c < rk ≤ cum picks exactly one value per tag). A
+    // collect_list + sort_array here built and sorted the whole bucket
+    // single-threaded per group.
+    val slivers = hits
+      .groupBy(col("ggrain").as("grain"), col("tag"), col("rk"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val picked = slivers
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grain", "tag").orderBy("cents")))
+      .filter(col("cum") >= col("rk") && col("cum") - col("c") < col("rk"))
     val exactAggs = quantiles.map { case (tag, _) =>
-      expr(s"element_at(sort_array(collect_list(CASE WHEN tag = '$tag' " +
-        s"THEN cents END)), CAST(max(CASE WHEN tag = '$tag' THEN rk END) " +
-        s"AS INT))").as(s"${tag}_exact")
+      min(when(col("tag") === tag, col("cents"))).as(s"${tag}_exact")
     }
-    val exact = hits.groupBy(col("ggrain").as("grain"))
-      .agg(exactAggs.head, exactAggs.tail: _*)
+    val exact = picked.groupBy("grain").agg(exactAggs.head, exactAggs.tail: _*)
     def ok(e: String, x: String) = col(e) <= col(x) && col(x) * 16 <= col(e) * 17
     est.join(exact, Seq("grain"))
       .withColumn("ok50", ok("p50_est", "p50_exact"))
@@ -419,5 +428,101 @@ object ScaleTechniques {
       .select("layout", "n_files", "n_rows", "files_scanned", "rows_scanned",
         "scan_pct", "rows_matched")
       .smallSort("layout")
+  }
+
+  /** q141 — BLOOM-FILTER SKIPPING INDEX for text search, q138's sibling:
+    * min/max footers prune RANGE predicates; a per-file Bloom filter
+    * over the file's distinct word-bigram hashes prunes CONTAINMENT
+    * predicates (`WHERE text ~ 'term'`), which min/max can never serve.
+    * Documents land in 32 "files" (doc_id % 32) each carrying a 2 KiB
+    * `bloom_bits` index over its distinct bigram hashes; FOUR probe
+    * terms chosen on a deterministic RARITY LADDER (doc frequency
+    * closest to 1/200, 1/50, 1/20, 1/5 of the corpus) are tested
+    * against every file's bloom. The audit reports per probe: files the
+    * index would scan vs files truly containing the term, false
+    * positives (the bloom's price), the structural no-false-negatives
+    * guarantee, and docs matched — making the real lesson measurable:
+    * SELECTIVITY, not the index, bounds skipping. A rare term prunes
+    * most files; a 20%-df term is in every file and the index honestly
+    * scans them all.
+    *
+    * 100 TB design: this is the Delta/Iceberg bloom-column story — the
+    * index is one 2 KiB array per file built by a single distinct-gram
+    * aggregate at write time (the same one-corpus-shuffle shape as
+    * q131's eval-set bloom), and probing is driver-free map work over
+    * the 32-row stats frame — the query planner's file-pruning pass,
+    * not a data pass. Extends the reference's text-search path
+    * (ILIKE %q% scans, transform/search.py:36-88 ported as q45) with
+    * the index that makes it affordable at petabyte scale. */
+  def q141BloomSkipping(t: graft.Tables.T): DataFrame =
+    bloomSkipping(t.documents)
+
+  /** Rarity-ladder divisors: probe term k targets df ≈ corpus/divisor. */
+  val BloomProbeDivisors: Seq[Int] = Seq(200, 50, 20, 5)
+
+  def bloomSkipping(documents: DataFrame): DataFrame = {
+    import graft.Serve._
+    val bigramsOf = when(size(col("w")) >= 2,
+      zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    // per-doc DISTINCT bigram hashes + file id; one corpus pass,
+    // checkpointed because three branches reuse it (file blooms,
+    // probe-term selection, ground truth)
+    val bg = documents
+      .select(col("doc_id"), TextDedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(bigramsOf)).as("g"))
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 32 AS INT)").as("file"),
+        expr(TextDedup.h60(141, "g")).as("bh"))
+      .localCheckpoint(false)
+    // the write-time index: one bloom per file over its distinct gram
+    // hashes — 32 rows × 2 KiB
+    val blooms = bg.select("file", "bh").distinct()
+      .groupBy("file").agg(expr("bloom_bits(bh)").as("bf"))
+    // probe terms: per rarity divisor, the bigram whose doc frequency
+    // is closest to corpus/divisor (total order: distance, then hash —
+    // min(struct) keeps the pick deterministic)
+    val nd = documents.agg(count(lit(1)).as("nd"))
+    val qterms = bg.groupBy("bh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("bh"), col("df"), col("nd"), explode(
+        expr(s"array(${BloomProbeDivisors.mkString(", ")})")).as("target_div"))
+      .withColumn("dist", expr("abs(df - nd DIV target_div)"))
+      .groupBy("target_div")
+      .agg(min(struct(col("dist"), col("bh"), col("df"))).as("m"))
+      .select(col("target_div"), col("m.bh").as("qbh"), col("m.df").as("df"))
+      .localCheckpoint(false) // reused by the probe and the truth legs
+    // q131's 3-probe bit test against the broadcast term list
+    val probeCond = Seq(1L, 16384L, 268435456L).map { d =>
+      val bp = s"((qbh DIV $d) % 16384)"
+      s"((shiftrightunsigned(element_at(bf, CAST($bp DIV 64 AS INT) + 1), " +
+        s"CAST($bp % 64 AS INT)) & 1) = 1)"
+    }.mkString("(", " AND ", ")")
+    val probes = blooms.crossJoin(broadcast(qterms))
+      .withColumn("hit", expr(probeCond))
+    // ground truth: which files actually contain each probe term
+    val matched = bg.join(broadcast(qterms), col("bh") === col("qbh"))
+    val fileTruth = matched.select("target_div", "file")
+      .distinct().withColumn("contains", lit(true))
+    val docsMatched = matched.groupBy("target_div")
+      .agg(countDistinct("doc_id").as("docs_matched"))
+    probes.join(fileTruth, Seq("target_div", "file"), "left")
+      .groupBy("target_div")
+      .agg(max("df").as("df"),
+        count(lit(1)).as("n_files_probed"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("files_bloom_hit"),
+        sum(when(col("contains").isNotNull, 1L).otherwise(0L)).as("files_true"),
+        sum(when(col("hit") && col("contains").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        min(when(col("contains").isNotNull,
+          when(col("hit"), 1).otherwise(0)).otherwise(1)).as("nfn"))
+      .withColumn("no_false_negatives", col("nfn") === 1)
+      .join(broadcast(docsMatched), Seq("target_div"))
+      .select("target_div", "df", "n_files_probed", "files_bloom_hit",
+        "files_true", "n_false_pos", "no_false_negatives", "docs_matched")
+      .smallSort("target_div")
   }
 }

