@@ -204,7 +204,66 @@ object SparkEntry {
     "q140_streaming_quantiles" -> ((s, d) =>
       streaming.Incremental.q140StreamingQuantiles(T(s, d))),
     "q141_bloom_skipping" -> ((s, d) => ScaleTechniques.q141BloomSkipping(T(s, d))),
+    "q142_kmeans"         -> ((s, d) => Similarity.q142Kmeans(T(s, d))),
   )
+
+  /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
+    * milli-unit quantization, hash seeds, sign-split truncating means
+    * and empty-cluster fallback — assignments, inertia, fingerprints
+    * and purity match bit-for-bit. */
+  private def q142OracleSql: String = {
+    def assign(r: String, cent: String) =
+      s"""s$r AS (
+         |  SELECT dm.vec_id, c.cluster,
+         |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
+         |  FROM dims dm JOIN $cent c ON c.d = dm.d GROUP BY 1, 2),
+         |a$r AS (
+         |  SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+         |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
+    val steps = (1 to 3).map { r =>
+      s"""${assign(r.toString, s"c${r - 1}")},
+         |m$r AS (
+         |  SELECT a.cluster, dm.d,
+         |    CASE WHEN sum(dm.q) >= 0
+         |      THEN CAST(sum(dm.q) AS BIGINT) // count(*)
+         |      ELSE -(CAST(-sum(dm.q) AS BIGINT) // count(*)) END AS c
+         |  FROM dims dm JOIN a$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
+         |c$r AS (
+         |  SELECT p.cluster, p.d, COALESCE(m.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN m$r m ON m.cluster = p.cluster
+         |    AND m.d = p.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, ix.i - 1 AS d,
+       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+       |    AS cluster
+       |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('143:',
+       |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+       |  QUALIFY cluster <= 10),
+       |c0 AS (SELECT s.cluster, d.d, d.q AS c
+       |  FROM dims d JOIN seeds s ON s.vec_id = d.vec_id),
+       |$steps,
+       |pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(dist) AS BIGINT) AS inertia FROM a3 GROUP BY 1),
+       |bl AS (SELECT a3.cluster, e.label, count(*) AS n
+       |  FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id GROUP BY 1, 2),
+       |tl AS (SELECT cluster, label AS top_label,
+       |  CAST(n AS BIGINT) AS top_label_n
+       |  FROM (SELECT bl.*, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY n DESC, label) AS rn FROM bl) WHERE rn = 1),
+       |fp AS (SELECT cluster, CAST(sum((d + 1) * c) AS BIGINT) AS cent_fp
+       |  FROM c3 GROUP BY 1)
+       |SELECT pc.cluster, pc.n_vecs, pc.inertia, tl.top_label,
+       |  tl.top_label_n, fp.cent_fp
+       |FROM pc JOIN tl ON tl.cluster = pc.cluster
+       |JOIN fp ON fp.cluster = pc.cluster
+       |ORDER BY pc.cluster""".stripMargin
+  }
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
     * integer fixed-point arithmetic (ppb scale, truncating division) the
@@ -3613,5 +3672,6 @@ object SparkEntry {
         |  a.files_true, a.n_false_pos, a.no_false_negatives, dm.docs_matched
         |FROM audit a JOIN dm ON dm.target_div = a.target_div
         |ORDER BY a.target_div""".stripMargin,
+    "q142_kmeans" -> q142OracleSql,
   )
 }

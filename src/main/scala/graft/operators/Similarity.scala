@@ -292,4 +292,140 @@ object Similarity {
         round(col("m.cosine"), 6).as("max_cosine"))
       .orderBy("train_id")
   }
+
+  /** q142 — K-MEANS (Lloyd) in exact fixed-point arithmetic: the
+    * ML-iterative pair to q139's PageRank. Embeddings quantize to
+    * integer milli-units (float→double widening is exact and ×1000
+    * never lands on a representable .5, so the per-item round is
+    * engine-stable — the q80/q128 micro-unit discipline), seeds are the
+    * k vectors with the smallest portable hash, and three Lloyd rounds
+    * run as declarative join+aggregate supersteps: squared-L2 via the
+    * dim-exploded equi-join, argmin as min(struct), means as a
+    * SIGN-SPLIT truncating integer division (|s| DIV n negated back —
+    * written out so neither engine's native integer-division semantics
+    * is load-bearing), empty clusters keeping their previous centroid.
+    * The oracle unrolls the same three rounds as CTEs and matches the
+    * final assignment, inertia, centroid fingerprints and
+    * majority-label purity bit-for-bit.
+    *
+    * 100 TB design: the n·k·d work never materializes as rows — the
+    * centroids ride as ONE broadcast 1-row map (k·d entries), each
+    * dim-row computes its k squared diffs as codegen'd map lookups,
+    * and the argmin is IN-ROW over k sum columns, so a full Lloyd
+    * round is exactly two vector-keyed shuffles (assign, means). The
+    * dim-exploded corpus is materialized ONCE (lazy checkpoint — at
+    * scale the persisted feature table); the per-round 1-row frames
+    * are referenced once each, keeping the folded plan linear with no
+    * per-round barriers. Labels never steer training — purity is
+    * reporting, computed after the last round. (Dim index packs below
+    * 1024 per cluster in the map key — d < 1024 by contract.) Extends the
+    * reference's embedding clustering instinct (semantic question
+    * clustering, study_scraper/clustering.py:124-210, ported as
+    * q46/q67) with the centroid-based family a corpus pipeline uses
+    * for diversity sampling and SemDeDup-style blocking (q117's
+    * blocks are exactly these clusters at scale). */
+  def q142Kmeans(t: T): DataFrame =
+    kmeansFixedPoint(t.embeddings, 10, 3)
+
+  def kmeansFixedPoint(embeddings: DataFrame, k: Int,
+                       iterations: Int): DataFrame = {
+    // dim-exploded quantized vectors: one corpus explode, checkpointed —
+    // every round's distance and mean pass reuses it
+    val dims = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+      .localCheckpoint(false)
+    // deterministic seeds: smallest (portable hash, id); cluster ids are
+    // the rank in that order
+    val seeds = embeddings.select(col("vec_id"))
+      .withColumn("h", expr(TextDedup.h60(143, "CAST(vec_id AS STRING)")))
+      .orderBy("h", "vec_id").limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy("h", "vec_id")))
+      .select("vec_id", "cluster")
+    // centroids ride as ONE 1-row DENSE array (position (j−1)·D + d —
+    // element_at on an array is O(1); a Spark MAP lookup is a linear
+    // key scan, and k·2 lookups per dim-row over a 640-entry map
+    // measured ~3× slower end-to-end): every round broadcasts ~k·D
+    // longs, the per-row distance is k codegen'd array reads, and the
+    // argmin is IN-ROW over k sum columns — so a full Lloyd round is
+    // exactly TWO vertex-keyed shuffles (assign, means) plus a k·D-step
+    // array rebuild, with no per-round checkpoint (each 1-row frame is
+    // referenced once; the folded plan is linear). D rides in the row.
+    val seeded = dims.join(broadcast(seeds), "vec_id")
+    val c0 = seeded.groupBy()
+      .agg(map_from_entries(collect_list(struct(
+        expr("cluster * 1024 + d").as("mk"), col("q").as("c")))).as("m0"),
+        (max("d") + 1).as("dd"))
+      .select(col("dd"), expr(s"transform(sequence(0, $k * dd - 1), " +
+        "i -> element_at(m0, (i DIV dd + 1) * 1024 + i % dd))").as("ca"))
+      .localCheckpoint(false)
+    def sqCols(pfx: String): Seq[org.apache.spark.sql.Column] =
+      (1 to k).map { j =>
+        sum(expr(s"(q - element_at(ca, ${j - 1} * dd + d + 1)) * " +
+          s"(q - element_at(ca, ${j - 1} * dd + d + 1))")).as(s"$pfx$j")
+      }
+    // in-row argmin over the k distance columns; ties break to the
+    // smallest cluster (first CASE arm), matching min(struct(dist, c))
+    def argmin(pfx: String) = {
+      val ls = s"least(${(1 to k).map(j => s"$pfx$j").mkString(", ")})"
+      (expr(s"CAST(CASE ${(1 to k)
+        .map(j => s"WHEN $pfx$j = $ls THEN $j").mkString(" ")} END AS INT)"),
+        expr(ls))
+    }
+    def assignTo(centRow: DataFrame): DataFrame = {
+      val cols = sqCols("s")
+      val (cl, dist) = argmin("s")
+      dims.crossJoin(broadcast(centRow))
+        .groupBy("vec_id", "dd").agg(cols.head, cols.tail: _*)
+        .select(col("vec_id"), cl.as("cluster"), dist.as("dist"))
+    }
+    // each round returns (centroids AFTER the update, the E-step
+    // assignment that PRODUCED them) — the report reads that final
+    // assignment rather than paying one more corpus E-step; inertia is
+    // the distance that drove it (to the round's input centroids)
+    val (cFinal, finOpt) = (1 to iterations)
+      .foldLeft((c0, Option.empty[DataFrame])) { case ((centRow, _), _) =>
+        val assign = assignTo(centRow).localCheckpoint(false)
+        val means = dims
+          .join(assign.select("vec_id", "cluster"), "vec_id")
+          .groupBy("cluster", "d")
+          .agg(expr("CASE WHEN sum(q) >= 0 THEN sum(q) DIV count(q) " +
+            "ELSE -((-sum(q)) DIV count(q)) END").as("nc"))
+          .groupBy()
+          .agg(map_from_entries(collect_list(struct(
+            expr("cluster * 1024 + d").as("mk"), col("nc")))).as("nm"))
+        // empty-cluster rule: positions absent from the round's means
+        // keep the previous dense value — the k·D rebuild runs once on
+        // one row
+        val next = centRow.crossJoin(means)
+          .select(col("dd"), expr(s"transform(sequence(0, $k * dd - 1), " +
+            "i -> coalesce(element_at(nm, (i DIV dd + 1) * 1024 + i % dd), " +
+            "element_at(ca, i + 1)))").as("ca"))
+          // 1-row barrier: without it the optimizer can evaluate this
+          // rebuild above the broadcast join, i.e. once per corpus row
+          .localCheckpoint(false)
+        (next, Some(assign))
+      }
+    val fin = finOpt.get
+    val byLabel = fin
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      .groupBy("cluster")
+      // majority label, ties to the smallest label
+      .agg(max(struct(col("n"), expr("-label").as("negl"))).as("t"))
+      .select(col("cluster"), expr("-t.negl").as("top_label"),
+        col("t.n").as("top_label_n"))
+    val perCluster = fin.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+    val centFp = cFinal
+      .select(col("dd"), posexplode(col("ca")).as(Seq("p", "c")))
+      .select(expr("CAST(p DIV dd + 1 AS INT)").as("cluster"),
+        expr("(p % dd + 1) * c").as("w"))
+      .groupBy("cluster").agg(sum("w").as("cent_fp"))
+    perCluster.join(byLabel, "cluster").join(centFp, "cluster")
+      .select("cluster", "n_vecs", "inertia", "top_label", "top_label_n",
+        "cent_fp")
+      .smallSort("cluster")
+  }
 }
