@@ -37,6 +37,48 @@ import java.nio.file.{Files, Paths}
   * shuffle job fell 0.33 s → 0.19 s.
   */
 object HarnessTuning {
+  /** tmpfs is RAM-backed (typically capped at half of system memory), so
+    * the scratch redirect is GATED on reported free space (r12 advice): a
+    * spill-heavy run or a bigger scale factor must fall back to disk
+    * rather than exhaust memory-backed storage in a way the sub-MB sf0.1
+    * harness never exercises. 4 GiB ≈ 40× the largest whole-suite
+    * scratch footprint observed at sf0.1. */
+  private val ShmMinFreeBytes = 4L << 30
+
+  /** /dev/shm iff present AND comfortably free, else None. */
+  private[graft] def shmDir(): Option[java.nio.file.Path] = {
+    val p = Paths.get("/dev/shm")
+    try {
+      if (Files.isDirectory(p) &&
+        Files.getFileStore(p).getUsableSpace >= ShmMinFreeBytes) Some(p)
+      else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** Best-effort sweep of STALE graft scratch roots from /dev/shm (r12
+    * advice): a SIGKILLed JVM never runs its shutdown hooks, so its
+    * TmpDirs trees linger in RAM-backed storage. Only directories with
+    * our `graft_` prefix are touched, and only when untouched for ≥ 2 h
+    * — a live harness JVM is minutes old by construction, so the age
+    * guard cannot race a concurrent run. Spark's own `spark-*` local
+    * dirs are left alone (they are removed on clean session stop, and
+    * another JVM's live scratch is not ours to judge). */
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStaleScratch(root: java.nio.file.Path): Unit =
+    if (sweptOnce.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val kids = root.toFile.listFiles()
+      if (kids != null) kids.foreach { f =>
+        if (f.getName.startsWith("graft_") && f.lastModified() < cutoff) {
+          def rm(x: java.io.File): Unit = {
+            val cs = x.listFiles(); if (cs != null) cs.foreach(rm)
+            x.delete(): Unit
+          }
+          try rm(f) catch { case _: Throwable => () }
+        }
+      }
+    }
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val tuned = b
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
@@ -46,7 +88,11 @@ object HarnessTuning {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
-    if (Files.isDirectory(Paths.get("/dev/shm"))) tuned.config("spark.local.dir", "/dev/shm")
-    else tuned
+    shmDir() match {
+      case Some(p) =>
+        sweepStaleScratch(p)
+        tuned.config("spark.local.dir", p.toString)
+      case None => tuned
+    }
   }
 }

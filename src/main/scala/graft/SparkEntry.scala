@@ -2531,11 +2531,13 @@ object SparkEntry {
     // label order. Counts are integer-valued doubles so %.1f has no
     // FP-tie hazard.
     "q112_digest_markdown" ->
-      """WITH m AS (SELECT max(day(ts)) AS dd FROM events),
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS dd FROM events),
         |agg AS (
         |  SELECT event_type || '/u' || (user_id % 29) AS label,
-        |    CAST(count(CASE WHEN day(ts) = dd THEN 1 END) AS DOUBLE) AS cur,
-        |    CAST(count(CASE WHEN day(ts) = dd - 1 THEN 1 END) AS DOUBLE) AS prev
+        |    CAST(count(CASE WHEN CAST(ts AS DATE) = dd THEN 1 END)
+        |      AS DOUBLE) AS cur,
+        |    CAST(count(CASE WHEN CAST(ts AS DATE) = dd - 1 THEN 1 END)
+        |      AS DOUBLE) AS prev
         |  FROM events CROSS JOIN m GROUP BY 1),
         |cls AS (
         |  SELECT label, cur, prev,

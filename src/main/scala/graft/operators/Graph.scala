@@ -62,7 +62,6 @@ object Graph {
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .select(expr("o_custkey * 2").as("src"),
         expr("l_suppkey * 2 + 1").as("dst"))
-      .distinct()
     pagerank(edgesOnce, Iterations)
       .filter(col("node") % 2 === 1)
       .select(expr("node DIV 2").as("supplier"), col("rank_ppb"))
@@ -70,33 +69,80 @@ object Graph {
   }
 
   /** The reusable core over a directed edge frame (src, dst): symmetrize,
-    * then run `iterations` fixed-point supersteps. Public so the spec can
-    * run tiny graphs with known closed-form ranks. */
+    * dedupe, then run `iterations` fixed-point supersteps. Public so the
+    * spec can run tiny graphs with known closed-form ranks. CALLER
+    * CONTRACT: no pair's reverse is also present in `directed` (otherwise
+    * symmetrize+dedupe and dedupe+symmetrize differ); q139 satisfies it
+    * structurally — src ids are even (customers), dst ids odd
+    * (suppliers). */
   def pagerank(directed: DataFrame, iterations: Int): DataFrame = {
-    // symmetrized edge list: the one corpus-sized frame, materialized
-    // once (lazy localCheckpoint) because every superstep joins it —
-    // without the barrier each of the 5 rounds would rebuild the
-    // orders⋈lineitem distinct. No distinct after the union — that was
-    // a second corpus-sized shuffle. CALLER CONTRACT: `directed` is
-    // distinct and contains no pair whose reverse is also present
-    // (otherwise the union would double those edges); q139 satisfies it
-    // structurally — every src is class-prefixed 'c', every dst 's'
-    val edges = directed
-      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(false)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // vertex frame with the teleport base precomputed: node-count-sized,
-    // checkpointed once — every superstep (and r0) joins THIS, so the
-    // degree aggregate, the node count and the base term never replay
-    val verts = deg.select(col("src").as("node"), col("outdeg"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("nn"))))
-      .withColumn("base",
-        expr(s"((${DampDen - DampNum} * ${Scale}L) DIV $DampDen) DIV nn"))
-      .localCheckpoint(false)
+    // symmetrized DEDUPED edge list, pre-partitioned ON THE JOIN KEY and
+    // materialized once (lazy localCheckpoint) — every superstep joins
+    // it. Three build choices carry the round cost:
+    //  - dedupe AFTER symmetrize, ON the repartition shuffle: hash(src)
+    //    clusters every (src, *) group, which satisfies the dedupe
+    //    aggregate's distribution, so one corpus shuffle does both
+    //    (r12 paid separate distinct + union passes);
+    //  - repartition by src before the barrier: LogicalRDD keeps the
+    //    checkpointed plan's outputPartitioning, so all `iterations`
+    //    superstep joins see edges hash-clustered on src and shuffle
+    //    ONLY the vertex-sized rank frame (r12 re-shuffled the
+    //    corpus-sized edge list every superstep; at 100 TB this is the
+    //    bucketed edge table every Pregel deployment keeps);
+    //  - the union's two branches project the SAME join output —
+    //    ReuseExchange computes the underlying join once.
+    // AQE is disabled ONLY while the two barrier frames plan their RDDs:
+    // LogicalRDD inherits the checkpointed plan's outputPartitioning
+    // from the physical plan at toRdd time, and under AQE that is
+    // UnknownPartitioning (the adaptive root hides the final stage's
+    // partitioning — measured: every superstep then re-exchanged BOTH
+    // checkpointed sides). Static planning keeps hash(src, 32) on the
+    // leaves, so the five superstep joins run exchange-free on the edge
+    // side. The scope is plan-construction-only (no jobs run inside it);
+    // a cluster keeps AQE everywhere else — and a cluster Pregel job
+    // would read a bucketed edge table, which carries the same
+    // partitioning guarantee natively.
+    val spark = directed.sparkSession
+    val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def withStaticPlan[A](f: => A): A = {
+      val was = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
+    }
+    val (edges, verts, nn) = withStaticPlan {
+      val e = directed
+        .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(shuffleN, col("src"))
+        .dropDuplicates("src", "dst")
+        .localCheckpoint(false)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // the vertex count is ONE long — it goes to the driver and the
+      // teleport base rides as a plan literal (r12 built a broadcast
+      // 1-row crossJoin whose exchange materialized the whole edge
+      // frame during plan CONSTRUCTION); this count is the job that
+      // materializes the edge checkpoint, exchange-free on top of its
+      // partitioning
+      val n = deg.count()
+      // vertex frame with the teleport base precomputed: node-count-
+      // sized, checkpointed once — every superstep (and r0) joins THIS,
+      // so the degree aggregate never replays
+      val v = deg.select(col("src").as("node"), col("outdeg"))
+        .withColumn("base",
+          lit(((DampDen - DampNum).toLong * Scale / DampDen) / n))
+        .localCheckpoint(false)
+      (e, v, n)
+    }
     val r0 = verts.select(col("node"), col("outdeg"), col("base"),
-      expr(s"${Scale}L DIV nn").as("rank_ppb"))
+      lit(Scale / nn).as("rank_ppb"))
     val rFinal = (1 to iterations).foldLeft(r0) { (r, _) =>
       val inflow = r
+        // SHUFFLE_HASH on the rank side: both sides are already
+        // hash-clustered on the key (edges by construction, r by the
+        // previous round's vertex join), so the join is exchange-free;
+        // the hint only stops SMJ from RE-SORTING the corpus-sized edge
+        // RDD every superstep — the vertex-sized rank frame is the
+        // hash-build side
+        .hint("SHUFFLE_HASH")
         .join(edges, r("node") === edges("src"))
         .select(col("dst").as("node"),
           expr("rank_ppb DIV outdeg").as("contrib"))

@@ -331,13 +331,18 @@ object Monitoring {
     * hazard (the q107 advice class). */
   def q112DigestMarkdown(t: graft.Tables.T): DataFrame = {
     import t.spark.implicits._
-    val dd = t.events.agg(max(dayofmonth(col("ts")))).head.getInt(0)
+    // calendar DATES, not dayofmonth (r12 advice): day numbers collide
+    // across months in a multi-month corpus, and a max-day on the 1st
+    // would make the prev filter (day - 1 = 0) match nothing
+    val dd = t.events.agg(max(to_date(col("ts")))).head
+      .getAs[java.sql.Date](0)
     val rows = t.events
       .select(concat(col("event_type"), lit("/u"), col("user_id") % 29).as("label"),
-        dayofmonth(col("ts")).as("d"))
+        to_date(col("ts")).as("d"))
       .groupBy("label")
-      .agg(count(when(col("d") === dd, 1)).cast("double").as("cur_value"),
-        count(when(col("d") === dd - 1, 1)).cast("double").as("prev_value"))
+      .agg(count(when(col("d") === lit(dd), 1)).cast("double").as("cur_value"),
+        count(when(col("d") === date_sub(lit(dd), 1), 1)).cast("double")
+          .as("prev_value"))
       .filter(col("cur_value") > 0)
       .withColumn("status",
         when(col("prev_value") === 0, "new")

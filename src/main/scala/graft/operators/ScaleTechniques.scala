@@ -151,13 +151,24 @@ object ScaleTechniques {
     * register rollup — and `merge_matches_direct` pins cell-for-cell
     * equality against a directly-computed global sketch.
     *
+    * The sketch rows then COLLECT — the design point of a mergeable
+    * summary: the coordinator holds one ≤7.7 KiB sketch per grain (the
+    * grain domain is a 3-letter enum, so ≤5 rows at any scale) and runs
+    * the cumulative walk, the pointwise ALL merge, the merge-vs-direct
+    * check and the rank-guide arithmetic locally in exact Long math —
+    * r12 ran those as three chained 1-row checkpoint jobs and paid 2.3 s
+    * of barriers for <0.1 s of work.
+    *
     * The EXACT percentiles beside the estimates come from sketch-GUIDED
     * selection, not a per-grain global sort: the cumulative walk yields,
     * for each quantile, the bucket holding rank ⌈q·n⌉ and the rank's
-    * offset within it; a ≤12-row broadcast of (grain, bucket, offset)
-    * then prunes the raw rows map-side to just the candidate buckets
-    * (≈ the mass of three ≤6.25%-wide value slices), and only that
-    * sliver is sorted. Identical to the naive rank walk BY CONSTRUCTION
+    * offset within it; a closed-form RANGE disjunction on the value
+    * column (each candidate bucket's [lb, next-lb) span — ≤12 long
+    * comparisons, no per-row bucket function) prunes the raw rows
+    * map-side to just the candidate buckets (≈ the mass of three
+    * ≤6.25%-wide value slices), and only that sliver computes its bucket
+    * index for the ≤12-row guide join and gets sorted. Identical to the
+    * naive rank walk BY CONSTRUCTION
     * (the rank-target value lies in its bucket: cum_before < target ≤
     * cum), which is exactly what the DuckDB oracle replays — so the
     * match is between two genuinely different algorithms. Each `okNN`
@@ -174,6 +185,8 @@ object ScaleTechniques {
 
   def histQuantiles(lineitem: DataFrame): DataFrame = {
     import graft.Serve._
+    val spark = lineitem.sparkSession
+    import spark.implicits._
     // explicit NOT-NULL pins on the base columns (free parquet-stat
     // filters): without them cents — and therefore the bucket expression
     // joined on below — stays nullable, and the join's inferred
@@ -187,73 +200,80 @@ object ScaleTechniques {
     // per-flag AND direct-global sketches out of ONE scan: ROLLUP expands
     // each input row into both grouping sets map-side, where partial
     // aggregation absorbs them — the grand-total row IS the direct global
-    // sketch (grouping() = 1), with no second pass over raw rows
-    // lazy localCheckpoint: sk is ≤5 rows × 7.7 KiB but feeds THREE
-    // branches (per-flag cells, the direct-global sketch, and through
-    // mergedAll both the cum walk and the merge check) — without the
-    // checkpoint each reference re-runs the corpus aggregate (no
-    // common-subplan sharing across DataFrame references)
-    val sk = vals.rollup("grain").agg(expr("hist_sketch(cents)").as("h"),
-      grouping(col("grain")).as("g"))
-      .localCheckpoint(false)
-    val perFlag = sk.filter(col("g") === 0).select("grain", "h")
-    // the pointwise merge IS the ALL grain — no second pass over raw
-    // rows: fold the ≤4 per-flag arrays cell-for-cell
-    // also checkpointed: referenced by the merge check AND the est path,
-    // and each reference would otherwise replay the fold's two-stage agg
-    val mergedAll = perFlag.agg(expr(
-      "aggregate(collect_list(h), array_repeat(0L, 960), " +
-        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("h"))
-      .localCheckpoint(false)
-    // the merge check rides INSIDE the est frame (computed once at the
-    // est checkpoint, carried as a column) — not a separate 1-row frame
-    // crossJoined at the end, which cost two more broadcast stages per
-    // execution
-    val mergeOk = mergedAll
-      .crossJoin(broadcast(sk.filter(col("g") === 1).select(col("h").as("dh"))))
-      .select((col("h") === col("dh")).as("merge_matches_direct"))
-    // The ENTIRE cumulative walk is in-row array algebra on ≤5 rows —
-    // no posexplode, no window, no re-aggregation, so the est path adds
-    // zero corpus-side stages. cumArr is the running sum (960 lambda
-    // steps/row); the first bucket reaching rank ⌈q·n⌉ is
-    // |{cells with cum < target}| (cum non-decreasing), its lower bound
-    // the CASE inverse of the bucket formula, and the rank's in-bucket
-    // offset target − cum_before.
-    val quantiles = Seq( // (tag, ⌈q·n⌉ as integer arithmetic)
-      ("p50", "(n + 1) DIV 2"),
-      ("p90", "(n * 9 + 9) DIV 10"),
-      ("p99", "(n * 99 + 99) DIV 100"))
-    import graft.functions.HistSketch.{cumSql, fpSql, lbSql}
-    val estIn = perFlag.unionByName(mergedAll.withColumn("grain", lit("ALL")))
-      .withColumn("cumArr", expr(cumSql("h")))
-      .withColumn("n", expr("element_at(cumArr, 960)"))
-      .withColumn("hist_fp", expr(fpSql("h")))
-    val est = quantiles.foldLeft(estIn) { case (df, (tag, target)) =>
-      df.withColumn(s"${tag}_pos",
-          expr(s"size(filter(cumArr, c -> c < ($target)))"))
-        .withColumn(s"${tag}_est", expr(lbSql(s"${tag}_pos")))
-        .withColumn(s"${tag}_rk", expr(s"($target) - CASE WHEN ${tag}_pos = 0 " +
-          s"THEN 0L ELSE element_at(cumArr, ${tag}_pos) END"))
-    }.drop("h", "cumArr")
-      .crossJoin(broadcast(mergeOk))
-      // 4 rows, referenced by both the guide broadcast and the final
-      // join — one more projection barrier, two fewer replayed subtrees
-      .localCheckpoint(false)
+    // sketch (grouping() = 1), with no second pass over raw rows.
+    //
+    // The sketch rows COLLECT: that is the design point of a mergeable
+    // 7.5 KiB summary — the coordinator holds one sketch per grain and
+    // reads quantiles from it locally (the Agarwal et al. mergeable-
+    // summaries contract; every production sketch store works this way).
+    // Bound: one row per return flag plus the rollup total — the grain
+    // domain is a three-letter enum, ≤ 5 rows × 7.7 KiB at ANY scale
+    // factor. The cumulative walk, the pointwise ALL-grain merge, the
+    // merge-vs-direct check, and the ≤12-entry rank guide are exact Long
+    // arithmetic on those cells (shared with the in-plan SQL consumers
+    // via HistSketch.bucketOf/lowerBound — same closed forms), replacing
+    // what r12 ran as three chained 1-row checkpoint jobs (measured: the
+    // barriers, not the work, were 2.3 s of the 3.2 s wall).
+    val skRows = vals.rollup("grain").agg(expr("hist_sketch(cents)").as("h"),
+      grouping(col("grain")).cast("int").as("g")).collect()
+    val perFlag: Seq[(String, Array[Long])] = skRows.toSeq
+      .filter(_.getInt(2) == 0)
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val direct = skRows.filter(_.getInt(2) == 1).head.getSeq[Long](1).toArray
+    val mergedAll = perFlag.map(_._2)
+      .foldLeft(new Array[Long](960))((acc, h) => {
+        var j = 0; while (j < 960) { acc(j) += h(j); j += 1 }; acc
+      })
+    val mergeMatchesDirect = java.util.Arrays.equals(mergedAll, direct)
+    // ⌈q·n⌉ rank targets in pure integer arithmetic
+    val quantiles = Seq[(String, Long => Long)](
+      ("p50", n => (n + 1) / 2),
+      ("p90", n => (n * 9 + 9) / 10),
+      ("p99", n => (n * 99 + 99) / 100))
+    // per grain (flags + pointwise-merged ALL): cum walk → for each
+    // quantile the first bucket with cum ≥ target, its lower bound (the
+    // estimate), and the rank's in-bucket offset target − cum_before
+    val grains = perFlag :+ (("ALL", mergedAll))
+    val walked = grains.map { case (grain, h) =>
+      val cum = h.scanLeft(0L)(_ + _).drop(1) // cum(j) = rows in buckets ≤ j
+      val n = cum(959)
+      var fp = 0L
+      var j = 0; while (j < 960) { fp += h(j) * (j + 1); j += 1 }
+      val picks = quantiles.map { case (tag, target) =>
+        val t = target(n)
+        val pos = cum.count(_ < t) // first bucket with cum ≥ t
+        val rk = t - (if (pos == 0) 0L else cum(pos - 1))
+        (tag, pos, graft.functions.HistSketch.lowerBound(pos), rk)
+      }
+      ((grain, n, picks(0)._3, picks(1)._3, picks(2)._3, fp,
+        mergeMatchesDirect),
+        picks.map { case (tag, pos, _, rk) => (grain, tag, pos, rk) })
+    }
+    val est = broadcast(walked.map(_._1).toDF("grain", "n", "p50_est",
+      "p90_est", "p99_est", "hist_fp", "merge_matches_direct"))
     // ≤12-row guide: one (grain, bucket, in-bucket rank) per quantile
-    val guide = est.select(col("grain"), expr(
-      "explode(array(" + quantiles.map { case (tag, _) =>
-        s"struct('$tag' AS tag, ${tag}_pos AS pos, ${tag}_rk AS rk)"
-      }.mkString(", ") + ")) AS g")).select(col("grain"), col("g.*"))
-    val posOf = expr(graft.functions.HistSketch.posSql("cents"))
+    val guide = walked.flatMap(_._2).toDF("ggrain", "tag", "pos", "rk")
     // map-side prune to candidate buckets, then sort only the sliver.
-    // The join key is pos ALONE (≤12 distinct buckets — a codegen'd hash
-    // probe drops ~94% of rows before anything else); the grain match,
-    // including the ALL grain claiming rows of every flag, is the
-    // post-join filter — this way the corpus is never doubled for the
-    // ALL leg (no explode/union) and bin() runs once per source row
+    // The prune is a closed-form RANGE disjunction on cents — the driver
+    // knows each candidate bucket's [lowerBound(pos), lowerBound(pos+1))
+    // value range, and ≤12 long comparisons per row beat evaluating the
+    // length(bin())-based bucket function on every corpus row (and beat
+    // the r12 shape, where the bucket join's inferred isnotnull(pos)
+    // pushed that function into the scan twice). Only the surviving
+    // ~6%-of-mass sliver computes its bucket index for the guide join.
+    val rangeCond = walked.flatMap(_._2).map(_._3).distinct.sorted
+      .map { pos =>
+        val lb = graft.functions.HistSketch.lowerBound(pos)
+        if (pos >= 959) col("cents") >= lb
+        else col("cents") >= lb &&
+          col("cents") < graft.functions.HistSketch.lowerBound(pos + 1)
+      }.reduce(_ || _)
+    val posOf = expr(graft.functions.HistSketch.posSql("cents"))
     val hits = vals
+      .filter(rangeCond)
       .withColumn("pos", posOf)
-      .join(broadcast(guide.withColumnRenamed("grain", "ggrain")), Seq("pos"))
+      .join(broadcast(guide), Seq("pos"))
       .filter(col("ggrain") === col("grain") || col("ggrain") === "ALL")
     // rank selection inside the bucket: the sliver can still be large
     // when the distribution is broad (a 1/16-relative bucket at p99 of

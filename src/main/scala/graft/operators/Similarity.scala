@@ -308,122 +308,141 @@ object Similarity {
     * final assignment, inertia, centroid fingerprints and
     * majority-label purity bit-for-bit.
     *
-    * 100 TB design: the n·k·d work never materializes as rows — the
-    * centroids ride as ONE broadcast 1-row map (k·d entries), each
-    * dim-row computes its k squared diffs as codegen'd map lookups,
-    * and the argmin is IN-ROW over k sum columns, so a full Lloyd
-    * round is exactly two vector-keyed shuffles (assign, means). The
-    * dim-exploded corpus is materialized ONCE (lazy checkpoint — at
-    * scale the persisted feature table); the per-round 1-row frames
-    * are referenced once each, keeping the folded plan linear with no
-    * per-round barriers. Labels never steer training — purity is
-    * reporting, computed after the last round. (Dim index packs below
-    * 1024 per cluster in the map key — d < 1024 by contract.) Extends the
-    * reference's embedding clustering instinct (semantic question
-    * clustering, study_scraper/clustering.py:124-210, ported as
-    * q46/q67) with the centroid-based family a corpus pipeline uses
-    * for diversity sampling and SemDeDup-style blocking (q117's
-    * blocks are exactly these clusters at scale). */
+    * 100 TB design — MLlib's own KMeans architecture, re-expressed
+    * declaratively: the centroid state is k·d ≤ 2^20 longs BY CONTRACT
+    * (a model parameter, not data-sized), so it lives on the driver and
+    * rides into each round's plan as LITERAL arrays — exactly how
+    * `org.apache.spark.mllib.clustering.KMeans` broadcasts centers and
+    * collects per-round sums. Assignment is pure MAP-SIDE codegen'd
+    * algebra: |x−c_j|² = x·x − 2·x·c_j + c_j·c_j with x·x precomputed
+    * once and x·c_j one native `vec_dot` against the constant-folded
+    * centroid slice (every intermediate is an integer < 2^53, so the
+    * double fold is EXACT — d < 1024 and |q| < 2^20 by contract); the
+    * in-row argmin over k distance columns needs no join, no broadcast
+    * exchange, no shuffle. The ONLY shuffle per round is the (cluster,
+    * dim) mean aggregate — k·d cells after map-side partial aggregation
+    * — whose ≤k·d rows collect back to the driver (the mergeable-state
+    * collect discipline q137's sketch walk uses). The quantized corpus
+    * is materialized ONCE (lazy checkpoint — at scale the persisted
+    * feature table); r12 ran the centroid update as 8 chained 1-row
+    * checkpoint jobs and paid ~2.3 s of barriers for milliseconds of
+    * work. Labels never steer training — purity is reporting, computed
+    * after the last round. Extends the reference's embedding clustering
+    * instinct (semantic question clustering,
+    * study_scraper/clustering.py:124-210, ported as q46/q67) with the
+    * centroid-based family a corpus pipeline uses for diversity
+    * sampling and SemDeDup-style blocking (q117's blocks are exactly
+    * these clusters at scale). */
   def q142Kmeans(t: T): DataFrame =
     kmeansFixedPoint(t.embeddings, 10, 3)
 
-  def kmeansFixedPoint(embeddings: DataFrame, k: Int,
-                       iterations: Int): DataFrame = {
-    // dim-exploded quantized vectors: one corpus explode, checkpointed —
-    // every round's distance and mean pass reuses it
-    val dims = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d"),
-        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+  /** Lloyd core shared by q142 (report) and q143 (IVF index build):
+    * quantized corpus frame, the final centroid array (dense, position
+    * (j−1)·D + d), D, and the literal-centroid distance/argmin column
+    * builders. */
+  private[graft] final case class LloydState(
+      qframe: DataFrame, // (vec_id, label, qd: array<double>, qq: double)
+      ca: Array[Long],   // final centroids, dense (j-1)*D + d
+      caIn: Array[Long], // centroids the final E-step assigned against
+      d: Int, k: Int)
+
+  private[graft] def lloyd(embeddings: DataFrame, k: Int,
+                           iterations: Int): LloydState = {
+    val spark = embeddings.sparkSession
+    // quantized corpus, ONE narrow materialization: integer milli-units
+    // held as exact doubles (array<double> feeds the native vec_dot; the
+    // values are integers < 2^53, so every product/sum below is exact),
+    // with x·x precomputed — it never changes across rounds
+    val qframe = embeddings
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> CAST(CAST(round(CAST(v AS DOUBLE)" +
+          " * 1000) AS BIGINT) AS DOUBLE))").as("qd"))
+      .withColumn("qq", expr("vec_dot(qd, qd)"))
       .localCheckpoint(false)
-    // deterministic seeds: smallest (portable hash, id); cluster ids are
-    // the rank in that order
-    val seeds = embeddings.select(col("vec_id"))
+    // deterministic seeds: the k vectors with the smallest (portable
+    // hash, id); cluster ids are the rank in that order
+    val seedIds = embeddings.select(col("vec_id"))
       .withColumn("h", expr(TextDedup.h60(143, "CAST(vec_id AS STRING)")))
       .orderBy("h", "vec_id").limit(k)
-      .withColumn("cluster", row_number().over(Window.orderBy("h", "vec_id")))
-      .select("vec_id", "cluster")
-    // centroids ride as ONE 1-row DENSE array (position (j−1)·D + d —
-    // element_at on an array is O(1); a Spark MAP lookup is a linear
-    // key scan, and k·2 lookups per dim-row over a 640-entry map
-    // measured ~3× slower end-to-end): every round broadcasts ~k·D
-    // longs, the per-row distance is k codegen'd array reads, and the
-    // argmin is IN-ROW over k sum columns — so a full Lloyd round is
-    // exactly TWO vertex-keyed shuffles (assign, means) plus a k·D-step
-    // array rebuild, with no per-round checkpoint (each 1-row frame is
-    // referenced once; the folded plan is linear). D rides in the row.
-    val seeded = dims.join(broadcast(seeds), "vec_id")
-    val c0 = seeded.groupBy()
-      .agg(map_from_entries(collect_list(struct(
-        expr("cluster * 1024 + d").as("mk"), col("q").as("c")))).as("m0"),
-        (max("d") + 1).as("dd"))
-      .select(col("dd"), expr(s"transform(sequence(0, $k * dd - 1), " +
-        "i -> element_at(m0, (i DIV dd + 1) * 1024 + i % dd))").as("ca"))
-      .localCheckpoint(false)
-    def sqCols(pfx: String): Seq[org.apache.spark.sql.Column] =
-      (1 to k).map { j =>
-        sum(expr(s"(q - element_at(ca, ${j - 1} * dd + d + 1)) * " +
-          s"(q - element_at(ca, ${j - 1} * dd + d + 1))")).as(s"$pfx$j")
-      }
-    // in-row argmin over the k distance columns; ties break to the
-    // smallest cluster (first CASE arm), matching min(struct(dist, c))
-    def argmin(pfx: String) = {
-      val ls = s"least(${(1 to k).map(j => s"$pfx$j").mkString(", ")})"
-      (expr(s"CAST(CASE ${(1 to k)
-        .map(j => s"WHEN $pfx$j = $ls THEN $j").mkString(" ")} END AS INT)"),
-        expr(ls))
+      .collect().map(_.getLong(0))
+    val seedVecs = qframe
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select("vec_id", "qd").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong).toArray)
+      .toMap
+    val d = seedVecs.valuesIterator.next().length
+    val c0 = new Array[Long](k * d)
+    seedIds.zipWithIndex.foreach { case (id, j) =>
+      System.arraycopy(seedVecs(id), 0, c0, j * d, d)
     }
-    def assignTo(centRow: DataFrame): DataFrame = {
-      val cols = sqCols("s")
-      val (cl, dist) = argmin("s")
-      dims.crossJoin(broadcast(centRow))
-        .groupBy("vec_id", "dd").agg(cols.head, cols.tail: _*)
-        .select(col("vec_id"), cl.as("cluster"), dist.as("dist"))
+    // one Lloyd round: map-side E-step against literal centroids, one
+    // k·d-cell shuffle for the means, ≤k·d rows collected; empty
+    // clusters keep their previous centroid (absent cells)
+    var ca = c0
+    var caIn = c0
+    for (_ <- 1 to iterations) {
+      caIn = ca
+      val next = ca.clone()
+      val rows = assignCols(qframe, ca, d, k)
+        .select(col("cluster"), posexplode(col("qd")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(expr("CASE WHEN sum(CAST(v AS BIGINT)) >= 0 " +
+          "THEN sum(CAST(v AS BIGINT)) DIV count(v) " +
+          "ELSE -((-sum(CAST(v AS BIGINT))) DIV count(v)) END").as("nc"))
+        .collect()
+      rows.foreach(r =>
+        next((r.getInt(0) - 1) * d + r.getInt(1)) = r.getLong(2))
+      ca = next
     }
-    // each round returns (centroids AFTER the update, the E-step
-    // assignment that PRODUCED them) — the report reads that final
-    // assignment rather than paying one more corpus E-step; inertia is
-    // the distance that drove it (to the round's input centroids)
-    val (cFinal, finOpt) = (1 to iterations)
-      .foldLeft((c0, Option.empty[DataFrame])) { case ((centRow, _), _) =>
-        val assign = assignTo(centRow).localCheckpoint(false)
-        val means = dims
-          .join(assign.select("vec_id", "cluster"), "vec_id")
-          .groupBy("cluster", "d")
-          .agg(expr("CASE WHEN sum(q) >= 0 THEN sum(q) DIV count(q) " +
-            "ELSE -((-sum(q)) DIV count(q)) END").as("nc"))
-          .groupBy()
-          .agg(map_from_entries(collect_list(struct(
-            expr("cluster * 1024 + d").as("mk"), col("nc")))).as("nm"))
-        // empty-cluster rule: positions absent from the round's means
-        // keep the previous dense value — the k·D rebuild runs once on
-        // one row
-        val next = centRow.crossJoin(means)
-          .select(col("dd"), expr(s"transform(sequence(0, $k * dd - 1), " +
-            "i -> coalesce(element_at(nm, (i DIV dd + 1) * 1024 + i % dd), " +
-            "element_at(ca, i + 1)))").as("ca"))
-          // 1-row barrier: without it the optimizer can evaluate this
-          // rebuild above the broadcast join, i.e. once per corpus row
-          .localCheckpoint(false)
-        (next, Some(assign))
-      }
-    val fin = finOpt.get
-    val byLabel = fin
-      .join(embeddings.select("vec_id", "label"), "vec_id")
-      .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
-      .groupBy("cluster")
-      // majority label, ties to the smallest label
-      .agg(max(struct(col("n"), expr("-label").as("negl"))).as("t"))
-      .select(col("cluster"), expr("-t.negl").as("top_label"),
-        col("t.n").as("top_label_n"))
-    val perCluster = fin.groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
-    val centFp = cFinal
-      .select(col("dd"), posexplode(col("ca")).as(Seq("p", "c")))
-      .select(expr("CAST(p DIV dd + 1 AS INT)").as("cluster"),
-        expr("(p % dd + 1) * c").as("w"))
-      .groupBy("cluster").agg(sum("w").as("cent_fp"))
-    perCluster.join(byLabel, "cluster").join(centFp, "cluster")
+    LloydState(qframe, ca, caIn, d, k)
+  }
+
+  /** E-step as pure map-side columns: qframe plus (cluster, dist) against
+    * the given centroid array riding as constant-folded literals. Ties
+    * break to the smallest cluster (first CASE arm). */
+  private[graft] def assignCols(qframe: DataFrame, ca: Array[Long],
+                                d: Int, k: Int): DataFrame = {
+    val withDists = (1 to k).foldLeft(qframe) { (df, j) =>
+      val cj = ca.slice((j - 1) * d, j * d)
+      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+      df.withColumn(s"s$j",
+        col("qq") - lit(2d) * expr("vec_dot(qd, " +
+          cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+    }
+    val ls = s"least(${(1 to k).map(j => s"s$j").mkString(", ")})"
+    withDists
+      .withColumn("cluster", expr(s"CAST(CASE ${(1 to k)
+        .map(j => s"WHEN s$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+      .withColumn("dist", expr(s"CAST($ls AS BIGINT)"))
+      .drop((1 to k).map(j => s"s$j"): _*)
+  }
+
+  def kmeansFixedPoint(embeddings: DataFrame, k: Int,
+                       iterations: Int): DataFrame = {
+    val st = lloyd(embeddings, k, iterations)
+    // report from the final E-step (the assignment that PRODUCED the
+    // final centroids — inertia is the distance to that round's INPUT
+    // centroids): one map-side pass, one (cluster, label) cell shuffle
+    val cells = assignCols(st.qframe, st.caIn, st.d, st.k)
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n"), sum("dist").as("sd"))
+    val byCluster = cells.groupBy("cluster")
+      .agg(sum("n").as("n_vecs"), sum("sd").as("inertia"),
+        // majority label, ties to the smallest label
+        max(struct(col("n"), expr("-label").as("negl"))).as("t"))
+      .select(col("cluster"), col("n_vecs"), col("inertia"),
+        expr("-t.negl").as("top_label"), col("t.n").as("top_label_n"))
+    // centroid fingerprints Σ (d+1)·c are driver arithmetic on the
+    // collected model — exact Long math, attached as a k-row local frame
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centFp = broadcast((1 to st.k).map { j =>
+      var fp = 0L
+      var i = 0
+      while (i < st.d) { fp += (i + 1) * st.ca((j - 1) * st.d + i); i += 1 }
+      (j, fp)
+    }.toDF("cluster", "cent_fp"))
+    byCluster.join(centFp, "cluster")
       .select("cluster", "n_vecs", "inertia", "top_label", "top_label_n",
         "cent_fp")
       .smallSort("cluster")

@@ -70,25 +70,28 @@ class PlanAuditSpec extends SparkSpec {
   //                        (r12)
   //   q133               — the pipeline's contamination stage runs
   //                        q131's broadcast 1-row bloom pre-filter (r12)
-  //   q137               — broadcast 1-row merge_matches_direct scalar
-  //                        (the q16/q83 pattern) joined to the 4 grain
-  //                        rows (r12)
   //   q138               — broadcast 1-row bounds/box scalar joined to
   //                        every row map-side (the q16/q83 pattern) (r12)
-  //   q139               — broadcast 1-row node-count scalar joined to
-  //                        the vertex frame once before checkpoint (r12)
   //   q141               — broadcast 1-row corpus-count scalar (term
   //                        selection) + the 4-row probe-term frame
   //                        against the 32-row bloom stats frame — the
   //                        planner-side pruning pass, no data-side
   //                        cartesian (r12)
+  // r13 removals, reviewed: q137 and q139 no longer plan ANY nested-loop
+  // join — q137's merge check and rank guide moved to driver arithmetic
+  // on the collected ≤5-row sketch (literal local relations now), and
+  // q139's node-count scalar is a driver-collected literal instead of a
+  // 1-row broadcast crossJoin. q142 runs its bounded Lloyd collects at
+  // construction (k·d model state — the MLlib contract) but its RETURNED
+  // report plan is fully declarative and audited here: map-side literal-
+  // centroid assignment, two aggregates, one broadcast EQUI-join.
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
     "q25_ann_cosine_topk", "q58_ann_ivf", "q103_salted_join",
     "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
-    "q137_hist_quantiles", "q138_zorder_layout", "q139_pagerank",
+    "q138_zorder_layout",
     "q141_bloom_skipping")
 
   test("no declared query plans a cartesian or nested-loop join") {
