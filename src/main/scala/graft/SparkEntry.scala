@@ -205,24 +205,30 @@ object SparkEntry {
       streaming.Incremental.q140StreamingQuantiles(T(s, d))),
     "q141_bloom_skipping" -> ((s, d) => ScaleTechniques.q141BloomSkipping(T(s, d))),
     "q142_kmeans"         -> ((s, d) => Similarity.q142Kmeans(T(s, d))),
+    "q143_ivf_learned"    -> ((s, d) => Similarity.q143IvfLearned(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
     * milli-unit quantization, hash seeds, sign-split truncating means
     * and empty-cluster fallback — assignments, inertia, fingerprints
     * and purity match bit-for-bit. */
-  private def q142OracleSql: String = {
-    def assign(r: String, cent: String) =
-      s"""s$r AS (
-         |  SELECT dm.vec_id, c.cluster,
-         |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
-         |  FROM dims dm JOIN $cent c ON c.d = dm.d GROUP BY 1, 2),
-         |a$r AS (
-         |  SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
-         |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
+  /** The three unrolled Lloyd rounds shared by the q142 and q143
+    * oracles: dims / hash seeds / c0 / (assign, means, centroids) × 3,
+    * plus the `assign` builder so q143 can add the final a4 list
+    * assignment against c3. */
+  private def lloydAssignCte(r: String, cent: String): String =
+    s"""s$r AS (
+       |  SELECT dm.vec_id, c.cluster,
+       |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
+       |  FROM dims dm JOIN $cent c ON c.d = dm.d GROUP BY 1, 2),
+       |a$r AS (
+       |  SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+       |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
+
+  private def lloydCtes: String = {
     val steps = (1 to 3).map { r =>
-      s"""${assign(r.toString, s"c${r - 1}")},
+      s"""${lloydAssignCte(r.toString, s"c${r - 1}")},
          |m$r AS (
          |  SELECT a.cluster, dm.d,
          |    CASE WHEN sum(dm.q) >= 0
@@ -234,7 +240,7 @@ object SparkEntry {
          |  FROM c${r - 1} p LEFT JOIN m$r m ON m.cluster = p.cluster
          |    AND m.d = p.d)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dims AS (
+    s"""dims AS (
        |  SELECT vec_id, ix.i - 1 AS d,
        |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
        |      AS q
@@ -247,7 +253,11 @@ object SparkEntry {
        |  QUALIFY cluster <= 10),
        |c0 AS (SELECT s.cluster, d.d, d.q AS c
        |  FROM dims d JOIN seeds s ON s.vec_id = d.vec_id),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def q142OracleSql: String = {
+    s"""WITH $lloydCtes,
        |pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
        |  CAST(sum(dist) AS BIGINT) AS inertia FROM a3 GROUP BY 1),
        |bl AS (SELECT a3.cluster, e.label, count(*) AS n
@@ -264,6 +274,42 @@ object SparkEntry {
        |JOIN fp ON fp.cluster = pc.cluster
        |ORDER BY pc.cluster""".stripMargin
   }
+
+  /** q143's oracle: the shared Lloyd CTEs, a final a4 list assignment
+    * against c3, then the IVF probe+search replayed from dims — dot
+    * products and norm² terms are sums of exact integers (order-
+    * independent across engines), so the cosines match bit-for-bit. */
+  private def q143OracleSql: String =
+    s"""WITH $lloydCtes,
+       |${lloydAssignCte("4", "c3")},
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |probes AS (SELECT vec_id AS query_id, cluster FROM a4
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, a.cluster, a.vec_id
+       |  FROM probes p JOIN a4 a ON a.cluster = p.cluster
+       |    AND a.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.cluster, c.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN dims dq ON dq.vec_id = c.query_id
+       |  JOIN dims dc ON dc.vec_id = c.vec_id AND dc.d = dq.d
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT d.query_id, d.cluster, d.vec_id,
+       |    round(CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(qa.qq AS DOUBLE)) * sqrt(CAST(qb.qq AS DOUBLE))),
+       |      6) AS cosine
+       |  FROM dots d JOIN qq qa ON qa.vec_id = d.vec_id
+       |  JOIN qq qb ON qb.vec_id = d.query_id)
+       |SELECT query_id, cluster, rank, vec_id, cosine FROM (
+       |  SELECT query_id, cluster, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |  FROM scored) WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
     * integer fixed-point arithmetic (ppb scale, truncating division) the
@@ -3675,5 +3721,9 @@ object SparkEntry {
         |FROM audit a JOIN dm ON dm.target_div = a.target_div
         |ORDER BY a.target_div""".stripMargin,
     "q142_kmeans" -> q142OracleSql,
+    // q143: the same Lloyd CTEs + the IVF list assignment, probe and
+    // quantized-cosine search — integer dot products make the cosine
+    // order-independent, so two different algorithms hash-match.
+    "q143_ivf_learned" -> q143OracleSql,
   )
 }

@@ -417,6 +417,53 @@ object Similarity {
       .drop((1 to k).map(j => s"s$j"): _*)
   }
 
+  /** q143 — IVF ANN over LEARNED centroids (the production upgrade q58's
+    * scaladoc names): the coarse quantizer is q142's k-means model — not
+    * the table's label column — so this is the index build a 100 TB
+    * embedding store actually runs (FAISS IVF-Flat's train → assign →
+    * probe shape). lloyd() trains the quantizer (3 exact fixed-point
+    * rounds); every vector joins its inverted list keyed by nearest
+    * FINAL centroid (map-side literal-centroid argmin — no shuffle);
+    * each query (vec_id < 10) probes its own nearest centroid
+    * (nprobe = 1) and searches ONLY that list via the cluster equi-join.
+    * Scores are cosines over the QUANTIZED vectors: numerator and both
+    * norm² terms are exact integers < 2^53, so they are order-
+    * independent across engines — the oracle replays the identical
+    * Lloyd CTEs plus a dims self-join for the dot products and matches
+    * bit-for-bit (only the final sqrt/divide are FP, on identical
+    * operand bits). 100 TB shape: candidates per query = corpus/k, the
+    * model is driver-bounded, the lists are a partitioned table keyed
+    * by centroid id; recall loss vs q25's brute force is directly
+    * inspectable (same output shape). */
+  def q143IvfLearned(t: T): DataFrame = ivfLearned(t.embeddings, 10, 3)
+
+  def ivfLearned(embeddings: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val st = lloyd(embeddings, k, iterations)
+    // barrier between the index BUILD and the search: without it the
+    // k-wide literal-centroid argmin re-inlines into the join, filter,
+    // window-sort and output projections of BOTH join branches
+    // (CollapseProject has no cross-operator subexpression sharing —
+    // measured 11 s of re-evaluated expression trees on 2000 rows); the
+    // materialized frame IS the IVF index a store persists anyway
+    val assigned = assignCols(st.qframe, st.ca, st.d, st.k)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("qd").as("pqd"), col("qq").as("pqq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries), Seq("cluster")) // inverted-list equi-join
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_dot(qd, pqd)") / (sqrt(col("qq")) * sqrt(col("pqq"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "cluster", "rank", "vec_id", "cosine")
+      .smallSort("query_id", "rank")
+  }
+
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,
                        iterations: Int): DataFrame = {
     val st = lloyd(embeddings, k, iterations)

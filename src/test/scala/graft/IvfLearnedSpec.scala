@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** q143's IVF search must match an independently-written model: the same
+  * Lloyd quantizer as KmeansSpec's, list assignment to the FINAL
+  * centroids, nprobe=1 probing, quantized-cosine top-3 inside the probed
+  * list only. Also pins the structural IVF properties (candidates share
+  * the query's cluster; a query never matches itself). */
+class IvfLearnedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h60(seed: Int, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Reference model: (query_id, cluster, rank, vec_id, cosine·1e6). */
+  private def model(rows: Seq[(Long, Array[Float], Int)], k: Int,
+                    iters: Int): Seq[(Long, Int, Int, Long, Long)] = {
+    def quant(v: Float): Long = Math.round(v.toDouble * 1000)
+    val q = rows.map { case (id, v, _) => id -> v.map(quant) }.toMap
+    val seeds = rows.map(_._1).sortBy(id => (h60(143, id.toString), id))
+      .take(k).zipWithIndex.map { case (id, i) => (i + 1, id) }
+    var cent: Map[Int, Array[Long]] =
+      seeds.map { case (c, id) => c -> q(id).clone() }.toMap
+    def assign(): Map[Long, Int] = q.map { case (id, v) =>
+      id -> cent.toSeq.map { case (c, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }
+    def truncDiv(s: Long, n: Long): Long =
+      if (s >= 0) s / n else -((-s) / n)
+    for (_ <- 1 to iters) {
+      val a = assign()
+      val next = a.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.toSeq.map(q)
+        c -> Array.tabulate(vs.head.length)(d =>
+          truncDiv(vs.map(_(d)).sum, vs.size.toLong))
+      }
+      cent = cent.map { case (c, old) => c -> next.getOrElse(c, old) }
+    }
+    val lists = assign() // final E-step vs the FINAL centroids
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val aa = a.map(x => x * x).sum
+      val bb = b.map(x => x * x).sum
+      dot / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+    }
+    lists.filter(_._1 < 10).toSeq.sortBy(_._1).flatMap { case (qid, c) =>
+      lists.toSeq
+        .filter { case (id, cc) => cc == c && id != qid }
+        .map { case (id, _) =>
+          (id, BigDecimal(cos(q(qid), q(id)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, cs) => (-cs, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, cs), i) =>
+          (qid, c, i + 1, id, math.round(cs * 1e6)) }
+    }
+  }
+
+  private def run(rows: Seq[(Long, Array[Float], Int)], k: Int)
+  : Seq[(Long, Int, Int, Long, Long)] = {
+    val df = rows.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    Similarity.ivfLearned(df, k, 3).collect().toSeq.map { r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        math.round(r.getDouble(4) * 1e6))
+    }
+  }
+
+  test("random corpus: search matches the model exactly") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 60L).map { id =>
+      (id, Array.fill(8)((rnd.nextFloat() - 0.5f) * 1.4f), (id % 3).toInt)
+    }
+    assert(run(rows, 4) == model(rows, 4, 3))
+  }
+
+  test("clustered corpus: every hit shares the query's list and near " +
+    "twins are found") {
+    val rnd = new scala.util.Random(37)
+    // 3 tight blobs; queries 0..9 land in blobs by id % 3
+    val rows = (0L until 45L).map { id =>
+      val c = (id % 3).toInt
+      val base = Array(0.8f, -0.7f, 0.1f)(c)
+      (id, Array.fill(8)(base + rnd.nextFloat() * 0.05f), c)
+    }
+    val got = run(rows, 3)
+    assert(got == model(rows, 3, 3))
+    assert(got.nonEmpty)
+    // structural: rank 1..3 per query, no self-matches
+    got.groupBy(_._1).foreach { case (qid, hits) =>
+      assert(hits.map(_._3).sorted == (1 to hits.size).toSeq)
+      assert(!hits.exists(_._4 == qid))
+    }
+    // blob tightness: every top hit is very close (cosine > 0.99)
+    got.filter(_._3 == 1).foreach { case (_, _, _, _, c6) =>
+      assert(c6 > 990000L, s"top-hit cosine $c6")
+    }
+  }
+}
