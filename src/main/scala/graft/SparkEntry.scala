@@ -206,6 +206,9 @@ object SparkEntry {
     "q141_bloom_skipping" -> ((s, d) => ScaleTechniques.q141BloomSkipping(T(s, d))),
     "q142_kmeans"         -> ((s, d) => Similarity.q142Kmeans(T(s, d))),
     "q143_ivf_learned"    -> ((s, d) => Similarity.q143IvfLearned(T(s, d))),
+    "q144_dawum_denormalize" -> ((s, d) => sources.Dawum.q144DawumDenormalize(T(s, d))),
+    "q145_gesis_fold"     -> ((s, d) => sources.Gesis.q145GesisFold(T(s, d))),
+    "q146_soep_merge"     -> ((s, d) => sources.Soep.q146SoepMerge(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -3725,5 +3728,93 @@ object SparkEntry {
     // quantized-cosine search — integer dot products make the cosine
     // order-independent, so two different algorithms hash-match.
     "q143_ivf_learned" -> q143OracleSql,
+    // q144: the DAWUM payload is deterministic events arithmetic, so the
+    // oracle recomputes the denormalized poll×party rows directly — no
+    // JSON on the DuckDB side; the hash pins Spark's parse+denormalize.
+    "q144_dawum_denormalize" ->
+      """WITH s AS (
+        |  SELECT event_id AS e, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_id % 97 = 0 AND event_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |p(pid, off) AS (VALUES ('101', 0), ('102', 7), ('203', 13))
+        |SELECT
+        |  CAST(e AS VARCHAR) AS survey_id,
+        |  d AS poll_date,
+        |  d - 7 AS period_start,
+        |  d AS period_end,
+        |  CASE WHEN e % 10 = 0 THEN NULL
+        |       ELSE CAST(500 + e % 1500 AS INT) END AS surveyed,
+        |  CASE CAST(1 + e % 5 AS INT) WHEN 1 THEN 'Inst A'
+        |    WHEN 2 THEN 'Inst B' WHEN 3 THEN 'Inst C'
+        |    WHEN 4 THEN 'Inst D' ELSE 'Inst E' END AS institute,
+        |  CASE CAST(1 + e % 3 AS INT) WHEN 1 THEN 'Tasker X'
+        |    WHEN 2 THEN 'Tasker Y' ELSE 'Tasker Z' END AS tasker,
+        |  CASE CAST(1 + e % 4 AS INT) WHEN 1 THEN 'BT' WHEN 2 THEN 'EP'
+        |    WHEN 3 THEN 'LT-BY' ELSE 'LT-NW' END AS parliament,
+        |  CASE CAST(1 + e % 2 AS INT) WHEN 1 THEN 'Online'
+        |    ELSE 'Telefon' END AS method,
+        |  pid AS party_id,
+        |  CAST((e + off) % 120 AS DOUBLE) / 2 AS pct,
+        |  CASE pid WHEN '101' THEN 'P1' WHEN '102' THEN 'P2'
+        |    ELSE pid END AS party
+        |FROM s CROSS JOIN p
+        |WHERE e % 13 <> 0
+        |ORDER BY e, pid""".stripMargin,
+    // q145: the GESIS binding payload is deterministic doc_id
+    // arithmetic, so the oracle recomputes the folded record per
+    // resource directly (last-wins title, first-appearance variables,
+    // fallbacks, the error row) — no JSON on the DuckDB side.
+    "q145_gesis_fold" ->
+      """WITH r AS (SELECT doc_id AS i FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id IS NOT NULL)
+        |SELECT
+        |  'https://data.gesis.org/ds/' || i AS id,
+        |  'https://schema.org/Dataset' AS type,
+        |  CASE WHEN i % 11 = 0 THEN 'Dataset ' || i
+        |       WHEN i % 5 = 1 THEN 'T8_' || i
+        |       WHEN i % 3 <> 0 THEN 'T0_' || i
+        |       ELSE 'Dataset ' || i END AS title,
+        |  CASE WHEN i % 11 = 0 THEN '' ELSE 'D_' || i END AS description,
+        |  CASE WHEN i % 11 = 0 THEN '' ELSE 'C_' || i END AS creator,
+        |  CASE WHEN i % 11 = 0 THEN '' ELSE 'Y' || i END AS issued,
+        |  CASE WHEN i % 11 = 0 THEN ''
+        |       ELSE 'v' || (i % 4) || '|v' || ((i + 1) % 4) END AS variables,
+        |  CASE WHEN i % 11 = 0 THEN 'error' ELSE 'success' END AS status,
+        |  CASE WHEN i % 11 = 0 THEN ''
+        |       ELSE 'creator=C_' || i || ';description=D_' || i
+        |         || ';issued=Y' || i || ';keyword=kw_' || i
+        |         || CASE WHEN i % 5 = 1 THEN ';title=T8_' || i
+        |                 WHEN i % 3 <> 0 THEN ';title=T0_' || i
+        |                 ELSE '' END
+        |         || ';variableMeasured=v' || (i % 4) END AS properties
+        |FROM r ORDER BY id""".stripMargin,
+    // q146: the SOEP summary/detail payloads are deterministic doc_id
+    // arithmetic; the oracle replays the merge precedence per field.
+    "q146_soep_merge" ->
+      """WITH s AS (SELECT doc_id AS i,
+        |    (doc_id % 10 = 0) AS det FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 35 <> 0 AND doc_id IS NOT NULL)
+        |SELECT
+        |  CAST(i AS BIGINT) AS id,
+        |  'ind-' || i AS slug,
+        |  CASE WHEN det AND i % 20 = 0 THEN 'DT_' || i
+        |       ELSE 'ST_' || i END AS title,
+        |  'SS_' || i AS subtitle,
+        |  'SD_' || i AS short_description,
+        |  CASE WHEN det THEN '<p>L_' || i || '</p>' END
+        |    AS long_description_html,
+        |  CASE WHEN det AND i % 20 = 0 THEN 'dt' || (i % 3)
+        |       ELSE 't' || (i % 3) || '|n' || (i % 3) END AS topics,
+        |  CASE WHEN det THEN 'sex=m,f;age=a1' ELSE '' END AS dimensions,
+        |  CASE WHEN det AND i % 30 = 0 THEN 'UL (UD)'
+        |       WHEN det AND i % 30 = 10 THEN 'UN'
+        |       ELSE 'u' || (i % 2) END AS unit,
+        |  CASE WHEN det THEN 'src-d' ELSE 'src-s' END AS source,
+        |  CASE WHEN det THEN 'M_' || i END AS methodology,
+        |  CASE WHEN det THEN (2000 + i % 20) || '|' || (2001 + i % 20)
+        |       ELSE '' END AS available_years,
+        |  CASE WHEN det THEN '2025-02-02'
+        |       ELSE '2024-01-0' || (1 + i % 9) END AS last_updated_at
+        |FROM s ORDER BY id""".stripMargin,
   )
 }

@@ -57,9 +57,13 @@ object Dawum {
         col("doc.Parties").as("parties"))
       .select(
         col("survey_id"),
-        to_date(col("s.Date")).as("poll_date"),
-        to_date(col("s.Survey_Period.Date_Start")).as("period_start"),
-        to_date(col("s.Survey_Period.Date_End")).as("period_end"),
+        // try_cast, not to_date: "surveys with unparseable dates are
+        // skipped" is the documented contract (dawum.py:117-125), and
+        // under ANSI mode a plain to_date would ABORT the whole parse on
+        // one malformed survey (q144 plants exactly that)
+        expr("try_cast(s.Date AS DATE)").as("poll_date"),
+        expr("try_cast(s.Survey_Period.Date_Start AS DATE)").as("period_start"),
+        expr("try_cast(s.Survey_Period.Date_End AS DATE)").as("period_end"),
         expr("try_cast(s.Surveyed_Persons AS INT)").as("surveyed"),
         element_at(col("institutes"), col("s.Institute_ID"))
           .getField("Name").as("institute"),
@@ -76,4 +80,74 @@ object Dawum {
           col("party_id")))
       .drop("parties")
       .filter(col("poll_date").isNotNull)
+
+  /** q144 — S1 DAWUM denormalize as a DECLARED query (r12 ask #5: the
+    * fixture-parity sources get oracle rows): a DAWUM root document is
+    * built DETERMINISTICALLY from the events table — one survey per
+    * event_id % 97 row, three Results parties each, the five reference
+    * maps as literals — and run through the REAL [[polls]] parse +
+    * denormalize. The oracle recomputes the expected poll×party rows
+    * straight from events arithmetic (no JSON on the DuckDB side), so
+    * the hash pins the whole parse → explode → map-lookup → filter
+    * path: unparseable poll dates drop their survey (e % 13), string
+    * sample sizes coerce via try_cast with 'n/a' → null (e % 10), a
+    * Results party absent from the Parties map falls back to its id
+    * ('203'), and malformed / surveys-less documents are skipped (two
+    * planted rows). Percent values are halves (x/2), exactly
+    * representable, so the JSON-parsed double and the oracle's division
+    * agree bit-for-bit.
+    *
+    * Scale shape: the DAWUM API returns ONE root document for the whole
+    * poll database by contract (dawum.py:3-11 — the real feed is a
+    * single ~15 MB JSON), so the single-row parse is the source's own
+    * bound; scale fans out at the per-survey explode, and everything
+    * after the parse is pure column algebra. */
+  def q144DawumDenormalize(t: graft.Tables.T): DataFrame = {
+    import t.spark.implicits._
+    val pct: String => String = x =>
+      s"CAST(($x) % 120 DIV 2 AS STRING), " +
+        s"CASE WHEN ($x) % 2 = 0 THEN '.0' ELSE '.5' END"
+    val frag = t.events
+      .filter(col("event_id") % 97 === 0 &&
+        col("event_id").isNotNull && col("ts").isNotNull)
+      .select(expr(s"""concat(
+        |'"', CAST(event_id AS STRING),
+        |'":{"Institute_ID":"', CAST(1 + event_id % 5 AS STRING),
+        |'","Tasker_ID":"', CAST(1 + event_id % 3 AS STRING),
+        |'","Parliament_ID":"', CAST(1 + event_id % 4 AS STRING),
+        |'","Method_ID":"', CAST(1 + event_id % 2 AS STRING),
+        |'","Survey_Period":{"Date_Start":"',
+        |  date_format(date_sub(to_date(ts), 7), 'yyyy-MM-dd'),
+        |'","Date_End":"', date_format(to_date(ts), 'yyyy-MM-dd'),
+        |'"},"Date":"',
+        |  CASE WHEN event_id % 13 = 0 THEN 'kaputt'
+        |       ELSE date_format(to_date(ts), 'yyyy-MM-dd') END,
+        |'","Surveyed_Persons":"',
+        |  CASE WHEN event_id % 10 = 0 THEN 'n/a'
+        |       ELSE CAST(500 + event_id % 1500 AS STRING) END,
+        |'","Results":{"101":', ${pct("event_id")},
+        |',"102":', ${pct("event_id + 7")},
+        |',"203":', ${pct("event_id + 13")}, '}}')""".stripMargin).as("f"))
+    val refs =
+      ""","Institutes":{"1":{"Name":"Inst A"},"2":{"Name":"Inst B"},
+        |"3":{"Name":"Inst C"},"4":{"Name":"Inst D"},"5":{"Name":"Inst E"}},
+        |"Taskers":{"1":{"Name":"Tasker X"},"2":{"Name":"Tasker Y"},
+        |"3":{"Name":"Tasker Z"}},
+        |"Parliaments":{"1":{"Name":"Bundestag","Shortcut":"BT"},
+        |"2":{"Name":"Europaparlament","Shortcut":"EP"},
+        |"3":{"Name":"Landtag Bayern","Shortcut":"LT-BY"},
+        |"4":{"Name":"Landtag NRW","Shortcut":"LT-NW"}},
+        |"Methods":{"1":{"Name":"Online"},"2":{"Name":"Telefon"}},
+        |"Parties":{"101":{"Name":"Partei Eins","Shortcut":"P1"},
+        |"102":{"Name":"Partei Zwei","Shortcut":"P2"}}}"""
+        .stripMargin.replace("\n", "")
+    val payload = frag.agg(concat(
+      lit("""{"Database":{"Version":"1"},"Last_Update":"2024-01-01","Surveys":{"""),
+      expr("array_join(array_sort(collect_list(f)), ',')"),
+      lit("}" + refs)).as("payload"))
+    val docs = payload
+      .unionByName(Seq("""{"broken""", "{}").toDF("payload"))
+    polls(docs)
+      .orderBy(expr("CAST(survey_id AS BIGINT)"), col("party_id"))
+  }
 }

@@ -104,4 +104,57 @@ object Gesis {
           .as("status"),
         coalesce(col("properties"), map()).as("properties"))
   }
+
+  /** q145 — S4 GESIS metadata fold as a DECLARED query (r12 ask #5):
+    * per-resource SPARQL-JSON binding payloads built deterministically
+    * from documents rows (doc_id % 7), run through the REAL
+    * [[datasetMetadata]] fold. Coverage by construction: a SECOND title
+    * binding later in the list overwrites (last-wins, doc_id % 5 = 1), a
+    * missing title falls back to "Dataset <id tail>" (doc_id % 3 = 0),
+    * duplicate variables dedup in FIRST-appearance order, an unmapped
+    * predicate (dcat#keyword) lands only in the properties map, and an
+    * all-empty-object payload yields the error row with every default
+    * (doc_id % 11 = 0). The oracle recomputes every output column from
+    * doc_id arithmetic — no JSON on the DuckDB side — so the hash pins
+    * parse → posexplode → last-wins/first-wins folds → fallbacks.
+    * Arrays/maps serve as joined strings (driver-compare contract). */
+  def q145GesisFold(t: graft.Tables.T): DataFrame = {
+    def b(p: String, o: String) =
+      s"""concat('{"p":{"value":"$p"},"o":{"value":"', $o, '"}}')"""
+    val i = "CAST(doc_id AS STRING)"
+    val payload = s"""CASE WHEN doc_id % 11 = 0 THEN
+      |  '{"results":{"bindings":[{"p":{"value":"http://x/skip"},"o":{"value":""}}]}}'
+      |ELSE concat('{"results":{"bindings":[',
+      |  array_join(filter(array(
+      |    CASE WHEN doc_id % 3 != 0 THEN
+      |      ${b("http://purl.org/dc/terms/title", s"'T0_', $i")} END,
+      |    ${b("https://schema.org/description", s"'D_', $i")},
+      |    ${b("http://purl.org/dc/terms/creator", s"'C_', $i")},
+      |    ${b("http://purl.org/dc/terms/issued", s"'Y', $i")},
+      |    ${b("https://schema.org/variableMeasured",
+             "'v', CAST(doc_id % 4 AS STRING)")},
+      |    ${b("https://schema.org/variableMeasured",
+             "'v', CAST((doc_id + 1) % 4 AS STRING)")},
+      |    ${b("https://schema.org/variableMeasured",
+             "'v', CAST(doc_id % 4 AS STRING)")},
+      |    ${b("http://www.w3.org/ns/dcat#keyword", s"'kw_', $i")},
+      |    CASE WHEN doc_id % 5 = 1 THEN
+      |      ${b("http://purl.org/dc/terms/title", s"'T8_', $i")} END
+      |  ), x -> x IS NOT NULL), ','), ']}}')
+      |END""".stripMargin
+    val docs = t.documents
+      .filter(col("doc_id") % 7 === 0 && col("doc_id").isNotNull)
+      .select(
+        concat(lit("https://data.gesis.org/ds/"), col("doc_id"))
+          .as("resource_id"),
+        expr(payload).as("payload"))
+    datasetMetadata(docs)
+      .select(col("id"), col("type"), col("title"), col("description"),
+        col("creator"), col("issued"),
+        concat_ws("|", col("variables")).as("variables"),
+        col("status"),
+        expr("array_join(transform(array_sort(map_entries(properties)), " +
+          "e -> concat(e.key, '=', e.value)), ';')").as("properties"))
+      .orderBy("id")
+  }
 }

@@ -94,4 +94,64 @@ object Soep {
         coalesce(col("d.last_updated_at"), col("s.last_updated_at"))
           .as("last_updated_at"))
   }
+
+  /** q146 — S5 SOEP summary+detail merge as a DECLARED query (r12 ask
+    * #5): summary payloads from documents rows (doc_id % 5), detail
+    * payloads for half their slugs (doc_id % 10), merged by the REAL
+    * [[mergeMetadata]]. Coverage by construction: summary-first vs
+    * detail-first precedence per field, slug-less summaries skipped
+    * (doc_id % 35 = 0), detail topics overriding summary topics only
+    * when present (doc_id % 20 = 0), the three unit resolutions —
+    * "label (description)" (% 30 = 0), bare name (% 30 = 10), summary
+    * string fallback — and dimensions list → map keyed by
+    * dimension-else-name. Oracle recomputes everything from doc_id
+    * arithmetic; arrays/maps serve as joined strings. */
+  def q146SoepMerge(t: graft.Tables.T): DataFrame = {
+    val i = "CAST(doc_id AS STRING)"
+    val base = t.documents.filter(col("doc_id").isNotNull)
+    val summaries = base.filter(col("doc_id") % 5 === 0)
+      .select(expr(s"""concat('{"id":', $i,
+        |',"slug":', CASE WHEN doc_id % 35 = 0 THEN 'null'
+        |            ELSE concat('"ind-', $i, '"') END,
+        |',"title":"ST_', $i, '","subtitle":"SS_', $i,
+        |'","short_description":"SD_', $i,
+        |'","topics":[{"title":"t', CAST(doc_id % 3 AS STRING),
+        |'","name":null},{"title":null,"name":"n',
+        |CAST(doc_id % 3 AS STRING), '"}]',
+        |',"unit":"u', CAST(doc_id % 2 AS STRING),
+        |'","source":"src-s","last_updated_at":"2024-01-0',
+        |CAST(1 + doc_id % 9 AS STRING), '"}')""".stripMargin).as("payload"))
+    val details = base.filter(col("doc_id") % 10 === 0)
+      .select(expr(s"""concat('{"id":', $i, ',"slug":"ind-', $i, '"',
+        |',"title":', CASE WHEN doc_id % 20 = 0
+        |             THEN concat('"DT_', $i, '"') ELSE 'null' END,
+        |',"subtitle":null,"short_description":null',
+        |',"long_description_html":"<p>L_', $i, '</p>"',
+        |',"topics":', CASE WHEN doc_id % 20 = 0
+        |  THEN concat('[{"title":"dt', CAST(doc_id % 3 AS STRING),
+        |    '","name":null}]') ELSE 'null' END,
+        |',"dimensions":[{"dimension":"sex","name":null,"categories":["m","f"]},',
+        |'{"dimension":null,"name":"age","categories":["a1"]}]',
+        |',"unit":', CASE
+        |  WHEN doc_id % 30 = 0 THEN
+        |    '{"label":"UL","name":null,"description":"UD"}'
+        |  WHEN doc_id % 30 = 10 THEN
+        |    '{"label":null,"name":"UN","description":null}'
+        |  ELSE 'null' END,
+        |',"source":"src-d","methodology":"M_', $i,
+        |'","available_years":[', CAST(2000 + doc_id % 20 AS STRING),
+        |',', CAST(2001 + doc_id % 20 AS STRING),
+        |'],"last_updated_at":"2025-02-02"}')""".stripMargin).as("payload"))
+    mergeMetadata(summaries, details)
+      .select(col("id"), col("slug"), col("title"), col("subtitle"),
+        col("short_description"), col("long_description_html"),
+        concat_ws("|", col("topics")).as("topics"),
+        expr("array_join(transform(map_entries(dimensions), " +
+          "e -> concat(e.key, '=', array_join(e.value, ','))), ';')")
+          .as("dimensions"),
+        col("unit"), col("source"), col("methodology"),
+        concat_ws("|", col("available_years")).as("available_years"),
+        col("last_updated_at"))
+      .orderBy("id")
+  }
 }
