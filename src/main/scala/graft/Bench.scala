@@ -143,8 +143,11 @@ object Bench {
       // Failed/unsampled queries are OMITTED from the timing maps rather
       // than carried as a -1.0 sentinel (r9 advice: a consumer summing
       // medians would silently subtract); they appear solely in `errors`.
-      val qs = results.collect { case (k, (med, _, _)) if med >= 0 =>
-        s""""${key(k)}":${fmt2(med)}""" }.mkString("{", ",", "}")
+      def qsAt(decimals: Int): String = results.collect {
+        case (k, (med, _, _)) if med >= 0 =>
+          s""""${key(k)}":${if (decimals == 1) f"$med%.1f" else fmt2(med)}"""
+      }.mkString("{", ",", "}")
+      val qs = qsAt(2)
       val spread = results.collect { case (k, (med, mn, mx)) if med >= 0 =>
         s""""$k":{"med":${fmt(med)},"min":${fmt(mn)},"max":${fmt(mx)}}""" }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
@@ -173,19 +176,25 @@ object Bench {
       // "fmt":2 marks the r10+ compact schema (qNN short keys, empty-map
       // elision) so cross-round tooling can branch explicitly instead of
       // sniffing which optional keys appear (r10 advice).
-      def mkCompact(hotEntries: Seq[String]): String = {
+      def mkCompact(hotEntries: Seq[String], decimals: Int): String = {
         val hotPart = if (hotEntries.isEmpty) ""
           else s""","contended":${hotEntries.mkString("{", ",", "}")}"""
-        s"""{"metric":"total","fmt":2,"value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":$qs$errPart$hotPart,"sf":"$sfDir"}"""
+        s"""{"metric":"total","fmt":2,"value":${fmt2(total)},"unit":"sec","estimator":"${esc(est)}","queries":${qsAt(decimals)}$errPart$hotPart,"sf":"$sfDir"}"""
       }
       val compact = {
         var hot: Seq[String] = hotAll
-        var line = mkCompact(hot)
+        var line = mkCompact(hot, 2)
         while (line.length > 1900 && hot.nonEmpty) {
           hot = hot.init
-          line = mkCompact(hot)
+          line = mkCompact(hot, 2)
         }
-        line
+        // r13: at 146 queries the base line is ~1.88 KB against the
+        // driver's ~2 KB captured tail — if dropping every contended
+        // entry still can't fit (growth headroom for ~150+ queries),
+        // fall back to 1-decimal timings (ms precision stays in the
+        // detail line / bench_detail.json) rather than risk truncation
+        // of the artifact itself.
+        if (line.length > 1900) mkCompact(Nil, 1) else line
       }
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""

@@ -209,6 +209,7 @@ object SparkEntry {
     "q144_dawum_denormalize" -> ((s, d) => sources.Dawum.q144DawumDenormalize(T(s, d))),
     "q145_gesis_fold"     -> ((s, d) => sources.Gesis.q145GesisFold(T(s, d))),
     "q146_soep_merge"     -> ((s, d) => sources.Soep.q146SoepMerge(T(s, d))),
+    "q147_ivf_multiprobe" -> ((s, d) => Similarity.q147IvfMultiprobe(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -313,6 +314,81 @@ object SparkEntry {
        |      ORDER BY cosine DESC, vec_id) AS INT) AS rank
        |  FROM scored) WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q147's oracle: the Lloyd CTEs + a4 list assignment, per-query
+    * two-nearest-centroid probes read from s4's full distance matrix,
+    * list search and brute truth both from exact-integer dot products,
+    * and the recall join. */
+  private def q147OracleSql: String =
+    s"""WITH $lloydCtes,
+       |${lloydAssignCte("4", "c3")},
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |pr AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN rn = 1 THEN cluster END) AS probe1,
+       |    max(CASE WHEN rn = 2 THEN cluster END) AS probe2
+       |  FROM (SELECT vec_id AS query_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM s4 WHERE vec_id < 10)
+       |  WHERE rn <= 2 GROUP BY 1),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM pr p JOIN a4 a ON (a.cluster = p.probe1
+       |    OR a.cluster = p.probe2) AND a.vec_id <> p.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |dots_s AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN dims dq ON dq.vec_id = c.query_id
+       |  JOIN dims dc ON dc.vec_id = c.vec_id AND dc.d = dq.d
+       |  GROUP BY 1, 2),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.qq AS DOUBLE))
+       |          * sqrt(CAST(qb.qq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM dots_s d JOIN qq qa ON qa.vec_id = d.vec_id
+       |    JOIN qq qb ON qb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |allc AS (
+       |  SELECT p.query_id, v.vec_id
+       |  FROM pr p JOIN (SELECT DISTINCT vec_id FROM dims) v
+       |    ON v.vec_id <> p.query_id),
+       |dots_t AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM allc c
+       |  JOIN dims dq ON dq.vec_id = c.query_id
+       |  JOIN dims dc ON dc.vec_id = c.vec_id AND dc.d = dq.d
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.qq AS DOUBLE))
+       |          * sqrt(CAST(qb.qq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM dots_t d JOIN qq qa ON qa.vec_id = d.vec_id
+       |    JOIN qq qb ON qb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS found_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT pr.query_id, pr.probe1, pr.probe2, nc.n_candidates,
+       |  rec.n_match, rec.found_fp, tf.truth_fp
+       |FROM pr JOIN nc ON nc.query_id = pr.query_id
+       |JOIN rec ON rec.query_id = pr.query_id
+       |JOIN tf ON tf.query_id = pr.query_id
+       |ORDER BY pr.query_id""".stripMargin
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
     * integer fixed-point arithmetic (ppb scale, truncating division) the
@@ -3790,6 +3866,10 @@ object SparkEntry {
         |FROM r ORDER BY id""".stripMargin,
     // q146: the SOEP summary/detail payloads are deterministic doc_id
     // arithmetic; the oracle replays the merge precedence per field.
+    // q147: multi-probe IVF + recall audit — probes, both hit sets and
+    // the recall join replayed from the shared Lloyd CTEs in exact
+    // integer arithmetic.
+    "q147_ivf_multiprobe" -> q147OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -464,6 +464,94 @@ object Similarity {
       .smallSort("query_id", "rank")
   }
 
+  /** q147 — MULTI-PROBE IVF with a measured RECALL AUDIT: the ANN
+    * family's closing member (q25 brute truth → q26 LSH → q58
+    * label-IVF → q143 learned-IVF nprobe=1 → THIS, nprobe=2 with
+    * recall@5 against the brute-force truth computed beside it). Each
+    * query searches the union of its TWO nearest centroids' inverted
+    * lists — the standard IVF recall knob (FAISS `nprobe`): candidates
+    * per query grow to 2·corpus/k while recall approaches brute force,
+    * and the audit column reports exactly how close, per query, as an
+    * exact match count (n_match of 5) plus id-sum fingerprints of both
+    * hit sets. Everything that feeds the hash is exact integer
+    * arithmetic (quantized cosines — the q143 device — and id sums), so
+    * the oracle replays probe selection, list search, brute truth and
+    * the recall join bit-for-bit from the same Lloyd CTEs.
+    *
+    * 100 TB shape: probe selection is k distances per query (model is
+    * driver-bounded literals); the searched side remains list-bucketed
+    * (2 lists per query, never corpus×corpus); the brute leg — the
+    * AUDIT, not the serving path — is the q25 broadcast-queries shape,
+    * bounded by the query slice, and is exactly what an offline recall
+    * evaluation job runs against a sampled query set. */
+  def q147IvfMultiprobe(t: T): DataFrame = ivfMultiprobe(t.embeddings, 10, 3)
+
+  def ivfMultiprobe(embeddings: DataFrame, k: Int,
+                    iterations: Int): DataFrame = {
+    val st = lloyd(embeddings, k, iterations)
+    val assigned = assignCols(st.qframe, st.ca, st.d, st.k)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    // per-query two nearest centroids: the k distance columns again,
+    // sorted in-row as (dist, cluster) structs — 10 rows, no shuffle
+    val withDists = (1 to st.k).foldLeft(st.qframe.filter(col("vec_id") < 10)) {
+      (df, j) =>
+        val cj = st.ca.slice((j - 1) * st.d, j * st.d)
+        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+        df.withColumn(s"s$j",
+          col("qq") - lit(2d) * expr("vec_dot(qd, " +
+            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+    }
+    val probes = withDists
+      .withColumn("ps", expr("array_sort(array(" + (1 to st.k)
+        .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
+      .select(col("vec_id").as("query_id"), col("qd").as("pqd"),
+        col("qq").as("pqq"),
+        expr("ps[0].c").as("probe1"), expr("ps[1].c").as("probe2"))
+      .localCheckpoint(false)
+    val cosine = round(
+      expr("vec_dot(qd, pqd)") / (sqrt(col("qq")) * sqrt(col("pqq"))), 6)
+    // searched leg: union of the two probed lists via a 20-row explode →
+    // cluster equi-join; top-5 by quantized cosine
+    val cand = assigned
+      .join(broadcast(probes
+        .select(col("query_id"), col("pqd"), col("pqq"),
+          explode(array(col("probe1"), col("probe2"))).as("cluster"))),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val searched = cand.withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id", "cosine")
+    // truth leg: brute force over the whole corpus (the q25 shape — the
+    // offline recall-evaluation job), same score and tie-break
+    val truth = assigned.select("vec_id", "qd", "qq")
+      .join(broadcast(probes.select("query_id", "pqd", "pqq")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id")
+    val recall = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum("hit").as("n_match"), sum("vec_id").as("found_fp"))
+    val truthFp = truth.groupBy("query_id")
+      .agg(sum("vec_id").as("truth_fp"))
+    probes.select("query_id", "probe1", "probe2")
+      .join(nCand, Seq("query_id"))
+      .join(recall, Seq("query_id"))
+      .join(truthFp, Seq("query_id"))
+      .select(col("query_id"), col("probe1"), col("probe2"),
+        col("n_candidates"), coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("found_fp"), col("truth_fp"))
+      .smallSort("query_id")
+  }
+
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,
                        iterations: Int): DataFrame = {
     val st = lloyd(embeddings, k, iterations)

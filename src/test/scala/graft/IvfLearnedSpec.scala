@@ -104,4 +104,30 @@ class IvfLearnedSpec extends SparkSpec {
       assert(c6 > 990000L, s"top-hit cosine $c6")
     }
   }
+
+  test("q147 multi-probe recall: perfect on separated blobs, bounded " +
+    "structure everywhere") {
+    val rnd = new scala.util.Random(41)
+    // 3 tight blobs, ≥6 members each — a query's 5 true neighbors all
+    // share its blob, and a correct quantizer puts the blob in ONE
+    // list, so nprobe=2 recall@5 must be 5/5
+    val rows = (0L until 45L).map { id =>
+      val c = (id % 3).toInt
+      val base = Array(0.8f, -0.7f, 0.1f)(c)
+      (id, Array.fill(8)(base + rnd.nextFloat() * 0.05f), c)
+    }
+    val df = rows.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.ivfMultiprobe(df, 3, 3).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (q, p1, p2) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(p1 != p2, s"query $q probes distinct lists")
+      assert(r.getLong(4) == 5L, s"query $q recall ${r.getLong(4)}/5")
+      assert(r.getLong(5) == r.getLong(6),
+        s"query $q perfect recall implies identical hit-set fingerprints")
+      assert(r.getLong(3) >= 5L, s"query $q candidate pool")
+    }
+  }
 }

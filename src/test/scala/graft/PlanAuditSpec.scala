@@ -85,6 +85,11 @@ class PlanAuditSpec extends SparkSpec {
   // construction (k·d model state — the MLlib contract) but its RETURNED
   // report plan is fully declarative and audited here: map-side literal-
   // centroid assignment, two aggregates, one broadcast EQUI-join.
+  //   q147               — the recall audit's brute-truth leg is q25's
+  //                        documented broadcast-query-slice shape (the
+  //                        offline recall evaluation, not the serving
+  //                        path; the searched leg stays an equi-join)
+  //                        (r13)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
@@ -92,7 +97,7 @@ class PlanAuditSpec extends SparkSpec {
     "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
     "q138_zorder_layout",
-    "q141_bloom_skipping")
+    "q141_bloom_skipping", "q147_ivf_multiprobe")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
