@@ -210,6 +210,8 @@ object SparkEntry {
     "q145_gesis_fold"     -> ((s, d) => sources.Gesis.q145GesisFold(T(s, d))),
     "q146_soep_merge"     -> ((s, d) => sources.Soep.q146SoepMerge(T(s, d))),
     "q147_ivf_multiprobe" -> ((s, d) => Similarity.q147IvfMultiprobe(T(s, d))),
+    "q148_personalized_pagerank" -> ((s, d) =>
+      operators.Graph.q148PersonalizedPagerank(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -417,6 +419,42 @@ object SparkEntry {
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
        |r0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) // n AS r
        |  FROM deg, nn),
+       |$steps
+       |SELECT node // 2 AS supplier, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r${operators.Graph.Iterations}
+       |WHERE node % 2 = 1 ORDER BY supplier""".stripMargin
+  }
+
+  /** q148's oracle: q139's five unrolled supersteps with the teleport
+    * base and initial mass restricted to the seed set (node % 100 = 0)
+    * and the seed count replacing the node count. */
+  private def q148OracleSql: String = {
+    val base = "CASE WHEN d.node % 100 = 0 THEN " +
+      "(15 * CAST(1000000000 AS BIGINT) // 100) // n ELSE CAST(0 AS BIGINT) END"
+    val steps = (1 to operators.Graph.Iterations).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // r.outdeg) AS BIGINT) AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+         |r$k AS (
+         |  SELECT d.node, d.outdeg,
+         |    $base
+         |      + (85 * COALESCE(s$k.inflow, CAST(0 AS BIGINT))) // 100 AS r
+         |  FROM deg d CROSS JOIN ns n2 LEFT JOIN s$k ON s$k.node = d.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+       |  WHERE node % 100 = 0),
+       |r0 AS (SELECT node, outdeg,
+       |  CASE WHEN node % 100 = 0 THEN CAST(1000000000 AS BIGINT) // n
+       |       ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM deg, ns),
        |$steps
        |SELECT node // 2 AS supplier, CAST(r AS BIGINT) AS rank_ppb
        |FROM r${operators.Graph.Iterations}
@@ -3870,6 +3908,8 @@ object SparkEntry {
     // the recall join replayed from the shared Lloyd CTEs in exact
     // integer arithmetic.
     "q147_ivf_multiprobe" -> q147OracleSql,
+    // q148: q139's unrolled supersteps with seed-restricted teleport.
+    "q148_personalized_pagerank" -> q148OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

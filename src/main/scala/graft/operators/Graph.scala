@@ -68,6 +68,33 @@ object Graph {
       .smallSort("supplier")
   }
 
+  /** q148 — PERSONALIZED PageRank: the teleport vector is a SEED set,
+    * not uniform — the crawl-frontier weighting a pipeline runs from a
+    * trusted-source list ("rank every domain by its random-walk
+    * proximity to the seeds"; Page et al. 1999 §6's personalized
+    * vector, the TrustRank shape). Seeds are the trusted customer
+    * accounts (custkey % 50 = 0 → packed node % 100 = 0); both the
+    * teleport base AND the initial mass live only on seeds, so a
+    * supplier's rank is exactly its discounted seed-walk visit rate —
+    * suppliers unreachable from any seed in five steps report honest
+    * zeros. Same exact ppb fixed-point discipline as q139 (every op an
+    * integer DIV; the oracle unrolls the same five supersteps), same
+    * cached pre-partitioned edge table, same vertex-sized shuffles —
+    * the ONLY deltas are the seed predicate folded into the vertex
+    * frame and the seed count replacing the node count in the two
+    * driver literals. */
+  def q148PersonalizedPagerank(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    val edgesOnce = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("o_custkey * 2").as("src"),
+        expr("l_suppkey * 2 + 1").as("dst"))
+    pagerankCore(edgesOnce, Iterations, Some(expr("node % 100 = 0")))
+      .filter(col("node") % 2 === 1)
+      .select(expr("node DIV 2").as("supplier"), col("rank_ppb"))
+      .smallSort("supplier")
+  }
+
   /** The reusable core over a directed edge frame (src, dst): symmetrize,
     * dedupe, then run `iterations` fixed-point supersteps. Public so the
     * spec can run tiny graphs with known closed-form ranks. CALLER
@@ -75,7 +102,18 @@ object Graph {
     * symmetrize+dedupe and dedupe+symmetrize differ); q139 satisfies it
     * structurally — src ids are even (customers), dst ids odd
     * (suppliers). */
-  def pagerank(directed: DataFrame, iterations: Int): DataFrame = {
+  def pagerank(directed: DataFrame, iterations: Int): DataFrame =
+    pagerankCore(directed, iterations, None)
+
+  /** Personalized variant: teleport base and initial mass restricted to
+    * nodes satisfying `seed` (a predicate over the `node` column);
+    * uniform PageRank when None. */
+  def pagerank(directed: DataFrame, iterations: Int,
+               seed: org.apache.spark.sql.Column): DataFrame =
+    pagerankCore(directed, iterations, Some(seed))
+
+  private def pagerankCore(directed: DataFrame, iterations: Int,
+      seed: Option[org.apache.spark.sql.Column]): DataFrame = {
     // symmetrized DEDUPED edge list, pre-partitioned ON THE JOIN KEY and
     // materialized once (lazy localCheckpoint) — every superstep joins
     // it. Three build choices carry the round cost:
@@ -116,24 +154,28 @@ object Graph {
         .dropDuplicates("src", "dst")
         .localCheckpoint(false)
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      // the vertex count is ONE long — it goes to the driver and the
-      // teleport base rides as a plan literal (r12 built a broadcast
-      // 1-row crossJoin whose exchange materialized the whole edge
-      // frame during plan CONSTRUCTION); this count is the job that
-      // materializes the edge checkpoint, exchange-free on top of its
-      // partitioning
-      val n = deg.count()
+      val degN = deg.select(col("src").as("node"), col("outdeg"))
+        .withColumn("is_seed", seed.getOrElse(lit(true)))
+      // the mass-carrier count (all nodes, or the seed set) is ONE
+      // long — it goes to the driver and the teleport base rides as a
+      // plan literal (r12 built a broadcast 1-row crossJoin whose
+      // exchange materialized the whole edge frame during plan
+      // CONSTRUCTION); this count is the job that materializes the edge
+      // checkpoint, exchange-free on top of its partitioning
+      val n = degN.filter(col("is_seed")).count()
+      require(n > 0, "personalized pagerank needs at least one seed node")
       // vertex frame with the teleport base precomputed: node-count-
       // sized, checkpointed once — every superstep (and r0) joins THIS,
       // so the degree aggregate never replays
-      val v = deg.select(col("src").as("node"), col("outdeg"))
-        .withColumn("base",
+      val v = degN
+        .withColumn("base", when(col("is_seed"),
           lit(((DampDen - DampNum).toLong * Scale / DampDen) / n))
+          .otherwise(lit(0L)))
         .localCheckpoint(false)
       (e, v, n)
     }
     val r0 = verts.select(col("node"), col("outdeg"), col("base"),
-      lit(Scale / nn).as("rank_ppb"))
+      when(col("is_seed"), lit(Scale / nn)).otherwise(lit(0L)).as("rank_ppb"))
     val rFinal = (1 to iterations).foldLeft(r0) { (r, _) =>
       val inflow = r
         // SHUFFLE_HASH on the rank side: both sides are already

@@ -67,6 +67,50 @@ class GraphSpec extends SparkSpec {
     assert(got == model(g, 3))
   }
 
+  /** Personalized model: teleport base and initial mass only on seeds. */
+  private def pModel(directed: Seq[(String, String)], seeds: Set[String],
+                     iterations: Int): Map[String, Long] = {
+    val edges = directed ++ directed.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = outdeg.keys.toSeq.sorted
+    val ns = nodes.count(seeds).toLong
+    val base = ((Graph.DampDen - Graph.DampNum) * Graph.Scale /
+      Graph.DampDen) / ns
+    var r = nodes.map(v => v -> (if (seeds(v)) Graph.Scale / ns else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> ((if (seeds(v)) base else 0L) +
+          Graph.DampNum * inflow.getOrElse(v, 0L) / Graph.DampDen)).toMap
+    }
+    r
+  }
+
+  test("personalized: seed-only teleport matches the model; nodes cut " +
+    "off from the seeds hold zero rank") {
+    // two components: a seeded star and an unseeded pair
+    val g = Seq(("c", "l1"), ("c", "l2"), ("x", "y"))
+    val seeds = Set("c")
+    val got = Graph.pagerank(g.toDF("src", "dst"), 5, col("node") === "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pModel(g, seeds, 5))
+    // the walk never reaches the (x, y) component — exact zeros
+    assert(got("x") == 0L && got("y") == 0L)
+    // and all retained mass lives on the seeded component
+    assert(got("c") > got("l1") && got("l1") == got("l2"))
+    assert(got.values.sum <= Graph.Scale)
+  }
+
+  test("personalized with every node seeded equals uniform pagerank") {
+    val g = Seq(("a", "b"), ("b", "c"))
+    val uniform = run(g, 4)
+    val allSeeded = Graph.pagerank(g.toDF("src", "dst"), 4, lit(true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(allSeeded == uniform)
+  }
+
   test("q139 declared output covers every supplier with positive rank") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val out = Graph.q139Pagerank(t).collect()
