@@ -58,9 +58,12 @@ object HarnessTuning {
   /** Best-effort sweep of STALE graft scratch roots from /dev/shm (r12
     * advice): a SIGKILLed JVM never runs its shutdown hooks, so its
     * TmpDirs trees linger in RAM-backed storage. Only directories with
-    * our `graft_` prefix are touched, and only when untouched for ≥ 2 h
-    * — a live harness JVM is minutes old by construction, so the age
-    * guard cannot race a concurrent run. Spark's own `spark-*` local
+    * our `graft_` prefix are touched, and only when untouched for ≥ 2 h.
+    * A live JVM's root stays younger than that even past 2 h of wall
+    * clock: TmpDirs refreshes the root's mtime on every keyed/fresh
+    * call (rate-limited, r13 advice), so liveness is visible in the
+    * mtime this sweep reads and the age guard cannot race a concurrent
+    * long-lived run. Spark's own `spark-*` local
     * dirs are left alone (they are removed on clean session stop, and
     * another JVM's live scratch is not ours to judge). */
   private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)

@@ -265,11 +265,18 @@ object ScaleTechniques {
     val rangeCond = walked.flatMap(_._2).map(_._3).distinct.sorted
       .map { pos =>
         val lb = graft.functions.HistSketch.lowerBound(pos)
+        // bucket 0's value range is open below: bucketOf clamps negatives
+        // into bucket 0, so its sliver must admit them too (a >= 0 floor
+        // here would drop rows the sketch's rank walk counted, shifting
+        // the exact pick whenever bucket 0 is a candidate)
         if (pos >= 959) col("cents") >= lb
+        else if (pos == 0)
+          col("cents") < graft.functions.HistSketch.lowerBound(1)
         else col("cents") >= lb &&
           col("cents") < graft.functions.HistSketch.lowerBound(pos + 1)
       }.reduce(_ || _)
-    val posOf = expr(graft.functions.HistSketch.posSql("cents"))
+    // clamp mirrors bucketOf (posSql on a raw negative would go negative)
+    val posOf = expr(graft.functions.HistSketch.posSql("greatest(cents, 0L)"))
     val hits = vals
       .filter(rangeCond)
       .withColumn("pos", posOf)

@@ -300,6 +300,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q137 composition: negative cents stay in bucket 0's sliver " +
+    "(the clamp admits them, so the exact rank pick sees every row the " +
+    "sketch counted)") {
+    // 60 negatives and 40 positives, one flag: p50 target = (n+1)/2 = 50
+    // -> 50th smallest = -11 cents. An >= 0 floor on bucket 0's range
+    // prune dropped the negatives and shifted the pick (ADVICE r13).
+    val prices = (1 to 60).map(i => -i / 100.0) ++
+      (1 to 40).map(i => math.exp(i / 4.0) / 100.0)
+    val df = prices.map(("A", _)).toDF("l_returnflag", "l_extendedprice")
+    val cents = prices.map(p => math.round(p * 100)).sorted
+    def target(n: Long, tag: String): Long = tag match {
+      case "p50" => (n + 1) / 2
+      case "p90" => (n * 9 + 9) / 10
+      case "p99" => (n * 99 + 99) / 100
+    }
+    val got = operators.ScaleTechniques.histQuantiles(df).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "ALL"))
+    got.foreach { r =>
+      assert(r.getBoolean(12), s"merge_matches_direct: $r")
+      for ((tag, x) <- Seq(("p50", 3), ("p90", 6), ("p99", 9))) {
+        val want = cents((target(cents.length, tag) - 1).toInt)
+        assert(r.getLong(x) == want, s"$tag exact ${r.getLong(x)} != $want")
+      }
+      // p50 falls in bucket 0 whose lowerBound (the estimate) clamps to
+      // 0 above the negative exact value — the ok flag reports that
+      assert(r.getLong(3) == -11L && !r.getBoolean(4),
+        s"bucket-0 clamp honesty: $r")
+    }
+  }
+
   // --- kmv_sketch ---
 
   private val kmvHashes: Seq[Long] =
