@@ -212,6 +212,9 @@ object SparkEntry {
     "q147_ivf_multiprobe" -> ((s, d) => Similarity.q147IvfMultiprobe(T(s, d))),
     "q148_personalized_pagerank" -> ((s, d) =>
       operators.Graph.q148PersonalizedPagerank(T(s, d))),
+    "q149_weighted_pagerank" -> ((s, d) =>
+      operators.Graph.q149WeightedPagerank(T(s, d))),
+    "q150_ivf_incremental" -> ((s, d) => Similarity.q150IvfIncremental(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -222,25 +225,31 @@ object SparkEntry {
     * oracles: dims / hash seeds / c0 / (assign, means, centroids) × 3,
     * plus the `assign` builder so q143 can add the final a4 list
     * assignment against c3. */
-  private def lloydAssignCte(r: String, cent: String): String =
+  private def lloydAssignCte(r: String, cent: String,
+                             dims: String = "dims"): String =
     s"""s$r AS (
        |  SELECT dm.vec_id, c.cluster,
        |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
-       |  FROM dims dm JOIN $cent c ON c.d = dm.d GROUP BY 1, 2),
+       |  FROM $dims dm JOIN $cent c ON c.d = dm.d GROUP BY 1, 2),
        |a$r AS (
        |  SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
        |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
 
-  private def lloydCtes: String = {
+  /** Defaults reproduce the q142/q143/q147 text; q150 trains over a
+    * filtered corpus by injecting a `bdims` subset CTE (`extraCtes`),
+    * pointing the rounds at it (`dims`), and restricting the seed pool
+    * (`seedWhere`). */
+  private def lloydCtes(dims: String = "dims", extraCtes: String = "",
+                        seedWhere: String = ""): String = {
     val steps = (1 to 3).map { r =>
-      s"""${lloydAssignCte(r.toString, s"c${r - 1}")},
+      s"""${lloydAssignCte(r.toString, s"c${r - 1}", dims)},
          |m$r AS (
          |  SELECT a.cluster, dm.d,
          |    CASE WHEN sum(dm.q) >= 0
          |      THEN CAST(sum(dm.q) AS BIGINT) // count(*)
          |      ELSE -(CAST(-sum(dm.q) AS BIGINT) // count(*)) END AS c
-         |  FROM dims dm JOIN a$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
+         |  FROM $dims dm JOIN a$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
          |c$r AS (
          |  SELECT p.cluster, p.d, COALESCE(m.c, p.c) AS c
          |  FROM c${r - 1} p LEFT JOIN m$r m ON m.cluster = p.cluster
@@ -250,20 +259,21 @@ object SparkEntry {
        |  SELECT vec_id, ix.i - 1 AS d,
        |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
        |      AS q
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),$extraCtes
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
        |    AS cluster
        |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('143:',
-       |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+       |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h
+       |    FROM embeddings$seedWhere)
        |  QUALIFY cluster <= 10),
        |c0 AS (SELECT s.cluster, d.d, d.q AS c
-       |  FROM dims d JOIN seeds s ON s.vec_id = d.vec_id),
+       |  FROM $dims d JOIN seeds s ON s.vec_id = d.vec_id),
        |$steps""".stripMargin
   }
 
   private def q142OracleSql: String = {
-    s"""WITH $lloydCtes,
+    s"""WITH ${lloydCtes()},
        |pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
        |  CAST(sum(dist) AS BIGINT) AS inertia FROM a3 GROUP BY 1),
        |bl AS (SELECT a3.cluster, e.label, count(*) AS n
@@ -286,7 +296,7 @@ object SparkEntry {
     * products and norm² terms are sums of exact integers (order-
     * independent across engines), so the cosines match bit-for-bit. */
   private def q143OracleSql: String =
-    s"""WITH $lloydCtes,
+    s"""WITH ${lloydCtes()},
        |${lloydAssignCte("4", "c3")},
        |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
        |  FROM dims GROUP BY 1),
@@ -322,7 +332,7 @@ object SparkEntry {
     * list search and brute truth both from exact-integer dot products,
     * and the recall join. */
   private def q147OracleSql: String =
-    s"""WITH $lloydCtes,
+    s"""WITH ${lloydCtes()},
        |${lloydAssignCte("4", "c3")},
        |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
        |  FROM dims GROUP BY 1),
@@ -424,6 +434,72 @@ object SparkEntry {
        |FROM r${operators.Graph.Iterations}
        |WHERE node % 2 = 1 ORDER BY supplier""".stripMargin
   }
+
+  /** q149's oracle: the five weighted supersteps unrolled — edge weight
+    * = the pair's total line-item cents, outflow split precomputed as
+    * truncating parts-per-million, contribution (r · w_ppm) // 10⁶ —
+    * every operation exact Long arithmetic (sums cast back from DuckDB's
+    * HUGEINT), so ranks match Spark bit-for-bit. */
+  private def q149OracleSql: String = {
+    val steps = (1 to operators.Graph.Iterations).map { k =>
+      s"""s$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.r * e.w_ppm) // 1000000) AS BIGINT) AS inflow
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src GROUP BY 1),
+         |r$k AS (
+         |  SELECT d.node,
+         |    (15 * CAST(1000000000 AS BIGINT) // 100) // n
+         |      + (85 * COALESCE(s$k.inflow, CAST(0 AS BIGINT))) // 100 AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s$k ON s$k.node = d.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |edges0 AS (SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+       |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |  FROM edges0 GROUP BY 1),
+       |edges AS (SELECT e.src, e.dst, (e.w * 1000000) // wt.wtot AS w_ppm
+       |  FROM edges0 e JOIN wt ON wt.src = e.src),
+       |deg AS (SELECT src AS node FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS r
+       |  FROM deg, nn),
+       |$steps
+       |SELECT node // 2 AS supplier, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r${operators.Graph.Iterations}
+       |WHERE node % 2 = 1 ORDER BY supplier""".stripMargin
+  }
+
+  /** q150's oracle: the Lloyd CTEs trained over the BASE subset
+    * (vec_id % 10 ≠ 0), the stored-index assignment a4 over the base,
+    * the batch assignment ab over the arrivals against the SAME final
+    * centroids, then the per-list maintenance report — counts and
+    * id-sum fingerprints, exact integers throughout. */
+  private def q150OracleSql: String =
+    s"""WITH ${lloydCtes(dims = "bdims",
+         extraCtes =
+           "\nbdims AS (SELECT * FROM dims WHERE vec_id % 10 <> 0),",
+         seedWhere = " WHERE vec_id % 10 <> 0")},
+       |${lloydAssignCte("4", "c3", "bdims")},
+       |ndims AS (SELECT * FROM dims WHERE vec_id % 10 = 0),
+       |${lloydAssignCte("b", "c3", "ndims")},
+       |ba AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_base,
+       |  CAST(sum(vec_id) AS BIGINT) AS base_id_sum FROM a4 GROUP BY 1),
+       |aa AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_added,
+       |  CAST(sum(vec_id) AS BIGINT) AS added_id_sum FROM ab GROUP BY 1)
+       |SELECT COALESCE(ba.cluster, aa.cluster) AS cluster,
+       |  COALESCE(n_base, CAST(0 AS BIGINT)) AS n_base,
+       |  COALESCE(n_added, CAST(0 AS BIGINT)) AS n_added,
+       |  COALESCE(n_base, CAST(0 AS BIGINT))
+       |    + COALESCE(n_added, CAST(0 AS BIGINT)) AS n_total,
+       |  COALESCE(base_id_sum, CAST(0 AS BIGINT)) AS base_id_sum,
+       |  COALESCE(added_id_sum, CAST(0 AS BIGINT)) AS added_id_sum
+       |FROM ba FULL OUTER JOIN aa ON aa.cluster = ba.cluster
+       |ORDER BY cluster""".stripMargin
 
   /** q148's oracle: q139's five unrolled supersteps with the teleport
     * base and initial mass restricted to the seed set (node % 100 = 0)
@@ -3910,6 +3986,12 @@ object SparkEntry {
     "q147_ivf_multiprobe" -> q147OracleSql,
     // q148: q139's unrolled supersteps with seed-restricted teleport.
     "q148_personalized_pagerank" -> q148OracleSql,
+    // q149: the weighted supersteps — ppm outflow splits from line-item
+    // cents, all Long arithmetic.
+    "q149_weighted_pagerank" -> q149OracleSql,
+    // q150: Lloyd over the base subset + stored-index and batch
+    // assignments against the same final centroids.
+    "q150_ivf_incremental" -> q150OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -95,6 +95,38 @@ object Graph {
       .smallSort("supplier")
   }
 
+  /** q149 — WEIGHTED PageRank: edge mass from line-item value, the
+    * crawl-authority weighting q136's per-source profile and the q75/q91
+    * mixtures consume — a domain that moves more value pulls more rank,
+    * the same instinct as the reference's poll-of-polls size weighting
+    * (study_scraper/aggregate.py:36-51: bigger n ⇒ bigger weight)
+    * applied to graph mass. Each (customer, supplier) edge carries the
+    * pair's total line-item cents; a node's outflow splits ∝ weight
+    * instead of uniformly. To keep every operation in exact Long
+    * arithmetic (the q139 discipline — no FP, both engines truncate
+    * identically), the split is precomputed ONCE on the edge table as
+    * parts-per-million: w_ppm = (w · 10⁶) DIV Σw(src), and each
+    * superstep's contribution is (rank · w_ppm) DIV 10⁶ — products
+    * bounded by 10⁹·10⁶ = 10¹⁵ < 2⁶³. Truncating ppm shares lose a
+    * deterministic dust of mass per round exactly as q139's DIV outdeg
+    * does. Same shared pagerankCore: one corpus shuffle builds the
+    * weight-summed symmetric edge table (the groupBy rides the same
+    * hash(src) repartition the dedupe used), the w_ppm join is
+    * exchange-free on top of it, and the five superstep joins shuffle
+    * only vertex-sized rank frames. */
+  def q149WeightedPagerank(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    val edgesOnce = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("o_custkey * 2").as("src"),
+        expr("l_suppkey * 2 + 1").as("dst"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("w"))
+    weightedPagerank(edgesOnce, Iterations)
+      .filter(col("node") % 2 === 1)
+      .select(expr("node DIV 2").as("supplier"), col("rank_ppb"))
+      .smallSort("supplier")
+  }
+
   /** The reusable core over a directed edge frame (src, dst): symmetrize,
     * dedupe, then run `iterations` fixed-point supersteps. Public so the
     * spec can run tiny graphs with known closed-form ranks. CALLER
@@ -105,6 +137,13 @@ object Graph {
   def pagerank(directed: DataFrame, iterations: Int): DataFrame =
     pagerankCore(directed, iterations, None)
 
+  /** Weighted variant over (src, dst, w) rows — multiple rows per pair
+    * sum (the caller can pass per-line-item rows; the core's one
+    * hash(src) shuffle both symmetrizes and aggregates). Same caller
+    * contract on reverse pairs. */
+  def weightedPagerank(directed: DataFrame, iterations: Int): DataFrame =
+    pagerankCore(directed, iterations, None, weighted = true)
+
   /** Personalized variant: teleport base and initial mass restricted to
     * nodes satisfying `seed` (a predicate over the `node` column);
     * uniform PageRank when None. */
@@ -113,7 +152,8 @@ object Graph {
     pagerankCore(directed, iterations, Some(seed))
 
   private def pagerankCore(directed: DataFrame, iterations: Int,
-      seed: Option[org.apache.spark.sql.Column]): DataFrame = {
+      seed: Option[org.apache.spark.sql.Column],
+      weighted: Boolean = false): DataFrame = {
     // symmetrized DEDUPED edge list, pre-partitioned ON THE JOIN KEY and
     // materialized once (lazy localCheckpoint) — every superstep joins
     // it. Three build choices carry the round cost:
@@ -136,10 +176,16 @@ object Graph {
     // partitioning — measured: every superstep then re-exchanged BOTH
     // checkpointed sides). Static planning keeps hash(src, 32) on the
     // leaves, so the five superstep joins run exchange-free on the edge
-    // side. The scope is plan-construction-only (no jobs run inside it);
-    // a cluster keeps AQE everywhere else — and a cluster Pregel job
-    // would read a bucketed edge table, which carries the same
-    // partitioning guarantee natively.
+    // side. The scope covers the two checkpoint builds — the jobs that
+    // materialize them (the seed count and the checkpoint RDDs) DO run
+    // inside it, deliberately, so their leaves plan statically. The
+    // conf flip is session-global: a query constructed CONCURRENTLY on
+    // the same session during this window would also plan AQE-off —
+    // acceptable here because the harness constructs queries
+    // single-threaded (bench/verify run one query at a time); a cluster
+    // deployment would instead read a bucketed edge table, which
+    // carries the same partitioning guarantee natively with AQE on, or
+    // scope the flip via session.cloneSession().
     val spark = directed.sparkSession
     val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def withStaticPlan[A](f: => A): A = {
@@ -148,12 +194,31 @@ object Graph {
       try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
     }
     val (edges, verts, nn) = withStaticPlan {
-      val e = directed
-        .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(shuffleN, col("src"))
-        .dropDuplicates("src", "dst")
-        .localCheckpoint(false)
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val reversed =
+        if (weighted)
+          directed.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+        else directed.select(col("dst").as("src"), col("src").as("dst"))
+      val sym = directed.unionByName(reversed).repartition(shuffleN, col("src"))
+      // weighted: the pair aggregate rides the SAME hash(src) shuffle the
+      // dedupe does (HashPartitioning(src) satisfies the (src, dst)
+      // clustering), so both shapes build the edge table in one corpus
+      // shuffle; the ppm split then joins the per-src weight total back
+      // exchange-free on top of that partitioning
+      val e0 =
+        if (weighted) sym.groupBy("src", "dst").agg(sum("w").as("w"))
+          .localCheckpoint(false)
+        else sym.dropDuplicates("src", "dst").localCheckpoint(false)
+      val degAggs =
+        if (weighted) Seq(count(lit(1)).as("outdeg"), sum("w").as("wtot"))
+        else Seq(count(lit(1)).as("outdeg"))
+      val deg = e0.groupBy("src").agg(degAggs.head, degAggs.tail: _*)
+      val e =
+        if (weighted)
+          e0.join(deg.select(col("src"), col("wtot")), Seq("src"))
+            .select(col("src"), col("dst"),
+              expr("(w * 1000000L) DIV wtot").as("w_ppm"))
+            .localCheckpoint(false)
+        else e0
       val degN = deg.select(col("src").as("node"), col("outdeg"))
         .withColumn("is_seed", seed.getOrElse(lit(true)))
       // the mass-carrier count (all nodes, or the seed set) is ONE
@@ -187,7 +252,8 @@ object Graph {
         .hint("SHUFFLE_HASH")
         .join(edges, r("node") === edges("src"))
         .select(col("dst").as("node"),
-          expr("rank_ppb DIV outdeg").as("contrib"))
+          expr(if (weighted) "(rank_ppb * w_ppm) DIV 1000000L"
+               else "rank_ppb DIV outdeg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("inflow"))
       verts
         .join(inflow, Seq("node"), "left")

@@ -346,19 +346,22 @@ object Similarity {
       caIn: Array[Long], // centroids the final E-step assigned against
       d: Int, k: Int)
 
-  private[graft] def lloyd(embeddings: DataFrame, k: Int,
-                           iterations: Int): LloydState = {
-    val spark = embeddings.sparkSession
-    // quantized corpus, ONE narrow materialization: integer milli-units
-    // held as exact doubles (array<double> feeds the native vec_dot; the
-    // values are integers < 2^53, so every product/sum below is exact),
-    // with x·x precomputed — it never changes across rounds
-    val qframe = embeddings
+  /** Milli-unit quantization of an embeddings frame: integer values held
+    * as exact doubles (array<double> feeds the native vec_dot; values
+    * < 2^53, so every product/sum is exact), with x·x precomputed. */
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, v -> CAST(CAST(round(CAST(v AS DOUBLE)" +
           " * 1000) AS BIGINT) AS DOUBLE))").as("qd"))
       .withColumn("qq", expr("vec_dot(qd, qd)"))
-      .localCheckpoint(false)
+
+  private[graft] def lloyd(embeddings: DataFrame, k: Int,
+                           iterations: Int): LloydState = {
+    val spark = embeddings.sparkSession
+    // quantized corpus, ONE narrow materialization — it never changes
+    // across rounds
+    val qframe = quantized(embeddings).localCheckpoint(false)
     // deterministic seeds: the k vectors with the smallest (portable
     // hash, id); cluster ids are the rank in that order
     val seedIds = embeddings.select(col("vec_id"))
@@ -550,6 +553,60 @@ object Similarity {
         col("n_candidates"), coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("found_fp"), col("truth_fp"))
       .smallSort("query_id")
+  }
+
+  /** q150 — INCREMENTAL IVF index maintenance (FAISS `add_with_ids`):
+    * the daily-crawl embedding-store job every production ANN deployment
+    * runs. The quantizer trains and the index builds on the BASE corpus
+    * only (vec_id % 10 ≠ 0 — yesterday's store, q143's shape, the
+    * checkpointed assignment frame standing in for the persisted index);
+    * the incoming batch (vec_id % 10 = 0) is then assigned to the
+    * EXISTING lists by the same map-side literal-centroid argmin —
+    * no retraining, no base-corpus scan on the add path, exactly the
+    * q109 incremental-dedup discipline applied to the vector store.
+    * Output is the per-list maintenance report a store keeps: base size,
+    * batch adds, new total, and id-sum fingerprints of both populations
+    * (the q147 exact-integer device, so the oracle pins list membership,
+    * not just counts). 100 TB shape: the add job's cost tracks the
+    * BATCH — k·d literal distances per new vector plus a k-sized delta
+    * aggregate (IvfAddProbe measures the add leg flat at 20× corpus
+    * while rebuild grows with it); drift eventually forces a retrain,
+    * which is q143 again.
+    *
+    * Reference instinct: incremental `since` ingestion against a
+    * persisted store (study_scraper/ingest.py:30-36,
+    * storage/postgres.py:1575-1594) — arrivals fold into existing
+    * state without reprocessing the corpus. */
+  def q150IvfIncremental(t: T): DataFrame = ivfIncremental(t.embeddings, 10, 3)
+
+  def ivfIncremental(embeddings: DataFrame, k: Int,
+                     iterations: Int): DataFrame = {
+    import graft.Serve._
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val batch = embeddings.filter(col("vec_id") % 10 === 0)
+    val st = lloyd(base, k, iterations)
+    // the stored index: base corpus assigned to lists (q143's barrier —
+    // the materialized frame IS what a store persists)
+    val index = assignCols(st.qframe, st.ca, st.d, st.k)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint(false)
+    // the add path: quantize + assign ONLY the batch against the same
+    // literal centroids — map-side, batch-sized
+    val added = assignCols(quantized(batch), st.ca, st.d, st.k)
+      .select(col("vec_id"), col("cluster"))
+    val baseAgg = index.groupBy("cluster").agg(
+      count(lit(1)).as("n_base"), sum("vec_id").as("base_id_sum"))
+    val addAgg = added.groupBy("cluster").agg(
+      count(lit(1)).as("n_added"), sum("vec_id").as("added_id_sum"))
+    baseAgg.join(addAgg, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        (coalesce(col("n_base"), lit(0L)) +
+          coalesce(col("n_added"), lit(0L))).as("n_total"),
+        coalesce(col("base_id_sum"), lit(0L)).as("base_id_sum"),
+        coalesce(col("added_id_sum"), lit(0L)).as("added_id_sum"))
+      .smallSort("cluster")
   }
 
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,

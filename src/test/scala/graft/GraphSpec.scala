@@ -111,6 +111,76 @@ class GraphSpec extends SparkSpec {
     assert(allSeeded == uniform)
   }
 
+  /** Weighted model: ppm outflow shares, contribution (r·w_ppm)/10⁶ —
+    * same truncating Long arithmetic as the operator. */
+  private def wModel(directed: Seq[(String, String, Long)],
+                     iterations: Int): Map[String, Long] = {
+    val sym = directed ++ directed.map { case (a, b, w) => (b, a, w) }
+    val edges = sym.groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }.toSeq
+    val wtot = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val ppm = edges.map { case (a, b, w) => (a, b, w * 1000000L / wtot(a)) }
+    val nodes = wtot.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val base = ((Graph.DampDen - Graph.DampNum) * Graph.Scale /
+      Graph.DampDen) / n
+    var r = nodes.map(_ -> Graph.Scale / n).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = ppm.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, p) => r(u) * p / 1000000L }.sum
+      }
+      r = nodes.map(v =>
+        v -> (base + Graph.DampNum * inflow.getOrElse(v, 0L) /
+          Graph.DampDen)).toMap
+    }
+    r
+  }
+
+  private def wRun(directed: Seq[(String, String, Long)],
+                   iterations: Int): Map[String, Long] =
+    Graph.weightedPagerank(directed.toDF("src", "dst", "w"), iterations)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+
+  test("weighted: uneven star pulls rank toward the heavy leaf and " +
+    "matches the model's truncation dust exactly") {
+    // center c: leaf l1 carries 3× the mass of l2/l3
+    val g = Seq(("c", "l1", 300L), ("c", "l2", 100L), ("c", "l3", 100L))
+    for (iters <- Seq(1, 5)) {
+      val got = wRun(g, iters)
+      val exp = wModel(g, iters)
+      assert(got == exp, s"iters=$iters: $got vs $exp")
+      assert(got("l1") > got("l2") && got("l2") == got("l3"))
+      assert(got.values.sum <= Graph.Scale)
+    }
+  }
+
+  test("weighted with equal weights equals uniform pagerank") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val uniform = run(g, 4)
+    val equalW = wRun(g.map { case (a, b) => (a, b, 7L) }, 4)
+    assert(equalW == uniform)
+  }
+
+  test("weighted: per-pair rows sum before the split (multi-line-item " +
+    "edges aggregate, not duplicate)") {
+    // (c, l1) passed as two rows 100+200 must equal one row 300
+    val split = Seq(("c", "l1", 100L), ("c", "l1", 200L), ("c", "l2", 100L))
+    val merged = Seq(("c", "l1", 300L), ("c", "l2", 100L))
+    assert(wRun(split, 3) == wRun(merged, 3))
+  }
+
+  test("q149 declared output covers every supplier with positive rank " +
+    "and diverges from unweighted q139") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Graph.q149WeightedPagerank(t).collect()
+    assert(out.length == t.supplier.count())
+    assert(out.forall(_.getLong(1) > 0L))
+    val uniform = Graph.q139Pagerank(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val diff = out.count(r => uniform(r.getLong(0)) != r.getLong(1))
+    assert(diff > 0, "weights must actually change ranks")
+  }
+
   test("q139 declared output covers every supplier with positive rank") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val out = Graph.q139Pagerank(t).collect()

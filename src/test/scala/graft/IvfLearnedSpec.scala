@@ -105,6 +105,64 @@ class IvfLearnedSpec extends SparkSpec {
     }
   }
 
+  test("q150 incremental add: maintenance report matches an independent " +
+    "model that trains on the base only and assigns the batch to the " +
+    "frozen centroids") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 80L).map { id =>
+      (id, Array.fill(8)((rnd.nextFloat() - 0.5f) * 1.4f), (id % 3).toInt)
+    }
+    val df = rows.map { case (id, v, l) => (id, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val k = 4
+    val got = Similarity.ivfIncremental(df, k, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+
+    // independent model: Lloyd over base ids only, batch assigned to the
+    // FINAL centroids without retraining
+    def quant(v: Float): Long = Math.round(v.toDouble * 1000)
+    val q = rows.map { case (id, v, _) => id -> v.map(quant) }.toMap
+    val baseIds = rows.map(_._1).filter(_ % 10 != 0)
+    val batchIds = rows.map(_._1).filter(_ % 10 == 0)
+    val seeds = baseIds.sortBy(id => (h60(143, id.toString), id))
+      .take(k).zipWithIndex.map { case (id, i) => (i + 1, id) }
+    var cent: Map[Int, Array[Long]] =
+      seeds.map { case (c, id) => c -> q(id).clone() }.toMap
+    def assign(ids: Seq[Long]): Map[Long, Int] = ids.map { id =>
+      id -> cent.toSeq.map { case (c, cv) =>
+        (q(id).zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }.toMap
+    def truncDiv(s: Long, n: Long): Long =
+      if (s >= 0) s / n else -((-s) / n)
+    for (_ <- 1 to 3) {
+      val a = assign(baseIds)
+      val next = a.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.toSeq.map(q)
+        c -> Array.tabulate(vs.head.length)(d =>
+          truncDiv(vs.map(_(d)).sum, vs.size.toLong))
+      }
+      cent = cent.map { case (c, old) => c -> next.getOrElse(c, old) }
+    }
+    val index = assign(baseIds)
+    val adds = assign(batchIds)
+    val want = (1 to k).flatMap { c =>
+      val b = index.filter(_._2 == c).keys.toSeq
+      val a = adds.filter(_._2 == c).keys.toSeq
+      if (b.isEmpty && a.isEmpty) None
+      else Some((c, b.size.toLong, a.size.toLong, (b.size + a.size).toLong,
+        b.sum, a.sum))
+    }
+    assert(got == want)
+    // conservation: every vector lands in exactly one list
+    assert(got.map(_._4).sum == 80L)
+    assert(got.map(_._3).sum == batchIds.size.toLong)
+    assert(got.map(_._5).sum == baseIds.sum)
+    assert(got.map(_._6).sum == batchIds.sum)
+  }
+
   test("q147 multi-probe recall: perfect on separated blobs, bounded " +
     "structure everywhere") {
     val rnd = new scala.util.Random(41)
