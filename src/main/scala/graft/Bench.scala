@@ -230,7 +230,18 @@ object Bench {
       } else {
         val t0 = elapsedS
         val m = collection.mutable.Map.empty[String, Double]
-        for ((name, fn) <- names if !errors.contains(name)) {
+        // Rotate the within-pass order per pass (r14): with a FIXED order
+        // every query always runs behind the SAME predecessor, so a heavy
+        // neighbor's residue (GC debt, shuffle-file cleanup, page-cache
+        // eviction) lands on the same victim in every rep and the median
+        // keeps the bias instead of averaging it out (r13: q129 median
+        // 1.57 s vs min 0.29 s, always directly behind the q128 scan).
+        // A deterministic rotation gives each query a different
+        // predecessor each pass; median-of-5 then mixes five
+        // neighborhoods. No randomness — runs stay reproducible.
+        val off = if (names.isEmpty) 0 else (pass * names.size / maxPasses) % names.size
+        val ordered = names.drop(off) ++ names.take(off)
+        for ((name, fn) <- ordered if !errors.contains(name)) {
           try { m(name) = once(fn) }
           catch {
             case e: Throwable =>

@@ -1742,10 +1742,16 @@ object SparkEntry {
     // q67: the at-scale clustering oracle (r10 ask) — vectorize the
     // distinct questions with the shared CTEs, build the cosine ≥ 0.72
     // edge list by all-pairs term join (exact: integer weights → exact
-    // dot), close it with the q81-style recursive-CTE transitive
-    // closure, label components by their min qid, renumber by root
-    // ascending (= first-appearance order, since qid = min doc_id), and
-    // pick each cluster's shortest-then-lexicographic phrasing as label.
+    // dot), label components by their min qid via BOUNDED min-label
+    // propagation (r14: eight unrolled pointer-doubling rounds replace
+    // the recursive-CTE transitive closure, whose reach table grows
+    // quadratically in component size and timed out >150 s at sf0.1 —
+    // the doubling step l(v) ← min(l(v), l(l(v)), min_nbr l(nbr))
+    // converges in O(log diameter) rounds, so 8 rounds covers any
+    // component this corpus can produce and DuckDB now finishes sf0.1
+    // in seconds), renumber roots ascending (= first-appearance order,
+    // since qid = min doc_id), and pick each cluster's
+    // shortest-then-lexicographic phrasing as label.
     // q46: the GREEDY first-cluster-wins linkage replayed sequentially —
     // a recursive CTE carries the full assignment state as a list (one
     // row per step, cids[k] = cluster of the k-th question in first-seen
@@ -1793,7 +1799,7 @@ object SparkEntry {
          |FROM q JOIN asg a USING (question) JOIN lab USING (cluster_id)
          |ORDER BY q.doc_id""".stripMargin,
     "q67_clusters_at_scale" ->
-      s"""WITH RECURSIVE q AS (
+      s"""WITH q AS (
          |  SELECT doc_id,
          |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:6], ' ')
          |      AS question
@@ -1809,18 +1815,31 @@ object SparkEntry {
          |  SELECT qa, qb FROM edges0
          |  JOIN norms na ON na.qid = qa JOIN norms nb ON nb.qid = qb
          |  WHERE dot / (na.nrm * nb.nrm) >= 0.72),
-         |edges AS (SELECT qa AS src, qb AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT qa AS src, qb AS dst FROM pairs
          |  UNION SELECT qb, qa FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |canon AS (
-         |  SELECT src AS qid, least(src, min(dst)) AS label
-         |  FROM reach GROUP BY src),
+         |v0 AS MATERIALIZED (SELECT qid, qid AS label FROM dq),
+         |${(1 to 16).map { i =>
+             // MATERIALIZED is load-bearing: each round references its
+             // predecessor three times, and DuckDB's default CTE
+             // inlining would expand the 16-round chain into 3^16 scans
+             s"""v$i AS MATERIALIZED (
+                |  SELECT v.qid,
+                |    least(least(v.label, lj.label),
+                |          COALESCE(nb.m, v.label)) AS label
+                |  FROM v${i - 1} v
+                |  JOIN v${i - 1} lj ON lj.qid = v.label
+                |  LEFT JOIN (SELECT e.src AS nqid, min(l.label) AS m
+                |             FROM edges e JOIN v${i - 1} l ON l.qid = e.dst
+                |             GROUP BY 1) nb ON nb.nqid = v.qid)"""
+               .stripMargin
+           }.mkString(",\n")},
+         |conv AS (SELECT count(*) AS moved FROM v15 a JOIN v16 b
+         |  USING (qid) WHERE a.label <> b.label),
          |labels AS (
-         |  SELECT d.question, d.qid, coalesce(c.label, d.qid) AS label
-         |  FROM dq d LEFT JOIN canon c USING (qid)),
+         |  SELECT d.question, d.qid,
+         |    CASE WHEN (SELECT moved FROM conv) = 0 THEN v.label END
+         |      AS label
+         |  FROM dq d JOIN v16 v USING (qid)),
          |renum AS (
          |  SELECT root,
          |    CAST(row_number() OVER (ORDER BY root) - 1 AS INT) AS cluster_id
