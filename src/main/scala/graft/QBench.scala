@@ -13,13 +13,20 @@ object QBench {
       .getOrElse(Seq("q23_poll_standings"))
     val reps = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = HarnessTuning(SparkSession.builder()
+    // ad-hoc conf overrides for floor experiments:
+    //   SPARK_GRAFT_CONF="spark.sql.files.maxPartitionBytes=2m;k=v"
+    val overrides = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = HarnessTuning(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false"))
+    val spark = overrides.foldLeft(b0)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Quiet.windowExecWarnings()

@@ -201,24 +201,21 @@ object Graph {
       val sym = directed.unionByName(reversed).repartition(shuffleN, col("src"))
       // weighted: the pair aggregate rides the SAME hash(src) shuffle the
       // dedupe does (HashPartitioning(src) satisfies the (src, dst)
-      // clustering), so both shapes build the edge table in one corpus
-      // shuffle; the ppm split then joins the per-src weight total back
-      // exchange-free on top of that partitioning
-      val e0 =
-        if (weighted) sym.groupBy("src", "dst").agg(sum("w").as("w"))
-          .localCheckpoint(false)
-        else sym.dropDuplicates("src", "dst").localCheckpoint(false)
-      val degAggs =
-        if (weighted) Seq(count(lit(1)).as("outdeg"), sum("w").as("wtot"))
-        else Seq(count(lit(1)).as("outdeg"))
-      val deg = e0.groupBy("src").agg(degAggs.head, degAggs.tail: _*)
+      // clustering); the per-src weight total joins back exchange-free on
+      // top of that partitioning, and because BOTH join branches contain
+      // the identical repartition exchange, ReuseExchange computes the
+      // corpus pass ONCE inside the single checkpoint job — the weighted
+      // edge table costs one shuffle and one checkpoint, like q139's
       val e =
-        if (weighted)
-          e0.join(deg.select(col("src"), col("wtot")), Seq("src"))
+        if (weighted) {
+          val pairW = sym.groupBy("src", "dst").agg(sum("w").as("w"))
+          val wt = pairW.groupBy("src").agg(sum("w").as("wtot"))
+          pairW.join(wt, Seq("src"))
             .select(col("src"), col("dst"),
               expr("(w * 1000000L) DIV wtot").as("w_ppm"))
             .localCheckpoint(false)
-        else e0
+        } else sym.dropDuplicates("src", "dst").localCheckpoint(false)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val degN = deg.select(col("src").as("node"), col("outdeg"))
         .withColumn("is_seed", seed.getOrElse(lit(true)))
       // the mass-carrier count (all nodes, or the seed set) is ONE
