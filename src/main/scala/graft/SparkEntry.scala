@@ -215,6 +215,8 @@ object SparkEntry {
     "q149_weighted_pagerank" -> ((s, d) =>
       operators.Graph.q149WeightedPagerank(T(s, d))),
     "q150_ivf_incremental" -> ((s, d) => Similarity.q150IvfIncremental(T(s, d))),
+    "q151_connected_components" -> ((s, d) =>
+      operators.Graph.q151ConnectedComponents(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -500,6 +502,51 @@ object SparkEntry {
        |  COALESCE(added_id_sum, CAST(0 AS BIGINT)) AS added_id_sum
        |FROM ba FULL OUTER JOIN aa ON aa.cluster = ba.cluster
        |ORDER BY cluster""".stripMargin
+
+  /** q151's oracle: the thresholded purchase-graph edge list, then the
+    * same 12 pointer-doubling min-label rounds the Spark side folds —
+    * unrolled as MATERIALIZED CTEs (each round references its
+    * predecessor three times; default inlining would blow up 3^12) —
+    * with the identical one-extra-round convergence guard: if v13
+    * differs from v12 anywhere, labels poison to NULL and the hash
+    * fails loudly. Iteration-exact, not just fixpoint-exact. */
+  private def q151OracleSql: String = {
+    val rounds = operators.Graph.CcRounds
+    val steps = (1 to rounds + 1).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT v.node,
+         |    least(least(v.label, lj.label), COALESCE(nb.m, v.label))
+         |      AS label
+         |  FROM v${i - 1} v
+         |  JOIN v${i - 1} lj ON lj.node = v.label
+         |  LEFT JOIN (SELECT e.src AS n2, min(l.label) AS m
+         |             FROM edges e JOIN v${i - 1} l ON l.node = e.dst
+         |             GROUP BY 1) nb ON nb.n2 = v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |  HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+       |    >= ${operators.Graph.CcWeightThreshold}),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |v0 AS MATERIALIZED (
+       |  SELECT src AS node, src AS label FROM edges GROUP BY 1),
+       |$steps,
+       |conv AS (SELECT count(*) AS moved FROM v$rounds a
+       |  JOIN v${rounds + 1} b USING (node) WHERE a.label <> b.label),
+       |fin AS (SELECT node,
+       |  CASE WHEN (SELECT moved FROM conv) = 0 THEN label END AS label
+       |  FROM v$rounds),
+       |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comp_size
+       |  FROM fin GROUP BY 1)
+       |SELECT CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS side,
+       |  f.node // 2 AS entity, f.label, s.comp_size
+       |FROM fin f JOIN sizes s USING (label)
+       |ORDER BY side, entity""".stripMargin
+  }
 
   /** q148's oracle: q139's five unrolled supersteps with the teleport
     * base and initial mass restricted to the seed set (node % 100 = 0)
@@ -4011,6 +4058,9 @@ object SparkEntry {
     // q150: Lloyd over the base subset + stored-index and batch
     // assignments against the same final centroids.
     "q150_ivf_incremental" -> q150OracleSql,
+    // q151: 12 unrolled pointer-doubling min-label rounds over the
+    // thresholded purchase graph, with the convergence guard.
+    "q151_connected_components" -> q151OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -181,6 +181,41 @@ class GraphSpec extends SparkSpec {
     assert(diff > 0, "weights must actually change ranks")
   }
 
+  test("connected components: min-id labels, exact sizes, isolated " +
+    "pairs and chains") {
+    // two components: a 4-chain (10-11-12-13) and a pair (20-21);
+    // min-id labels (node ids are Long — the ccMinLabels contract)
+    val g = Seq((11L, 10L), (11L, 12L), (12L, 13L), (20L, 21L))
+    val got = Graph.connectedComponents(g.toDF("src", "dst"), 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      10L -> (10L, 4L), 11L -> (10L, 4L), 12L -> (10L, 4L), 13L -> (10L, 4L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+  }
+
+  test("q151 declared output: every entity labeled once, component " +
+    "sizes consistent, threshold respected") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Graph.q151ConnectedComponents(t).collect()
+    assert(out.nonEmpty)
+    // (side, entity) unique
+    val keys = out.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys.distinct.size == keys.size)
+    // comp_size equals the actual member count per label
+    val byLabel = out.groupBy(_.getLong(2))
+    byLabel.foreach { case (lbl, rows) =>
+      assert(rows.forall(_.getLong(3) == rows.length.toLong),
+        s"component $lbl size")
+    }
+    // labels are min member node ids (packed): recompute from members
+    byLabel.foreach { case (lbl, rows) =>
+      val packed = rows.map(r =>
+        r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0))
+      assert(packed.min == lbl, s"label $lbl is the min member id")
+    }
+  }
+
   test("q139 declared output covers every supplier with positive rank") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val out = Graph.q139Pagerank(t).collect()
