@@ -217,6 +217,7 @@ object SparkEntry {
     "q150_ivf_incremental" -> ((s, d) => Similarity.q150IvfIncremental(T(s, d))),
     "q151_connected_components" -> ((s, d) =>
       operators.Graph.q151ConnectedComponents(T(s, d))),
+    "q152_bpe_train"      -> ((s, d) => Corpus.q152BpeTrain(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -546,6 +547,48 @@ object SparkEntry {
        |  f.node // 2 AS entity, f.label, s.comp_size
        |FROM fin f JOIN sizes s USING (label)
        |ORDER BY side, entity""".stripMargin
+  }
+
+  /** q152's oracle: the eight BPE training rounds unrolled — vocabulary
+    * once, then per round a pair count, the (cnt DESC, lhs, rhs) argmax
+    * (MATERIALIZED — referenced by both the apply and the output), the
+    * '|lhs||rhs|' → '|lhsrhs|' string-replace apply (both engines'
+    * replace scan left-to-right non-overlapping — standard BPE greedy),
+    * and the weighted symbol total. All exact integers. */
+  private def q152OracleSql: String = {
+    val rounds = 8
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT p.lhs, p.rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(lhs := syms[i], rhs := syms[i + 1]))) AS p
+         |    FROM (SELECT wc,
+         |        string_split(seq[2:-2], '||') AS syms FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT wc, replace(seq, '|' || m.lhs || '||' || m.rhs || '|',
+         |    '|' || m.lhs || m.rhs || '|') AS seq
+         |  FROM w${r - 1}, m$r m),
+         |s$r AS (SELECT CAST(sum(wc * (length(seq) -
+         |    length(replace(seq, '||', '|')) + 1)) AS BIGINT)
+         |    AS symbols_after FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, m.lhs, m.rhs, m.lhs || m.rhs AS merged,
+         |  m.cnt, s.symbols_after FROM m$r m, s$r s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS wc,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS word FROM documents) WHERE word <> ''
+       |  GROUP BY word),
+       |$steps
+       |$out
+       |ORDER BY round""".stripMargin
   }
 
   /** q148's oracle: q139's five unrolled supersteps with the teleport
@@ -4061,6 +4104,9 @@ object SparkEntry {
     // q151: 12 unrolled pointer-doubling min-label rounds over the
     // thresholded purchase graph, with the convergence guard.
     "q151_connected_components" -> q151OracleSql,
+    // q152: eight unrolled BPE training rounds - argmax merge + the
+    // portable string-replace apply.
+    "q152_bpe_train" -> q152OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -557,6 +557,86 @@ object Corpus {
       .limit(limit)
   }
 
+  /** q152 — BPE MERGE TRAINING (Sennrich et al. 2016): the full
+    * iterative loop q120's scaladoc promises — q120 is round 1's
+    * statistics pass; THIS trains the merge table a tokenizer ships.
+    * Per round: count adjacent symbol pairs over the (word → count)
+    * vocabulary weighted by word frequency, pick the argmax pair
+    * (exact-count, (cnt DESC, lhs, rhs) tie-break), apply the merge to
+    * every vocabulary symbol sequence, repeat. Output: one row per
+    * round — the merge pair, its corpus count at selection time, and
+    * the corpus-wide weighted symbol total AFTER the merge (the
+    * compression trace; monotonically decreasing by ≥ cnt per round).
+    *
+    * The merge APPLICATION is the subtle bit, made engine-portable by
+    * construction: symbol sequences are encoded as '|'-wrapped strings
+    * ('|c||h||</w>|'), and applying merge (lhs, rhs) is the plain
+    * string replace of '|lhs||rhs|' with '|lhsrhs|' — both engines'
+    * replace() scans left-to-right non-overlapping, which IS standard
+    * BPE greedy application ("aaa" + merge(a,a) → (aa)(a); a freshly
+    * merged symbol never re-merges in the same round). Tokens are
+    * whitespace-split so '|' cannot occur inside a symbol.
+    *
+    * 100 TB shape (q120's, iterated): the corpus collapses to the
+    * vocabulary ONCE (one partially-aggregated shuffle; ~10^7 distinct
+    * words vs ~10^11 running words), and every training round touches
+    * vocab-sized data only — the per-round state that crosses to the
+    * driver is the ONE argmax row (the model-parameter contract q142's
+    * centroids follow). The oracle unrolls the same rounds as
+    * MATERIALIZED CTEs; all counts exact integers. */
+  def q152BpeTrain(t: T): DataFrame = bpeTrain(t.documents, 8)
+
+  def bpeTrain(documents: DataFrame, rounds: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // the one corpus pass: word counts, then the wrapped initial
+    // character sequence '|c||h||a||r||</w>|'
+    var vocab = documents
+      .select(explode(TextDedup.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit("|"),
+        expr("""array_join(transform(sequence(1, char_length(word)),
+              |  i -> substring(word, i, 1)), '||')""".stripMargin),
+        lit("||</w>|")).as("seq"))
+      .localCheckpoint(false)
+    val trace = collection.mutable.Buffer
+      .empty[(Int, String, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      // vocab-sized pair count; ONE argmax row reaches the driver
+      val top = vocab
+        .select(col("wc"),
+          expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')")
+            .as("syms"))
+        .select(col("wc"), explode(expr(
+          """transform(sequence(0, size(syms) - 2), i -> struct(
+            |  element_at(syms, i + 1) AS lhs,
+            |  element_at(syms, i + 2) AS rhs))""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      // apply the merge map-side; checkpoint cuts the per-round lineage
+      // (each round's frame feeds the next round's count AND the
+      // symbol-total aggregate)
+      vocab = vocab
+        .select(col("wc"),
+          expr(s"replace(seq, '|${sqlEsc(lhs)}||${sqlEsc(rhs)}|'," +
+            s" '|${sqlEsc(lhs)}${sqlEsc(rhs)}|')").as("seq"))
+        .localCheckpoint(false)
+      val symbolsAfter = vocab
+        .agg(sum(col("wc") *
+          (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)))
+        .collect()(0).getLong(0)
+      trace += ((r, lhs, rhs, lhs + rhs, cnt, symbolsAfter))
+    }
+    trace.toSeq
+      .toDF("round", "lhs", "rhs", "merged", "cnt", "symbols_after")
+      .orderBy("round")
+  }
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
   /** q133 — the END-TO-END corpus build: the pipeline a data recipe
     * actually runs, composed from this engine's own stages in their
     * deployment order — exact dedup (q24's content-hash canonicalizer),

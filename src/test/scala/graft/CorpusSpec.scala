@@ -188,4 +188,26 @@ class CorpusSpec extends SparkSpec {
     assert(out == List(
       ("a", "</w>", 1L), ("b", "a", 1L), ("c", "</w>", 1L)))
   }
+
+  test("q152 bpe training: merges, counts and compression trace match " +
+    "hand-computed rounds; greedy left-to-right apply on repeats") {
+    // corpus: "aaab" ×3, "ab" ×2 → vocab {aaab: 3, ab: 2}
+    // round 1 pairs: (a,a) 3+3=6 | (a,b) 3+2=5 | (b,</w>) 5 →
+    //   merge (a,a)=aa cnt 6; aaab → (aa)(a)(b)(</w>) [greedy l2r],
+    //   ab unchanged → symbols: 3·4 + 2·3 = 18
+    // round 2 pairs: (aa,a) 3 | (a,b) 3+2=5 | (b,</w>) 5 → tie 5/5 →
+    //   (a,b) before (b,</w>) lexicographically; merge (a,b)=ab cnt 5 →
+    //   aaab = (aa)(ab)(</w>), ab = (ab)(</w>) → symbols 3·3 + 2·2 = 13
+    // round 3: (aa,ab) 3 | (ab,</w>) 5 → merge (ab,</w>) cnt 5 →
+    //   symbols 3·2 + 2·1 = 8
+    val rows = ((1 to 3).map(i => (i.toLong, "aaab")) ++
+      Seq((4L, "ab"), (5L, "ab"))).toSeq
+    val got = Corpus.bpeTrain(rows.toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      (1, "a", "a", "aa", 6L, 18L),
+      (2, "a", "b", "ab", 5L, 13L),
+      (3, "ab", "</w>", "ab</w>", 5L, 8L)))
+  }
 }
