@@ -218,6 +218,9 @@ object SparkEntry {
     "q151_connected_components" -> ((s, d) =>
       operators.Graph.q151ConnectedComponents(T(s, d))),
     "q152_bpe_train"      -> ((s, d) => Corpus.q152BpeTrain(T(s, d))),
+    // q153 is EAGER like q134/q140 (streaming round-trip at construction)
+    "q153_streaming_topk" -> ((s, d) =>
+      streaming.Incremental.q153StreamingTopk(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -4107,6 +4110,29 @@ object SparkEntry {
     // q152: eight unrolled BPE training rounds - argmax merge + the
     // portable string-replace apply.
     "q152_bpe_train" -> q152OracleSql,
+    // q153: per-window event-type domain < k = 8, so the streaming
+    // SpaceSaving state is provably exact (q125's contract) and plain
+    // per-window counts replay it; the watermark cutoff is the q134
+    // closed-window filter.
+    "q153_streaming_topk" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 2 = 1),
+        |c AS (SELECT time_bucket(INTERVAL 24 HOUR, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00') AS win_start,
+        |    event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |n AS (SELECT win_start, CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT win_start, item, cnt,
+        |    row_number() OVER (PARTITION BY win_start
+        |      ORDER BY cnt DESC, item) AS rank
+        |  FROM c)
+        |SELECT r.win_start, r.win_start + INTERVAL 24 HOUR AS win_end,
+        |  n.n_events, CAST(r.rank AS INT) AS rank, r.item, r.cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM r JOIN n ON n.win_start = r.win_start
+        |WHERE r.rank <= 8
+        |  AND r.win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
+        |ORDER BY r.win_start, r.rank""".stripMargin,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

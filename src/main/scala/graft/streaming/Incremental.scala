@@ -239,6 +239,47 @@ object Incremental {
       .orderBy("win_start")
   }
 
+  /** q153 — STREAMING TOP-K: per-day heaviest event types through the
+    * same watermarked streaming aggregation shape as q134/q140, with
+    * `heavy_hitters` (`functions/HeavyHitters.scala`, SpaceSaving) as
+    * the aggregate — completing the sketch-as-streaming-state trio:
+    * HLL (how many distinct, q134), quantile histogram (where the
+    * distribution sits, q140), SpaceSaving (WHICH keys dominate, this).
+    * An exact streaming top-k is impossible for the same reason as the
+    * other two — per-window state would have to hold every key's count
+    * — while the k-slot counter map partial-merges across micro-batches
+    * (the Metwally merge with the floor device q125 documents) and
+    * append mode flushes each closed window once the watermark passes.
+    * The per-window key domain here (event types) is smaller than
+    * k = 8, so the sketch is PROVABLY exact (err = 0 — the q125
+    * contract) and the oracle replays plain per-window counts with the
+    * sketch's (count DESC, item) order. 100 TB shape: state per open
+    * window is k counters regardless of event volume. */
+  def q153StreamingTopk(t: graft.Tables.T): DataFrame =
+    streamWindowTopk(t.spark, t.events.filter(col("event_id") % 2 === 1)
+      .select("event_id", "ts", "event_type"))
+
+  /** The reusable round-trip — public for spec-driven hand-built logs. */
+  def streamWindowTopk(spark: SparkSession, input: DataFrame): DataFrame = {
+    val streamed = RoundTrip.run(spark, "graft_q153_", Seq(input)) {
+      case Seq(stream) =>
+        stream.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "24 hours"))
+          .agg(expr("heavy_hitters(event_type, 8)").as("hh"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("win_start"),
+            col("window.end").as("win_end"), col("hh"), col("n_events"))
+    }
+    streamed
+      .select(col("win_start"), col("win_end"), col("n_events"),
+        posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("win_start"), col("win_end"), col("n_events"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.count").as("cnt"),
+        col("e.err").as("err"))
+      .orderBy("win_start", "rank")
+  }
+
   /** q140 — STREAMING QUANTILES: per-day p50/p90/p99 event-value
     * latency-style percentiles through the same watermarked streaming
     * aggregation shape as q134, with `hist_sketch`
