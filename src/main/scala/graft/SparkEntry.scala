@@ -221,6 +221,8 @@ object SparkEntry {
     // q153 is EAGER like q134/q140 (streaming round-trip at construction)
     "q153_streaming_topk" -> ((s, d) =>
       streaming.Incremental.q153StreamingTopk(T(s, d))),
+    "q154_random_projection" -> ((s, d) =>
+      Similarity.q154RandomProjection(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -407,6 +409,71 @@ object SparkEntry {
        |JOIN rec ON rec.query_id = pr.query_id
        |JOIN tf ON tf.query_id = pr.query_id
        |ORDER BY pr.query_id""".stripMargin
+
+  /** q154's oracle: the identical ±1 sign matrix from the portable md5
+    * hash, projection as an exact-integer dims⋈signs aggregate,
+    * projected and full-dimension brute top-5 from exact dots (the q147
+    * device), and the recall join. */
+  private def q154OracleSql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, ix.i - 1 AS d,
+       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |sgn AS (
+       |  SELECT dd.d, jj.j,
+       |    CASE WHEN ('0x' || substr(md5(concat('154:',
+       |        CAST(dd.d AS VARCHAR), ':', CAST(jj.j AS VARCHAR))), 1, 15))
+       |        ::BIGINT % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, 64)) AS d) dd,
+       |       (SELECT unnest(range(0, 16)) AS j) jj),
+       |proj AS MATERIALIZED (
+       |  SELECT dm.vec_id, g.j, CAST(sum(dm.q * g.s) AS BIGINT) AS p
+       |  FROM dims dm JOIN sgn g ON g.d = dm.d GROUP BY 1, 2),
+       |pq AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS pq
+       |  FROM proj GROUP BY 1),
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |pdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    CAST(sum(a.p * b.p) AS BIGINT) AS dot
+       |  FROM proj a JOIN proj b ON b.j = a.j AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(pa.pq AS DOUBLE))
+       |          * sqrt(CAST(pb.pq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM pdots d JOIN pq pa ON pa.vec_id = d.vec_id
+       |    JOIN pq pb ON pb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |fdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM dims a JOIN dims b ON b.d = a.d AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.qq AS DOUBLE))
+       |          * sqrt(CAST(qb.qq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM fdots d JOIN qq qa ON qa.vec_id = d.vec_id
+       |    JOIN qq qb ON qb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS proj_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT rec.query_id, rec.n_match, rec.proj_fp, tf.truth_fp
+       |FROM rec JOIN tf ON tf.query_id = rec.query_id
+       |ORDER BY rec.query_id""".stripMargin
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
     * integer fixed-point arithmetic (ppb scale, truncating division) the
@@ -4133,6 +4200,9 @@ object SparkEntry {
         |WHERE r.rank <= 8
         |  AND r.win_start + INTERVAL 24 HOUR <= (SELECT max(ts) FROM e)
         |ORDER BY r.win_start, r.rank""".stripMargin,
+    // q154: JL sign projection + projected/full brute top-5 + recall
+    // join, all exact-integer except the final rounded cosines.
+    "q154_random_projection" -> q154OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

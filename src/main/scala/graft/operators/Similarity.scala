@@ -609,6 +609,88 @@ object Similarity {
       .smallSort("cluster")
   }
 
+  /** q154 — RANDOM PROJECTION (Johnson–Lindenstrauss) with a measured
+    * recall audit: reduce the 64-d embeddings to 16-d with a
+    * deterministic ±1 sign matrix (Achlioptas 2003's database-friendly
+    * JL variant — sign(d, j) from the portable md5 hash of "154:d:j",
+    * so both engines derive the identical matrix from public
+    * arithmetic), then measure what the 4× dimension cut costs:
+    * projected-space top-5 per query vs the full-dimension truth, as an
+    * exact match count and id-sum fingerprints — the q147 audit shape
+    * applied to the OTHER ANN lever (q143/q147 shrink the candidate
+    * set; this shrinks the per-candidate distance cost). Projected
+    * values are exact integers (Σ ±q_d of milli-unit components,
+    * |p| ≤ 64·10³; p·p sums < 2^53), so dots and norms replay
+    * bit-for-bit and only the final rounded cosine is FP, on identical
+    * operand bits.
+    *
+    * 100 TB shape: the projection is a map-side transform against 16
+    * driver-literal sign rows (1 KiB of model state — the q142
+    * contract); at scale the projected vectors feed the q143 IVF build
+    * (4× cheaper train/assign/search arithmetic) and the brute legs
+    * here are the bounded offline recall-evaluation job (32-row query
+    * frame broadcast — the q147 adjudication, PlanAuditSpec
+    * allowlisted). */
+  def q154RandomProjection(t: T): DataFrame =
+    randomProjection(t.embeddings, 16, 5)
+
+  def randomProjection(embeddings: DataFrame, pDims: Int,
+                       k: Int): DataFrame = {
+    import graft.Serve._
+    val q = quantized(embeddings).localCheckpoint(false)
+    // deterministic ±1 sign matrix from the portable hash — the driver
+    // holds pDims·64 longs, the engine sees constant-folded literals
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val d = 64
+    val signs = Array.tabulate(pDims)(j => Array.tabulate(d)(i =>
+      if (md5h60(s"154:$i:$j") % 2 == 0) 1L else -1L))
+    val projCols = (0 until pDims).map { j =>
+      expr("vec_dot(qd, " + signs(j).mkString("array(", "D, ", "D)") + ")")
+    }
+    // the projected frame IS what a store would persist next to (or
+    // instead of) the full vectors; checkpoint = the q143 build/search
+    // barrier
+    val proj = q
+      .select(col("vec_id"), array(projCols: _*).as("pd"))
+      .withColumn("pq", expr("vec_dot(pd, pd)"))
+      .localCheckpoint(false)
+    val pQueries = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("pd").as("qpd"),
+        col("pq").as("qpq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val searched = proj
+      .join(broadcast(pQueries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_dot(pd, qpd)") / (sqrt(col("pq")) * sqrt(col("qpq"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val fQueries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qd").as("qfd"),
+        col("qq").as("qfq"))
+    val truth = q
+      .join(broadcast(fQueries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_dot(qd, qfd)") / (sqrt(col("qq")) * sqrt(col("qfq"))), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+    val rec = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match"), sum("vec_id").as("proj_fp"))
+    val tf = truth.groupBy("query_id")
+      .agg(sum("vec_id").as("truth_fp"))
+    rec.join(tf, Seq("query_id"))
+      .select("query_id", "n_match", "proj_fp", "truth_fp")
+      .smallSort("query_id")
+  }
+
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,
                        iterations: Int): DataFrame = {
     val st = lloyd(embeddings, k, iterations)

@@ -163,6 +163,48 @@ class IvfLearnedSpec extends SparkSpec {
     assert(got.map(_._6).sum == batchIds.sum)
   }
 
+  test("q154 random projection: exact twins survive any projection " +
+    "(recall 5/5, equal fingerprints); noisy blobs report an honest " +
+    "partial recall") {
+    // each query 0..9 gets five EXACT copies (cosine exactly 1.0, which
+    // no projection can disturb and no other vector can beat), built on
+    // distinct coordinate blocks so cross-query cosines stay low
+    val rnd = new scala.util.Random(47)
+    val base: Map[Long, Array[Float]] = (0L until 10L).map { q =>
+      val v = Array.fill(64)(0.05f)
+      (0 until 6).foreach(o => v((q * 6 + o).toInt) = 1.0f)
+      q -> v
+    }.toMap
+    val rows = (0L until 10L).map(q => (q, base(q))) ++
+      (0L until 10L).flatMap(q => (0 until 5).map(c =>
+        (10L + q * 5 + c, base(q))))
+    val df = rows.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.randomProjection(df, 16, 5).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (q, nm, pf, tf) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(nm == 5L, s"query $q twin recall $nm/5")
+      assert(pf == tf, s"query $q fingerprints")
+      // and the fingerprint is exactly the twin-id sum
+      val twins = (0 until 5).map(c => 10L + q * 5 + c).sum
+      assert(tf == twins, s"query $q truth is its twin set")
+    }
+    // noisy tight blobs: within-blob order is noise-dominated, so the
+    // projection reports an honest PARTIAL recall — the audit's purpose
+    val noisy = (0L until 45L).map { id =>
+      val b = Array(0.8f, -0.7f, 0.1f)((id % 3).toInt)
+      (id, Array.fill(64)(b + rnd.nextFloat() * 0.05f).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val gn = Similarity.randomProjection(noisy, 16, 5).collect()
+    assert(gn.forall(r => r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+    assert(gn.exists(r => r.getLong(1) < 5L),
+      "noise-ranked blobs should NOT project losslessly")
+  }
+
   test("q147 multi-probe recall: perfect on separated blobs, bounded " +
     "structure everywhere") {
     val rnd = new scala.util.Random(41)

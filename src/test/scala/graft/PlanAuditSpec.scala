@@ -90,6 +90,16 @@ class PlanAuditSpec extends SparkSpec {
   //                        offline recall evaluation, not the serving
   //                        path; the searched leg stays an equi-join)
   //                        (r13)
+  //   q154               — BOTH legs are that same bounded offline
+  //                        recall-evaluation shape by design: the query
+  //                        measures what the JL projection costs in
+  //                        recall, so projected top-k AND full-dim truth
+  //                        each broadcast the 10-row query slice against
+  //                        the corpus (three BNLJ nodes: two scoring
+  //                        legs + the vec_id<>query_id self-exclusion
+  //                        reuse). The SERVING path for projected
+  //                        vectors is the q143 IVF build over them —
+  //                        this query is its eval harness (r14)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
@@ -97,7 +107,7 @@ class PlanAuditSpec extends SparkSpec {
     "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
     "q138_zorder_layout",
-    "q141_bloom_skipping", "q147_ivf_multiprobe")
+    "q141_bloom_skipping", "q147_ivf_multiprobe", "q154_random_projection")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
