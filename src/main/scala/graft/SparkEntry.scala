@@ -223,6 +223,7 @@ object SparkEntry {
       streaming.Incremental.q153StreamingTopk(T(s, d))),
     "q154_random_projection" -> ((s, d) =>
       Similarity.q154RandomProjection(T(s, d))),
+    "q155_bpe_encode"     -> ((s, d) => Corpus.q155BpeEncode(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -409,6 +410,54 @@ object SparkEntry {
        |JOIN rec ON rec.query_id = pr.query_id
        |JOIN tf ON tf.query_id = pr.query_id
        |ORDER BY pr.query_id""".stripMargin
+
+  /** q155's oracle: q152's eight training rounds re-derived over a
+    * vocabulary chain that CARRIES the word column (same pair counts,
+    * same argmaxes — the extra column is inert), then per-word token
+    * counts off the final sequences and the per-source aggregate over
+    * the exploded corpus. */
+  private def q155OracleSql: String = {
+    val rounds = 8
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT p.lhs, p.rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(lhs := syms[i], rhs := syms[i + 1]))) AS p
+         |    FROM (SELECT wc,
+         |        string_split(seq[2:-2], '||') AS syms FROM v${r - 1}))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT lhs, rhs FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, wc, replace(seq,
+         |    '|' || m.lhs || '||' || m.rhs || '|',
+         |    '|' || m.lhs || m.rhs || '|') AS seq
+         |  FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+       |      AS word FROM documents) WHERE word <> ''
+       |  GROUP BY word),
+       |$steps,
+       |vt AS (SELECT word, length(seq) -
+       |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM v$rounds),
+       |dw AS (
+       |  SELECT doc_id, source, w AS word FROM (
+       |    SELECT doc_id, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> '')
+       |SELECT dw.source,
+       |  CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(vt.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(vt.n_tokens) AS BIGINT) * 1000)
+       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS tokens_per_word_pm
+       |FROM dw JOIN vt USING (word)
+       |GROUP BY 1 ORDER BY dw.source""".stripMargin
+  }
 
   /** q154's oracle: the identical ±1 sign matrix from the portable md5
     * hash, projection as an exact-integer dims⋈signs aggregate,
@@ -4203,6 +4252,9 @@ object SparkEntry {
     // q154: JL sign projection + projected/full brute top-5 + recall
     // join, all exact-integer except the final rounded cosines.
     "q154_random_projection" -> q154OracleSql,
+    // q155: q152's trained merges applied corpus-wide - per-source
+    // token accounting off the final vocabulary sequences.
+    "q155_bpe_encode" -> q155OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -586,15 +586,19 @@ object Corpus {
     * MATERIALIZED CTEs; all counts exact integers. */
   def q152BpeTrain(t: T): DataFrame = bpeTrain(t.documents, 8)
 
-  def bpeTrain(documents: DataFrame, rounds: Int): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+  /** The shared training loop: the checkpointed (word, wc, seq)
+    * vocabulary, the learned merges, and each post-round state frame.
+    * `word` rides along inert (column pruning drops it from the pair
+    * counts) so the encode path (q155) can read per-word token counts
+    * straight off the final state with no second vocabulary scan. */
+  private def bpeTrainCore(documents: DataFrame, rounds: Int)
+  : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = {
     // the one corpus pass: word counts, then the wrapped initial
     // character sequence '|c||h||a||r||</w>|'
     var vocab = documents
       .select(explode(TextDedup.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
-      .select(col("wc"), concat(lit("|"),
+      .select(col("word"), col("wc"), concat(lit("|"),
         expr("""array_join(transform(sequence(1, char_length(word)),
               |  i -> substring(word, i, 1)), '||')""".stripMargin),
         lit("||</w>|")).as("seq"))
@@ -623,12 +627,19 @@ object Corpus {
         .limit(1).collect()(0)
       val (lhs, rhs, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       vocab = vocab
-        .select(col("wc"),
+        .select(col("word"), col("wc"),
           expr(s"replace(seq, '|${sqlEsc(lhs)}||${sqlEsc(rhs)}|'," +
             s" '|${sqlEsc(lhs)}${sqlEsc(rhs)}|')").as("seq"))
       merges += ((r, lhs, rhs, cnt))
       states += vocab.select(lit(r).as("round"), col("wc"), col("seq"))
     }
+    (merges.toSeq, states.toSeq, vocab)
+  }
+
+  def bpeTrain(documents: DataFrame, rounds: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (merges, states, _) = bpeTrainCore(documents, rounds)
     // ONE job for all eight compression-trace points: the tagged
     // post-round states union and aggregate together
     val symbolsByRound = states.reduce(_ unionByName _)
@@ -637,7 +648,7 @@ object Corpus {
         (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1))
         .as("symbols_after"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    merges.toSeq
+    merges
       .map { case (r, lhs, rhs, cnt) =>
         (r, lhs, rhs, lhs + rhs, cnt, symbolsByRound(r)) }
       .toDF("round", "lhs", "rhs", "merged", "cnt", "symbols_after")
@@ -645,6 +656,52 @@ object Corpus {
   }
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** q155 — BPE ENCODE: apply q152's trained merge table to the corpus
+    * — the train→apply pair tokenization actually is (the q142→q143
+    * pattern for tokenizers: q152 learns the model, THIS is the serving
+    * pass every document takes on its way into a training shard).
+    * Training reruns here (same 8 rounds, same argmax trace — the merge
+    * table is the 8-row driver state), then encoding is pure map-side
+    * work: the vocabulary's symbol sequences already carry all eight
+    * merges applied in LEARNED ORDER (the order is the algorithm —
+    * applying merges in any other order tokenizes differently), so
+    * per-word token counts come straight off the final sequences and
+    * per-document totals are one explode + broadcast-vocabulary join +
+    * sum. Output: per-source token statistics — documents, words, BPE
+    * tokens, tokens-per-word in exact per-mille — the table a corpus
+    * recipe's token-budget accounting is built from (q77's packer and
+    * q75's mixture targets consume exactly these counts at scale).
+    *
+    * 100 TB shape: the vocabulary (with merges applied) is
+    * model-plus-dictionary state — broadcast-sized by the same 10^4×
+    * word-collapse argument as q120 — and the corpus-sized pass is one
+    * explode + equi-join + partial-aggregated sum. */
+  def q155BpeEncode(t: T): DataFrame = bpeEncode(t.documents, 8)
+
+  def bpeEncode(documents: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // the final training state already carries every merge applied in
+    // learned order — per-word token counts come straight off it, no
+    // second vocabulary scan and no rebuilt replace chain
+    val (_, _, finalVocab) = bpeTrainCore(documents, rounds)
+    val vocabTokens = finalVocab
+      .select(col("word"),
+        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)
+          .as("n_tokens"))
+    documents
+      .select(col("doc_id"), col("source"),
+        explode(TextDedup.tokens(col("text"))).as("word"))
+      .join(broadcast(vocabTokens), Seq("word"))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("tokens_per_word_pm",
+        expr("(n_tokens * 1000L) DIV n_words"))
+      .orderBy("source")
+  }
+
 
   /** q133 — the END-TO-END corpus build: the pipeline a data recipe
     * actually runs, composed from this engine's own stages in their

@@ -210,4 +210,23 @@ class CorpusSpec extends SparkSpec {
       (2, "a", "b", "ab", 5L, 13L),
       (3, "ab", "</w>", "ab</w>", 5L, 8L)))
   }
+
+  test("q155 bpe encode: per-source token accounting matches the " +
+    "hand-trained tokenizer") {
+    // same corpus as the training test, split across two sources; after
+    // the 3 hand-computed merges: aaab = (aa)(ab</w>) = 2 tokens,
+    // ab = (ab</w>) = 1 token
+    val rows = Seq(
+      (1L, "aaab", "s1"), (2L, "aaab", "s1"), (3L, "aaab ab", "s2"),
+      (4L, "ab", "s2"))
+    val got = Corpus.bpeEncode(
+      rows.toDF("doc_id", "text", "source"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // s1: 2 docs, 2 words (aaab aaab), 4 tokens, 2000 pm
+    // s2: 2 docs, 3 words (aaab ab ab), 2+1+1 = 4 tokens, 1333 pm
+    assert(got == List(
+      ("s1", 2L, 2L, 4L, 2000L),
+      ("s2", 2L, 3L, 4L, 1333L)))
+  }
 }
