@@ -143,9 +143,23 @@ object Bench {
       // Failed/unsampled queries are OMITTED from the timing maps rather
       // than carried as a -1.0 sentinel (r9 advice: a consumer summing
       // medians would silently subtract); they appear solely in `errors`.
+      // decimals = 2: fixed 2; 1: fixed 1; 3 (r14, the intermediate
+      // fallback step): trailing zeros trimmed and ≥1 s values at 1
+      // decimal — sub-second floor queries keep their centisecond
+      // precision, multi-second ones lose the digit that matters least.
       def qsAt(decimals: Int): String = results.collect {
         case (k, (med, _, _)) if med >= 0 =>
-          s""""${key(k)}":${if (decimals == 1) f"$med%.1f" else fmt2(med)}"""
+          val v =
+            if (decimals == 1) f"$med%.1f"
+            else if (decimals == 2) fmt2(med)
+            else {
+              val s = if (med >= 1.0) f"$med%.1f" else fmt2(med)
+              val t = if (s.contains('.'))
+                s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+              else s
+              if (t.isEmpty) "0" else t
+            }
+          s""""${key(k)}":$v"""
       }.mkString("{", ",", "}")
       val qs = qsAt(2)
       val spread = results.collect { case (k, (med, mn, mx)) if med >= 0 =>
@@ -190,11 +204,16 @@ object Bench {
         }
         // r13: at 146 queries the base line is ~1.88 KB against the
         // driver's ~2 KB captured tail — if dropping every contended
-        // entry still can't fit (growth headroom for ~150+ queries),
-        // fall back to 1-decimal timings (ms precision stays in the
-        // detail line / bench_detail.json) rather than risk truncation
-        // of the artifact itself.
-        if (line.length > 1900) mkCompact(Nil, 1) else line
+        // entry still can't fit, degrade precision in two steps (r14):
+        // first the adaptive mode (trailing zeros trimmed, ≥1 s values
+        // at 1 decimal — the sub-second floor band keeps centiseconds),
+        // then the all-1-decimal floor. ms precision always stays in
+        // the detail line / bench_detail.json.
+        if (line.length <= 1900) line
+        else {
+          val adaptive = mkCompact(Nil, 3)
+          if (adaptive.length <= 1900) adaptive else mkCompact(Nil, 1)
+        }
       }
       val detail =
         s"""{"kind":"bench_detail","spread":$spread,"errors":$errJson,"budget_s":${fmt(budgetS)},"elapsed_s":${fmt(elapsedS)},"passes_done":$passesDone,"warmup":$warmup,"reps":$reps,"sf":"$sfDir"}"""
