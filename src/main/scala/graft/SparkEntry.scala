@@ -224,6 +224,8 @@ object SparkEntry {
     "q154_random_projection" -> ((s, d) =>
       Similarity.q154RandomProjection(T(s, d))),
     "q155_bpe_encode"     -> ((s, d) => Corpus.q155BpeEncode(T(s, d))),
+    "q156_warmstart_pagerank" -> ((s, d) =>
+      operators.Graph.q156WarmstartPagerank(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -708,6 +710,62 @@ object SparkEntry {
        |$steps
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** q156's oracle: base-graph PageRank (5 unrolled supersteps over
+    * orders before the cutoff) feeding the warm start — 2 more unrolled
+    * supersteps over the FULL graph with r0 = coalesce(stored rank, new
+    * graph's teleport base) — plus the stored rank join in the output.
+    * Same exact ppb arithmetic throughout. */
+  private def q156OracleSql: String = {
+    def steps(n: Int, pfx: String): String = (1 to n).map { k =>
+      s"""s$pfx$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(r.r // r.outdeg) AS BIGINT) AS inflow
+         |  FROM edges$pfx e JOIN r$pfx${k - 1} r ON r.node = e.src
+         |  GROUP BY 1),
+         |r$pfx$k AS (
+         |  SELECT d.node, d.outdeg,
+         |    (15 * CAST(1000000000 AS BIGINT) // 100) // n
+         |      + (85 * COALESCE(s$pfx$k.inflow, CAST(0 AS BIGINT))) // 100
+         |      AS r
+         |  FROM deg$pfx d CROSS JOIN nn$pfx
+         |  LEFT JOIN s$pfx$k ON s$pfx$k.node = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0b AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate < TIMESTAMP '${operators.Graph.WarmCutoff}'),
+       |edgesb AS (SELECT src, dst FROM e0b UNION SELECT dst, src FROM e0b),
+       |degb AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edgesb GROUP BY 1),
+       |nnb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM degb),
+       |rb0 AS (SELECT node, outdeg, CAST(1000000000 AS BIGINT) // n AS r
+       |  FROM degb, nnb),
+       |${steps(operators.Graph.Iterations, "b")},
+       |e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (
+       |  SELECT d.node, d.outdeg,
+       |    COALESCE(b.r, (15 * CAST(1000000000 AS BIGINT) // 100) // n)
+       |      AS r
+       |  FROM deg d CROSS JOIN nn
+       |  LEFT JOIN rb${operators.Graph.Iterations} b ON b.node = d.node),
+       |${steps(operators.Graph.WarmRounds, "")}
+       |SELECT d.node // 2 AS supplier,
+       |  CAST(w.r AS BIGINT) AS rank_ppb,
+       |  CAST(COALESCE(b.r, 0) AS BIGINT) AS base_rank_ppb
+       |FROM r${operators.Graph.WarmRounds} w
+       |JOIN deg d ON d.node = w.node
+       |LEFT JOIN rb${operators.Graph.Iterations} b ON b.node = w.node
+       |WHERE w.node % 2 = 1 ORDER BY supplier""".stripMargin
   }
 
   /** q148's oracle: q139's five unrolled supersteps with the teleport
@@ -4255,6 +4313,8 @@ object SparkEntry {
     // q155: q152's trained merges applied corpus-wide - per-source
     // token accounting off the final vocabulary sequences.
     "q155_bpe_encode" -> q155OracleSql,
+    // q156: base-5 + warm-2 unrolled supersteps, stored ranks as r0.
+    "q156_warmstart_pagerank" -> q156OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

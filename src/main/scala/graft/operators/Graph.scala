@@ -127,6 +127,50 @@ object Graph {
       .smallSort("supplier")
   }
 
+  /** Cutoff splitting "yesterday's" orders from the update batch
+    * (q156): ~76% of sf0.1 orders predate it. */
+  val WarmCutoff = "2000-01-01"
+  val WarmRounds = 2
+
+  /** q156 — WARM-START PageRank: incremental authority maintenance, the
+    * graph member of the engine's incremental-job family (q109
+    * incremental dedup, q150 incremental IVF — the daily jobs a
+    * production store runs instead of nightly rebuilds). Yesterday's
+    * ranks (5 full supersteps over orders before [[WarmCutoff]] — the
+    * stored rank table) initialize today's graph, and only
+    * [[WarmRounds]] supersteps run over the UPDATED edge list; nodes
+    * new to the graph start at their teleport base, the state a node
+    * with no history holds. This is how crawl authority actually
+    * updates: PageRank's power iteration converges geometrically from
+    * any start, so a warm start amortizes convergence across days
+    * (Langville & Meyer 2006 §9 — restart from the previous vector).
+    * Deterministic end-to-end — both phases are the same exact ppb
+    * fixed-point arithmetic, so the oracle unrolls base-5 + warm-2
+    * rounds as CTEs and matches bit-for-bit. Output carries each
+    * supplier's warm rank NEXT TO its stored base rank (0 when new),
+    * so the hash pins the drift the update produced, not just the end
+    * state. */
+  def q156WarmstartPagerank(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    def edgesOf(orders: DataFrame) = orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("o_custkey * 2").as("src"),
+        expr("l_suppkey * 2 + 1").as("dst"))
+    val baseOrders = t.orders
+      .filter(col("o_orderdate") < lit(WarmCutoff).cast("timestamp"))
+    // the stored rank table: vertex-sized, checkpointed — exactly what
+    // a daily job reads back from yesterday's output
+    val stored = pagerank(edgesOf(baseOrders), Iterations)
+      .localCheckpoint(false)
+    warmPagerank(edgesOf(t.orders), WarmRounds, stored)
+      .join(stored.select(col("node"),
+        col("rank_ppb").as("base_rank_ppb")), Seq("node"), "left")
+      .filter(col("node") % 2 === 1)
+      .select(expr("node DIV 2").as("supplier"), col("rank_ppb"),
+        coalesce(col("base_rank_ppb"), lit(0L)).as("base_rank_ppb"))
+      .smallSort("supplier")
+  }
+
   /** Pair-volume threshold for the q151 component graph: cents of
     * line-item value a (customer, supplier) pair must exceed for an edge
     * — high enough that the sf0.1 graph fragments into real components
@@ -226,6 +270,13 @@ object Graph {
   def weightedPagerank(directed: DataFrame, iterations: Int): DataFrame =
     pagerankCore(directed, iterations, None, weighted = true)
 
+  /** Warm-start variant: `stored` is a (node, rank_ppb) frame (a prior
+    * run's output); nodes absent from it start at their teleport base.
+    * Public so the spec can warm tiny graphs against a hand model. */
+  def warmPagerank(directed: DataFrame, iterations: Int,
+                   stored: DataFrame): DataFrame =
+    pagerankCore(directed, iterations, None, warm = Some(stored))
+
   /** Personalized variant: teleport base and initial mass restricted to
     * nodes satisfying `seed` (a predicate over the `node` column);
     * uniform PageRank when None. */
@@ -235,7 +286,8 @@ object Graph {
 
   private def pagerankCore(directed: DataFrame, iterations: Int,
       seed: Option[org.apache.spark.sql.Column],
-      weighted: Boolean = false): DataFrame = {
+      weighted: Boolean = false,
+      warm: Option[DataFrame] = None): DataFrame = {
     // symmetrized DEDUPED edge list, pre-partitioned ON THE JOIN KEY and
     // materialized once (lazy localCheckpoint) — every superstep joins
     // it. Three build choices carry the round cost:
@@ -318,8 +370,18 @@ object Graph {
         .localCheckpoint(false)
       (e, v, n)
     }
-    val r0 = verts.select(col("node"), col("outdeg"), col("base"),
-      when(col("is_seed"), lit(Scale / nn)).otherwise(lit(0L)).as("rank_ppb"))
+    // warm start (q156): nodes carry their STORED rank into round one;
+    // nodes new to the graph start at their teleport base — the state a
+    // node with no history holds. Cold start: uniform (seeded) mass.
+    val r0 = warm match {
+      case Some(stored) => verts
+        .join(stored.select(col("node"), col("rank_ppb").as("warm_rank")),
+          Seq("node"), "left")
+        .select(col("node"), col("outdeg"), col("base"),
+          coalesce(col("warm_rank"), col("base")).as("rank_ppb"))
+      case None => verts.select(col("node"), col("outdeg"), col("base"),
+        when(col("is_seed"), lit(Scale / nn)).otherwise(lit(0L)).as("rank_ppb"))
+    }
     val rFinal = (1 to iterations).foldLeft(r0) { (r, _) =>
       val inflow = r
         // SHUFFLE_HASH on the rank side: both sides are already

@@ -181,6 +181,56 @@ class GraphSpec extends SparkSpec {
     assert(diff > 0, "weights must actually change ranks")
   }
 
+  /** Warm-start model: r0 = stored rank (or the new graph's teleport
+    * base for newcomers), then `iterations` standard rounds. */
+  private def wsModel(directed: Seq[(String, String)],
+                      stored: Map[String, Long],
+                      iterations: Int): Map[String, Long] = {
+    val edges = directed ++ directed.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = outdeg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val base = ((Graph.DampDen - Graph.DampNum) * Graph.Scale /
+      Graph.DampDen) / n
+    var r = nodes.map(v => v -> stored.getOrElse(v, base)).toMap
+    for (_ <- 1 to iterations) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (base + Graph.DampNum * inflow.getOrElse(v, 0L) /
+          Graph.DampDen)).toMap
+    }
+    r
+  }
+
+  test("warm start: stored ranks carry into round one, newcomers start " +
+    "at the teleport base, and the result matches the model") {
+    val baseG = Seq(("a", "b"), ("b", "c"))
+    val fullG = baseG ++ Seq(("c", "d"), ("d", "e")) // two new nodes
+    val stored = run(baseG, 5)
+    val storedDf = stored.toSeq.toDF("node", "rank_ppb")
+    val got = Graph.warmPagerank(fullG.toDF("src", "dst"), 2, storedDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == wsModel(fullG, stored, 2))
+    // a warm start from the FULL graph's own converged ranks is a
+    // fixed point: two more rounds change nothing
+    val full5 = run(fullG, 5)
+    val again = Graph.warmPagerank(fullG.toDF("src", "dst"), 1,
+      full5.toSeq.toDF("node", "rank_ppb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == wsModel(fullG, full5, 1))
+  }
+
+  test("q156 declared output: warm rank next to stored base rank; new " +
+    "suppliers carry base 0") {
+    val t = Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Graph.q156WarmstartPagerank(t).collect()
+    assert(out.length == t.supplier.count())
+    assert(out.forall(_.getLong(1) > 0L))
+    assert(out.forall(_.getLong(2) >= 0L))
+  }
+
   test("connected components: min-id labels, exact sizes, isolated " +
     "pairs and chains") {
     // two components: a 4-chain (10-11-12-13) and a pair (20-21);
