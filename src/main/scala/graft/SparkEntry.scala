@@ -442,6 +442,7 @@ object SparkEntry {
        |      i -> word[i]), '||') || '||</w>|' AS seq
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
        |      AS word FROM documents) WHERE word <> ''
+       |    AND NOT contains(word, '|') AND NOT contains(word, chr(92))
        |  GROUP BY word),
        |$steps,
        |vt AS (SELECT word, length(seq) -
@@ -706,6 +707,7 @@ object SparkEntry {
        |      i -> word[i]), '||') || '||</w>|' AS seq
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
        |      AS word FROM documents) WHERE word <> ''
+       |    AND NOT contains(word, '|') AND NOT contains(word, chr(92))
        |  GROUP BY word),
        |$steps
        |$out
@@ -2010,12 +2012,13 @@ object SparkEntry {
     // distinct questions with the shared CTEs, build the cosine ≥ 0.72
     // edge list by all-pairs term join (exact: integer weights → exact
     // dot), label components by their min qid via BOUNDED min-label
-    // propagation (r14: eight unrolled pointer-doubling rounds replace
-    // the recursive-CTE transitive closure, whose reach table grows
-    // quadratically in component size and timed out >150 s at sf0.1 —
-    // the doubling step l(v) ← min(l(v), l(l(v)), min_nbr l(nbr))
-    // converges in O(log diameter) rounds, so 8 rounds covers any
-    // component this corpus can produce and DuckDB now finishes sf0.1
+    // propagation (r14: sixteen unrolled pointer-doubling rounds (plus
+    // a one-extra-round convergence guard) replace the recursive-CTE
+    // transitive closure, whose reach table grows quadratically in
+    // component size and timed out >150 s at sf0.1 — the doubling step
+    // l(v) ← min(l(v), l(l(v)), min_nbr l(nbr)) converges in
+    // O(log diameter) rounds, so 16 rounds covers any component this
+    // corpus can produce and DuckDB now finishes sf0.1
     // in seconds), renumber roots ascending (= first-appearance order,
     // since qid = min doc_id), and pick each cluster's
     // shortest-then-lexicographic phrasing as label.

@@ -594,9 +594,16 @@ object Corpus {
   private def bpeTrainCore(documents: DataFrame, rounds: Int)
   : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = {
     // the one corpus pass: word counts, then the wrapped initial
-    // character sequence '|c||h||a||r||</w>|'
+    // character sequence '|c||h||a||r||</w>|'. Contract: the '|'-wrapped
+    // sequence encoding reserves '|' as the symbol delimiter, and the
+    // merge-apply interpolates learned symbols into a Spark SQL string
+    // literal where '\' is an escape char — so words containing either
+    // byte are excluded from the vocabulary ON BOTH ENGINES (the oracle
+    // applies the same filter). Zero occurrences in the shipped corpora;
+    // the filter pins the general operator's behavior.
     var vocab = documents
       .select(explode(TextDedup.tokens(col("text"))).as("word"))
+      .where(!col("word").contains("|") && !col("word").contains("\\"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .select(col("word"), col("wc"), concat(lit("|"),
         expr("""array_join(transform(sequence(1, char_length(word)),
@@ -617,6 +624,11 @@ object Corpus {
         .select(col("wc"),
           expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')")
             .as("syms"))
+        // a word whose sequence has collapsed to ONE symbol contributes
+        // no pairs; without this guard sequence(0, size-2) = [0, -1]
+        // and element_at(syms, 0) throws (the oracle's range(1, len)
+        // is empty for the same case — this keeps the engines aligned)
+        .where(size(col("syms")) >= 2)
         .select(col("wc"), explode(expr(
           """transform(sequence(0, size(syms) - 2), i -> struct(
             |  element_at(syms, i + 1) AS lhs,
@@ -655,7 +667,13 @@ object Corpus {
       .orderBy("round")
   }
 
-  private def sqlEsc(s: String): String = s.replace("'", "''")
+  /** Escapes a learned symbol for interpolation into a Spark SQL string
+    * literal: backslash first (Spark's parser treats '\' as an escape
+    * char inside literals; DuckDB does not — unescaped it would diverge),
+    * then the standard doubled single-quote. The vocabulary filter above
+    * already excludes '\'-bearing words, so this is defense in depth. */
+  private def sqlEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** q155 — BPE ENCODE: apply q152's trained merge table to the corpus
     * — the train→apply pair tokenization actually is (the q142→q143

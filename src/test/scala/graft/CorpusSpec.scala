@@ -229,4 +229,41 @@ class CorpusSpec extends SparkSpec {
       ("s1", 2L, 2L, 4L, 2000L),
       ("s2", 2L, 3L, 4L, 1333L)))
   }
+
+  test("q152 bpe training survives a word collapsing to ONE symbol " +
+    "(r14 advice: sequence(0, -1) OOB regression)") {
+    // corpus dominated by single-char word "a": round 1 merges
+    // (a, </w>) → the word's whole sequence becomes the single symbol
+    // 'a</w>', which contributes NO pairs in round 2 — pre-fix the pair
+    // explode threw element_at(syms, 0) out-of-bounds here
+    val rows = ((1 to 9).map(i => (i.toLong, "a")) ++
+      Seq((10L, "ab"))).toSeq
+    val got = Corpus.bpeTrain(rows.toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toList
+    // r1: (a,</w>) 9 beats (b,</w>) 1 and (a,b) 1 → 'a' collapses.
+    // r2: only "ab" = (a)(b)(</w>) has pairs → (a,b) 1 ties (b,</w>) 1,
+    //     lex order picks (a,b). r3: (ab,</w>) 1.
+    assert(got == List(
+      (1, "a", "</w>", 9L),
+      (2, "a", "b", 1L),
+      (3, "ab", "</w>", 1L)))
+  }
+
+  test("bpe vocabulary excludes words carrying the reserved '|' and '\\' " +
+    "bytes (delimiter/escape contract)") {
+    // '|' would corrupt symbol boundaries; '\' would diverge between
+    // Spark's escaped string literals and DuckDB's raw ones. Both words
+    // are dropped from the vocabulary; clean words train normally.
+    val rows = Seq((1L, "cc a|b c\\d cc", "s1"))
+    val got = Corpus.bpeTrain(rows.map(r => (r._1, r._2)).toDF("doc_id", "text"), 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+    // vocab: {cc: 2} only → round-1 pairs (c,c) 2 ties (c,</w>) 2;
+    // '</w>' < 'c' lexicographically, so (c, </w>) wins the tie-break
+    assert(got == List(("c", "</w>", 2L)))
+    val enc = Corpus.bpeEncode(rows.toDF("doc_id", "text", "source"), 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toList
+    // words counted post-filter: 2 (the two "cc"), each (c)(c</w>) = 2 tokens
+    assert(enc == List(("s1", 2L, 4L)))
+  }
 }
