@@ -226,6 +226,7 @@ object SparkEntry {
     "q155_bpe_encode"     -> ((s, d) => Corpus.q155BpeEncode(T(s, d))),
     "q156_warmstart_pagerank" -> ((s, d) =>
       operators.Graph.q156WarmstartPagerank(T(s, d))),
+    "q157_ivf_pq"         -> ((s, d) => Similarity.q157IvfPq(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -412,6 +413,121 @@ object SparkEntry {
        |JOIN rec ON rec.query_id = pr.query_id
        |JOIN tf ON tf.query_id = pr.query_id
        |ORDER BY pr.query_id""".stripMargin
+
+  /** q157's oracle: the shared coarse Lloyd CTEs + a4 list assignment,
+    * then per subspace the SAME Lloyd recipe unrolled over the 16-d
+    * dim slice (hash seeds 15700+s, two rounds, sign-split truncating
+    * means, empty-cluster coalesce), the per-vector code argmin, the
+    * per-query 4×8 ADC distance table, the nprobe=1 list search ranked
+    * by summed table lookups, and the exact squared-L2 brute truth —
+    * every quantity an exact integer, so there is no FP anywhere in
+    * this query on either engine. */
+  private def q157OracleSql: String = {
+    val m = 4; val sub = 16; val ksub = 8; val rounds = 2
+    val subspaces = (0 until m).map { s =>
+      val lo = s * sub; val hi = lo + sub
+      val roundCtes = (1 to rounds).map { r =>
+        s"""ps$s$r AS (
+           |  SELECT dm.vec_id, c.cluster,
+           |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
+           |  FROM sd$s dm JOIN pc$s${r - 1} c ON c.d = dm.d GROUP BY 1, 2),
+           |pa$s$r AS (
+           |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+           |      AS rn FROM ps$s$r) WHERE rn = 1),
+           |pm$s$r AS (
+           |  SELECT a.cluster, dm.d,
+           |    CASE WHEN sum(dm.q) >= 0
+           |      THEN CAST(sum(dm.q) AS BIGINT) // count(*)
+           |      ELSE -(CAST(-sum(dm.q) AS BIGINT) // count(*)) END AS c
+           |  FROM sd$s dm JOIN pa$s$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
+           |pc$s$r AS MATERIALIZED (
+           |  SELECT p.cluster, p.d, COALESCE(mm.c, p.c) AS c
+           |  FROM pc$s${r - 1} p LEFT JOIN pm$s$r mm ON mm.cluster = p.cluster
+           |    AND mm.d = p.d)""".stripMargin
+      }.mkString(",\n")
+      s"""sd$s AS MATERIALIZED (
+         |  SELECT vec_id, d - $lo AS d, q FROM dims
+         |  WHERE d >= $lo AND d < $hi),
+         |pseeds$s AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+         |    AS cluster
+         |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('${15700 + s}:',
+         |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+         |  QUALIFY cluster <= $ksub),
+         |pc${s}0 AS (SELECT se.cluster, d.d, d.q AS c
+         |  FROM sd$s d JOIN pseeds$s se ON se.vec_id = d.vec_id),
+         |$roundCtes,
+         |pe$s AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS code FROM (
+         |    SELECT dm.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY dm.vec_id ORDER BY
+         |        CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT), c.cluster)
+         |        AS rn
+         |    FROM sd$s dm JOIN pc$s$rounds c ON c.d = dm.d
+         |    GROUP BY dm.vec_id, c.cluster) WHERE rn = 1),
+         |dtab$s AS (
+         |  SELECT q.vec_id AS query_id, c.cluster AS code,
+         |    CAST(sum((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS dt
+         |  FROM sd$s q JOIN pc$s$rounds c ON c.d = q.d
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lloydCtes()},
+       |${lloydAssignCte("4", "c3")},
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |$subspaces,
+       |probes AS (SELECT vec_id AS query_id, cluster FROM a4
+       |  WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p
+       |  JOIN a4 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    d0.dt + d1.dt + d2.dt + d3.dt AS adc
+       |  FROM cand c
+       |  JOIN pe0 e0 ON e0.vec_id = c.vec_id
+       |  JOIN dtab0 d0 ON d0.query_id = c.query_id AND d0.code = e0.code
+       |  JOIN pe1 e1 ON e1.vec_id = c.vec_id
+       |  JOIN dtab1 d1 ON d1.query_id = c.query_id AND d1.code = e1.code
+       |  JOIN pe2 e2 ON e2.vec_id = c.vec_id
+       |  JOIN dtab2 d2 ON d2.query_id = c.query_id AND d2.code = e2.code
+       |  JOIN pe3 e3 ON e3.vec_id = c.vec_id
+       |  JOIN dtab3 d3 ON d3.query_id = c.query_id AND d3.code = e3.code),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+       |        AS rk FROM adc) WHERE rk <= 5),
+       |td AS (
+       |  SELECT dq.vec_id AS query_id, dc.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM dims dq JOIN dims dc ON dc.d = dq.d AND dc.vec_id <> dq.vec_id
+       |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT t.query_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+       |        qa.qq + qb.qq - 2 * t.dot, t.vec_id) AS rk
+       |    FROM td t JOIN qq qa ON qa.vec_id = t.vec_id
+       |    JOIN qq qb ON qb.vec_id = t.query_id) WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS adc_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT p.query_id, p.cluster AS probe, nc.n_candidates,
+       |  rec.n_match, rec.adc_fp, tf.truth_fp
+       |FROM probes p JOIN nc ON nc.query_id = p.query_id
+       |JOIN rec ON rec.query_id = p.query_id
+       |JOIN tf ON tf.query_id = p.query_id
+       |ORDER BY p.query_id""".stripMargin
+  }
 
   /** q155's oracle: q152's eight training rounds re-derived over a
     * vocabulary chain that CARRIES the word column (same pair counts,
@@ -4318,6 +4434,9 @@ object SparkEntry {
     "q155_bpe_encode" -> q155OracleSql,
     // q156: base-5 + warm-2 unrolled supersteps, stored ranks as r0.
     "q156_warmstart_pagerank" -> q156OracleSql,
+    // q157: coarse Lloyd + 4 unrolled subspace Lloyds + code argmin +
+    // ADC table lookups + exact-L2 brute truth; integer end to end.
+    "q157_ivf_pq" -> q157OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

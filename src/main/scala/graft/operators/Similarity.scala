@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.T
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Serve._
@@ -358,14 +358,27 @@ object Similarity {
 
   private[graft] def lloyd(embeddings: DataFrame, k: Int,
                            iterations: Int): LloydState = {
-    val spark = embeddings.sparkSession
     // quantized corpus, ONE narrow materialization — it never changes
     // across rounds
     val qframe = quantized(embeddings).localCheckpoint(false)
-    // deterministic seeds: the k vectors with the smallest (portable
-    // hash, id); cluster ids are the rank in that order
-    val seedIds = embeddings.select(col("vec_id"))
-      .withColumn("h", expr(TextDedup.h60(143, "CAST(vec_id AS STRING)")))
+    val (ca, caIn, d) = lloydCore(qframe, k, iterations, seedTag = 143)
+    LloydState(qframe, ca, caIn, d, k)
+  }
+
+  /** The Lloyd iteration engine on any frame carrying (vec_id, qd):
+    * hash-seeded initial centroids (the k vectors with the smallest
+    * (portable h60(seedTag), id); cluster ids are the rank in that
+    * order), then per round a map-side E-step against literal centroids
+    * and ONE (cluster, dim)-cell shuffle for the sign-split truncating
+    * means, ≤k·d rows collected (empty clusters keep their previous
+    * centroid). q142/q143/q147/q150 run it on the full 64-d quantized
+    * frame (seedTag 143); q157's product quantizer runs it once per
+    * 16-d subspace (seedTags 15700+s). Returns (final centroids,
+    * centroids the final E-step assigned against, d). */
+  private[graft] def lloydCore(qframe: DataFrame, k: Int, iterations: Int,
+                               seedTag: Int): (Array[Long], Array[Long], Int) = {
+    val seedIds = qframe.select(col("vec_id"))
+      .withColumn("h", expr(TextDedup.h60(seedTag, "CAST(vec_id AS STRING)")))
       .orderBy("h", "vec_id").limit(k)
       .collect().map(_.getLong(0))
     val seedVecs = qframe
@@ -378,9 +391,6 @@ object Similarity {
     seedIds.zipWithIndex.foreach { case (id, j) =>
       System.arraycopy(seedVecs(id), 0, c0, j * d, d)
     }
-    // one Lloyd round: map-side E-step against literal centroids, one
-    // k·d-cell shuffle for the means, ≤k·d rows collected; empty
-    // clusters keep their previous centroid (absent cells)
     var ca = c0
     var caIn = c0
     for (_ <- 1 to iterations) {
@@ -397,7 +407,7 @@ object Similarity {
         next((r.getInt(0) - 1) * d + r.getInt(1)) = r.getLong(2))
       ca = next
     }
-    LloydState(qframe, ca, caIn, d, k)
+    (ca, caIn, d)
   }
 
   /** E-step as pure map-side columns: qframe plus (cluster, dist) against
@@ -688,6 +698,138 @@ object Similarity {
       .agg(sum("vec_id").as("truth_fp"))
     rec.join(tf, Seq("query_id"))
       .select("query_id", "n_match", "proj_fp", "truth_fp")
+      .smallSort("query_id")
+  }
+
+  /** q157 — IVF-PQ with asymmetric distance and a recall audit: the
+    * missing third of the FAISS triptych (q143/q147 shrink the
+    * CANDIDATE set, q80/q154 shrink the PER-CANDIDATE cost via scalar
+    * quantization / dimension cut — product quantization shrinks it to
+    * m sub-codes and a table lookup, the memory wall's standard answer
+    * at 100 TB: Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011; FAISS `IndexIVFPQ` with
+    * `by_residual=false`, i.e. codes over raw vectors, which keeps every
+    * quantity an exact integer and the oracle replay bit-exact).
+    *
+    * Index build: the coarse quantizer is q143's k-means model (same
+    * lloyd() call, same seeds — at scale the one trained model serves
+    * both operators); the product quantizer trains m=4 independent
+    * 8-centroid codebooks with the SAME Lloyd core over the 16-d
+    * subvectors (per-subspace hash seeds). Every vector is stored as
+    * (coarse list, 4 sub-codes) — 4 bytes of code per 64-d vector, the
+    * 64× compression that lets a 100 TB store keep its index in memory.
+    *
+    * Serving (ADC): each query precomputes a 4×8 distance TABLE — exact
+    * squared-L2 from its subvectors to every codebook centroid — and a
+    * candidate's approximate distance is four table lookups summed
+    * (element_at against the broadcast query row; map-side, codegen'd,
+    * integer-exact). nprobe=1 over the coarse lists bounds candidates
+    * to corpus/k. The audit leg computes the EXACT squared-L2 top-5
+    * over the full corpus (pure integers — this query has no FP
+    * anywhere) and reports recall@5 per query as n_match + id-sum
+    * fingerprints, the q147/q154 audit shape.
+    *
+    * 100 TB: training state is m·ksub·sub = 4·8·16 longs (driver model
+    * contract); encode is map-side argmin against literals; the serving
+    * join is list-bucketed (never corpus×corpus); the brute leg is the
+    * bounded offline recall job (broadcast 10-row query frame,
+    * PlanAuditSpec-adjudicated). */
+  def q157IvfPq(t: T): DataFrame = ivfPq(t.embeddings, 10, 3, 4, 8, 2, 5)
+
+  def ivfPq(embeddings: DataFrame, kCoarse: Int, coarseIters: Int,
+            m: Int, ksub: Int, subIters: Int, topk: Int): DataFrame = {
+    val st = lloyd(embeddings, kCoarse, coarseIters)
+    val sub = st.d / m
+    require(sub * m == st.d, s"d=${st.d} must split into $m subspaces")
+    // the stored coarse index (q143's build/search barrier)
+    val assigned = assignCols(st.qframe, st.ca, st.d, st.k)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    // per-subspace codebooks: the SAME Lloyd engine over 16-d slices
+    val codebooks = (0 until m).map { s =>
+      val qsub = st.qframe
+        .select(col("vec_id"), expr(s"slice(qd, ${s * sub + 1}, $sub)").as("qd"))
+        .withColumn("qq", expr("vec_dot(qd, qd)"))
+      lloydCore(qsub, ksub, subIters, seedTag = 15700 + s)._1
+    }
+    // |x_s − c_j|² = x_s·x_s − 2·x_s·c_j + c_j·c_j against the literal
+    // codebook slice — every term an exact integer held as a double
+    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
+      val cj = cb.slice((j - 1) * sub, j * sub)
+      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
+        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+    }
+    // ENCODE: per subspace an in-row argmin over the 8 literal
+    // centroids (ties to the smallest code — the assignCols device);
+    // the checkpointed frame IS the PQ index a store persists
+    val index = codebooks.zipWithIndex.foldLeft(assigned) { case (df, (cb, s)) =>
+      val withSub = df
+        .withColumn("sqd", expr(s"slice(qd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
+        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
+      }
+      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
+      withD
+        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
+          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+    }
+      .select(col("vec_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"code$s")).toList: _*)
+      .localCheckpoint(false)
+    // query side: the 4×8 ADC distance tables as array columns — 10
+    // rows of driver-bounded model state, broadcast into the list join
+    val queries = codebooks.zipWithIndex.foldLeft(
+      assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cluster"),
+          col("qd").as("pqd"), col("qq").as("pqq"))) { case (df, (cb, s)) =>
+      df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+        .withColumn(s"dt$s",
+          array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+        .drop("sqd", "sqq")
+    }.localCheckpoint(false)
+    // serving leg: nprobe=1 list join, ADC = four table lookups summed
+    val cand = index
+      .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"dt$s")).toList: _*)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr("CAST(" + (0 until m)
+        .map(s => s"element_at(dt$s, code$s)").mkString(" + ") +
+        " AS BIGINT)"))
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val searched = cand
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    // audit leg: EXACT squared-L2 truth over the full corpus — pure
+    // integer arithmetic end to end (the bounded offline recall job)
+    val truth = assigned.select("vec_id", "qd", "qq")
+      .join(broadcast(queries.select("query_id", "pqd", "pqq")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        expr("CAST(qq + pqq - 2 * vec_dot(qd, pqd) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    val rec = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum("hit").as("n_match"), sum("vec_id").as("adc_fp"))
+    val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    queries.select(col("query_id"), col("cluster").as("probe"))
+      .join(nCand, Seq("query_id"))
+      .join(rec, Seq("query_id"))
+      .join(tf, Seq("query_id"))
+      .select(col("query_id"), col("probe"), col("n_candidates"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("adc_fp"), col("truth_fp"))
       .smallSort("query_id")
   }
 

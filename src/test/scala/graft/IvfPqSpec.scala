@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Similarity
+
+/** q157's IVF-PQ must match an independently-written model: the same
+  * coarse Lloyd quantizer as IvfLearnedSpec's, per-subspace codebooks
+  * trained with the identical recipe (hash seeds 15700+s, sign-split
+  * truncating means, smallest-code tie-break), asymmetric-distance
+  * ranking inside the nprobe=1 list, and the exact squared-L2 brute
+  * truth. Every quantity is an exact integer, so the comparison is
+  * equality, not tolerance. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def h60(seed: Int, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private def truncDiv(s: Long, n: Long): Long =
+    if (s >= 0) s / n else -((-s) / n)
+
+  /** Lloyd on a subset of dims: returns final centroids (cluster 1..k). */
+  private def lloydRef(q: Map[Long, Array[Long]], k: Int, iters: Int,
+                       seedTag: Int): Map[Int, Array[Long]] = {
+    val seeds = q.keys.toSeq.sortBy(id => (h60(seedTag, id.toString), id))
+      .take(k).zipWithIndex.map { case (id, i) => (i + 1, id) }
+    var cent: Map[Int, Array[Long]] =
+      seeds.map { case (c, id) => c -> q(id).clone() }.toMap
+    def assign(): Map[Long, Int] = q.map { case (id, v) =>
+      id -> cent.toSeq.map { case (c, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      val next = a.groupBy(_._2).map { case (c, members) =>
+        val vs = members.keys.toSeq.map(q)
+        c -> Array.tabulate(vs.head.length)(d =>
+          truncDiv(vs.map(_(d)).sum, vs.size.toLong))
+      }
+      cent = cent.map { case (c, old) => c -> next.getOrElse(c, old) }
+    }
+    cent
+  }
+
+  private def argminCluster(v: Array[Long],
+                            cent: Map[Int, Array[Long]]): Int =
+    cent.toSeq.map { case (c, cv) =>
+      (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+    }.min._2
+
+  /** Full IVF-PQ reference: (query_id, probe, n_candidates, n_match,
+    * adc_fp, truth_fp) per query id < 10. */
+  private def model(rows: Seq[(Long, Array[Float], Int)], kCoarse: Int,
+                    coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+                    topk: Int): Seq[(Long, Int, Long, Long, Long, Long)] = {
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => Math.round(x.toDouble * 1000)) }.toMap
+    val d = q.values.head.length
+    val sub = d / m
+    val coarse = lloydRef(q, kCoarse, coarseIters, 143)
+    val lists = q.map { case (id, v) => id -> argminCluster(v, coarse) }
+    def slice(v: Array[Long], s: Int) = v.slice(s * sub, s * sub + sub)
+    val codebooks = (0 until m).map { s =>
+      lloydRef(q.map { case (id, v) => id -> slice(v, s) },
+        ksub, subIters, 15700 + s)
+    }
+    val codes = q.map { case (id, v) =>
+      id -> (0 until m).map(s => argminCluster(slice(v, s), codebooks(s)))
+    }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    q.keys.toSeq.filter(_ < 10).sorted.map { qid =>
+      val probe = lists(qid)
+      val cand = q.keys.toSeq.filter(id => id != qid && lists(id) == probe)
+      // ADC: distance from the query SUBVECTOR to the candidate's CODE
+      val adcTop = cand.map { id =>
+        val adc = (0 until m).map(s =>
+          l2(slice(q(qid), s), codebooks(s)(codes(id)(s)))).sum
+        (adc, id)
+      }.sorted.take(topk).map(_._2)
+      val truthTop = q.keys.toSeq.filter(_ != qid)
+        .map(id => (l2(q(qid), q(id)), id)).sorted.take(topk).map(_._2)
+      (qid, probe, cand.size.toLong,
+        adcTop.count(truthTop.contains).toLong,
+        adcTop.sum, truthTop.sum)
+    }
+  }
+
+  test("ivfPq matches the independent reference model end to end") {
+    val rnd = new scala.util.Random(157)
+    val rows = (0L until 30L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPq(df, 3, 2, 4, 4, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = model(rows, 3, 2, 4, 4, 2, 3)
+    assert(got == want)
+  }
+
+  test("ivfPq is deterministic across runs") {
+    val rnd = new scala.util.Random(158)
+    val rows = (0L until 24L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f), (id % 2).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val a = Similarity.ivfPq(df, 3, 2, 4, 4, 2, 3).collect().toSeq
+    val b = Similarity.ivfPq(df, 3, 2, 4, 4, 2, 3).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -100,6 +100,11 @@ class PlanAuditSpec extends SparkSpec {
   //                        reuse). The SERVING path for projected
   //                        vectors is the q143 IVF build over them —
   //                        this query is its eval harness (r14)
+  //   q157               — same adjudication as q147: the exact-L2
+  //                        brute-truth leg broadcasts the 10-row query
+  //                        slice (the bounded offline recall audit);
+  //                        the ADC serving leg stays a list-bucketed
+  //                        equi-join over PQ codes (r15)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
@@ -107,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
     "q118_hybrid_rrf", "q122_semantic_decontam",
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
     "q138_zorder_layout",
-    "q141_bloom_skipping", "q147_ivf_multiprobe", "q154_random_projection")
+    "q141_bloom_skipping", "q147_ivf_multiprobe", "q154_random_projection",
+    "q157_ivf_pq")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
