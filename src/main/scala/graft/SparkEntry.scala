@@ -227,6 +227,7 @@ object SparkEntry {
     "q156_warmstart_pagerank" -> ((s, d) =>
       operators.Graph.q156WarmstartPagerank(T(s, d))),
     "q157_ivf_pq"         -> ((s, d) => Similarity.q157IvfPq(T(s, d))),
+    "q158_jl_ivf"         -> ((s, d) => Similarity.q158JlIvf(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -642,6 +643,150 @@ object SparkEntry {
        |SELECT rec.query_id, rec.n_match, rec.proj_fp, tf.truth_fp
        |FROM rec JOIN tf ON tf.query_id = rec.query_id
        |ORDER BY rec.query_id""".stripMargin
+
+  /** q158's oracle: q154's projection CTEs (identical sign matrix),
+    * three unrolled Lloyd rounds over the PROJECTED 16-d frame (seed
+    * tag 158), the final list assignment + per-query two-probe
+    * selection, the composed list search and the JL-brute single-lever
+    * leg both ranked by projected cosine, and the full-dimension truth
+    * — the established integer-dot / rounded-cosine ladder. */
+  private def q158OracleSql: String = {
+    val steps = (1 to 3).map { r =>
+      s"""ls$r AS (
+         |  SELECT pm.vec_id, c.cluster,
+         |    CAST(sum((pm.p - c.c) * (pm.p - c.c)) AS BIGINT) AS dist
+         |  FROM proj pm JOIN lc${r - 1} c ON c.j = pm.j GROUP BY 1, 2),
+         |la$r AS (
+         |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+         |      AS rn FROM ls$r) WHERE rn = 1),
+         |lm$r AS (
+         |  SELECT a.cluster, pm.j,
+         |    CASE WHEN sum(pm.p) >= 0
+         |      THEN CAST(sum(pm.p) AS BIGINT) // count(*)
+         |      ELSE -(CAST(-sum(pm.p) AS BIGINT) // count(*)) END AS c
+         |  FROM proj pm JOIN la$r a ON a.vec_id = pm.vec_id GROUP BY 1, 2),
+         |lc$r AS MATERIALIZED (
+         |  SELECT p.cluster, p.j, COALESCE(m.c, p.c) AS c
+         |  FROM lc${r - 1} p LEFT JOIN lm$r m ON m.cluster = p.cluster
+         |    AND m.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, ix.i - 1 AS d,
+       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |sgn AS (
+       |  SELECT dd.d, jj.j,
+       |    CASE WHEN ('0x' || substr(md5(concat('154:',
+       |        CAST(dd.d AS VARCHAR), ':', CAST(jj.j AS VARCHAR))), 1, 15))
+       |        ::BIGINT % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, 64)) AS d) dd,
+       |       (SELECT unnest(range(0, 16)) AS j) jj),
+       |proj AS MATERIALIZED (
+       |  SELECT dm.vec_id, g.j, CAST(sum(dm.q * g.s) AS BIGINT) AS p
+       |  FROM dims dm JOIN sgn g ON g.d = dm.d GROUP BY 1, 2),
+       |pq AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS pq
+       |  FROM proj GROUP BY 1),
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |pseeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+       |    AS cluster
+       |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('158:',
+       |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+       |  QUALIFY cluster <= 10),
+       |lc0 AS (SELECT s.cluster, p.j, p.p AS c
+       |  FROM proj p JOIN pseeds s ON s.vec_id = p.vec_id),
+       |$steps,
+       |ls4 AS (
+       |  SELECT pm.vec_id, c.cluster,
+       |    CAST(sum((pm.p - c.c) * (pm.p - c.c)) AS BIGINT) AS dist
+       |  FROM proj pm JOIN lc3 c ON c.j = pm.j GROUP BY 1, 2),
+       |la4 AS (
+       |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+       |      AS rn FROM ls4) WHERE rn = 1),
+       |prq AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN rn = 1 THEN cluster END) AS probe1,
+       |    max(CASE WHEN rn = 2 THEN cluster END) AS probe2
+       |  FROM (SELECT vec_id AS query_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM ls4 WHERE vec_id < 10)
+       |  WHERE rn <= 2 GROUP BY 1),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM prq p JOIN la4 a ON (a.cluster = p.probe1
+       |    OR a.cluster = p.probe2) AND a.vec_id <> p.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |cdots AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(a.p * b.p) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN proj a ON a.vec_id = c.query_id
+       |  JOIN proj b ON b.vec_id = c.vec_id AND b.j = a.j
+       |  GROUP BY 1, 2),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(pa.pq AS DOUBLE))
+       |          * sqrt(CAST(pb.pq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM cdots d JOIN pq pa ON pa.vec_id = d.vec_id
+       |    JOIN pq pb ON pb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |pdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    CAST(sum(a.p * b.p) AS BIGINT) AS dot
+       |  FROM proj a JOIN proj b ON b.j = a.j AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+       |sjl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(pa.pq AS DOUBLE))
+       |          * sqrt(CAST(pb.pq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM pdots d JOIN pq pa ON pa.vec_id = d.vec_id
+       |    JOIN pq pb ON pb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |fdots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM dims a JOIN dims b ON b.d = a.d AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10 GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(qa.qq AS DOUBLE))
+       |          * sqrt(CAST(qb.qq AS DOUBLE))), 6) DESC, d.vec_id) AS rk
+       |    FROM fdots d JOIN qq qa ON qa.vec_id = d.vec_id
+       |    JOIN qq qb ON qb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS found_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |recjl AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match_jl
+       |  FROM sjl s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT prq.query_id, prq.probe1, prq.probe2, nc.n_candidates,
+       |  rec.n_match, recjl.n_match_jl, rec.found_fp, tf.truth_fp
+       |FROM prq JOIN nc ON nc.query_id = prq.query_id
+       |JOIN rec ON rec.query_id = prq.query_id
+       |JOIN recjl ON recjl.query_id = prq.query_id
+       |JOIN tf ON tf.query_id = prq.query_id
+       |ORDER BY prq.query_id""".stripMargin
+  }
 
   /** q139's oracle: the five PageRank supersteps UNROLLED as CTEs — same
     * integer fixed-point arithmetic (ppb scale, truncating division) the
@@ -4437,6 +4582,9 @@ object SparkEntry {
     // q157: coarse Lloyd + 4 unrolled subspace Lloyds + code argmin +
     // ADC table lookups + exact-L2 brute truth; integer end to end.
     "q157_ivf_pq" -> q157OracleSql,
+    // q158: q154's projection CTEs + 3 Lloyd rounds in projected space
+    // + 2-probe list search + JL-brute leg + full-dim truth.
+    "q158_jl_ivf" -> q158OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -644,12 +644,15 @@ object Similarity {
   def q154RandomProjection(t: T): DataFrame =
     randomProjection(t.embeddings, 16, 5)
 
-  def randomProjection(embeddings: DataFrame, pDims: Int,
-                       k: Int): DataFrame = {
-    import graft.Serve._
-    val q = quantized(embeddings).localCheckpoint(false)
-    // deterministic ±1 sign matrix from the portable hash — the driver
-    // holds pDims·64 longs, the engine sees constant-folded literals
+  /** The q154 JL projection as a reusable frame: (vec_id, pd, pq) where
+    * pd is the pDims-dim exact-integer projection of the quantized
+    * vector against the deterministic ±1 sign matrix (tag "154:i:j" from
+    * the portable hash — the driver holds pDims·64 longs, the engine
+    * sees constant-folded literals). Checkpointed: the projected frame
+    * IS what a store persists next to (or instead of) the full vectors
+    * (the q143 build/search barrier). q154 audits this lever alone;
+    * q158 feeds it into the IVF build — the composed serving path. */
+  private[graft] def jlProjected(q: DataFrame, pDims: Int): DataFrame = {
     def md5h60(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -661,13 +664,16 @@ object Similarity {
     val projCols = (0 until pDims).map { j =>
       expr("vec_dot(qd, " + signs(j).mkString("array(", "D, ", "D)") + ")")
     }
-    // the projected frame IS what a store would persist next to (or
-    // instead of) the full vectors; checkpoint = the q143 build/search
-    // barrier
-    val proj = q
-      .select(col("vec_id"), array(projCols: _*).as("pd"))
+    q.select(col("vec_id"), array(projCols: _*).as("pd"))
       .withColumn("pq", expr("vec_dot(pd, pd)"))
       .localCheckpoint(false)
+  }
+
+  def randomProjection(embeddings: DataFrame, pDims: Int,
+                       k: Int): DataFrame = {
+    import graft.Serve._
+    val q = quantized(embeddings).localCheckpoint(false)
+    val proj = jlProjected(q, pDims)
     val pQueries = proj.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("pd").as("qpd"),
         col("pq").as("qpq"))
@@ -830,6 +836,121 @@ object Similarity {
       .select(col("query_id"), col("probe"), col("n_candidates"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("adc_fp"), col("truth_fp"))
+      .smallSort("query_id")
+  }
+
+  /** q158 — the COMPOSED ANN serving path: q154's JL projection feeding
+    * the q143 IVF build, searched multi-probe (q147's knob), with a
+    * DUAL recall audit against the full-dimension truth. Every ANN
+    * lever in the family has so far been audited alone; this query
+    * proves they stack — the composition the q154 scaladoc names as
+    * the serving path (project once, then train/assign/search in the
+    * 4×-cheaper projected space).
+    *
+    * Pipeline: quantize → project to 16 exact-integer dims (the q154
+    * sign matrix, bit-identical) → Lloyd in PROJECTED space (k=10,
+    * 3 rounds, seed tag 158 — training cost is 4× cheaper per the JL
+    * promise) → nprobe=2 list search ranked by projected cosine.
+    * Audit: n_match = composed-path recall@5 vs full-dim cosine truth;
+    * n_match_jl = the projection lever ALONE on the same truth set
+    * (q154's brute leg) — the delta between the two columns is
+    * exactly what the IVF candidate restriction costs on top of the
+    * dimension cut, measured per query.
+    *
+    * 100 TB: the projection is map-side against 16 literal sign rows;
+    * the model is k·16 driver longs; the serving join is list-bucketed
+    * (2 lists per query); only the audit legs broadcast the bounded
+    * query slice (the q147/q154 adjudication). */
+  def q158JlIvf(t: T): DataFrame = jlIvf(t.embeddings, 16, 10, 3, 2, 5)
+
+  def jlIvf(embeddings: DataFrame, pDims: Int, k: Int, iters: Int,
+            nprobe: Int, topk: Int): DataFrame = {
+    val q = quantized(embeddings).localCheckpoint(false)
+    val proj = jlProjected(q, pDims)
+    // IVF over the projected space: the same Lloyd engine, 16-d input
+    val pframe = proj.select(col("vec_id"), col("pd").as("qd"),
+      col("pq").as("qq"))
+    val (ca, _, d) = lloydCore(pframe, k, iters, seedTag = 158)
+    val assigned = assignCols(pframe, ca, d, k)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    // per-query nprobe nearest centroids in projected space (q147's
+    // in-row struct sort — 10 rows, no shuffle)
+    val withDists = (1 to k).foldLeft(pframe.filter(col("vec_id") < 10)) {
+      (df, j) =>
+        val cj = ca.slice((j - 1) * d, j * d)
+        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+        df.withColumn(s"s$j",
+          col("qq") - lit(2d) * expr("vec_dot(qd, " +
+            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+    }
+    val probes = withDists
+      .withColumn("ps", expr("array_sort(array(" + (1 to k)
+        .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
+      .select(col("vec_id").as("query_id") :: col("qd").as("pqd") ::
+        col("qq").as("pqq") ::
+        (0 until nprobe).map(i => expr(s"ps[$i].c").as(s"probe${i + 1}"))
+          .toList: _*)
+      .localCheckpoint(false)
+    val cosine = round(
+      expr("vec_dot(qd, pqd)") / (sqrt(col("qq")) * sqrt(col("pqq"))), 6)
+    // composed serving leg: union of the probed lists, projected cosine
+    val cand = assigned
+      .join(broadcast(probes.select(col("query_id"), col("pqd"), col("pqq"),
+        explode(array((1 to nprobe).map(i => col(s"probe$i")): _*))
+          .as("cluster"))), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val searched = cand.withColumn("cosine", cosine)
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    // single-lever leg: JL projection alone, brute over the corpus
+    // (q154's searched leg — the baseline the composition is audited
+    // against)
+    val jlBrute = proj
+      .select(col("vec_id"), col("pd").as("qd"), col("pq").as("qq"))
+      .join(broadcast(probes.select("query_id", "pqd", "pqq")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine)
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    // truth: full-dimension cosine top-5 (q154's truth leg)
+    val fQueries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qd").as("qfd"),
+        col("qq").as("qfq"))
+    val truth = q
+      .join(broadcast(fQueries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        expr("vec_dot(qd, qfd)") / (sqrt(col("qq")) * sqrt(col("qfq"))), 6))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+      .localCheckpoint(false) // consumed by BOTH recall joins
+    val rec = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match"), sum("vec_id").as("found_fp"))
+    val recJl = jlBrute
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match_jl"))
+    val tf = truth.groupBy("query_id")
+      .agg(sum("vec_id").as("truth_fp"))
+    probes.select(col("query_id") ::
+      (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
+      .join(nCand, Seq("query_id"))
+      .join(rec, Seq("query_id"))
+      .join(recJl, Seq("query_id"))
+      .join(tf, Seq("query_id"))
+      .select(col("query_id") ::
+        (1 to nprobe).map(i => col(s"probe$i")).toList :::
+        List(col("n_candidates"), col("n_match"), col("n_match_jl"),
+          col("found_fp"), col("truth_fp")): _*)
       .smallSort("query_id")
   }
 

@@ -230,4 +230,36 @@ class IvfLearnedSpec extends SparkSpec {
       assert(r.getLong(3) >= 5L, s"query $q candidate pool")
     }
   }
+
+  test("q158 composed JL→IVF: exact twins survive BOTH levers (identical " +
+    "projections land in one list — composed recall 5/5, equal to the " +
+    "JL-alone column)") {
+    // the q154 twin corpus: 10 queries, five EXACT copies each, built
+    // on distinct coordinate blocks. Twins project identically, so the
+    // IVF over projected space must put each twin family in one list
+    // and the composed search must find all five — and the n_match_jl
+    // column (the projection lever alone) must agree exactly
+    val base: Map[Long, Array[Float]] = (0L until 10L).map { q =>
+      val v = Array.fill(64)(0.05f)
+      (0 until 6).foreach(o => v((q * 6 + o).toInt) = 1.0f)
+      q -> v
+    }.toMap
+    val rows = (0L until 10L).map(q => (q, base(q))) ++
+      (0L until 10L).flatMap(q => (0 until 5).map(c =>
+        (10L + q * 5 + c, base(q))))
+    val df = rows.map { case (id, v) => (id, v.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.jlIvf(df, 16, 10, 3, 2, 5).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val twins = (0 until 5).map(c => 10L + q * 5 + c).sum
+      assert(r.getLong(4) == 5L, s"query $q composed recall")
+      assert(r.getLong(5) == 5L, s"query $q JL-alone recall")
+      assert(r.getLong(6) == twins, s"query $q found set is its twin set")
+      assert(r.getLong(7) == twins, s"query $q truth set is its twin set")
+      assert(r.getLong(3) >= 5L, s"query $q candidate pool holds the twins")
+    }
+  }
 }

@@ -105,6 +105,12 @@ class PlanAuditSpec extends SparkSpec {
   //                        slice (the bounded offline recall audit);
   //                        the ADC serving leg stays a list-bucketed
   //                        equi-join over PQ codes (r15)
+  //   q158               — the composed JL→IVF path: the SERVING leg is
+  //                        a list-bucketed equi-join in projected space;
+  //                        the JL-brute single-lever leg and the
+  //                        full-dim truth leg are q154's two bounded
+  //                        offline recall-evaluation broadcasts — the
+  //                        dual audit is the query's point (r15)
   private val allowedNestedLoop: Set[String] = Set(
     "q16_recency_buckets", "q83_shard_assign", "q85_bm25", "q91_temperature_mix",
     "q48_topic_scoring", "q49_eval_metrics", "q64_gap_report",
@@ -113,7 +119,7 @@ class PlanAuditSpec extends SparkSpec {
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
     "q138_zorder_layout",
     "q141_bloom_skipping", "q147_ivf_multiprobe", "q154_random_projection",
-    "q157_ivf_pq")
+    "q157_ivf_pq", "q158_jl_ivf")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
