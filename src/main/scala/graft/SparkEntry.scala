@@ -228,6 +228,8 @@ object SparkEntry {
       operators.Graph.q156WarmstartPagerank(T(s, d))),
     "q157_ivf_pq"         -> ((s, d) => Similarity.q157IvfPq(T(s, d))),
     "q158_jl_ivf"         -> ((s, d) => Similarity.q158JlIvf(T(s, d))),
+    "q159_incremental_cc" -> ((s, d) =>
+      operators.Graph.q159IncrementalCc(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -929,6 +931,62 @@ object SparkEntry {
        |    AS side,
        |  f.node // 2 AS entity, f.label, s.comp_size
        |FROM fin f JOIN sizes s USING (label)
+       |ORDER BY side, entity""".stripMargin
+  }
+
+  /** q159's oracle: the q151 pointer-doubling chain instantiated TWICE —
+    * once over the full graph (labels + sizes) and once over the
+    * pre-cutoff base graph (the stored labels the incremental run
+    * started from; -1 for nodes new today). Fixpoint-uniqueness
+    * adjudication: Spark's incremental merge (stored labels + delta
+    * union-find) and the oracle's two full fixpoints agree because
+    * min-label CC has a unique fixpoint and the base edge set is a
+    * subset of the full one (weights only grow). Both chains carry the
+    * one-extra-round convergence guard. */
+  private def q159OracleSql: String = {
+    val rounds = operators.Graph.CcRounds
+    def chain(p: String, dateFilter: String): String = {
+      val steps = (1 to rounds + 1).map { i =>
+        s"""${p}v$i AS MATERIALIZED (
+           |  SELECT v.node,
+           |    least(least(v.label, lj.label), COALESCE(nb.m, v.label))
+           |      AS label
+           |  FROM ${p}v${i - 1} v
+           |  JOIN ${p}v${i - 1} lj ON lj.node = v.label
+           |  LEFT JOIN (SELECT e.src AS n2, min(l.label) AS m
+           |             FROM ${p}edges e JOIN ${p}v${i - 1} l ON l.node = e.dst
+           |             GROUP BY 1) nb ON nb.n2 = v.node)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}e0 AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  $dateFilter
+         |  GROUP BY 1, 2
+         |  HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+         |    >= ${operators.Graph.CcWeightThreshold}),
+         |${p}edges AS MATERIALIZED (SELECT src, dst FROM ${p}e0
+         |  UNION ALL SELECT dst AS src, src AS dst FROM ${p}e0),
+         |${p}v0 AS MATERIALIZED (
+         |  SELECT src AS node, src AS label FROM ${p}edges GROUP BY 1),
+         |$steps,
+         |${p}conv AS (SELECT count(*) AS moved FROM ${p}v$rounds a
+         |  JOIN ${p}v${rounds + 1} b USING (node) WHERE a.label <> b.label),
+         |${p}fin AS (SELECT node,
+         |  CASE WHEN (SELECT moved FROM ${p}conv) = 0 THEN label END AS label
+         |  FROM ${p}v$rounds)""".stripMargin
+    }
+    s"""WITH ${chain("", "")},
+       |${chain("b",
+      s"WHERE o_orderdate < TIMESTAMP '${operators.Graph.WarmCutoff}'")},
+       |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS comp_size
+       |  FROM fin GROUP BY 1)
+       |SELECT CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS side,
+       |  f.node // 2 AS entity, f.label,
+       |  COALESCE(bf.label, -1) AS base_label, s.comp_size
+       |FROM fin f
+       |LEFT JOIN bfin bf ON bf.node = f.node
+       |JOIN sizes s ON s.label = f.label
        |ORDER BY side, entity""".stripMargin
   }
 
@@ -4585,6 +4643,9 @@ object SparkEntry {
     // q158: q154's projection CTEs + 3 Lloyd rounds in projected space
     // + 2-probe list search + JL-brute leg + full-dim truth.
     "q158_jl_ivf" -> q158OracleSql,
+    // q159: the q151 doubling chain twice (full + base graph); fixpoint
+    // uniqueness lets the incremental merge hash-match a full rebuild.
+    "q159_incremental_cc" -> q159OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -220,6 +220,129 @@ object Graph {
       .smallSort("side", "entity")
   }
 
+  /** q159 — INCREMENTAL CONNECTED COMPONENTS: the graph member the
+    * incremental-job family was missing (q109 incremental dedup, q150
+    * incremental IVF, q156 warm-start PageRank) — and the daily job a
+    * dedup-cluster store actually runs: yesterday's labels + today's
+    * new edges, union-find over the DELTA contracted against stored
+    * labels, relabel only affected components. The full rebuild is
+    * q151; this produces the SAME labels bit-for-bit because min-label
+    * CC is a unique fixpoint and edge weights only grow (base orders ⊂
+    * full orders, weights additive nonnegative), so the full graph's
+    * edge set is exactly base edges ∪ newly-crossing pairs — merges
+    * only, never splits.
+    *
+    * The store keeps TWO frames (what a production job persists): the
+    * pair-weight table (thresholds are on cumulative volume, so
+    * tomorrow needs the sub-threshold mass too) and the label table.
+    * The update leg — the only part that runs daily — is (1) a
+    * batch-sized pair aggregate, (2) a batch-keyed join against the
+    * stored weights to find pairs that cross the threshold NOW,
+    * (3) contraction of those new edges to the component graph via two
+    * stored-label lookups, (4) CC over that delta-sized label graph
+    * (the proven `connectedComponents` core — driver union-find under
+    * its documented bound, convergence-checked pointer-jump above it),
+    * and (5) a broadcast relabel of the delta-sized mapping over the
+    * stored labels. Nothing in (1)–(5) scans the base corpus:
+    * CcAddProbe measures the apply leg flat while the store build
+    * grows with the corpus. Output pins each entity's new label NEXT
+    * TO its stored base label (-1 when the node is new today) — the
+    * q156 drift device — plus rebuilt component sizes. */
+  def q159IncrementalCc(t: graft.Tables.T): DataFrame = {
+    import graft.Serve._
+    val cutoff = lit(WarmCutoff).cast("timestamp")
+    // yesterday's store: pair weights + labels over the base graph
+    val (storedW, storedLabels) =
+      ccStore(t.orders.filter(col("o_orderdate") < cutoff), t.lineitem)
+    // today's batch: the delta pair aggregate (batch-sized)
+    val deltaW = ccPairWeights(
+      t.orders.filter(col("o_orderdate") >= cutoff), t.lineitem)
+    ccApply(storedW, storedLabels, deltaW)
+      .select(
+        expr("CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END")
+          .as("side"),
+        expr("node DIV 2").as("entity"),
+        col("label"), col("base_label"), col("comp_size"))
+      .smallSort("side", "entity")
+  }
+
+  /** The (customer, supplier) pair-volume aggregate both CC store and
+    * update legs share: one partially-aggregated shuffle keyed by the
+    * pair. */
+  private[graft] def ccPairWeights(orders: DataFrame,
+                                   lineitem: DataFrame): DataFrame = orders
+    .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+    .groupBy(expr("o_custkey * 2").as("src"),
+      expr("l_suppkey * 2 + 1").as("dst"))
+    .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("w"))
+
+  /** The nightly store build: checkpointed pair weights and min-label
+    * component labels over the thresholded base graph — exactly what a
+    * daily q159 run reads back. */
+  private[graft] def ccStore(orders: DataFrame, lineitem: DataFrame)
+  : (DataFrame, DataFrame) = {
+    val storedW = ccPairWeights(orders, lineitem).localCheckpoint(false)
+    val baseEdges = storedW.filter(col("w") >= CcWeightThreshold)
+      .select("src", "dst")
+    val storedLabels = connectedComponents(baseEdges, maxIter = 30)
+      .select("node", "label")
+      .localCheckpoint(false)
+    (storedW, storedLabels)
+  }
+
+  /** The daily update leg: batch-sized work only (see q159 scaladoc).
+    * Returns (node, label, base_label, comp_size) for the FULL graph. */
+  private[graft] def ccApply(storedW: DataFrame, storedLabels: DataFrame,
+                             deltaW: DataFrame): DataFrame = {
+    // pairs crossing the threshold only now — the edge delta. The join
+    // is keyed by the BATCH's pairs; at scale the stored weight table
+    // is bucketed on the pair key, so only the batch side shuffles.
+    val newEdges = deltaW
+      .join(storedW.select(col("src"), col("dst"), col("w").as("w_base")),
+        Seq("src", "dst"), "left")
+      .withColumn("wb", coalesce(col("w_base"), lit(0L)))
+      .filter(col("w") + col("wb") >= CcWeightThreshold &&
+        col("wb") < CcWeightThreshold)
+      .select("src", "dst")
+      .localCheckpoint(false) // read by contraction, new-node scan, union
+    // contract to the component graph: endpoints → stored labels; a
+    // node new today is its own label (the union-find sees node ids
+    // and component minima in one namespace, so merged roots are
+    // global component minima)
+    val labelEdges = newEdges
+      .join(storedLabels.select(col("node").as("src"),
+        col("label").as("la")), Seq("src"), "left")
+      .join(storedLabels.select(col("node").as("dst"),
+        col("label").as("lb")), Seq("dst"), "left")
+      .select(coalesce(col("la"), col("src")).as("src"),
+        coalesce(col("lb"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // CC over the delta-sized label graph: the same proven core as
+    // q151 (driver union-find under the bound, pointer-jump above)
+    val mapping = connectedComponents(labelEdges, maxIter = 30)
+      .select(col("node").as("label"), col("label").as("new_label"))
+    // nodes new today (endpoints of new edges absent from the store)
+    val newNodes = newEdges.select(col("src").as("node"))
+      .unionByName(newEdges.select(col("dst").as("node")))
+      .distinct()
+      .join(storedLabels.select("node"), Seq("node"), "left_anti")
+    val allLabels = storedLabels
+      .select(col("node"), col("label"), col("label").as("base_label"))
+      .unionByName(newNodes
+        .select(col("node"), col("node").as("label"), lit(-1L).as("base_label")))
+    // broadcast relabel: the mapping is delta-sized by construction
+    val relabeled = allLabels
+      .join(broadcast(mapping), Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"),
+        col("base_label"))
+      .localCheckpoint(false) // sizes + output both read it
+    val sizes = relabeled.groupBy("label")
+      .agg(count(lit(1)).as("comp_size"))
+    relabeled.join(sizes, Seq("label"))
+      .select("node", "label", "base_label", "comp_size")
+  }
+
   /** Min-label CC core over a directed edge frame (same reverse-pair
     * caller contract as pagerank). Delegates to q67's proven
     * `ccMinLabels` machinery: driver union-find under the documented

@@ -266,6 +266,52 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("q159 incremental CC: merge-only update reaches the full-rebuild " +
+    "fixpoint on a hand-built store (merges, untouched comps, new nodes)") {
+    import org.apache.spark.sql.DataFrame
+    // stored weights: base graph has comps {2,4} (pair 2-4 over
+    // threshold), {6,8}, and a sub-threshold pair (10,12) at w=9;
+    // threshold for this test is Graph.CcWeightThreshold, so scale
+    // weights around it
+    val T = Graph.CcWeightThreshold
+    val storedW = Seq(
+      (2L, 5L, T + 10), (4L, 5L, T + 10),     // comp {2,4,5}
+      (6L, 7L, T + 10), (8L, 7L, T + 10),     // comp {6,7,8}
+      (10L, 11L, T - 5)                       // sub-threshold pair
+    ).toDF("src", "dst", "w")
+    val baseEdges = storedW.filter(col("w") >= T).select("src", "dst")
+    val storedLabels = Graph.connectedComponents(baseEdges, 30)
+      .select("node", "label")
+    // the batch: (a) pushes (10,11) over the threshold, (b) bridges the
+    // two stored comps via a NEW node 99, (c) adds noise below threshold
+    val deltaW = Seq(
+      (10L, 11L, 10L),                        // crosses now: 9+10 >= T
+      (2L, 99L, T + 1), (6L, 99L, T + 1),     // new node 99 merges comps
+      (4L, 77L, 3L)                           // stays sub-threshold
+    ).toDF("src", "dst", "w")
+    val got = Graph.ccApply(storedW, storedLabels, deltaW)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // full rebuild over the union graph for the label truth
+    val fullEdges = storedW.select("src", "dst", "w")
+      .unionByName(deltaW)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .filter(col("w") >= T).select("src", "dst")
+    val want = Graph.connectedComponents(fullEdges, 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._3)).toMap == want,
+      "incremental labels+sizes must equal the full rebuild")
+    // base_label: untouched nodes keep it equal to label; merged comp
+    // members show the drift; node 99 is new (-1)
+    assert(got(99L)._2 == -1L)
+    assert(got(2L)._2 == 2L && got(6L)._2 == 6L)
+    assert(got(6L)._1 == 2L, "bridge merged {6,7,8} into label 2")
+    assert(got(10L)._2 == -1L && got(11L)._2 == -1L,
+      "nodes whose first edge crossed today are new to the store")
+    assert(got(10L)._1 == 10L && got(11L)._1 == 10L)
+  }
+
   test("q139 declared output covers every supplier with positive rank") {
     val t = Tables.T(spark, "/root/testdata/sf0.001")
     val out = Graph.q139Pagerank(t).collect()
