@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Time-vs-scale-factor curves for the heavy query families (scratch
+  * tooling, not library surface): runs each named query at sf0.01,
+  * sf0.1 and the ScaleGen-synthesized sf1 (10× of sf0.1), reporting
+  * min-of-reps wall time and output rows per scale. The growth columns
+  * are the evidence SCALE.md records: a banded/bucketed/superstep
+  * family should grow roughly linearly in rows between sf0.1 and sf1;
+  * anything super-linear gets a diagnosis.
+  *
+  * Run ScaleGen first (builds /tmp/graft_sf1), then:
+  *   sbt "runMain graft.ScaleCurve"                  # default set
+  *   sbt "runMain graft.ScaleCurve q139_pagerank"    # subset
+  */
+object ScaleCurve {
+  val DefaultQueries: Seq[String] = Seq(
+    // graph: supersteps over pre-partitioned edges
+    "q139_pagerank", "q148_personalized_pagerank", "q149_weighted_pagerank",
+    "q151_connected_components", "q156_warmstart_pagerank",
+    "q159_incremental_cc",
+    // ANN: model-state training + list-bucketed serving
+    "q143_ivf_learned", "q147_ivf_multiprobe", "q150_ivf_incremental",
+    "q157_ivf_pq", "q158_jl_ivf",
+    // dedup: banded/bucketed candidate generation
+    "q27_minhash_neardup", "q84_span_dedup", "q109_incremental_dedup",
+    // corpus pipelines
+    "q133_corpus_pipeline", "q152_bpe_train")
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
+    val sfs = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1" -> "/tmp/graft_sf1")
+    require(new java.io.File("/tmp/graft_sf1/orders.parquet").exists(),
+      "run graft.ScaleGen first to build /tmp/graft_sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowExecWarnings()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    for (n <- names) {
+      val cells = sfs.map { case (tag, dir) =>
+        noop(SparkEntry.queries(n)(spark, dir)) // warm
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          noop(SparkEntry.queries(n)(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        (tag, best, rows)
+      }
+      val g01 = cells(1)._2 / cells(0)._2
+      val g1 = cells(2)._2 / cells(1)._2
+      println(f"[curve] $n%-28s " +
+        cells.map(c => f"${c._1}=${c._2}%.2fs/${c._3}%d").mkString(" ") +
+        f" growth x10: ${g01}%.1f then ${g1}%.1f")
+    }
+    spark.stop()
+  }
+}

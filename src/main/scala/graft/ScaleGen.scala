@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1 corpus synthesis for the scale rehearsal (scratch tooling, not
+  * library surface) — a 10× corpus whose copies are DIVERGENT, unlike
+  * ScaleProbe's near-dup copies, so the heavy families' true-work
+  * density stays constant and a time-vs-sf curve reads as scaling
+  * evidence rather than candidate-density growth:
+  *
+  *   - documents: every word of copy c>0 carries the copy suffix, so
+  *     cross-copy shingle/minhash/bigram overlap is exactly ZERO —
+  *     near-dup structure exists only WITHIN a copy, at base density.
+  *     True-pair counts grow linearly, not quadratically.
+  *   - embeddings: copy c adds a deterministic pseudo-random jitter of
+  *     ~0.7 of the coordinate scale, pushing cross-copy cosines to
+  *     ~0.67 — far below every ε-threshold in the family (0.9/0.95/
+  *     0.99), so SemDedup/near-dup densities stay at base level.
+  *   - orders/lineitem: keys remapped per copy INCLUDING o_custkey and
+  *     l_suppkey, so the purchase graph becomes 10 disjoint copies of
+  *     the base graph — 10× nodes, 10× edges, unchanged degree
+  *     distribution; PageRank supersteps and CC rounds do honestly 10×
+  *     the work (ScaleProbe's variant keeps the vertex set fixed and
+  *     the deduped edge list saturates).
+  *   - events: new unique ids per copy, values unchanged.
+  *
+  * The dimension tables copy unchanged; the sf1 dir serves the HEAVY
+  * family (graph / ANN / dedup / corpus pipelines), not the full-suite
+  * oracle gate. Deterministic end to end (no RNG — all jitter derives
+  * from (id, dim, copy) integer arithmetic), so reruns are identical.
+  *
+  *   sbt "runMain graft.ScaleGen"          # writes /tmp/graft_sf1
+  *   sbt "runMain graft.ScaleGen 20 /tmp/graft_sf2"
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+    def copies = spark.range(factor).select(col("id").as("copy"))
+
+    // documents: copy 0 verbatim; copy c>0 suffixes EVERY word
+    spark.read.parquet(s"$base/documents.parquet")
+      .crossJoin(copies)
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("v"), col("copy"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: copy 0 verbatim; copy c>0 jittered additively by a
+    // deterministic pseudo-random r(id, i, c) ∈ [-0.7, 0.7]
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .crossJoin(copies)
+      .select(
+        (col("vec_id") * factor + col("copy")).as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (v, i) =>
+            (v + (((col("vec_id") * 31 + i.cast("long") * 17 +
+              col("copy") * 101) % 2001 - 1000).cast("double") / 1000d
+              * 0.7d).cast("float")).cast("float"))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // orders/lineitem: per-copy key remap INCLUDING the graph endpoints
+    spark.read.parquet(s"$base/orders.parquet")
+      .crossJoin(copies)
+      .select((col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
+        (col("o_custkey") * factor + col("copy")).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val liOther = li.columns.filter(c => c != "l_orderkey" && c != "l_suppkey")
+    li.crossJoin(copies)
+      .select((col("l_orderkey") * factor + col("copy")).as("l_orderkey") +:
+        (col("l_suppkey") * factor + col("copy")).as("l_suppkey") +:
+        liOther.map(col).toSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    spark.read.parquet(s"$base/events.parquet")
+      .crossJoin(copies)
+      .select((col("event_id") * factor + col("copy")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scalegen] wrote ${factor}x corpus to $out")
+    spark.stop()
+  }
+}

@@ -66,10 +66,11 @@ object SparkEntry {
     "q43_date_besteffort" -> ((s, d) => Scalars.q43DateBestEffort(T(s, d))),
     "q44_array_family"    -> ((s, d) => Scalars.q44ArrayFamily(T(s, d))),
     "q45_search_pipe"     -> ((s, d) => Scalars.q45SearchPipeAlts(T(s, d))),
-    // q46's greedy first-cluster-wins linkage is sequential (assignment i
-    // depends on all assignments < i) — oracle-replayed by a list-state
-    // recursive CTE carrying the full assignment vector, one step per
-    // distinct phrasing; golden retained as a second pin.
+    // q46's greedy first-cluster-wins linkage LOOKS sequential
+    // (assignment i depends on all assignments < i) but unfolds to an
+    // order-free fixpoint — min-index creator reachable via decreasing
+    // similarity paths — so the oracle replays it with the q67 doubling
+    // (r15; sf0.1-green). Golden retained as a second pin.
     "q46_question_clusters" -> ((s, d) => Clustering.q46QuestionClusters(T(s, d))),
     "q47_semantic_filter"   -> ((s, d) => Clustering.q47SemanticFilter(T(s, d))),
     "q48_topic_scoring"   -> ((s, d) => Topics.q48TopicScoring(T(s, d))),
@@ -2341,15 +2342,27 @@ object SparkEntry {
     // in seconds), renumber roots ascending (= first-appearance order,
     // since qid = min doc_id), and pick each cluster's
     // shortest-then-lexicographic phrasing as label.
-    // q46: the GREEDY first-cluster-wins linkage replayed sequentially —
-    // a recursive CTE carries the full assignment state as a list (one
-    // row per step, cids[k] = cluster of the k-th question in first-seen
-    // order); each step assigns the next question the MINIMUM cluster id
-    // among cosine-matched earlier questions, else a fresh id. Depth =
-    // distinct phrasings (bounded by the driver-path corpus bound), fine
-    // at the sf0.01 gate. Vectorizer/cosine are the q67/q47 shared CTEs.
+    // q46: the GREEDY first-cluster-wins linkage, replayed ORDER-FREE
+    // (r15 — closes the last sf0.1 rows-only cell). The sequential
+    // semantics unfold to a fixpoint: cluster(i) = min over matched
+    // earlier questions j of cluster(j), which by induction equals the
+    // id of the MINIMUM-INDEX question reachable from i via a
+    // strictly-DECREASING similarity path (that minimum is always a
+    // creator — a question with no earlier match — and greedy assigns
+    // creator ids in index order, so min cluster id = id of min-index
+    // creator). min-index-over-decreasing-paths is the q67 doubling
+    // fixpoint on the DIRECTED (later ← earlier) edge list:
+    // l(v) ← min(l(v), l(l(v)), min_{j<v matched} l(j)), 16 unrolled
+    // MATERIALIZED rounds + the one-extra-round convergence guard
+    // (labels poison to NULL if unconverged — loud hash failure), then
+    // dense_rank over the converged labels re-derives the global
+    // creation-order numbering. The old recursive list-state CTE (the
+    // only per-STEP faithful replay) needed >120 s at sf0.1; this
+    // computes the same function in seconds because the fixpoint, not
+    // the schedule, is the semantics. Vectorizer/cosine are the
+    // q67/q47 shared CTEs.
     "q46_question_clusters" ->
-      s"""WITH RECURSIVE q AS (
+      s"""WITH q AS (
          |  SELECT doc_id,
          |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:6], ' ')
          |      AS question
@@ -2357,27 +2370,37 @@ object SparkEntry {
          |dq AS (SELECT question, min(doc_id) AS first_seen FROM q GROUP BY question),
          |ord AS (SELECT question,
          |  CAST(row_number() OVER (ORDER BY first_seen) AS INT) AS idx FROM dq),
-         |cnt AS (SELECT CAST(count(*) AS INT) AS n FROM ord),
          |$oracleConceptsCte,
          |${oracleVecCtes("", "ord", "idx", "question")},
-         |sim AS (
+         |sim AS MATERIALIZED (
          |  SELECT ia, ib FROM (
          |    SELECT a.idx AS ia, b.idx AS ib, sum(a.w * b.w) AS dot
          |    FROM terms a JOIN terms b ON a.term = b.term AND a.idx < b.idx
          |    GROUP BY 1, 2) e
          |  JOIN norms na ON na.idx = e.ia JOIN norms nb ON nb.idx = e.ib
          |  WHERE dot / (na.nrm * nb.nrm) >= 0.72),
-         |st(i, cids) AS (
-         |  SELECT 1, [CAST(0 AS INT)] WHERE (SELECT n FROM cnt) >= 1
-         |  UNION ALL
-         |  SELECT st.i + 1,
-         |    list_append(st.cids, CAST(coalesce(
-         |      (SELECT min(st.cids[s.ia]) FROM sim s WHERE s.ib = st.i + 1),
-         |      list_max(st.cids) + 1) AS INT))
-         |  FROM st WHERE st.i < (SELECT n FROM cnt)),
-         |fin AS (SELECT cids FROM st ORDER BY i DESC LIMIT 1),
-         |asg AS (SELECT o.question, fin.cids[o.idx] AS cluster_id
-         |  FROM ord o CROSS JOIN fin),
+         |g0 AS MATERIALIZED (SELECT idx, idx AS label FROM ord),
+         |${(1 to 17).map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT v.idx,
+           |    least(least(v.label, lj.label),
+           |          COALESCE(nb.m, v.label)) AS label
+           |  FROM g${i - 1} v
+           |  JOIN g${i - 1} lj ON lj.idx = v.label
+           |  LEFT JOIN (SELECT e.ib, min(l.label) AS m
+           |             FROM sim e JOIN g${i - 1} l ON l.idx = e.ia
+           |             GROUP BY 1) nb ON nb.ib = v.idx)""".stripMargin
+      }.mkString(",\n")},
+         |gconv AS (SELECT count(*) AS moved FROM g16 a
+         |  JOIN g17 b USING (idx) WHERE a.label <> b.label),
+         |gfin AS (SELECT idx,
+         |  CASE WHEN (SELECT moved FROM gconv) = 0 THEN label END AS label
+         |  FROM g16),
+         |asg AS (
+         |  SELECT o.question,
+         |    CAST(dense_rank() OVER (ORDER BY f.label) - 1 AS INT)
+         |      AS cluster_id
+         |  FROM ord o JOIN gfin f ON f.idx = o.idx),
          |lab AS (
          |  SELECT cluster_id, question AS cluster_label FROM (
          |    SELECT cluster_id, question,

@@ -584,10 +584,17 @@ object Clustering {
 
   /** q46 — cluster attribution-style phrasings (first six words of each
     * document) and return per-row cluster assignments. The sequential
-    * greedy linkage IS oracle-replayable (r11): a DuckDB recursive CTE
-    * carries the full assignment vector as a list, one step per distinct
-    * phrasing in first-seen order — rows+schema+hash checked, with the
-    * checked-in golden retained as a second pin. */
+    * greedy linkage is oracle-replayable at EVERY scale factor (r15):
+    * although assignment i depends on assignments 1..i−1, the recursion
+    * unfolds to an order-free fixpoint — cluster(i) is the creation
+    * rank of the MINIMUM-INDEX question reachable from i via a
+    * strictly-decreasing similarity path (that minimum is always a
+    * "creator", a question with no earlier match, and greedy numbers
+    * creators in index order) — so the oracle runs the q67 pointer
+    * doubling on the directed edge list instead of a per-step
+    * list-state recursive CTE (which needed >120 s at sf0.1).
+    * rows+schema+hash checked at sf0.001/0.01/0.1, golden retained as
+    * a second pin. */
   def q46QuestionClusters(t: T): DataFrame = {
     val qs = t.documents
       .withColumn("question",
