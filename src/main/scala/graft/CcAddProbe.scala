@@ -60,6 +60,9 @@ object CcAddProbe {
         s._1.count(); s._2.count() // materialize the store
         s
       }
+      // untimed warm apply (JIT + codegen), then the timed one
+      Graph.ccApply(storedW, storedLabels, deltaW)
+        .write.mode("overwrite").format("noop").save()
       val (_, tApply) = time {
         Graph.ccApply(storedW, storedLabels, deltaW)
           .write.mode("overwrite").format("noop").save()
