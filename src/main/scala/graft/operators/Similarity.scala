@@ -744,20 +744,22 @@ object Similarity {
 
   def ivfPq(embeddings: DataFrame, kCoarse: Int, coarseIters: Int,
             m: Int, ksub: Int, subIters: Int, topk: Int): DataFrame = {
-    val st = lloyd(embeddings, kCoarse, coarseIters)
-    val sub = st.d / m
-    require(sub * m == st.d, s"d=${st.d} must split into $m subspaces")
+    val qframe = quantized(embeddings).localCheckpoint(false)
+    // coarse quantizer AND the m per-subspace codebooks train in
+    // lockstep — every training round is ONE tagged-union aggregate
+    // job and all seed sets come from one job (the q152 lesson: the
+    // JOBS, not the work, are the wall for model-sized state).
+    // Bit-identical to lloyd() + m separate lloydCore runs: groups
+    // never mix across the ss tag, and the oracle (which unrolls the
+    // trainings independently) hash-matches at all three SFs.
+    val (ca, codebooks, d) =
+      ivfPqTrainFused(qframe, kCoarse, coarseIters, m, ksub, subIters)
+    val sub = d / m
+    require(sub * m == d, s"d=$d must split into $m subspaces")
     // the stored coarse index (q143's build/search barrier)
-    val assigned = assignCols(st.qframe, st.ca, st.d, st.k)
+    val assigned = assignCols(qframe, ca, d, kCoarse)
       .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
       .localCheckpoint(false)
-    // per-subspace codebooks: the SAME Lloyd engine over 16-d slices
-    val codebooks = (0 until m).map { s =>
-      val qsub = st.qframe
-        .select(col("vec_id"), expr(s"slice(qd, ${s * sub + 1}, $sub)").as("qd"))
-        .withColumn("qq", expr("vec_dot(qd, qd)"))
-      lloydCore(qsub, ksub, subIters, seedTag = 15700 + s)._1
-    }
     // |x_s − c_j|² = x_s·x_s − 2·x_s·c_j + c_j·c_j against the literal
     // codebook slice — every term an exact integer held as a double
     def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
@@ -952,6 +954,74 @@ object Similarity {
         List(col("n_candidates"), col("n_match"), col("n_match_jl"),
           col("found_fp"), col("truth_fp")): _*)
       .smallSort("query_id")
+  }
+
+  /** q157's whole training stack in lockstep: the coarse quantizer
+    * (64-d, seed tag 143 — the SAME model lloyd() trains for q143, by
+    * identical arithmetic) and the m per-subspace codebooks (seed tags
+    * 15700+s). All seed sets come from ONE ranked-window job over a
+    * tagged union (the per-tag hash string matches TextDedup.h60 byte
+    * for byte); each shared training round is ONE (ss, cluster, dim)
+    * aggregate job — coarse rides tag -1, subspaces 0..m-1; rounds
+    * beyond subIters run coarse-only. Returns (coarse centroids,
+    * codebooks, d). */
+  private[graft] def ivfPqTrainFused(qframe: DataFrame, kCoarse: Int,
+      coarseIters: Int, m: Int, ksub: Int,
+      subIters: Int): (Array[Long], Seq[Array[Long]], Int) = {
+    val d = qframe.select(expr("size(qd)")).head().getInt(0)
+    val sub = d / m
+    def slices(s: Int) = qframe
+      .select(col("vec_id"), expr(s"slice(qd, ${s * sub + 1}, $sub)").as("qd"))
+      .withColumn("qq", expr("vec_dot(qd, qd)"))
+    def frame(ss: Int) = if (ss < 0) qframe else slices(ss)
+    def dim(ss: Int) = if (ss < 0) d else sub
+    def kOf(ss: Int) = if (ss < 0) kCoarse else ksub
+    def tagOf(ss: Int) = if (ss < 0) 143 else 15700 + ss
+    val tags = -1 until m
+    // ONE job for every seed set: rank by the per-tag portable hash
+    // inside each ss partition, fetch the seed (sub)vectors in the
+    // same pass
+    val seedRows = tags.map { ss =>
+      frame(ss).select(lit(ss).as("ss"), col("vec_id"), col("qd"),
+        expr(TextDedup.h60(tagOf(ss), "CAST(vec_id AS STRING)")).as("h"))
+    }.reduce(_ unionByName _)
+      .withColumn("rk", row_number().over(Window.partitionBy("ss")
+        .orderBy(col("h"), col("vec_id"))))
+      .filter(col("rk") <= (when(col("ss") < 0, kCoarse).otherwise(ksub)))
+      .select("ss", "rk", "qd")
+      .collect()
+    val cas = collection.mutable.Map(
+      tags.map(ss => ss -> new Array[Long](kOf(ss) * dim(ss))): _*)
+    seedRows.foreach { r =>
+      val (ss, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getSeq[Double](2).map(_.toLong).toArray
+      System.arraycopy(v, 0, cas(ss), (j - 1) * dim(ss), dim(ss))
+    }
+    // shared rounds: one tagged aggregate job advances every model
+    // whose iteration budget is still open
+    for (r <- 1 to math.max(coarseIters, subIters)) {
+      val live = tags.filter(ss =>
+        if (ss < 0) r <= coarseIters else r <= subIters)
+      val next = collection.mutable.Map(
+        live.map(ss => ss -> cas(ss).clone()): _*)
+      val assignedAll = live.map { ss =>
+        assignCols(frame(ss), cas(ss), dim(ss), kOf(ss))
+          .select(lit(ss).as("ss"), col("cluster"), col("qd"))
+      }.reduce(_ unionByName _)
+      val rows = assignedAll
+        .select(col("ss"), col("cluster"),
+          posexplode(col("qd")).as(Seq("dim", "v")))
+        .groupBy("ss", "cluster", "dim")
+        .agg(expr("CASE WHEN sum(CAST(v AS BIGINT)) >= 0 " +
+          "THEN sum(CAST(v AS BIGINT)) DIV count(v) " +
+          "ELSE -((-sum(CAST(v AS BIGINT))) DIV count(v)) END").as("nc"))
+        .collect()
+      rows.foreach(row => next(row.getInt(0))(
+        (row.getInt(1) - 1) * dim(row.getInt(0)) + row.getInt(2)) =
+        row.getLong(3))
+      live.foreach(ss => cas(ss) = next(ss))
+    }
+    (cas(-1), (0 until m).map(cas(_)), d)
   }
 
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,
