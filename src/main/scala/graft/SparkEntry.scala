@@ -231,6 +231,7 @@ object SparkEntry {
     "q158_jl_ivf"         -> ((s, d) => Similarity.q158JlIvf(T(s, d))),
     "q159_incremental_cc" -> ((s, d) =>
       operators.Graph.q159IncrementalCc(T(s, d))),
+    "q160_residual_pq"    -> ((s, d) => Similarity.q160ResidualPq(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -426,8 +427,24 @@ object SparkEntry {
     * by summed table lookups, and the exact squared-L2 brute truth —
     * every quantity an exact integer, so there is no FP anywhere in
     * this query on either engine. */
-  private def q157OracleSql: String = {
+  private def q157OracleSql: String = ivfPqOracleSql(residual = false)
+
+  /** q160's oracle: identical to q157's except the subspace Lloyds,
+    * the code argmin and the query ADC tables all read the RESIDUAL
+    * dims (q − final coarse centroid of the assigned list, exact
+    * integers) and the codebook seeds use tags 16000+s. */
+  private def q160OracleSql: String = ivfPqOracleSql(residual = true)
+
+  private def ivfPqOracleSql(residual: Boolean): String = {
     val m = 4; val sub = 16; val ksub = 8; val rounds = 2
+    val tagBase = if (residual) 16000 else 15700
+    val src = if (residual) "rdims" else "dims"
+    val residualCte = if (!residual) "" else
+      s"""rdims AS MATERIALIZED (
+         |  SELECT d.vec_id, d.d, d.q - c.c AS q
+         |  FROM dims d JOIN a4 a ON a.vec_id = d.vec_id
+         |  JOIN c3 c ON c.cluster = a.cluster AND c.d = d.d),
+         |""".stripMargin
     val subspaces = (0 until m).map { s =>
       val lo = s * sub; val hi = lo + sub
       val roundCtes = (1 to rounds).map { r =>
@@ -451,12 +468,12 @@ object SparkEntry {
            |    AND mm.d = p.d)""".stripMargin
       }.mkString(",\n")
       s"""sd$s AS MATERIALIZED (
-         |  SELECT vec_id, d - $lo AS d, q FROM dims
+         |  SELECT vec_id, d - $lo AS d, q FROM $src
          |  WHERE d >= $lo AND d < $hi),
          |pseeds$s AS (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
          |    AS cluster
-         |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('${15700 + s}:',
+         |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('${tagBase + s}:',
          |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
          |  QUALIFY cluster <= $ksub),
          |pc${s}0 AS (SELECT se.cluster, d.d, d.q AS c
@@ -480,7 +497,7 @@ object SparkEntry {
        |${lloydAssignCte("4", "c3")},
        |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
        |  FROM dims GROUP BY 1),
-       |$subspaces,
+       |$residualCte$subspaces,
        |probes AS (SELECT vec_id AS query_id, cluster FROM a4
        |  WHERE vec_id < 10),
        |cand AS (
@@ -4669,6 +4686,9 @@ object SparkEntry {
     // q159: the q151 doubling chain twice (full + base graph); fixpoint
     // uniqueness lets the incremental merge hash-match a full rebuild.
     "q159_incremental_cc" -> q159OracleSql,
+    // q160: q157's oracle over RESIDUAL dims (q - coarse centroid) with
+    // 16000+s codebook seeds; FAISS's by_residual=true default.
+    "q160_residual_pq" -> q160OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

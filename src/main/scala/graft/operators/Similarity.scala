@@ -1024,6 +1024,175 @@ object Similarity {
     (cas(-1), (0 until m).map(cas(_)), d)
   }
 
+  /** q160 — RESIDUAL IVF-PQ (`by_residual=true`, the actual FAISS
+    * `IndexIVFPQ` default): the codebooks quantize the RESIDUAL
+    * x − c(list) instead of the raw vector. Residuals concentrate
+    * around the origin once the coarse quantizer has soaked up the
+    * between-list variance, so the same 12 bits of code spend their
+    * resolution on the within-list structure that actually ranks
+    * candidates — the standard reason FAISS defaults to residual
+    * encoding (Jégou et al. 2011 §III.C). Residuals of milli-unit
+    * integers are exact integers (|q−c| ≤ 2²¹), so the whole query
+    * stays FP-free like q157.
+    *
+    * Same coarse model as q143/q157 (seed tag 143 — one trained
+    * quantizer serves the family); codebooks train on residual slices
+    * with seed tags 16000+s. Serving: with nprobe=1 and corpus
+    * queries, the query's probed list is its own assignment, so its
+    * ADC table is |r_s − cb_j|² over its OWN residual — four lookups
+    * summed inside the list join, exactly q157's shape. Audit: the
+    * same exact squared-L2 full-corpus truth, so q157 vs q160 recall
+    * is directly comparable on the same board. */
+  def q160ResidualPq(t: T): DataFrame =
+    ivfPqResidual(t.embeddings, 10, 3, 4, 8, 2, 5)
+
+  def ivfPqResidual(embeddings: DataFrame, kCoarse: Int, coarseIters: Int,
+                    m: Int, ksub: Int, subIters: Int, topk: Int): DataFrame = {
+    val qframe = quantized(embeddings).localCheckpoint(false)
+    // residual training NEEDS the final coarse model before codebooks
+    // can see a residual, so coarse trains first (no cross-fusion here;
+    // the subspace trainings still fuse with each other below)
+    val (ca, _, d) = lloydCore(qframe, kCoarse, coarseIters, seedTag = 143)
+    val sub = d / m
+    require(sub * m == d, s"d=$d must split into $m subspaces")
+    val assigned = assignCols(qframe, ca, d, kCoarse)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    // residual frame: rd = qd − centroid(cluster), via one literal
+    // array-of-arrays lookup (k·d driver model state, constant-folded)
+    val centsLit = (1 to kCoarse).map(j =>
+      ca.slice((j - 1) * d, j * d).mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    val rframe = assigned
+      .withColumn("rd",
+        expr(s"zip_with(qd, element_at($centsLit, cluster), (a, b) -> a - b)"))
+      .localCheckpoint(false)
+    val codebooks = pqTrainFused(
+      rframe.select(col("vec_id"), col("rd").as("qd")),
+      m, sub, ksub, subIters, tagBase = 16000)
+    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
+      val cj = cb.slice((j - 1) * sub, j * sub)
+      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
+        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+    }
+    // ENCODE over residual slices (q157's in-row argmin device)
+    val index = codebooks.zipWithIndex.foldLeft(rframe) { case (df, (cb, s)) =>
+      val withSub = df
+        .withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
+        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
+      }
+      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
+      withD
+        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
+          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+    }
+      .select(col("vec_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"code$s")).toList: _*)
+      .localCheckpoint(false)
+    // query side: ADC tables over the query's OWN residual (nprobe=1:
+    // the probed list is the query's assignment, so q − c_list = rd)
+    val queries = codebooks.zipWithIndex.foldLeft(
+      rframe.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("cluster"),
+          col("qd").as("pqd"), col("qq").as("pqq"), col("rd"))) {
+      case (df, (cb, s)) =>
+        df.withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
+          .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+          .withColumn(s"dt$s",
+            array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+          .drop("sqd", "sqq")
+    }.drop("rd").localCheckpoint(false)
+    val cand = index
+      .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"dt$s")).toList: _*)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr("CAST(" + (0 until m)
+        .map(s => s"element_at(dt$s, code$s)").mkString(" + ") +
+        " AS BIGINT)"))
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val searched = cand
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    val truth = assigned.select("vec_id", "qd", "qq")
+      .join(broadcast(queries.select("query_id", "pqd", "pqq")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        expr("CAST(qq + pqq - 2 * vec_dot(qd, pqd) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    val rec = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum("hit").as("n_match"), sum("vec_id").as("adc_fp"))
+    val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    queries.select(col("query_id"), col("cluster").as("probe"))
+      .join(nCand, Seq("query_id"))
+      .join(rec, Seq("query_id"))
+      .join(tf, Seq("query_id"))
+      .select(col("query_id"), col("probe"), col("n_candidates"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("adc_fp"), col("truth_fp"))
+      .smallSort("query_id")
+  }
+
+  /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
+    * per subspace s, the Lloyd recipe over the `sub`-wide slice with
+    * seed tag tagBase+s — same semantics as m separate `lloydCore`
+    * calls (the oracle unrolls them independently and hash-matches),
+    * but every round's means aggregate and the seed scan run as ONE
+    * job over a subspace-tagged union. q160 trains residual codebooks
+    * through this (tagBase 16000). */
+  private[graft] def pqTrainFused(frame: DataFrame, m: Int, sub: Int,
+      ksub: Int, iters: Int, tagBase: Int): Seq[Array[Long]] = {
+    def slices(s: Int) = frame
+      .select(col("vec_id"), expr(s"slice(qd, ${s * sub + 1}, $sub)").as("qd"))
+      .withColumn("qq", expr("vec_dot(qd, qd)"))
+    val seedRows = (0 until m).map { s =>
+      slices(s).select(lit(s).as("ss"), col("vec_id"), col("qd"),
+        expr(TextDedup.h60(tagBase + s, "CAST(vec_id AS STRING)")).as("h"))
+    }.reduce(_ unionByName _)
+      .withColumn("rk", row_number().over(Window.partitionBy("ss")
+        .orderBy(col("h"), col("vec_id"))))
+      .filter(col("rk") <= ksub)
+      .select("ss", "rk", "qd")
+      .collect()
+    val cas = Array.fill(m)(new Array[Long](ksub * sub))
+    seedRows.foreach { r =>
+      val (s, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getSeq[Double](2).map(_.toLong).toArray
+      System.arraycopy(v, 0, cas(s), (j - 1) * sub, sub)
+    }
+    for (_ <- 1 to iters) {
+      val next = cas.map(_.clone())
+      val assignedAll = (0 until m).map { s =>
+        assignCols(slices(s), cas(s), sub, ksub)
+          .select(lit(s).as("ss"), col("cluster"), col("qd"))
+      }.reduce(_ unionByName _)
+      val rows = assignedAll
+        .select(col("ss"), col("cluster"),
+          posexplode(col("qd")).as(Seq("dim", "v")))
+        .groupBy("ss", "cluster", "dim")
+        .agg(expr("CASE WHEN sum(CAST(v AS BIGINT)) >= 0 " +
+          "THEN sum(CAST(v AS BIGINT)) DIV count(v) " +
+          "ELSE -((-sum(CAST(v AS BIGINT))) DIV count(v)) END").as("nc"))
+        .collect()
+      rows.foreach(r =>
+        next(r.getInt(0))((r.getInt(1) - 1) * sub + r.getInt(2)) = r.getLong(3))
+      (0 until m).foreach(s => cas(s) = next(s))
+    }
+    cas.toSeq
+  }
+
   def kmeansFixedPoint(embeddings: DataFrame, k: Int,
                        iterations: Int): DataFrame = {
     val st = lloyd(embeddings, k, iterations)

@@ -53,22 +53,31 @@ class IvfPqSpec extends SparkSpec {
     }.min._2
 
   /** Full IVF-PQ reference: (query_id, probe, n_candidates, n_match,
-    * adc_fp, truth_fp) per query id < 10. */
+    * adc_fp, truth_fp) per query id < 10. With residual=true the
+    * codebooks train on (and codes/ADC read) x − coarse centroid —
+    * FAISS's by_residual default, q160's semantics. */
   private def model(rows: Seq[(Long, Array[Float], Int)], kCoarse: Int,
                     coarseIters: Int, m: Int, ksub: Int, subIters: Int,
-                    topk: Int): Seq[(Long, Int, Long, Long, Long, Long)] = {
+                    topk: Int, residual: Boolean = false)
+  : Seq[(Long, Int, Long, Long, Long, Long)] = {
     val q = rows.map { case (id, v, _) =>
       id -> v.map(x => Math.round(x.toDouble * 1000)) }.toMap
     val d = q.values.head.length
     val sub = d / m
     val coarse = lloydRef(q, kCoarse, coarseIters, 143)
     val lists = q.map { case (id, v) => id -> argminCluster(v, coarse) }
+    // the frame the codebooks see: raw vectors, or residuals to the
+    // FINAL coarse centroid of the assigned list
+    val enc: Map[Long, Array[Long]] =
+      if (!residual) q
+      else q.map { case (id, v) =>
+        id -> v.zip(coarse(lists(id))).map { case (a, b) => a - b } }
     def slice(v: Array[Long], s: Int) = v.slice(s * sub, s * sub + sub)
     val codebooks = (0 until m).map { s =>
-      lloydRef(q.map { case (id, v) => id -> slice(v, s) },
-        ksub, subIters, 15700 + s)
+      lloydRef(enc.map { case (id, v) => id -> slice(v, s) },
+        ksub, subIters, (if (residual) 16000 else 15700) + s)
     }
-    val codes = q.map { case (id, v) =>
+    val codes = enc.map { case (id, v) =>
       id -> (0 until m).map(s => argminCluster(slice(v, s), codebooks(s)))
     }
     def l2(a: Array[Long], b: Array[Long]): Long =
@@ -76,10 +85,12 @@ class IvfPqSpec extends SparkSpec {
     q.keys.toSeq.filter(_ < 10).sorted.map { qid =>
       val probe = lists(qid)
       val cand = q.keys.toSeq.filter(id => id != qid && lists(id) == probe)
-      // ADC: distance from the query SUBVECTOR to the candidate's CODE
+      // ADC: distance from the query's encoded subvector (raw, or its
+      // own residual — nprobe=1 probes the query's own list) to the
+      // candidate's code
       val adcTop = cand.map { id =>
         val adc = (0 until m).map(s =>
-          l2(slice(q(qid), s), codebooks(s)(codes(id)(s)))).sum
+          l2(slice(enc(qid), s), codebooks(s)(codes(id)(s)))).sum
         (adc, id)
       }.sorted.take(topk).map(_._2)
       val truthTop = q.keys.toSeq.filter(_ != qid)
@@ -99,6 +110,18 @@ class IvfPqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     val want = model(rows, 3, 2, 4, 4, 2, 3)
+    assert(got == want)
+  }
+
+  test("ivfPqResidual matches the independent residual reference model") {
+    val rnd = new scala.util.Random(160)
+    val rows = (0L until 30L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqResidual(df, 3, 2, 4, 4, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = model(rows, 3, 2, 4, 4, 2, 3, residual = true)
     assert(got == want)
   }
 

@@ -119,7 +119,10 @@ class PlanAuditSpec extends SparkSpec {
     "q131_bloom_decontam", "q132_kmv_overlap", "q133_corpus_pipeline",
     "q138_zorder_layout",
     "q141_bloom_skipping", "q147_ivf_multiprobe", "q154_random_projection",
-    "q157_ivf_pq", "q158_jl_ivf")
+    "q157_ivf_pq", "q158_jl_ivf",
+    // q160: q157's adjudication verbatim — residual encoding changes
+    // the codebook input, not the audit shape (r15)
+    "q160_residual_pq")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
