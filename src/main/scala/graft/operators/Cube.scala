@@ -31,7 +31,13 @@ object Cube {
   def decodeSparse(payloads: DataFrame): DataFrame =
     payloads
       .withColumn("parsed", from_json(col("payload"), payloadSchema))
-      .filter(col("parsed").isNotNull && col("parsed.size").isNotNull)
+      // size > 0 guards the dims transform: a degenerate 0-dimensional
+      // cube would make sequence(0, -1) DESCEND in Spark and size[-1]
+      // throw under ANSI (the r14-advice BPE bug class); such a payload
+      // has no addressable cells, so skipping it mirrors the
+      // unresolvable-cell skip
+      .filter(col("parsed").isNotNull && col("parsed.size").isNotNull &&
+        size(col("parsed.size")) > 0)
       .select(col("parsed.size").as("size"),
         explode(map_entries(col("parsed.value"))).as("cell"))
       // try_cast, not cast: ANSI mode (Spark 4 default) errors on a
@@ -57,7 +63,9 @@ object Cube {
   def decodeDense(payloads: DataFrame): DataFrame =
     payloads
       .withColumn("parsed", from_json(col("payload"), densePayloadSchema))
-      .filter(col("parsed").isNotNull && col("parsed.size").isNotNull)
+      // size > 0: same degenerate-cube guard as decodeSparse
+      .filter(col("parsed").isNotNull && col("parsed.size").isNotNull &&
+        size(col("parsed.size")) > 0)
       .select(col("parsed.size").as("size"),
         posexplode(col("parsed.value")).as(Seq("idx", "val")))
       .filter(col("val").isNotNull)

@@ -67,4 +67,19 @@ class JsonStatSpec extends SparkSpec {
       .map(r => (r._1, r._2))
     assert(dense == sparse)
   }
+
+  test("degenerate 0-dimensional cubes are skipped, not crashed on " +
+    "(sequence(0, -1) descends in Spark; size[-1] throws under ANSI)") {
+    // a '"size": []' payload has no addressable cells — both decode
+    // paths must drop it like any unresolvable payload while decoding
+    // valid neighbors in the same frame
+    val sparse = Cube.decodeSparse(Seq(
+      """{"size":[],"value":{"0":9.0}}""",
+      """{"size":[2],"value":{"1":5.0}}""").toDF("payload")).collect()
+    assert(sparse.length == 1 && sparse.head.getDouble(1) == 5.0)
+    val dense = Cube.decodeDense(Seq(
+      """{"size":[],"value":[9.0]}""",
+      """{"size":[2],"value":[5.0,6.0]}""").toDF("payload")).collect()
+    assert(dense.length == 2)
+  }
 }
