@@ -680,12 +680,19 @@ object TextAnalysis {
       countDistinct(col("lang")).as("n_langs"),
       sum(expr("size(ws)")).as("n_tokens"),
       sum("n_chars").as("n_chars_total"))
+    // try_element_at, not getItem: under ANSI every OOB array access
+    // throws (AnsiOobSpec pins this), so a source with fewer than two
+    // distinct tokens would CRASH here while the DuckDB oracle's list
+    // indexing yields NULL — try_element_at restores the NULL-on-short
+    // semantics both engines then share (the r14-advice divergence
+    // class; unreachable on the shipped corpus, pinned for the general
+    // operator)
     val topTok = base.select(col("source"), explode(col("ws")).as("w"))
       .groupBy("source").agg(expr("heavy_hitters(w, 64)").as("hh"))
       .select(col("source"),
-        col("hh").getItem(0).getField("item").as("top_token"),
-        col("hh").getItem(0).getField("count").as("top_token_cnt"),
-        col("hh").getItem(1).getField("item").as("second_token"))
+        expr("try_element_at(hh, 1).item").as("top_token"),
+        expr("try_element_at(hh, 1).count").as("top_token_cnt"),
+        expr("try_element_at(hh, 2).item").as("second_token"))
     val ndv = base.filter(size(col("ws")) >= 2)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(ws) - 2), " +
