@@ -232,6 +232,7 @@ object SparkEntry {
     "q159_incremental_cc" -> ((s, d) =>
       operators.Graph.q159IncrementalCc(T(s, d))),
     "q160_residual_pq"    -> ((s, d) => Similarity.q160ResidualPq(T(s, d))),
+    "q161_jl_ivf_pq"      -> ((s, d) => Similarity.q161JlIvfPq(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -804,6 +805,201 @@ object SparkEntry {
        |FROM prq JOIN nc ON nc.query_id = prq.query_id
        |JOIN rec ON rec.query_id = prq.query_id
        |JOIN recjl ON recjl.query_id = prq.query_id
+       |JOIN tf ON tf.query_id = prq.query_id
+       |ORDER BY prq.query_id""".stripMargin
+  }
+
+  /** q161's oracle: q158's projection + projected-space Lloyd CTEs
+    * (identical model, seed tag 158), then four unrolled 4-d subspace
+    * Lloyds over the projected dims (seeds 16100+s), the code argmin,
+    * per-query ADC tables, the two-probe list search ranked by summed
+    * lookups AND by exact projected L2 (the dual audit), and the
+    * full-dimension exact-L2 truth — integers end to end, no FP
+    * anywhere in this query on either engine. */
+  private def q161OracleSql: String = {
+    val m = 4; val sub = 4; val ksub = 8; val rounds = 2
+    val lloydSteps = (1 to 3).map { r =>
+      s"""ls$r AS (
+         |  SELECT pm.vec_id, c.cluster,
+         |    CAST(sum((pm.p - c.c) * (pm.p - c.c)) AS BIGINT) AS dist
+         |  FROM proj pm JOIN lc${r - 1} c ON c.j = pm.j GROUP BY 1, 2),
+         |la$r AS (
+         |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+         |      AS rn FROM ls$r) WHERE rn = 1),
+         |lm$r AS (
+         |  SELECT a.cluster, pm.j,
+         |    CASE WHEN sum(pm.p) >= 0
+         |      THEN CAST(sum(pm.p) AS BIGINT) // count(*)
+         |      ELSE -(CAST(-sum(pm.p) AS BIGINT) // count(*)) END AS c
+         |  FROM proj pm JOIN la$r a ON a.vec_id = pm.vec_id GROUP BY 1, 2),
+         |lc$r AS MATERIALIZED (
+         |  SELECT p.cluster, p.j, COALESCE(mm.c, p.c) AS c
+         |  FROM lc${r - 1} p LEFT JOIN lm$r mm ON mm.cluster = p.cluster
+         |    AND mm.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    val subspaces = (0 until m).map { s =>
+      val lo = s * sub; val hi = lo + sub
+      val roundCtes = (1 to rounds).map { r =>
+        s"""qs$s$r AS (
+           |  SELECT dm.vec_id, c.cluster,
+           |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
+           |  FROM psd$s dm JOIN qc$s${r - 1} c ON c.d = dm.d GROUP BY 1, 2),
+           |qa$s$r AS (
+           |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+           |      AS rn FROM qs$s$r) WHERE rn = 1),
+           |qm$s$r AS (
+           |  SELECT a.cluster, dm.d,
+           |    CASE WHEN sum(dm.q) >= 0
+           |      THEN CAST(sum(dm.q) AS BIGINT) // count(*)
+           |      ELSE -(CAST(-sum(dm.q) AS BIGINT) // count(*)) END AS c
+           |  FROM psd$s dm JOIN qa$s$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
+           |qc$s$r AS MATERIALIZED (
+           |  SELECT p.cluster, p.d, COALESCE(mm.c, p.c) AS c
+           |  FROM qc$s${r - 1} p LEFT JOIN qm$s$r mm ON mm.cluster = p.cluster
+           |    AND mm.d = p.d)""".stripMargin
+      }.mkString(",\n")
+      s"""psd$s AS MATERIALIZED (
+         |  SELECT vec_id, j - $lo AS d, p AS q FROM proj
+         |  WHERE j >= $lo AND j < $hi),
+         |qseeds$s AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+         |    AS cluster
+         |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('${16100 + s}:',
+         |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+         |  QUALIFY cluster <= $ksub),
+         |qc${s}0 AS (SELECT se.cluster, d.d, d.q AS c
+         |  FROM psd$s d JOIN qseeds$s se ON se.vec_id = d.vec_id),
+         |$roundCtes,
+         |qe$s AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS code FROM (
+         |    SELECT dm.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY dm.vec_id ORDER BY
+         |        CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT), c.cluster)
+         |        AS rn
+         |    FROM psd$s dm JOIN qc$s$rounds c ON c.d = dm.d
+         |    GROUP BY dm.vec_id, c.cluster) WHERE rn = 1),
+         |qdtab$s AS (
+         |  SELECT q.vec_id AS query_id, c.cluster AS code,
+         |    CAST(sum((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS dt
+         |  FROM psd$s q JOIN qc$s$rounds c ON c.d = q.d
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, ix.i - 1 AS d,
+       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      AS q
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+       |sgn AS (
+       |  SELECT dd.d, jj.j,
+       |    CASE WHEN ('0x' || substr(md5(concat('154:',
+       |        CAST(dd.d AS VARCHAR), ':', CAST(jj.j AS VARCHAR))), 1, 15))
+       |        ::BIGINT % 2 = 0
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(range(0, 64)) AS d) dd,
+       |       (SELECT unnest(range(0, 16)) AS j) jj),
+       |proj AS MATERIALIZED (
+       |  SELECT dm.vec_id, g.j, CAST(sum(dm.q * g.s) AS BIGINT) AS p
+       |  FROM dims dm JOIN sgn g ON g.d = dm.d GROUP BY 1, 2),
+       |pq AS (SELECT vec_id, CAST(sum(p * p) AS BIGINT) AS pq
+       |  FROM proj GROUP BY 1),
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |pseeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+       |    AS cluster
+       |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('158:',
+       |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+       |  QUALIFY cluster <= 10),
+       |lc0 AS (SELECT s.cluster, p.j, p.p AS c
+       |  FROM proj p JOIN pseeds s ON s.vec_id = p.vec_id),
+       |$lloydSteps,
+       |ls4 AS (
+       |  SELECT pm.vec_id, c.cluster,
+       |    CAST(sum((pm.p - c.c) * (pm.p - c.c)) AS BIGINT) AS dist
+       |  FROM proj pm JOIN lc3 c ON c.j = pm.j GROUP BY 1, 2),
+       |la4 AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+       |      AS rn FROM ls4) WHERE rn = 1),
+       |prq AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN rn = 1 THEN cluster END) AS probe1,
+       |    max(CASE WHEN rn = 2 THEN cluster END) AS probe2
+       |  FROM (SELECT vec_id AS query_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM ls4 WHERE vec_id < 10)
+       |  WHERE rn <= 2 GROUP BY 1),
+       |$subspaces,
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM prq p JOIN la4 a ON (a.cluster = p.probe1
+       |    OR a.cluster = p.probe2) AND a.vec_id <> p.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    d0.dt + d1.dt + d2.dt + d3.dt AS adc
+       |  FROM cand c
+       |  JOIN qe0 e0 ON e0.vec_id = c.vec_id
+       |  JOIN qdtab0 d0 ON d0.query_id = c.query_id AND d0.code = e0.code
+       |  JOIN qe1 e1 ON e1.vec_id = c.vec_id
+       |  JOIN qdtab1 d1 ON d1.query_id = c.query_id AND d1.code = e1.code
+       |  JOIN qe2 e2 ON e2.vec_id = c.vec_id
+       |  JOIN qdtab2 d2 ON d2.query_id = c.query_id AND d2.code = e2.code
+       |  JOIN qe3 e3 ON e3.vec_id = c.vec_id
+       |  JOIN qdtab3 d3 ON d3.query_id = c.query_id AND d3.code = e3.code),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+       |        AS rk FROM adc) WHERE rk <= 5),
+       |cdots AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(a.p * b.p) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN proj a ON a.vec_id = c.query_id
+       |  JOIN proj b ON b.vec_id = c.vec_id AND b.j = a.j
+       |  GROUP BY 1, 2),
+       |exlist AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+       |        pa.pq + pb.pq - 2 * d.dot, d.vec_id) AS rk
+       |    FROM cdots d JOIN pq pa ON pa.vec_id = d.vec_id
+       |    JOIN pq pb ON pb.vec_id = d.query_id)
+       |  WHERE rk <= 5),
+       |td AS (
+       |  SELECT dq.vec_id AS query_id, dc.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM dims dq JOIN dims dc ON dc.d = dq.d AND dc.vec_id <> dq.vec_id
+       |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT t.query_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+       |        qa.qq + qb.qq - 2 * t.dot, t.vec_id) AS rk
+       |    FROM td t JOIN qq qa ON qa.vec_id = t.vec_id
+       |    JOIN qq qb ON qb.vec_id = t.query_id) WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS found_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |recl AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match_list
+       |  FROM exlist s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT prq.query_id, prq.probe1, prq.probe2, nc.n_candidates,
+       |  rec.n_match, recl.n_match_list, rec.found_fp, tf.truth_fp
+       |FROM prq JOIN nc ON nc.query_id = prq.query_id
+       |JOIN rec ON rec.query_id = prq.query_id
+       |JOIN recl ON recl.query_id = prq.query_id
        |JOIN tf ON tf.query_id = prq.query_id
        |ORDER BY prq.query_id""".stripMargin
   }
@@ -4689,6 +4885,10 @@ object SparkEntry {
     // q160: q157's oracle over RESIDUAL dims (q - coarse centroid) with
     // 16000+s codebook seeds; FAISS's by_residual=true default.
     "q160_residual_pq" -> q160OracleSql,
+    // q161: the three-lever stack - q158's projection+Lloyd CTEs, four
+    // 4-d subspace Lloyds, ADC + exact-in-list dual ranking, full-dim
+    // L2 truth; integers end to end.
+    "q161_jl_ivf_pq" -> q161OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -1145,6 +1145,152 @@ object Similarity {
       .smallSort("query_id")
   }
 
+  /** q161 — the FULL ANN serving stack composed: JL projection (q154's
+    * sign matrix) → IVF lists in projected space (q158's quantizer,
+    * seed tag 158 — the SAME trained model serves both queries) → PQ
+    * codes over the projected vectors (4 subspaces × 8 centroids over
+    * 4-d slices, seed tags 16100+s) — i.e. FAISS `IndexIVFPQ` built on
+    * dimensionality-reduced vectors, the memory-wall configuration a
+    * 100 TB store actually deploys (Jégou et al. 2011 §V pairs PQ with
+    * projections; FAISS's `PCARx,IVFy,PQz` index-factory idiom).
+    *
+    * Every lever has been audited alone (q154, q143/q147, q157/q160)
+    * and pairwise (q158); this closes the chain with the THREE-lever
+    * composition and a dual audit that isolates the last lever's cost:
+    * n_match = ADC-ranked recall@5 vs the full-dimension truth;
+    * n_match_list = the SAME candidates ranked by exact projected L2 —
+    * the delta is precisely what 16 bits of PQ code cost on top of the
+    * projection+IVF restriction, per query. Projected values, ADC
+    * tables, in-list L2 and the full-dim truth are all exact integers:
+    * this query has NO floating point anywhere on either engine. */
+  def q161JlIvfPq(t: T): DataFrame =
+    jlIvfPq(t.embeddings, 16, 10, 3, 2, 4, 8, 2, 5)
+
+  def jlIvfPq(embeddings: DataFrame, pDims: Int, k: Int, iters: Int,
+              nprobe: Int, m: Int, ksub: Int, subIters: Int,
+              topk: Int): DataFrame = {
+    val q = quantized(embeddings).localCheckpoint(false)
+    val proj = jlProjected(q, pDims)
+    val pframe = proj.select(col("vec_id"), col("pd").as("qd"),
+      col("pq").as("qq"))
+    val sub = pDims / m
+    val (ca, _, d) = lloydCore(pframe, k, iters, seedTag = 158)
+    val assigned = assignCols(pframe, ca, d, k)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    val codebooks = pqTrainFused(
+      assigned.select(col("vec_id"), col("qd")),
+      m, sub, ksub, subIters, tagBase = 16100)
+    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
+      val cj = cb.slice((j - 1) * sub, j * sub)
+      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
+        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+    }
+    // ENCODE the projected vectors; the index keeps qd/qq so the
+    // exact-in-list audit leg reads the same frame (a store would
+    // persist codes only — the full columns here ARE the audit input)
+    val index = codebooks.zipWithIndex.foldLeft(assigned) { case (df, (cb, s)) =>
+      val withSub = df
+        .withColumn("sqd", expr(s"slice(qd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
+        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
+      }
+      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
+      withD
+        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
+          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+    }.localCheckpoint(false)
+    // per-query nprobe nearest centroids in projected space (q158's
+    // in-row struct sort) + the 4×8 ADC tables over the query's slices
+    val withDists = (1 to k).foldLeft(pframe.filter(col("vec_id") < 10)) {
+      (df, j) =>
+        val cj = ca.slice((j - 1) * d, j * d)
+        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+        df.withColumn(s"s$j",
+          col("qq") - lit(2d) * expr("vec_dot(qd, " +
+            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+    }
+    val probes0 = withDists
+      .withColumn("ps", expr("array_sort(array(" + (1 to k)
+        .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
+      .select(col("vec_id").as("query_id") :: col("qd").as("pqd") ::
+        col("qq").as("pqq") ::
+        (0 until nprobe).map(i => expr(s"ps[$i].c").as(s"probe${i + 1}"))
+          .toList: _*)
+    val probes = codebooks.zipWithIndex.foldLeft(probes0) { case (df, (cb, s)) =>
+      df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+        .withColumn(s"dt$s",
+          array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+        .drop("sqd", "sqq")
+    }.localCheckpoint(false)
+    // the candidate frame both rankings read: union of the probed
+    // lists, carrying codes (for ADC) and qd/qq (for the exact leg)
+    val cand = index
+      .join(broadcast(probes.select(col("query_id") :: col("pqd") ::
+        col("pqq") ::
+        explode(array((1 to nprobe).map(i => col(s"probe$i")): _*))
+          .as("cluster") ::
+        (0 until m).map(s => col(s"dt$s")).toList: _*)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .localCheckpoint(false)
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val adcRanked = cand
+      .withColumn("adc", expr("CAST(" + (0 until m)
+        .map(s => s"element_at(dt$s, code$s)").mkString(" + ") +
+        " AS BIGINT)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    // exact-in-list leg: same candidates, exact projected L2 — the
+    // delta vs adcRanked isolates the PQ lever's cost
+    val exactRanked = cand
+      .withColumn("l2",
+        expr("CAST(qq + pqq - 2 * vec_dot(qd, pqd) AS BIGINT)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    // truth: FULL-dimension exact squared-L2 (the q157 audit form)
+    val fQueries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qd").as("fqd"),
+        col("qq").as("fqq"))
+    val truthTop = q
+      .join(broadcast(fQueries), col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        expr("CAST(qq + fqq - 2 * vec_dot(qd, fqd) AS BIGINT)"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+      .localCheckpoint(false) // two recall joins read it
+    val rec = adcRanked
+      .join(truthTop.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match"), sum("vec_id").as("found_fp"))
+    val recL = exactRanked
+      .join(truthTop.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match_list"))
+    val tf = truthTop.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    probes.select(col("query_id") ::
+      (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
+      .join(nCand, Seq("query_id"))
+      .join(rec, Seq("query_id"))
+      .join(recL, Seq("query_id"))
+      .join(tf, Seq("query_id"))
+      .select(col("query_id") ::
+        (1 to nprobe).map(i => col(s"probe$i")).toList :::
+        List(col("n_candidates"), col("n_match"), col("n_match_list"),
+          col("found_fp"), col("truth_fp")): _*)
+      .smallSort("query_id")
+  }
+
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
     * seed tag tagBase+s — same semantics as m separate `lloydCore`

@@ -125,6 +125,68 @@ class IvfPqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q161 three-lever stack matches the independent reference model " +
+    "(JL projection -> IVF lists -> PQ codes, dual audit)") {
+    // 64-d corpus (jlProjected's sign matrix is 64-wide by contract)
+    val rnd = new scala.util.Random(161)
+    val rows = (0L until 40L).map(id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt))
+    val (pDims, k, iters, nprobe, m, ksub, subIters, topk) =
+      (16, 4, 2, 2, 4, 4, 2, 3)
+    val sub = pDims / m
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => Math.round(x.toDouble * 1000)) }.toMap
+    // the q154 sign matrix, re-derived independently
+    def md5h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val signs = Array.tabulate(pDims)(j => Array.tabulate(64)(i =>
+      if (md5h60(s"154:$i:$j") % 2 == 0) 1L else -1L))
+    val proj = q.map { case (id, v) =>
+      id -> Array.tabulate(pDims)(j =>
+        v.zip(signs(j)).map { case (a, s) => a * s }.sum) }
+    val coarse = lloydRef(proj, k, iters, 158)
+    val lists = proj.map { case (id, v) => id -> argminCluster(v, coarse) }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def slice(v: Array[Long], s: Int) = v.slice(s * sub, s * sub + sub)
+    val codebooks = (0 until m).map { s =>
+      lloydRef(proj.map { case (id, v) => id -> slice(v, s) },
+        ksub, subIters, 16100 + s)
+    }
+    val codes = proj.map { case (id, v) =>
+      id -> (0 until m).map(s => argminCluster(slice(v, s), codebooks(s)))
+    }
+    val want = q.keys.toSeq.filter(_ < 10).sorted.map { qid =>
+      val byDist = coarse.toSeq.map { case (c, cv) =>
+        (l2(proj(qid), cv), c) }.sorted.take(nprobe).map(_._2)
+      val (p1, p2) = (byDist.head, byDist(1))
+      val cand = q.keys.toSeq.filter(id =>
+        id != qid && (lists(id) == p1 || lists(id) == p2))
+      val adcTop = cand.map { id =>
+        ((0 until m).map(s =>
+          l2(slice(proj(qid), s), codebooks(s)(codes(id)(s)))).sum, id)
+      }.sorted.take(topk).map(_._2)
+      val exTop = cand.map(id => (l2(proj(qid), proj(id)), id))
+        .sorted.take(topk).map(_._2)
+      val truthTop = q.keys.toSeq.filter(_ != qid)
+        .map(id => (l2(q(qid), q(id)), id)).sorted.take(topk).map(_._2)
+      (qid, p1, p2, cand.size.toLong,
+        adcTop.count(truthTop.contains).toLong,
+        exTop.count(truthTop.contains).toLong,
+        adcTop.sum, truthTop.sum)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.jlIvfPq(df, pDims, k, iters, nprobe, m, ksub,
+      subIters, topk)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == want)
+  }
+
   test("ivfPq is deterministic across runs") {
     val rnd = new scala.util.Random(158)
     val rows = (0L until 24L).map(id =>

@@ -122,7 +122,11 @@ class PlanAuditSpec extends SparkSpec {
     "q157_ivf_pq", "q158_jl_ivf",
     // q160: q157's adjudication verbatim — residual encoding changes
     // the codebook input, not the audit shape (r15)
-    "q160_residual_pq")
+    "q160_residual_pq",
+    // q161: the three-lever stack — serving legs are list-bucketed
+    // equi-joins; only the full-dim truth leg broadcasts the bounded
+    // query slice (the q157 adjudication) (r15)
+    "q161_jl_ivf_pq")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
