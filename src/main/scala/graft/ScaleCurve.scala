@@ -23,6 +23,7 @@ object ScaleCurve {
     // ANN: model-state training + list-bucketed serving
     "q143_ivf_learned", "q147_ivf_multiprobe", "q150_ivf_incremental",
     "q157_ivf_pq", "q158_jl_ivf", "q160_residual_pq", "q161_jl_ivf_pq",
+    "q162_residual_multiprobe",
     // dedup: banded/bucketed candidate generation
     "q27_minhash_neardup", "q84_span_dedup", "q109_incremental_dedup",
     // corpus pipelines

@@ -233,6 +233,8 @@ object SparkEntry {
       operators.Graph.q159IncrementalCc(T(s, d))),
     "q160_residual_pq"    -> ((s, d) => Similarity.q160ResidualPq(T(s, d))),
     "q161_jl_ivf_pq"      -> ((s, d) => Similarity.q161JlIvfPq(T(s, d))),
+    "q162_residual_multiprobe" -> ((s, d) =>
+      Similarity.q162ResidualMultiprobe(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -807,6 +809,144 @@ object SparkEntry {
        |JOIN recjl ON recjl.query_id = prq.query_id
        |JOIN tf ON tf.query_id = prq.query_id
        |ORDER BY prq.query_id""".stripMargin
+  }
+
+  /** q162's oracle: q160's training CTEs verbatim (coarse Lloyd +
+    * residual dims + four 16000+s subspace Lloyds + code argmin), then
+    * the multi-probe serving: probe1/probe2 from the full coarse
+    * distance matrix, PER-(query, list) residual ADC tables keyed
+    * (query_id, list, code), the two-list candidate join picking each
+    * candidate's matching table, and the exact-L2 truth. Integers end
+    * to end. */
+  private def q162OracleSql: String = {
+    val m = 4; val sub = 16; val ksub = 8; val rounds = 2
+    val subspaces = (0 until m).map { s =>
+      val lo = s * sub; val hi = lo + sub
+      val roundCtes = (1 to rounds).map { r =>
+        s"""ps$s$r AS (
+           |  SELECT dm.vec_id, c.cluster,
+           |    CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT) AS dist
+           |  FROM sd$s dm JOIN pc$s${r - 1} c ON c.d = dm.d GROUP BY 1, 2),
+           |pa$s$r AS (
+           |  SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+           |      AS rn FROM ps$s$r) WHERE rn = 1),
+           |pm$s$r AS (
+           |  SELECT a.cluster, dm.d,
+           |    CASE WHEN sum(dm.q) >= 0
+           |      THEN CAST(sum(dm.q) AS BIGINT) // count(*)
+           |      ELSE -(CAST(-sum(dm.q) AS BIGINT) // count(*)) END AS c
+           |  FROM sd$s dm JOIN pa$s$r a ON a.vec_id = dm.vec_id GROUP BY 1, 2),
+           |pc$s$r AS MATERIALIZED (
+           |  SELECT p.cluster, p.d, COALESCE(mm.c, p.c) AS c
+           |  FROM pc$s${r - 1} p LEFT JOIN pm$s$r mm ON mm.cluster = p.cluster
+           |    AND mm.d = p.d)""".stripMargin
+      }.mkString(",\n")
+      s"""sd$s AS MATERIALIZED (
+         |  SELECT vec_id, d - $lo AS d, q FROM rdims
+         |  WHERE d >= $lo AND d < $hi),
+         |pseeds$s AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
+         |    AS cluster
+         |  FROM (SELECT vec_id, ('0x' || substr(md5(concat('${16000 + s}:',
+         |    CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT AS h FROM embeddings)
+         |  QUALIFY cluster <= $ksub),
+         |pc${s}0 AS (SELECT se.cluster, d.d, d.q AS c
+         |  FROM sd$s d JOIN pseeds$s se ON se.vec_id = d.vec_id),
+         |$roundCtes,
+         |pe$s AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS code FROM (
+         |    SELECT dm.vec_id, c.cluster,
+         |      row_number() OVER (PARTITION BY dm.vec_id ORDER BY
+         |        CAST(sum((dm.q - c.c) * (dm.q - c.c)) AS BIGINT), c.cluster)
+         |        AS rn
+         |    FROM sd$s dm JOIN pc$s$rounds c ON c.d = dm.d
+         |    GROUP BY dm.vec_id, c.cluster) WHERE rn = 1),
+         |dtab$s AS (
+         |  SELECT r.query_id, r.list, cb.cluster AS code,
+         |    CAST(sum((r.q - cb.c) * (r.q - cb.c)) AS BIGINT) AS dt
+         |  FROM (SELECT query_id, list, d - $lo AS d, q FROM qrdims
+         |        WHERE d >= $lo AND d < $hi) r
+         |  JOIN pc$s$rounds cb ON cb.d = r.d
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lloydCtes()},
+       |${lloydAssignCte("4", "c3")},
+       |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
+       |  FROM dims GROUP BY 1),
+       |rdims AS MATERIALIZED (
+       |  SELECT d.vec_id, d.d, d.q - c.c AS q
+       |  FROM dims d JOIN a4 a ON a.vec_id = d.vec_id
+       |  JOIN c3 c ON c.cluster = a.cluster AND c.d = d.d),
+       |pr AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN rn = 1 THEN cluster END) AS probe1,
+       |    max(CASE WHEN rn = 2 THEN cluster END) AS probe2
+       |  FROM (SELECT vec_id AS query_id, cluster,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM s4 WHERE vec_id < 10)
+       |  WHERE rn <= 2 GROUP BY 1),
+       |pl AS (SELECT query_id, probe1 AS list FROM pr
+       |  UNION ALL SELECT query_id, probe2 FROM pr),
+       |qrdims AS MATERIALIZED (
+       |  SELECT dq.vec_id AS query_id, pl.list, dq.d, dq.q - c.c AS q
+       |  FROM dims dq JOIN pl ON pl.query_id = dq.vec_id
+       |  JOIN c3 c ON c.cluster = pl.list AND c.d = dq.d),
+       |$subspaces,
+       |cand AS (
+       |  SELECT pl.query_id, pl.list, a.vec_id
+       |  FROM pl JOIN a4 a ON a.cluster = pl.list
+       |    AND a.vec_id <> pl.query_id),
+       |nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM cand GROUP BY 1),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    d0.dt + d1.dt + d2.dt + d3.dt AS adc
+       |  FROM cand c
+       |  JOIN pe0 e0 ON e0.vec_id = c.vec_id
+       |  JOIN dtab0 d0 ON d0.query_id = c.query_id AND d0.list = c.list
+       |    AND d0.code = e0.code
+       |  JOIN pe1 e1 ON e1.vec_id = c.vec_id
+       |  JOIN dtab1 d1 ON d1.query_id = c.query_id AND d1.list = c.list
+       |    AND d1.code = e1.code
+       |  JOIN pe2 e2 ON e2.vec_id = c.vec_id
+       |  JOIN dtab2 d2 ON d2.query_id = c.query_id AND d2.list = c.list
+       |    AND d2.code = e2.code
+       |  JOIN pe3 e3 ON e3.vec_id = c.vec_id
+       |  JOIN dtab3 d3 ON d3.query_id = c.query_id AND d3.list = c.list
+       |    AND d3.code = e3.code),
+       |searched AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+       |        AS rk FROM adc) WHERE rk <= 5),
+       |td AS (
+       |  SELECT dq.vec_id AS query_id, dc.vec_id,
+       |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+       |  FROM dims dq JOIN dims dc ON dc.d = dq.d AND dc.vec_id <> dq.vec_id
+       |  WHERE dq.vec_id < 10 GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT t.query_id, t.vec_id,
+       |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+       |        qa.qq + qb.qq - 2 * t.dot, t.vec_id) AS rk
+       |    FROM td t JOIN qq qa ON qa.vec_id = t.vec_id
+       |    JOIN qq qb ON qb.vec_id = t.query_id) WHERE rk <= 5),
+       |rec AS (
+       |  SELECT s.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_match,
+       |    CAST(sum(s.vec_id) AS BIGINT) AS adc_fp
+       |  FROM searched s LEFT JOIN truth t
+       |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+       |  GROUP BY 1),
+       |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
+       |  FROM truth GROUP BY 1)
+       |SELECT pr.query_id, pr.probe1, pr.probe2, nc.n_candidates,
+       |  rec.n_match, rec.adc_fp, tf.truth_fp
+       |FROM pr JOIN nc ON nc.query_id = pr.query_id
+       |JOIN rec ON rec.query_id = pr.query_id
+       |JOIN tf ON tf.query_id = pr.query_id
+       |ORDER BY pr.query_id""".stripMargin
   }
 
   /** q161's oracle: q158's projection + projected-space Lloyd CTEs
@@ -4889,6 +5029,9 @@ object SparkEntry {
     // 4-d subspace Lloyds, ADC + exact-in-list dual ranking, full-dim
     // L2 truth; integers end to end.
     "q161_jl_ivf_pq" -> q161OracleSql,
+    // q162: q160's training CTEs + per-(query, list) residual ADC
+    // tables + two-probe candidate join; FAISS's real serving shape.
+    "q162_residual_multiprobe" -> q162OracleSql,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -1291,6 +1291,141 @@ object Similarity {
       .smallSort("query_id")
   }
 
+  /** q162 — MULTI-PROBE residual IVF-PQ: the serving shape q160's
+    * nprobe=1 let us dodge. With residual encoding, a candidate's code
+    * is relative to ITS list's centroid, so the query's ADC table must
+    * be recomputed PER PROBED LIST from the residual q − c(list) —
+    * exactly what FAISS `IndexIVFPQ::search` does per probe (the
+    * precomputed-tables machinery exists because of this). Here the
+    * per-(query, list) tables ride the exploded probe rows — 2 rows of
+    * 4×8 integers per query — and the list equi-join delivers each
+    * candidate the table that matches its list automatically.
+    *
+    * Same trained model as q160 (coarse tag 143, codebook tags
+    * 16000+s — bit-identical centroids), so the n_match column is
+    * directly comparable: the delta vs q160 is what the second probe
+    * buys under residual encoding. Integer-exact end to end. */
+  def q162ResidualMultiprobe(t: T): DataFrame =
+    ivfPqResidualMultiprobe(t.embeddings, 10, 3, 4, 8, 2, 2, 5)
+
+  def ivfPqResidualMultiprobe(embeddings: DataFrame, kCoarse: Int,
+      coarseIters: Int, m: Int, ksub: Int, subIters: Int, nprobe: Int,
+      topk: Int): DataFrame = {
+    val qframe = quantized(embeddings).localCheckpoint(false)
+    val (ca, _, d) = lloydCore(qframe, kCoarse, coarseIters, seedTag = 143)
+    val sub = d / m
+    require(sub * m == d, s"d=$d must split into $m subspaces")
+    val assigned = assignCols(qframe, ca, d, kCoarse)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("qq"))
+      .localCheckpoint(false)
+    val centsLit = (1 to kCoarse).map(j =>
+      ca.slice((j - 1) * d, j * d).mkString("array(", "D, ", "D)"))
+      .mkString("array(", ", ", ")")
+    val rframe = assigned
+      .withColumn("rd",
+        expr(s"zip_with(qd, element_at($centsLit, cluster), (a, b) -> a - b)"))
+      .localCheckpoint(false)
+    // the SAME codebooks as q160 — one trained model serves both
+    val codebooks = pqTrainFused(
+      rframe.select(col("vec_id"), col("rd").as("qd")),
+      m, sub, ksub, subIters, tagBase = 16000)
+    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
+      val cj = cb.slice((j - 1) * sub, j * sub)
+      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
+        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+    }
+    val index = codebooks.zipWithIndex.foldLeft(rframe) { case (df, (cb, s)) =>
+      val withSub = df
+        .withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
+        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
+      }
+      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
+      withD
+        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
+          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+    }
+      .select(col("vec_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"code$s")).toList: _*)
+      .localCheckpoint(false)
+    // probe selection: nprobe nearest centroids per query (q147's
+    // in-row struct sort against the coarse literals)
+    val withDists = (1 to kCoarse).foldLeft(qframe.filter(col("vec_id") < 10)) {
+      (df, j) =>
+        val cj = ca.slice((j - 1) * d, j * d)
+        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+        df.withColumn(s"s$j",
+          col("qq") - lit(2d) * expr("vec_dot(qd, " +
+            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+    }
+    val probes0 = withDists
+      .withColumn("ps", expr("array_sort(array(" + (1 to kCoarse)
+        .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
+      .select(col("vec_id").as("query_id") :: col("qd").as("pqd") ::
+        col("qq").as("pqq") ::
+        (0 until nprobe).map(i => expr(s"ps[$i].c").as(s"probe${i + 1}"))
+          .toList: _*)
+      .localCheckpoint(false)
+    // PER-(query, list) ADC tables: the probe rows explode, each takes
+    // the residual against ITS list's centroid, tables ride the row
+    val probesX = codebooks.zipWithIndex.foldLeft(
+      probes0.select(col("query_id"), col("pqd"),
+        explode(array((1 to nprobe).map(i => col(s"probe$i")): _*))
+          .as("cluster"))
+        .withColumn("rdl", expr(
+          s"zip_with(pqd, element_at($centsLit, cluster), (a, b) -> a - b)"))) {
+      case (df, (cb, s)) =>
+        df.withColumn("sqd", expr(s"slice(rdl, ${s * sub + 1}, $sub)"))
+          .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+          .withColumn(s"dt$s",
+            array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+          .drop("sqd", "sqq")
+    }
+      .select(col("query_id") :: col("cluster") ::
+        (0 until m).map(s => col(s"dt$s")).toList: _*)
+      .localCheckpoint(false)
+    val cand = index
+      .join(broadcast(probesX), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr("CAST(" + (0 until m)
+        .map(s => s"element_at(dt$s, code$s)").mkString(" + ") +
+        " AS BIGINT)"))
+    val nCand = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val searched = cand
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    val truth = assigned.select("vec_id", "qd", "qq")
+      .join(broadcast(probes0.select("query_id", "pqd", "pqq")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        expr("CAST(qq + pqq - 2 * vec_dot(qd, pqd) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("l2").asc, col("vec_id").asc)))
+      .filter(col("rk") <= topk)
+      .select("query_id", "vec_id")
+    val rec = searched
+      .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count("hit").as("n_match"), sum("vec_id").as("adc_fp"))
+    val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    probes0.select(col("query_id") ::
+      (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
+      .join(nCand, Seq("query_id"))
+      .join(rec, Seq("query_id"))
+      .join(tf, Seq("query_id"))
+      .select(col("query_id") ::
+        (1 to nprobe).map(i => col(s"probe$i")).toList :::
+        List(col("n_candidates"), col("n_match"), col("adc_fp"),
+          col("truth_fp")): _*)
+      .smallSort("query_id")
+  }
+
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
     * seed tag tagBase+s — same semantics as m separate `lloydCore`

@@ -187,6 +187,58 @@ class IvfPqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q162 multi-probe residual IVF-PQ matches the independent model " +
+    "(per-(query, list) ADC tables)") {
+    val rnd = new scala.util.Random(162)
+    val rows = (0L until 30L).map(id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt))
+    val (kCoarse, coarseIters, m, ksub, subIters, nprobe, topk) =
+      (3, 2, 4, 4, 2, 2, 3)
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => Math.round(x.toDouble * 1000)) }.toMap
+    val d = 8; val sub = d / m
+    val coarse = lloydRef(q, kCoarse, coarseIters, 143)
+    val lists = q.map { case (id, v) => id -> argminCluster(v, coarse) }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def res(id: Long, list: Int): Array[Long] =
+      q(id).zip(coarse(list)).map { case (a, b) => a - b }
+    def slice(v: Array[Long], s: Int) = v.slice(s * sub, s * sub + sub)
+    // codebooks over residuals to the OWN list (training input)
+    val enc = q.map { case (id, _) => id -> res(id, lists(id)) }
+    val codebooks = (0 until m).map { s =>
+      lloydRef(enc.map { case (id, v) => id -> slice(v, s) },
+        ksub, subIters, 16000 + s)
+    }
+    val codes = enc.map { case (id, v) =>
+      id -> (0 until m).map(s => argminCluster(slice(v, s), codebooks(s)))
+    }
+    val want = q.keys.toSeq.filter(_ < 10).sorted.map { qid =>
+      val byDist = coarse.toSeq.map { case (c, cv) =>
+        (l2(q(qid), cv), c) }.sorted.take(nprobe).map(_._2)
+      val (p1, p2) = (byDist.head, byDist(1))
+      val cand = q.keys.toSeq.filter(id =>
+        id != qid && (lists(id) == p1 || lists(id) == p2))
+      // ADC against the table of the CANDIDATE's list: residual of the
+      // query to that list's centroid vs the candidate's codes
+      val adcTop = cand.map { id =>
+        val rq = res(qid, lists(id))
+        ((0 until m).map(s =>
+          l2(slice(rq, s), codebooks(s)(codes(id)(s)))).sum, id)
+      }.sorted.take(topk).map(_._2)
+      val truthTop = q.keys.toSeq.filter(_ != qid)
+        .map(id => (l2(q(qid), q(id)), id)).sorted.take(topk).map(_._2)
+      (qid, p1, p2, cand.size.toLong,
+        adcTop.count(truthTop.contains).toLong, adcTop.sum, truthTop.sum)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqResidualMultiprobe(df, kCoarse, coarseIters,
+      m, ksub, subIters, nprobe, topk)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want)
+  }
+
   test("ivfPq is deterministic across runs") {
     val rnd = new scala.util.Random(158)
     val rows = (0L until 24L).map(id =>

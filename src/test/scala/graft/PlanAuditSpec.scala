@@ -126,7 +126,10 @@ class PlanAuditSpec extends SparkSpec {
     // q161: the three-lever stack — serving legs are list-bucketed
     // equi-joins; only the full-dim truth leg broadcasts the bounded
     // query slice (the q157 adjudication) (r15)
-    "q161_jl_ivf_pq")
+    "q161_jl_ivf_pq",
+    // q162: q160's adjudication — the per-list-table serving leg stays
+    // an equi-join on (list, code); only the truth leg broadcasts (r15)
+    "q162_residual_multiprobe")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
