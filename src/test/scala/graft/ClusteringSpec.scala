@@ -66,6 +66,43 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ids == Seq(0, 1, 0, 2, 0))
   }
 
+  test("the q46 oracle identity: greedy first-cluster-wins equals the " +
+    "creation rank of the min decreasing-path-reachable creator, on " +
+    "random dependency graphs") {
+    // The r15 oracle rewrite rests on this lemma: cluster(i) =
+    // min over matched earlier j of cluster(j) unfolds to "rank of the
+    // minimum-index question reachable from i via a strictly-decreasing
+    // similarity path" (the minimum reachable index is always a
+    // creator, and creators are numbered in index order). Exercise both
+    // computations on 100 random DAG-shaped match structures.
+    for (seed <- 1 to 100) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(80)
+      val p = 0.02 + rnd.nextDouble() * 0.25
+      val preds: Map[Int, Seq[Int]] =
+        (1 to n).map(i =>
+          i -> (1 until i).filter(_ => rnd.nextDouble() < p)).toMap
+      // (a) the sequential greedy, exactly as the reference runs it
+      val cluster = new Array[Int](n + 1)
+      var fresh = 0
+      for (i <- 1 to n) {
+        val ps = preds(i)
+        if (ps.isEmpty) { cluster(i) = fresh; fresh += 1 }
+        else cluster(i) = ps.map(cluster).min
+      }
+      // (b) the fixpoint the oracle's doubling converges to: min index
+      // reachable via decreasing paths, then dense creation-order rank
+      val m = Array.tabulate(n + 1)(identity)
+      for (i <- 1 to n) if (preds(i).nonEmpty) m(i) = preds(i).map(m).min
+      val rank = (1 to n).filter(i => preds(i).isEmpty)
+        .zipWithIndex.toMap
+      (1 to n).foreach { i =>
+        assert(cluster(i) == rank(m(i)),
+          s"seed $seed node $i: greedy ${cluster(i)} vs fixpoint ${rank(m(i))}")
+      }
+    }
+  }
+
   test("interned two-pointer greedy is bit-identical to the naive " +
     "Map-walk greedy on a random mixed corpus") {
     // The optimized loop reorders dot-product summation (sorted term ids
