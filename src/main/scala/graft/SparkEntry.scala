@@ -235,6 +235,8 @@ object SparkEntry {
     "q161_jl_ivf_pq"      -> ((s, d) => Similarity.q161JlIvfPq(T(s, d))),
     "q162_residual_multiprobe" -> ((s, d) =>
       Similarity.q162ResidualMultiprobe(T(s, d))),
+    "q163_cohort_retention" -> ((s, d) =>
+      Sessions.q163CohortRetention(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -5032,6 +5034,34 @@ object SparkEntry {
     // q162: q160's training CTEs + per-(query, list) residual ADC
     // tables + two-probe candidate join; FAISS's real serving shape.
     "q162_residual_multiprobe" -> q162OracleSql,
+    // q163: signup-day cohorts x purchase-day offsets, dense grid with
+    // emitted zeros, retention in exact per-mille.
+    "q163_cohort_retention" ->
+      s"""WITH cohorts AS (
+         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+         |  FROM cohorts GROUP BY 1),
+         |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+         |  FROM events WHERE event_type = 'purchase'),
+         |hits AS (
+         |  SELECT c.cohort_day,
+         |    date_diff('day', c.cohort_day, a.day) AS off,
+         |    CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+         |  FROM cohorts c JOIN active a USING (user_id)
+         |  WHERE date_diff('day', c.cohort_day, a.day)
+         |    BETWEEN 0 AND ${operators.Sessions.RetentionDays}
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT s.cohort_day, s.n_cohort, CAST(o.o AS INT) AS off
+         |  FROM sizes s,
+         |    (SELECT unnest(range(0, ${operators.Sessions.RetentionDays + 1}))
+         |       AS o) o)
+         |SELECT g.cohort_day, g.off AS "offset", g.n_cohort,
+         |  COALESCE(h.n_active, 0) AS n_active,
+         |  COALESCE(h.n_active, 0) * 1000 // g.n_cohort AS retention_pm
+         |FROM grid g LEFT JOIN hits h ON h.cohort_day = g.cohort_day
+         |  AND h.off = g.off
+         |ORDER BY g.cohort_day, g.off""".stripMargin,
     "q146_soep_merge" ->
       """WITH s AS (SELECT doc_id AS i,
         |    (doc_id % 10 = 0) AS det FROM documents

@@ -241,4 +241,57 @@ object Sessions {
         round(sum("value"), 2).as("purchase_value"))
       .orderBy("signup_id")
   }
+
+  /** Retention horizon (day offsets 0..7) for the cohort matrix. */
+  val RetentionDays = 7
+
+  /** q163 — COHORT RETENTION: the canonical event-analytics matrix the
+    * funnel/session family was missing. Users cohort by their FIRST
+    * signup day; cell (cohort_day, offset) counts the cohort's distinct
+    * users with a purchase exactly `offset` days later, with retention
+    * in exact per-mille (the q155 integer-ratio device). Cells with
+    * zero actives are EMITTED (cohorts cross-join the 0..7 offset
+    * range before the left join), so the matrix shape is dense and the
+    * hash pins the zeros too.
+    *
+    * 100 TB shape: two user-keyed shuffles — the per-user min-signup
+    * aggregate and the distinct (user, day) purchase projection — meet
+    * in one equi-join on user_id; the final (cohort, offset) aggregate
+    * is cohort-sized. No windows, no driver state; skew-safe unless a
+    * single user dominates the log (the family's standing discipline).
+    * Dates are day-truncated timestamps compared as dates, and
+    * date_diff is exact integer days on both engines. */
+  def q163CohortRetention(t: T): DataFrame =
+    cohortRetention(t.events, RetentionDays)
+
+  def cohortRetention(events: DataFrame, horizon: Int): DataFrame = {
+    import graft.Serve._
+    // cohort assignment: first signup DAY per user (min over exact ts,
+    // then truncate — same value as min over days, one fewer cast)
+    val cohorts = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), to_date(col("first_ts")).as("cohort_day"))
+      .localCheckpoint(false) // feeds sizes AND the activity join
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    // distinct purchase days per user (pre-aggregated before the join)
+    val active = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val hits = cohorts.join(active, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset") >= 0 && col("offset") <= horizon)
+      .groupBy("cohort_day", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+    // dense matrix: every (cohort_day, offset) cell exists — the
+    // offset range explodes in-row (no join, no product plan)
+    val grid = sizes.withColumn("offset",
+      explode(sequence(lit(0), lit(horizon))))
+    grid.join(hits, Seq("cohort_day", "offset"), "left")
+      .select(col("cohort_day"), col("offset"), col("n_cohort"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        expr("coalesce(n_active, 0) * 1000 DIV n_cohort")
+          .as("retention_pm"))
+      .smallSort("cohort_day", "offset")
+  }
 }

@@ -221,4 +221,32 @@ class SessionsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(2))).toList
     assert(out == List((1, 1L), (2, 1L), (3, 1L), (4, 0L)))
   }
+
+  test("q163 cohort retention: hand-computed matrix, zero cells emitted, " +
+    "cohort by FIRST signup, same-day purchases dedup per user") {
+    // cohort 01-01: users 1, 2 (user 1 signs up twice — first wins).
+    // cohort 01-02: user 3.
+    // purchases: u1 on day0 (twice — distinct day counts once) and
+    // day1; u2 on day1; u3 never.
+    val out = Sessions.cohortRetention(log(Seq(
+      (1L, 1L, "2024-01-01 01:00:00", "signup", 0.0),
+      (1L, 2L, "2024-01-03 01:00:00", "signup", 0.0), // later signup inert
+      (2L, 3L, "2024-01-01 02:00:00", "signup", 0.0),
+      (3L, 4L, "2024-01-02 03:00:00", "signup", 0.0),
+      (1L, 5L, "2024-01-01 10:00:00", "purchase", 1.0),
+      (1L, 6L, "2024-01-01 11:00:00", "purchase", 1.0), // same day, dedup
+      (1L, 7L, "2024-01-02 09:00:00", "purchase", 1.0),
+      (2L, 8L, "2024-01-02 09:30:00", "purchase", 1.0),
+      (9L, 9L, "2023-12-31 09:00:00", "purchase", 1.0))), // no signup: out
+      horizon = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toList
+    assert(out == List(
+      ("2024-01-01", 0, 2L, 1L, 500L),  // u1 bought day0
+      ("2024-01-01", 1, 2L, 2L, 1000L), // u1 AND u2 bought day1
+      ("2024-01-01", 2, 2L, 0L, 0L),    // zero cell emitted
+      ("2024-01-02", 0, 1L, 0L, 0L),
+      ("2024-01-02", 1, 1L, 0L, 0L),
+      ("2024-01-02", 2, 1L, 0L, 0L)))
+  }
 }
