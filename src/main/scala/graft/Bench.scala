@@ -101,9 +101,22 @@ object Bench {
       "q96_stateful_runs", "q98_streaming_neardup", "q99_stream_join",
       "q102_streaming_window", "q106_stream_enrich", "q110_streaming_upsert",
       "q134_streaming_hll", "q140_streaming_quantiles", "q153_streaming_topk")
+    // a stale/misspelled heavy name would silently classify as light,
+    // and the no-adjacent-heavies guarantee needs at least one light
+    // per gap — assert the former, warn when the latter degrades
+    locally {
+      val unknown = heavyFamilies.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"heavyFamilies names not registered in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val names = {
       val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       val (heavy, light) = sorted.partition(q => heavyFamilies(q._1))
+      if (light.size < heavy.size + 1)
+        System.err.println(s"[bench] WARN: heavy-interleave spacing < 1 " +
+          s"(${heavy.size} heavy vs ${light.size} light) — adjacent heavy " +
+          "queries possible")
       if (heavy.isEmpty || light.isEmpty) sorted
       else {
         // place heavy query k after ceil((k+1)·L/H) lights — even spacing

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *     distribution; PageRank supersteps and CC rounds do honestly 10×
   *     the work (ScaleProbe's variant keeps the vertex set fixed and
   *     the deduped edge list saturates).
-  *   - events: new unique ids per copy, values unchanged.
+  *   - events: event_id AND user_id remapped per copy (like the graph
+  *     endpoints), so the user population grows 10× at constant
+  *     per-user event density — sessions/funnel/cohort queries measured
+  *     on this corpus see honest scale, not hotter users.
   *
   * The dimension tables copy unchanged; the sf1 dir serves the HEAVY
   * family (graph / ANN / dedup / corpus pipelines), not the full-suite
@@ -96,8 +99,9 @@ object ScaleGen {
     spark.read.parquet(s"$base/events.parquet")
       .crossJoin(copies)
       .select((col("event_id") * factor + col("copy")).as("event_id"),
-        col("ts"), col("user_id"), col("event_type"), col("value"),
-        col("props"))
+        col("ts"),
+        (col("user_id") * factor + col("copy")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 

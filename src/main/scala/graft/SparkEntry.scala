@@ -417,10 +417,11 @@ object SparkEntry {
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
        |  FROM truth GROUP BY 1)
-       |SELECT pr.query_id, pr.probe1, pr.probe2, nc.n_candidates,
-       |  rec.n_match, rec.found_fp, tf.truth_fp
-       |FROM pr JOIN nc ON nc.query_id = pr.query_id
-       |JOIN rec ON rec.query_id = pr.query_id
+       |SELECT pr.query_id, pr.probe1, pr.probe2,
+       |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(rec.n_match, 0) AS n_match, rec.found_fp, tf.truth_fp
+       |FROM pr LEFT JOIN nc ON nc.query_id = pr.query_id
+       |LEFT JOIN rec ON rec.query_id = pr.query_id
        |JOIN tf ON tf.query_id = pr.query_id
        |ORDER BY pr.query_id""".stripMargin
 
@@ -547,10 +548,11 @@ object SparkEntry {
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
        |  FROM truth GROUP BY 1)
-       |SELECT p.query_id, p.cluster AS probe, nc.n_candidates,
-       |  rec.n_match, rec.adc_fp, tf.truth_fp
-       |FROM probes p JOIN nc ON nc.query_id = p.query_id
-       |JOIN rec ON rec.query_id = p.query_id
+       |SELECT p.query_id, p.cluster AS probe,
+       |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(rec.n_match, 0) AS n_match, rec.adc_fp, tf.truth_fp
+       |FROM probes p LEFT JOIN nc ON nc.query_id = p.query_id
+       |LEFT JOIN rec ON rec.query_id = p.query_id
        |JOIN tf ON tf.query_id = p.query_id
        |ORDER BY p.query_id""".stripMargin
   }
@@ -804,10 +806,12 @@ object SparkEntry {
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
        |  FROM truth GROUP BY 1)
-       |SELECT prq.query_id, prq.probe1, prq.probe2, nc.n_candidates,
-       |  rec.n_match, recjl.n_match_jl, rec.found_fp, tf.truth_fp
-       |FROM prq JOIN nc ON nc.query_id = prq.query_id
-       |JOIN rec ON rec.query_id = prq.query_id
+       |SELECT prq.query_id, prq.probe1, prq.probe2,
+       |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(rec.n_match, 0) AS n_match,
+       |  recjl.n_match_jl, rec.found_fp, tf.truth_fp
+       |FROM prq LEFT JOIN nc ON nc.query_id = prq.query_id
+       |LEFT JOIN rec ON rec.query_id = prq.query_id
        |JOIN recjl ON recjl.query_id = prq.query_id
        |JOIN tf ON tf.query_id = prq.query_id
        |ORDER BY prq.query_id""".stripMargin
@@ -943,10 +947,11 @@ object SparkEntry {
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
        |  FROM truth GROUP BY 1)
-       |SELECT pr.query_id, pr.probe1, pr.probe2, nc.n_candidates,
-       |  rec.n_match, rec.adc_fp, tf.truth_fp
-       |FROM pr JOIN nc ON nc.query_id = pr.query_id
-       |JOIN rec ON rec.query_id = pr.query_id
+       |SELECT pr.query_id, pr.probe1, pr.probe2,
+       |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(rec.n_match, 0) AS n_match, rec.adc_fp, tf.truth_fp
+       |FROM pr LEFT JOIN nc ON nc.query_id = pr.query_id
+       |LEFT JOIN rec ON rec.query_id = pr.query_id
        |JOIN tf ON tf.query_id = pr.query_id
        |ORDER BY pr.query_id""".stripMargin
   }
@@ -1137,11 +1142,14 @@ object SparkEntry {
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
        |  FROM truth GROUP BY 1)
-       |SELECT prq.query_id, prq.probe1, prq.probe2, nc.n_candidates,
-       |  rec.n_match, recl.n_match_list, rec.found_fp, tf.truth_fp
-       |FROM prq JOIN nc ON nc.query_id = prq.query_id
-       |JOIN rec ON rec.query_id = prq.query_id
-       |JOIN recl ON recl.query_id = prq.query_id
+       |SELECT prq.query_id, prq.probe1, prq.probe2,
+       |  COALESCE(nc.n_candidates, 0) AS n_candidates,
+       |  COALESCE(rec.n_match, 0) AS n_match,
+       |  COALESCE(recl.n_match_list, 0) AS n_match_list,
+       |  rec.found_fp, tf.truth_fp
+       |FROM prq LEFT JOIN nc ON nc.query_id = prq.query_id
+       |LEFT JOIN rec ON rec.query_id = prq.query_id
+       |LEFT JOIN recl ON recl.query_id = prq.query_id
        |JOIN tf ON tf.query_id = prq.query_id
        |ORDER BY prq.query_id""".stripMargin
   }

@@ -556,11 +556,12 @@ object Similarity {
     val truthFp = truth.groupBy("query_id")
       .agg(sum("vec_id").as("truth_fp"))
     probes.select("query_id", "probe1", "probe2")
-      .join(nCand, Seq("query_id"))
-      .join(recall, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(recall, Seq("query_id"), "left")
       .join(truthFp, Seq("query_id"))
       .select(col("query_id"), col("probe1"), col("probe2"),
-        col("n_candidates"), coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("found_fp"), col("truth_fp"))
       .smallSort("query_id")
   }
@@ -831,11 +832,15 @@ object Similarity {
       .groupBy("query_id")
       .agg(sum("hit").as("n_match"), sum("vec_id").as("adc_fp"))
     val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    // left-join the candidate-derived legs: a query whose probed list is
+    // otherwise empty (singleton coarse cell) must still emit its audit
+    // row as n_candidates=0/n_match=0, not silently vanish
     queries.select(col("query_id"), col("cluster").as("probe"))
-      .join(nCand, Seq("query_id"))
-      .join(rec, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(rec, Seq("query_id"), "left")
       .join(tf, Seq("query_id"))
-      .select(col("query_id"), col("probe"), col("n_candidates"),
+      .select(col("query_id"), col("probe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("adc_fp"), col("truth_fp"))
       .smallSort("query_id")
@@ -945,14 +950,15 @@ object Similarity {
       .agg(sum("vec_id").as("truth_fp"))
     probes.select(col("query_id") ::
       (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
-      .join(nCand, Seq("query_id"))
-      .join(rec, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(rec, Seq("query_id"), "left")
       .join(recJl, Seq("query_id"))
       .join(tf, Seq("query_id"))
       .select(col("query_id") ::
         (1 to nprobe).map(i => col(s"probe$i")).toList :::
-        List(col("n_candidates"), col("n_match"), col("n_match_jl"),
-          col("found_fp"), col("truth_fp")): _*)
+        List(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          col("n_match_jl"), col("found_fp"), col("truth_fp")): _*)
       .smallSort("query_id")
   }
 
@@ -1135,11 +1141,15 @@ object Similarity {
       .groupBy("query_id")
       .agg(sum("hit").as("n_match"), sum("vec_id").as("adc_fp"))
     val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
+    // left-join the candidate-derived legs: a query whose probed list is
+    // otherwise empty (singleton coarse cell) must still emit its audit
+    // row as n_candidates=0/n_match=0, not silently vanish
     queries.select(col("query_id"), col("cluster").as("probe"))
-      .join(nCand, Seq("query_id"))
-      .join(rec, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(rec, Seq("query_id"), "left")
       .join(tf, Seq("query_id"))
-      .select(col("query_id"), col("probe"), col("n_candidates"),
+      .select(col("query_id"), col("probe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         col("adc_fp"), col("truth_fp"))
       .smallSort("query_id")
@@ -1280,13 +1290,15 @@ object Similarity {
     val tf = truthTop.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
     probes.select(col("query_id") ::
       (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
-      .join(nCand, Seq("query_id"))
-      .join(rec, Seq("query_id"))
-      .join(recL, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(rec, Seq("query_id"), "left")
+      .join(recL, Seq("query_id"), "left")
       .join(tf, Seq("query_id"))
       .select(col("query_id") ::
         (1 to nprobe).map(i => col(s"probe$i")).toList :::
-        List(col("n_candidates"), col("n_match"), col("n_match_list"),
+        List(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          coalesce(col("n_match_list"), lit(0L)).as("n_match_list"),
           col("found_fp"), col("truth_fp")): _*)
       .smallSort("query_id")
   }
@@ -1416,13 +1428,14 @@ object Similarity {
     val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
     probes0.select(col("query_id") ::
       (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
-      .join(nCand, Seq("query_id"))
-      .join(rec, Seq("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(rec, Seq("query_id"), "left")
       .join(tf, Seq("query_id"))
       .select(col("query_id") ::
         (1 to nprobe).map(i => col(s"probe$i")).toList :::
-        List(col("n_candidates"), col("n_match"), col("adc_fp"),
-          col("truth_fp")): _*)
+        List(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          col("adc_fp"), col("truth_fp")): _*)
       .smallSort("query_id")
   }
 
