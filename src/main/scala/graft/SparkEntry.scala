@@ -237,6 +237,14 @@ object SparkEntry {
       Similarity.q162ResidualMultiprobe(T(s, d))),
     "q163_cohort_retention" -> ((s, d) =>
       Sessions.q163CohortRetention(T(s, d))),
+    // q164–q166: the q157/q160/q162 pipelines on the planted-neighbor
+    // corpus (Similarity.plantedEmbeddings) — recall audits that measure
+    // the index instead of isotropic noise (r15 verdict item 1).
+    "q164_planted_ivf_pq" -> ((s, d) => Similarity.q164PlantedIvfPq(T(s, d))),
+    "q165_planted_residual_pq" -> ((s, d) =>
+      Similarity.q165PlantedResidualPq(T(s, d))),
+    "q166_planted_multiprobe" -> ((s, d) =>
+      Similarity.q166PlantedResidualMultiprobe(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -258,12 +266,46 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
        |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
 
+  /** The default dims CTE: milli-unit quantization of the real
+    * embedding column (the established FROM-embeddings form). The
+    * planted ANN variants (q164–q166) swap in `plantedDimsCte`. */
+  private val defaultDimsCte: String =
+    """dims AS (
+      |  SELECT vec_id, ix.i - 1 AS d,
+      |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix)""".stripMargin
+
+  /** The planted-neighbor corpus (Similarity.plantedEmbeddings) replayed
+    * in DuckDB: cluster center md5('pc:c:d') % 2001 − 1000, per-subspace
+    * group offset md5('ps:s:g:d') % 201 − 100 where s = d DIV 16 and
+    * g = md5('pg:s:id') % 8, and per-vector micro-jitter
+    * md5('pj:id:d') % 21 − 10 — the same portable-hash arithmetic, no
+    * float roundtrip needed because the Spark side's embedding-column
+    * roundtrip is exact for |m| ≤ 1110. MATERIALIZED: the md5-per-cell
+    * derivation feeds many CTEs. */
+  private val plantedDimsCte: String =
+    """dims AS MATERIALIZED (
+      |  SELECT vec_id, ix.d,
+      |    ('0x' || substr(md5(concat('pc:', CAST(vec_id % 10 AS VARCHAR),
+      |      ':', CAST(ix.d AS VARCHAR))), 1, 15))::BIGINT % 2001 - 1000
+      |    + ('0x' || substr(md5(concat('ps:', CAST(ix.d // 16 AS VARCHAR),
+      |      ':', CAST(('0x' || substr(md5(concat('pg:',
+      |        CAST(ix.d // 16 AS VARCHAR), ':', CAST(vec_id AS VARCHAR))),
+      |        1, 15))::BIGINT % 8 AS VARCHAR),
+      |      ':', CAST(ix.d AS VARCHAR))), 1, 15))::BIGINT % 201 - 100
+      |    + ('0x' || substr(md5(concat('pj:', CAST(vec_id AS VARCHAR),
+      |      ':', CAST(ix.d AS VARCHAR))), 1, 15))::BIGINT % 21 - 10 AS q
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) ix)""".stripMargin
+
   /** Defaults reproduce the q142/q143/q147 text; q150 trains over a
     * filtered corpus by injecting a `bdims` subset CTE (`extraCtes`),
     * pointing the rounds at it (`dims`), and restricting the seed pool
-    * (`seedWhere`). */
+    * (`seedWhere`); the planted variants swap the whole dims derivation
+    * (`dimsCte`). */
   private def lloydCtes(dims: String = "dims", extraCtes: String = "",
-                        seedWhere: String = ""): String = {
+                        seedWhere: String = "",
+                        dimsCte: String = defaultDimsCte): String = {
     val steps = (1 to 3).map { r =>
       s"""${lloydAssignCte(r.toString, s"c${r - 1}", dims)},
          |m$r AS (
@@ -277,11 +319,7 @@ object SparkEntry {
          |  FROM c${r - 1} p LEFT JOIN m$r m ON m.cluster = p.cluster
          |    AND m.d = p.d)""".stripMargin
     }.mkString(",\n")
-    s"""dims AS (
-       |  SELECT vec_id, ix.i - 1 AS d,
-       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
-       |      AS q
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),$extraCtes
+    s"""$dimsCte,$extraCtes
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) AS INT)
        |    AS cluster
@@ -441,7 +479,13 @@ object SparkEntry {
     * integers) and the codebook seeds use tags 16000+s. */
   private def q160OracleSql: String = ivfPqOracleSql(residual = true)
 
-  private def ivfPqOracleSql(residual: Boolean): String = {
+  /** q164/q165's oracles: q157/q160's text verbatim with the dims CTE
+    * swapped for the planted-neighbor derivation (plantedDimsCte) —
+    * training, encode, serving and the exact truth all replay over the
+    * planted integers, so the recall columns stay hash-checked while
+    * finally measuring the index instead of chance. */
+  private def ivfPqOracleSql(residual: Boolean,
+                             planted: Boolean = false): String = {
     val m = 4; val sub = 16; val ksub = 8; val rounds = 2
     val tagBase = if (residual) 16000 else 15700
     val src = if (residual) "rdims" else "dims"
@@ -499,7 +543,8 @@ object SparkEntry {
          |  FROM sd$s q JOIN pc$s$rounds c ON c.d = q.d
          |  WHERE q.vec_id < 10 GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${lloydCtes()},
+    s"""WITH ${lloydCtes(dimsCte =
+          if (planted) plantedDimsCte else defaultDimsCte)},
        |${lloydAssignCte("4", "c3")},
        |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
        |  FROM dims GROUP BY 1),
@@ -824,7 +869,7 @@ object SparkEntry {
     * (query_id, list, code), the two-list candidate join picking each
     * candidate's matching table, and the exact-L2 truth. Integers end
     * to end. */
-  private def q162OracleSql: String = {
+  private def q162OracleSql(planted: Boolean = false): String = {
     val m = 4; val sub = 16; val ksub = 8; val rounds = 2
     val subspaces = (0 until m).map { s =>
       val lo = s * sub; val hi = lo + sub
@@ -876,7 +921,8 @@ object SparkEntry {
          |  JOIN pc$s$rounds cb ON cb.d = r.d
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${lloydCtes()},
+    s"""WITH ${lloydCtes(dimsCte =
+          if (planted) plantedDimsCte else defaultDimsCte)},
        |${lloydAssignCte("4", "c3")},
        |qq AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qq
        |  FROM dims GROUP BY 1),
@@ -5041,7 +5087,14 @@ object SparkEntry {
     "q161_jl_ivf_pq" -> q161OracleSql,
     // q162: q160's training CTEs + per-(query, list) residual ADC
     // tables + two-probe candidate join; FAISS's real serving shape.
-    "q162_residual_multiprobe" -> q162OracleSql,
+    "q162_residual_multiprobe" -> q162OracleSql(),
+    // q164/q165/q166: q157/q160/q162's oracles over the planted-neighbor
+    // dims derivation (plantedDimsCte) — same training/serving/truth
+    // replay, recall columns now measure the index, not chance.
+    "q164_planted_ivf_pq" -> ivfPqOracleSql(residual = false, planted = true),
+    "q165_planted_residual_pq" ->
+      ivfPqOracleSql(residual = true, planted = true),
+    "q166_planted_multiprobe" -> q162OracleSql(planted = true),
     // q163: signup-day cohorts x purchase-day offsets, dense grid with
     // emitted zeros, retention in exact per-mille.
     "q163_cohort_retention" ->

@@ -1,0 +1,102 @@
+package graft
+
+import graft.Tables.T
+import org.apache.spark.sql.DataFrame
+
+/** Optional SQL entry point on top of the DataFrame core (SURVEY §7.0:
+  * "No string-SQL in the core; SQL entry point optional on top") — the
+  * last open end of §7. The engine's operators stay pure
+  * `DataFrame => DataFrame`; this object only (a) exposes the lake and
+  * staging frames as session-scoped temp views and (b) ports P11, the
+  * reference's view-name identifier guard (study_scraper/storage/
+  * postgres.py:1320-1336: "Limited to view names that look like
+  * identifiers so a caller typo can't smuggle SQL through"), to the one
+  * place in this codebase where caller-supplied strings meet SQL text.
+  *
+  * Everything a `spark.sql` user needs beyond the views — the native
+  * functions (max2, vec_dot, trigram_similarity, …) — already arrives
+  * through GraftExtensions, the public extension point; SqlEntrySpec
+  * proves parity by running the reference's latest_poll_standings model
+  * (dbt_project/models/marts/aggregates/latest_poll_standings.sql, the
+  * W5–W7 showcase) through `spark.sql` and asserting frame-level
+  * equality with its DataFrame twin (Polls.q23PollStandings). */
+object SqlEntry {
+
+  /** P11 — identifier guard. Stricter than the reference's
+    * `replace("_", "").isalnum()` (which admits a leading digit and
+    * non-ASCII alphanumerics): ASCII letters/digits/underscore, must
+    * not start with a digit, bounded length. Throws on violation —
+    * same contract as the reference's ValueError. */
+  def requireIdentifier(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]{0,127}"),
+      s"invalid SQL identifier: '$name'")
+    name
+  }
+
+  /** Register the ten lake tables plus the poll staging fact
+    * (`stg_poll_results` — the dbt staging model every mart reads) as
+    * temp views, names validated through the P11 guard. Temp views are
+    * session-scoped, so concurrent sessions don't collide. */
+  def registerViews(t: T): Unit = {
+    Tables.names.foreach { n =>
+      Tables.load(t.spark, t.sfDir, n)
+        .createOrReplaceTempView(requireIdentifier(n))
+    }
+    operators.Polls.stgPollResultsTable(t)
+      .createOrReplaceTempView(requireIdentifier("stg_poll_results"))
+  }
+
+  /** The reference's query_view shape (postgres.py:1320-1336): read N
+    * rows from a registered view, view name validated so a caller typo
+    * can't smuggle SQL through; the limit rides as a literal int, not
+    * interpolated text. */
+  def queryView(spark: org.apache.spark.sql.SparkSession, viewName: String,
+                limit: Int = 50): DataFrame =
+    spark.table(requireIdentifier(viewName)).limit(limit)
+
+  /** latest_poll_standings (the q23 model) as ANSI SQL over the
+    * registered views — the translated reference mart run through
+    * `spark.sql`. Kept semantically identical to the DataFrame twin:
+    * max2 picks latest+previous in one aggregation pass, the 180-day
+    * recency window keys on the staged watermark (computed in-query
+    * here; q23 folds the staging-time scalar — same value by
+    * construction), share-of-total among majors over an empty window
+    * frame, global rank. */
+  val q23StandingsSql: String =
+    """WITH wm AS (SELECT max(poll_date) AS d FROM stg_poll_results),
+      |agg AS (
+      |  SELECT party,
+      |    max2(struct(poll_date, poll_id, pct)) AS m12,
+      |    count(1) AS n_polls,
+      |    count(DISTINCT institute_id) AS n_institutes,
+      |    round(sum(CASE WHEN poll_date >= wm.d - INTERVAL 180 DAYS
+      |        THEN pct END), 2)
+      |      / count(CASE WHEN poll_date >= wm.d - INTERVAL 180 DAYS
+      |        THEN 1 END) AS avg_180d,
+      |    round(stddev_pop(CASE WHEN poll_date >= wm.d - INTERVAL 180 DAYS
+      |        THEN pct END), 4) AS volatility_180d
+      |  FROM stg_poll_results CROSS JOIN wm
+      |  GROUP BY party),
+      |pp AS (
+      |  SELECT party,
+      |    m12.first.pct AS latest_pct,
+      |    m12.first.poll_date AS latest_date,
+      |    m12.second.pct AS prev_pct,
+      |    n_polls, n_institutes, avg_180d, volatility_180d
+      |  FROM agg)
+      |SELECT
+      |  row_number() OVER (ORDER BY latest_pct DESC, party ASC) AS rank,
+      |  party, latest_pct, latest_date, prev_pct,
+      |  n_polls, n_institutes, avg_180d, volatility_180d,
+      |  latest_pct * 100.0
+      |    / round(sum(CASE WHEN latest_pct >= 10 THEN latest_pct END)
+      |        OVER (), 2) AS share_pct
+      |FROM pp
+      |ORDER BY rank""".stripMargin
+
+  /** Run the translated model: register views, execute the SQL. */
+  def q23ViaSql(t: T): DataFrame = {
+    registerViews(t)
+    t.spark.sql(q23StandingsSql)
+  }
+}

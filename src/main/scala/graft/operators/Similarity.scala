@@ -1439,6 +1439,108 @@ object Similarity {
       .smallSort("query_id")
   }
 
+  /** PLANTED-NEIGHBOR evaluation corpus for the ANN recall audits
+    * (r15 verdict item 1): the synthetic `embeddings` table is
+    * isotropic random noise — PQ's information-theoretic worst case —
+    * so the q157/q160/q162 recall columns read 0–3/50 and comparisons
+    * between the levers measure noise against noise. Real embedding
+    * corpora have separable similarity mass (the reference's own
+    * clustering thresholds at 0.35/0.72 presuppose it,
+    * study_scraper/clustering.py:188-221); this fixture derives one
+    * IN-QUERY so the read-only testdata stays untouched and the DuckDB
+    * oracle replays the identical corpus from the same arithmetic.
+    *
+    * Construction — three scales, all from the portable md5-hash device
+    * every seed CTE already uses (crypto-quality mixing; an LCG's
+    * structured low bits left cross-cluster cosines as high as 0.92):
+    *
+    *   q(id, d) = center(id % 10, d)          % 2001 − 1000   (cluster)
+    *            + sg(s, group(s, id), d)       % 201 −  100   (s = d DIV 16)
+    *            + micro(id, d)                  % 21 −   10
+    *
+    * 10 clusters at ±1000; inside each 16-d SUBSPACE s every vector
+    * belongs to one of 8 groups (group(s, id) = md5('pg:s:id') % 8)
+    * whose shared offset sg sits at ±100; per-vector micro-jitter ±10.
+    * The middle tier is deliberately PRODUCT-structured — independent
+    * group choices per subspace, ~8⁴ effective positions — because
+    * that is the regime where the recall audit measures the encoder
+    * rather than an information-theoretic wall: two earlier designs
+    * failed honestly (single-scale jitter leaves the RESIDUAL isotropic
+    * → residual recall 11/50; whole-vector near-dup blobs put the
+    * entire truth inside one code word → recall decays with corpus
+    * density, 28/50 at sf0.01 but 4/50 at sf0.1, since 12-bit codes
+    * cannot rank within a blob). With product structure the true
+    * distance is (mostly) a sum of per-subspace group distances — the
+    * quantity ADC actually estimates — so residual recall is high and
+    * SF-STABLE, while raw-vector codebooks still burn their 8 centroids
+    * per subspace on the ±1000 cluster tier and stay at chance. Real
+    * corpora sit between the isotropic and product extremes; the audit
+    * needs the regime where the levers separate.
+    *
+    * Values stay integers in [−1110, 1110]; the float roundtrip through
+    * the embedding column is exact (|m| ≤ 1110 ⇒
+    * round(float32(m/1000)·1000) = m), so `quantized()` recovers the
+    * planted integers bit-for-bit on both engines. vec_ids (and the
+    * query slice vec_id < 10 — one query per cluster since cluster =
+    * vec_id % 10) come from the real table, so corpus size still
+    * scales with the SF. */
+  private[graft] def plantedEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      (col("vec_id") % 10).cast("int").as("label"),
+      expr(
+        """transform(sequence(0, 63), d -> CAST(CAST(
+          |  CAST(conv(substring(md5(concat('pc:', CAST(vec_id % 10 AS STRING),
+          |    ':', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |    % 2001 - 1000 +
+          |  CAST(conv(substring(md5(concat('ps:', CAST(d DIV 16 AS STRING),
+          |    ':', CAST(CAST(conv(substring(md5(concat('pg:',
+          |      CAST(d DIV 16 AS STRING), ':', CAST(vec_id AS STRING))),
+          |      1, 15), 16, 10) AS BIGINT) % 8 AS STRING),
+          |    ':', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |    % 201 - 100 +
+          |  CAST(conv(substring(md5(concat('pj:', CAST(vec_id AS STRING),
+          |    ':', CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          |    % 21 - 10
+          |  AS DOUBLE) / 1000.0D AS FLOAT))""".stripMargin).as("embedding"))
+
+  /** q164 — raw IVF-PQ (q157's exact pipeline and parameters, only the
+    * corpus swapped) on the planted-neighbor corpus: the recall columns
+    * now measure the index. Measured (PlantedRecallSpec / COVERAGE):
+    * the coarse lists align with the planted clusters, so candidates
+    * contain the true neighbors, but raw-vector codebooks spend their
+    * 8 centroids per subspace on CLUSTER identity (the ±1000 tier) —
+    * within a list the codes collapse, ADC degenerates toward the id
+    * tie-break, and recall reads 7/50 at sf0.01 and 0/50 at sf0.1:
+    * chance. Exactly Jégou et al. 2011 §III.C's argument for residual
+    * encoding, made measurable. */
+  def q164PlantedIvfPq(t: T): DataFrame =
+    ivfPq(plantedEmbeddings(t.embeddings), 10, 3, 4, 8, 2, 5)
+
+  /** q165 — residual IVF-PQ (q160's pipeline) on the planted corpus:
+    * codebooks quantize x − c(list), which on this corpus is the
+    * per-subspace group structure — the signal that actually ranks
+    * candidates inside a list — so the codes recover the planted
+    * groups and ADC approximates the true distance. Measured: 20/50 at
+    * sf0.01 and 12/50 at sf0.1 vs q164's 7 and 0 (chance ≈ 5 and ≈ 1.3)
+    * — the q160-vs-q157 comparison the isotropic corpus reduced to
+    * noise, made meaningful. */
+  def q165PlantedResidualPq(t: T): DataFrame =
+    ivfPqResidual(plantedEmbeddings(t.embeddings), 10, 3, 4, 8, 2, 5)
+
+  /** q166 — multi-probe residual IVF-PQ (q162's pipeline) on the
+    * planted corpus. Two measured findings worth their own audit row:
+    * (a) the second probe buys little here because the coarse lists
+    * align with the planted clusters — truth rarely straddles a list;
+    * (b) ADC-ranked recall over a candidate SUPERSET is not monotone —
+    * at sf0.1 q166 reads 11/50 vs q165's 12/50 because an added
+    * second-list candidate with an underestimated ADC can displace a
+    * true hit from the top-5 (at sf0.01 the superset wins, 22 vs 20).
+    * Candidate-set recall is monotone in nprobe; post-ADC recall is
+    * not — the reason FAISS re-ranks ADC shortlists with exact
+    * distances when recall matters. */
+  def q166PlantedResidualMultiprobe(t: T): DataFrame =
+    ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings), 10, 3, 4, 8, 2, 2, 5)
+
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
     * seed tag tagBase+s — same semantics as m separate `lloydCore`

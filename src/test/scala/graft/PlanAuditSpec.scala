@@ -129,7 +129,13 @@ class PlanAuditSpec extends SparkSpec {
     "q161_jl_ivf_pq",
     // q162: q160's adjudication — the per-list-table serving leg stays
     // an equi-join on (list, code); only the truth leg broadcasts (r15)
-    "q162_residual_multiprobe")
+    "q162_residual_multiprobe",
+    // q164/q165/q166: the q157/q160/q162 pipelines verbatim over the
+    // planted-neighbor corpus — same plan shapes, same adjudication:
+    // serving legs are list-bucketed equi-joins, only the bounded
+    // offline recall-audit legs broadcast the 10-row query slice (r16)
+    "q164_planted_ivf_pq", "q165_planted_residual_pq",
+    "q166_planted_multiprobe")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
