@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   * Run ScaleGen first (builds /tmp/graft_sf1), then:
   *   sbt "runMain graft.ScaleCurve"                  # default set
   *   sbt "runMain graft.ScaleCurve q139_pagerank"    # subset
+  *   sbt "runMain graft.ScaleCurve q163_cohort_retention /tmp/graft_sf1z"
+  *                                     # subset against a variant corpus
+  *                                     # (e.g. ScaleGen's zipf output)
   */
 object ScaleCurve {
   val DefaultQueries: Seq[String] = Seq(
@@ -27,16 +30,21 @@ object ScaleCurve {
     // dedup: banded/bucketed candidate generation
     "q27_minhash_neardup", "q84_span_dedup", "q109_incremental_dedup",
     // corpus pipelines
-    "q133_corpus_pipeline", "q152_bpe_train")
+    "q133_corpus_pipeline", "q152_bpe_train",
+    // merge/upsert: full-outer joins + per-key argmaxes — the nightly
+    // 100 TB merge shapes (r15 verdict item 4)
+    "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",
+    "q82_compaction")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
+    val sf1Dir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val sfs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1" -> "/tmp/graft_sf1")
-    require(new java.io.File("/tmp/graft_sf1/orders.parquet").exists(),
-      "run graft.ScaleGen first to build /tmp/graft_sf1")
+      "sf1" -> sf1Dir)
+    require(new java.io.File(s"$sf1Dir/orders.parquet").exists(),
+      s"run graft.ScaleGen first to build $sf1Dir")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

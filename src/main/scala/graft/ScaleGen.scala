@@ -27,19 +27,37 @@ import org.apache.spark.sql.functions._
   *     endpoints), so the user population grows 10× at constant
   *     per-user event density — sessions/funnel/cohort queries measured
   *     on this corpus see honest scale, not hotter users.
+  *   - part: keys remapped per copy, p_brand suffixed AND every p_name
+  *     word suffixed, so the trigram-dedup blocks (brand, head,
+  *     len_band) never pair across copies — q34's candidate density
+  *     stays at base level (the documents discipline applied to the
+  *     catalog dim).
   *
-  * The dimension tables copy unchanged; the sf1 dir serves the HEAVY
-  * family (graph / ANN / dedup / corpus pipelines), not the full-suite
-  * oracle gate. Deterministic end to end (no RNG — all jitter derives
-  * from (id, dim, copy) integer arithmetic), so reruns are identical.
+  * The remaining dimension tables copy unchanged; the sf1 dir serves
+  * the HEAVY family (graph / ANN / dedup / corpus / merge pipelines),
+  * not the full-suite oracle gate. Deterministic end to end (no RNG —
+  * all jitter derives from (id, dim, copy) integer arithmetic), so
+  * reruns are identical.
+  *
+  * ZIPF variant (3rd arg "zipf" — the r15 skew rehearsal): events'
+  * user_id and orders' o_custkey are redrawn from their scaled key
+  * universe by inverse-CDF sampling on the portable md5 hash of the
+  * row id — r = min(U, ⌊x^(−1/(s−1))⌋) with s = 1.2, i.e. p(r) ∝
+  * r^(−1.2) — so ONE user owns ~13% of all events (P(r=1) = 1−2^(1−s))
+  * and the user/custkey-keyed shuffle family meets the hot key that
+  * actually kills 100 TB jobs. Row COUNTS and all other tables match
+  * the uniform variant exactly, so a uniform-vs-zipf time delta is
+  * attributable to skew alone.
   *
   *   sbt "runMain graft.ScaleGen"          # writes /tmp/graft_sf1
   *   sbt "runMain graft.ScaleGen 20 /tmp/graft_sf2"
+  *   sbt "runMain graft.ScaleGen 10 /tmp/graft_sf1z zipf"
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val factor = if (args.length > 0) args(0).toInt else 10
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val zipf = args.length > 2 && args(2) == "zipf"
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -78,11 +96,28 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // zipf(s = 1.2) rank over a key universe U from the portable hash of
+    // `seed`: x ∈ (0,1) uniform, r = ⌊x^−5⌋ ⇒ p(r) ∝ r^−1.2 with
+    // P(r = 1) ≈ 0.13 — the planted hot key. The Pareto tail beyond U
+    // (≈ U^−0.2 of the mass) redraws UNIFORMLY from 1..U off the hash's
+    // high bits — clamping it to U would plant a second, artificial hot
+    // key hotter than r = 1.
+    def zipfKey(seed: String, universe: Long) = expr(
+      s"""CASE WHEN zr0 <= $universe THEN zr0
+         |  ELSE 1L + (zh DIV 1000000) % $universe END
+         |""".stripMargin.replace("\n", " "))
+    def withZipfCols(df: org.apache.spark.sql.DataFrame, seed: String) = df
+      .withColumn("zh", expr(
+        s"CAST(conv(substring(md5(CAST($seed AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("zr0", expr(
+        "greatest(1L, CAST(floor(power((zh % 1000000 + 1) / 1000001.0D, -5.0D)) AS BIGINT))"))
+
     // orders/lineitem: per-copy key remap INCLUDING the graph endpoints
-    spark.read.parquet(s"$base/orders.parquet")
-      .crossJoin(copies)
+    withZipfCols(spark.read.parquet(s"$base/orders.parquet")
+      .crossJoin(copies), "o_orderkey * 10 + copy")
       .select((col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
-        (col("o_custkey") * factor + col("copy")).as("o_custkey"),
+        (if (zipf) zipfKey("o_orderkey * 10 + copy", 15000L * factor)
+         else (col("o_custkey") * factor + col("copy"))).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .repartition(32)
@@ -96,16 +131,34 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    spark.read.parquet(s"$base/events.parquet")
-      .crossJoin(copies)
+    withZipfCols(spark.read.parquet(s"$base/events.parquet")
+      .crossJoin(copies), "event_id * 10 + copy")
       .select((col("event_id") * factor + col("copy")).as("event_id"),
         col("ts"),
-        (col("user_id") * factor + col("copy")).as("user_id"),
+        (if (zipf) zipfKey("event_id * 10 + copy", 1500L * factor)
+         else (col("user_id") * factor + col("copy"))).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+    // part: the q34 trigram-dedup input — divergent copies like documents
+    // (brand suffix splits the blocking key; word suffixes kill cross-copy
+    // trigram overlap), so the merge-family curve measures scale, not
+    // candidate-density growth
+    spark.read.parquet(s"$base/part.parquet")
+      .crossJoin(copies)
+      .select((col("p_partkey") * factor + col("copy")).as("p_partkey"),
+        when(col("copy") === 0, col("p_name")).otherwise(
+          array_join(transform(split(col("p_name"), " "),
+            w => concat(w, lit("v"), col("copy"))), " ")).as("p_name"),
+        when(col("copy") === 0, col("p_brand"))
+          .otherwise(concat(col("p_brand"), lit("#"), col("copy")))
+          .as("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier")) {
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

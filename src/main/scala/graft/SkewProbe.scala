@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Uniform-vs-zipf timing for the user/custkey-keyed shuffle family
+  * (scratch tooling — the r15 skew rehearsal): runs each query against
+  * ScaleGen's uniform sf1 corpus and its zipf variant (same row counts,
+  * same bytes, only the key distribution differs — one user/custkey owns
+  * ~13% of its table), reporting min-of-reps wall time for both and the
+  * ratio. The SCALE.md skew section records these cells plus the
+  * mitigation story per query.
+  *
+  *   sbt "runMain graft.ScaleGen"                   # /tmp/graft_sf1
+  *   sbt "runMain graft.ScaleGen 10 /tmp/graft_sf1z zipf"
+  *   sbt "runMain graft.SkewProbe"                  # default family
+  *   sbt "runMain graft.SkewProbe q163_cohort_retention"
+  */
+object SkewProbe {
+  val DefaultQueries: Seq[String] = Seq(
+    "q07_latest_event_per_user",  // user-keyed max_by aggregate
+    "q35_findings_dedup",         // (user, type, value)-keyed argmax
+    "q82_compaction",             // (user, type)-keyed compaction write
+    "q86_sessionize",             // user-keyed gap sessionization window
+    "q92_streaming_sessions",     // per-user session_window state
+    "q163_cohort_retention",      // two user-keyed shuffles + equi-join
+    "q149_weighted_pagerank")     // custkey-endpoint weighted edges
+
+  /** The stated mitigation for the window-shaped victims, measured: the
+    * same latest-row-per-key semantics as q07 but as a max_by AGGREGATE
+    * — partial-aggregated map-side, so the hot user's rows combine
+    * inside every input partition and the reduce side sees one row per
+    * (partition, user). Value-identical to q07 (same (ts, event_id)
+    * lexicographic recency pick; equality asserted below on the zipf
+    * corpus). This is how the latest-row read should be expressed at
+    * 100 TB when the key can be hot; q07 keeps the row_number form
+    * because W4 is the operator under test there. */
+  private def q07MaxBy(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    val t = Tables.T(s, d)
+    t.events.groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
+      .orderBy("user_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args(0).split(",").toSeq else DefaultQueries
+    val root = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val dirs = Seq("uniform" -> root, "zipf" -> s"${root}z")
+    dirs.foreach { case (_, d) =>
+      require(new java.io.File(s"$d/events.parquet").exists(),
+        s"run graft.ScaleGen first to build $d")
+    }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Quiet.windowExecWarnings()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    val all = names.map(n => n -> SparkEntry.queries(n)) :+
+      ("q07_maxby_mitigation" -> ((s: SparkSession, d: String) => q07MaxBy(s, d))) :+
+      ("q86_bucketed_mitigation" -> ((s: SparkSession, d: String) =>
+        graft.operators.Sessions.sessionizeBucketed(Tables.T(s, d).events,
+          bucketHours = 7 * 24)))
+    for ((n, fn) <- all) {
+      val cells = dirs.map { case (tag, dir) =>
+        noop(fn(spark, dir)) // warm
+        val best = (1 to 4).map { _ =>
+          val t0 = System.nanoTime()
+          noop(fn(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (tag, best)
+      }
+      val ratio = cells(1)._2 / cells(0)._2
+      println(f"[skew] $n%-28s " +
+        cells.map(c => f"${c._1}=${c._2}%.2fs").mkString(" ") +
+        f" zipf/uniform=${ratio}%.2f")
+    }
+    // the mitigation must be value-identical to the operator it stands
+    // in for — asserted on the zipf corpus, where it matters
+    val diff = q07MaxBy(spark, dirs(1)._2)
+      .except(SparkEntry.queries("q07_latest_event_per_user")(spark, dirs(1)._2))
+      .count()
+    require(diff == 0, s"q07 max_by mitigation diverged: $diff rows")
+    println(s"[skew] q07_maxby_mitigation value-identical to q07 on zipf: ok")
+    val diff86 = graft.operators.Sessions
+      .sessionizeBucketed(Tables.T(spark, dirs(1)._2).events)
+      .except(SparkEntry.queries("q86_sessionize")(spark, dirs(1)._2))
+      .count()
+    require(diff86 == 0, s"q86 bucketed mitigation diverged: $diff86 rows")
+    println(s"[skew] q86_bucketed_mitigation value-identical to q86 on zipf: ok")
+    spark.stop()
+  }
+}

@@ -64,6 +64,86 @@ object Sessions {
       .orderBy("user_id", "session_seq")
   }
 
+  /** SKEW-RESISTANT sessionization — the stated-and-measured mitigation
+    * for [[sessionize]]'s one genuine hot-key failure mode (SCALE.md
+    * skew section: a user owning ~13% of a 3M-row corpus makes q86
+    * 1.9× slower, and the per-user window chain is a single task AQE
+    * cannot split — the degradation grows with the hot user's share).
+    *
+    * Two-phase: (1) sessionize WITHIN (user, time-bucket) — the window
+    * partition key gains the bucket, so the hot user's timeline splits
+    * across ~#buckets parallel tasks; (2) stitch at the SESSION level —
+    * re-apply the identical gap rule to the per-bucket partial sessions
+    * (a partial's min/max event times are exactly the boundary events'
+    * times, so the cross-bucket gap test equals the consecutive-event
+    * gap test), then merge transitively via the same flag+running-sum
+    * device and aggregate. The stitch window is still user-keyed, but
+    * over SESSION rows (≈ true sessions + touched buckets), not events
+    * — for the planted hot user that is hundreds of rows instead of
+    * 390k. Degenerate worst case: a user whose every event is its own
+    * session gains nothing (the session frame is the event frame);
+    * such a user is gap-sparse, not hot, and does not skew the event
+    * window either.
+    *
+    * BUCKET WIDTH is the one knob that matters (must exceed the gap;
+    * SCALE.md skew section has the measured cells): too fine and the
+    * partial-session frame degenerates to the event frame — at 24 h on
+    * a corpus averaging ~1 event per user-day the probe measured 8.4 s
+    * vs plain sessionize's 1.6 s, millions of one-event window
+    * partitions — while at 168 h (≈ 20× the mean per-user event
+    * spacing) the bucketed form matches plain sessionize at uniform
+    * keys (1.38 s vs 1.45 s) and removes the hot-key penalty entirely
+    * (zipf/uniform 1.00 vs plain's 1.65). Rule: pick the width so the
+    * TYPICAL user touches ~1 bucket and only hot users split.
+    *
+    * Value-identical to [[sessionize]] by construction (within-bucket
+    * splits have gap > threshold, so stitching can only re-join true
+    * sessions; SessionsSpec pins crafted boundary logs and SkewProbe
+    * asserts frame equality on the zipf corpus — the one FP hazard is
+    * the 2-dp rounding of a re-associated value sum, identical in
+    * practice because event values are 2-dp to begin with). */
+  def sessionizeBucketed(events: DataFrame,
+                         gapSeconds: Long = SessionGapSeconds,
+                         bucketHours: Int = 7 * 24): DataFrame = {
+    val bucketUs = bucketHours * 3600L * 1000000L
+    val gapUs = gapSeconds * 1000000L
+    val wB = Window.partitionBy("user_id", "bucket")
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket", expr(s"us div $bucketUs"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(wB).isNull ||
+          col("us") - lag(col("us"), 1).over(wB) > gapUs, 1).otherwise(0))
+      .withColumn("pseq", sum(col("new_sess"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val partial = flagged
+      .groupBy(col("user_id"), col("bucket"), col("pseq"))
+      .agg(count(lit(1)).as("n"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"),
+        min(col("ts")).as("min_ts"),
+        count(when(col("event_type") === "purchase", 1)).as("np"),
+        sum(col("value")).as("sv"))
+    val wU = Window.partitionBy("user_id")
+      .orderBy(col("min_us"), col("bucket"), col("pseq"))
+    val stitched = partial
+      .withColumn("new_grp",
+        when(lag(col("max_us"), 1).over(wU).isNull ||
+          col("min_us") - lag(col("max_us"), 1).over(wU) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_grp"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    stitched
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sum(col("n")).as("n_events"),
+        min(col("min_ts")).as("session_start"),
+        ((max(col("max_us")) - min(col("min_us"))) / lit(1000000L))
+          .cast("long").as("duration_s"),
+        sum(col("np")).as("n_purchases"),
+        round(sum(col("sv")), 2).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** q88 — the same 8 h session semantics through Spark's NATIVE
     * `session_window` aggregation (SessionWindowStateStore-backed in
     * streaming; merge-on-overlap in batch). Sessions merge on CLOSED

@@ -249,4 +249,42 @@ class SessionsSpec extends SparkSpec {
       ("2024-01-02", 1, 1L, 0L, 0L),
       ("2024-01-02", 2, 1L, 0L, 0L)))
   }
+
+  private def assertBucketedMatches(df: org.apache.spark.sql.DataFrame,
+                                    gap: Long, bucketHours: Int): Unit = {
+    val a = Sessions.sessionize(df, gap)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Sessions.sessionizeBucketed(df, gap, bucketHours)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == b.length, s"${a.length} vs ${b.length} sessions")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  test("bucketed sessionize: stitches sessions spanning bucket boundaries") {
+    // one session crossing THREE day buckets via sub-gap hops near
+    // midnight, a second session opened by a gap just over threshold,
+    // and a second user entirely inside one bucket
+    assertBucketedMatches(log(Seq(
+      (1L, 1L, "2024-01-01 20:00:00", "view", 1.0),
+      (1L, 2L, "2024-01-02 03:00:00", "purchase", 2.0), // 7h hop over midnight
+      (1L, 3L, "2024-01-02 23:30:00", "view", 3.0),     // new session (>8h)
+      (1L, 4L, "2024-01-03 00:30:00", "view", 4.0),     // stitches to e3
+      (1L, 5L, "2024-01-03 08:30:00", "purchase", 5.0), // 8h exactly → same
+      (2L, 6L, "2024-01-01 10:00:00", "view", 6.0))),
+      gap = 28800L, bucketHours = 24)
+  }
+
+  test("bucketed sessionize: empty buckets between events do not stitch") {
+    assertBucketedMatches(log(Seq(
+      (5L, 1L, "2024-01-01 06:00:00", "view", 1.0),
+      (5L, 2L, "2024-01-04 06:00:00", "view", 2.0))),   // 3 days apart
+      gap = 28800L, bucketHours = 24)
+  }
+
+  test("bucketed sessionize matches plain sessionize on the real corpus") {
+    assertBucketedMatches(
+      Tables.T(spark, "/root/testdata/sf0.001").events
+        .select("user_id", "event_id", "ts", "event_type", "value"),
+      gap = Sessions.SessionGapSeconds, bucketHours = 24)
+  }
 }
