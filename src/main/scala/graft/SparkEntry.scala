@@ -245,6 +245,9 @@ object SparkEntry {
       Similarity.q165PlantedResidualPq(T(s, d))),
     "q166_planted_multiprobe" -> ((s, d) =>
       Similarity.q166PlantedResidualMultiprobe(T(s, d))),
+    "q167_planted_jl_ivf" -> ((s, d) => Similarity.q167PlantedJlIvf(T(s, d))),
+    "q168_planted_jl_ivf_pq" -> ((s, d) =>
+      Similarity.q168PlantedJlIvfPq(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -722,7 +725,7 @@ object SparkEntry {
     * selection, the composed list search and the JL-brute single-lever
     * leg both ranked by projected cosine, and the full-dimension truth
     * — the established integer-dot / rounded-cosine ladder. */
-  private def q158OracleSql: String = {
+  private def q158OracleSql(planted: Boolean = false): String = {
     val steps = (1 to 3).map { r =>
       s"""ls$r AS (
          |  SELECT pm.vec_id, c.cluster,
@@ -743,11 +746,7 @@ object SparkEntry {
          |  FROM lc${r - 1} p LEFT JOIN lm$r m ON m.cluster = p.cluster
          |    AND m.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dims AS (
-       |  SELECT vec_id, ix.i - 1 AS d,
-       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
-       |      AS q
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+    s"""WITH ${if (planted) plantedDimsCte else defaultDimsCte},
        |sgn AS (
        |  SELECT dd.d, jj.j,
        |    CASE WHEN ('0x' || substr(md5(concat('154:',
@@ -1009,7 +1008,7 @@ object SparkEntry {
     * lookups AND by exact projected L2 (the dual audit), and the
     * full-dimension exact-L2 truth — integers end to end, no FP
     * anywhere in this query on either engine. */
-  private def q161OracleSql: String = {
+  private def q161OracleSql(planted: Boolean = false): String = {
     val m = 4; val sub = 4; val ksub = 8; val rounds = 2
     val lloydSteps = (1 to 3).map { r =>
       s"""ls$r AS (
@@ -1079,11 +1078,7 @@ object SparkEntry {
          |  FROM psd$s q JOIN qc$s$rounds c ON c.d = q.d
          |  WHERE q.vec_id < 10 GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dims AS (
-       |  SELECT vec_id, ix.i - 1 AS d,
-       |    CAST(round(CAST(embedding[ix.i] AS DOUBLE) * 1000) AS BIGINT)
-       |      AS q
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ix),
+    s"""WITH ${if (planted) plantedDimsCte else defaultDimsCte},
        |sgn AS (
        |  SELECT dd.d, jj.j,
        |    CASE WHEN ('0x' || substr(md5(concat('154:',
@@ -5074,7 +5069,7 @@ object SparkEntry {
     "q157_ivf_pq" -> q157OracleSql,
     // q158: q154's projection CTEs + 3 Lloyd rounds in projected space
     // + 2-probe list search + JL-brute leg + full-dim truth.
-    "q158_jl_ivf" -> q158OracleSql,
+    "q158_jl_ivf" -> q158OracleSql(),
     // q159: the q151 doubling chain twice (full + base graph); fixpoint
     // uniqueness lets the incremental merge hash-match a full rebuild.
     "q159_incremental_cc" -> q159OracleSql,
@@ -5084,7 +5079,7 @@ object SparkEntry {
     // q161: the three-lever stack - q158's projection+Lloyd CTEs, four
     // 4-d subspace Lloyds, ADC + exact-in-list dual ranking, full-dim
     // L2 truth; integers end to end.
-    "q161_jl_ivf_pq" -> q161OracleSql,
+    "q161_jl_ivf_pq" -> q161OracleSql(),
     // q162: q160's training CTEs + per-(query, list) residual ADC
     // tables + two-probe candidate join; FAISS's real serving shape.
     "q162_residual_multiprobe" -> q162OracleSql(),
@@ -5095,6 +5090,10 @@ object SparkEntry {
     "q165_planted_residual_pq" ->
       ivfPqOracleSql(residual = true, planted = true),
     "q166_planted_multiprobe" -> q162OracleSql(planted = true),
+    // q167/q168: q158/q161's oracles over the planted dims — the JL
+    // levers' recall audits on separable geometry
+    "q167_planted_jl_ivf" -> q158OracleSql(planted = true),
+    "q168_planted_jl_ivf_pq" -> q161OracleSql(planted = true),
     // q163: signup-day cohorts x purchase-day offsets, dense grid with
     // emitted zeros, retention in exact per-mille.
     "q163_cohort_retention" ->

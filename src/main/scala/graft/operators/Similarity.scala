@@ -1541,6 +1541,31 @@ object Similarity {
   def q166PlantedResidualMultiprobe(t: T): DataFrame =
     ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings), 10, 3, 4, 8, 2, 2, 5)
 
+  /** q167 — composed JL→IVF (q158's pipeline) on the planted corpus:
+    * the JL lever's recall audit, made meaningful. The ±1 sign
+    * projection preserves the ±1000 cluster tier (distances contract
+    * by the JL lemma, the 10-cluster separation survives 64→16 dims),
+    * so n_match_jl reads the dimension cut's true cost on separable
+    * data and the composed IVF restriction's delta rides beside it —
+    * the q158 dual-audit columns, finally measuring geometry instead
+    * of isotropic noise. */
+  def q167PlantedJlIvf(t: T): DataFrame =
+    jlIvf(plantedEmbeddings(t.embeddings), 16, 10, 3, 2, 5)
+
+  /** q168 — the three-lever stack (q161's pipeline) on the planted
+    * corpus, with q161's dual audit isolating the PQ lever: n_match_list
+    * (exact projected L2 over the same candidates) reads what
+    * projection+IVF cost; n_match reads what the 16-bit ADC ranking
+    * costs ON TOP. Expected and measured shape: the stack's PQ codes
+    * are NON-residual over projected vectors, and projection mixes the
+    * per-subspace group tier across all coordinates while the ±1000
+    * cluster tier survives — so the codes collapse to cluster identity
+    * inside a list exactly like q164's raw encoding, and the n_match vs
+    * n_match_list gap is the measured argument for residual encoding
+    * in composed stacks too. */
+  def q168PlantedJlIvfPq(t: T): DataFrame =
+    jlIvfPq(plantedEmbeddings(t.embeddings), 16, 10, 3, 2, 4, 8, 2, 5)
+
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
     * seed tag tagBase+s — same semantics as m separate `lloydCore`

@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
     // serving legs are list-bucketed equi-joins, only the bounded
     // offline recall-audit legs broadcast the 10-row query slice (r16)
     "q164_planted_ivf_pq", "q165_planted_residual_pq",
-    "q166_planted_multiprobe")
+    "q166_planted_multiprobe",
+    // q167/q168: q158/q161's plan shapes on the planted corpus — same
+    // adjudication (r16)
+    "q167_planted_jl_ivf", "q168_planted_jl_ivf_pq")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
