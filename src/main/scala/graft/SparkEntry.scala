@@ -248,6 +248,7 @@ object SparkEntry {
     "q167_planted_jl_ivf" -> ((s, d) => Similarity.q167PlantedJlIvf(T(s, d))),
     "q168_planted_jl_ivf_pq" -> ((s, d) =>
       Similarity.q168PlantedJlIvfPq(T(s, d))),
+    "q169_planted_rerank" -> ((s, d) => Similarity.q169PlantedRerank(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -868,8 +869,46 @@ object SparkEntry {
     * (query_id, list, code), the two-list candidate join picking each
     * candidate's matching table, and the exact-L2 truth. Integers end
     * to end. */
-  private def q162OracleSql(planted: Boolean = false): String = {
+  /** rerank > 0 (q169): the ADC top-`rerank` shortlist re-scored by the
+    * exact squared-L2 from dims, its top-5 audited beside the raw ADC
+    * top-5 — the n_match_rerank / rerank_fp columns. */
+  private def q162OracleSql(planted: Boolean = false,
+                            rerank: Int = 0): String = {
     val m = 4; val sub = 16; val ksub = 8; val rounds = 2
+    val rerankCtes = if (rerank <= 0) "" else
+      s""",
+         |sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+         |        AS rk FROM adc) WHERE rk <= $rerank),
+         |rrd AS (
+         |  SELECT s.query_id, s.vec_id,
+         |    CAST(sum(dq.q * dc.q) AS BIGINT) AS dot
+         |  FROM sl s JOIN dims dq ON dq.vec_id = s.query_id
+         |  JOIN dims dc ON dc.vec_id = s.vec_id AND dc.d = dq.d
+         |  GROUP BY 1, 2),
+         |rrtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT r.query_id, r.vec_id,
+         |      row_number() OVER (PARTITION BY r.query_id ORDER BY
+         |        qa.qq + qb.qq - 2 * r.dot, r.vec_id) AS rk
+         |    FROM rrd r JOIN qq qa ON qa.vec_id = r.vec_id
+         |    JOIN qq qb ON qb.vec_id = r.query_id) WHERE rk <= 5),
+         |recr AS (
+         |  SELECT s.query_id,
+         |    CAST(count(t.vec_id) AS BIGINT) AS n_match_rerank,
+         |    CAST(sum(s.vec_id) AS BIGINT) AS rerank_fp
+         |  FROM rrtop s LEFT JOIN truth t
+         |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+         |  GROUP BY 1)""".stripMargin
+    val rerankCols = if (rerank <= 0) "" else
+      """
+        |  COALESCE(recr.n_match_rerank, 0) AS n_match_rerank,
+        |  recr.rerank_fp,""".stripMargin
+    val rerankJoin = if (rerank <= 0) "" else
+      """
+        |LEFT JOIN recr ON recr.query_id = pr.query_id""".stripMargin
     val subspaces = (0 until m).map { s =>
       val lo = s * sub; val hi = lo + sub
       val roundCtes = (1 to rounds).map { r =>
@@ -991,13 +1030,14 @@ object SparkEntry {
        |    ON t.query_id = s.query_id AND t.vec_id = s.vec_id
        |  GROUP BY 1),
        |tf AS (SELECT query_id, CAST(sum(vec_id) AS BIGINT) AS truth_fp
-       |  FROM truth GROUP BY 1)
+       |  FROM truth GROUP BY 1)$rerankCtes
        |SELECT pr.query_id, pr.probe1, pr.probe2,
        |  COALESCE(nc.n_candidates, 0) AS n_candidates,
-       |  COALESCE(rec.n_match, 0) AS n_match, rec.adc_fp, tf.truth_fp
+       |  COALESCE(rec.n_match, 0) AS n_match,$rerankCols rec.adc_fp,
+       |  tf.truth_fp
        |FROM pr LEFT JOIN nc ON nc.query_id = pr.query_id
        |LEFT JOIN rec ON rec.query_id = pr.query_id
-       |JOIN tf ON tf.query_id = pr.query_id
+       |JOIN tf ON tf.query_id = pr.query_id$rerankJoin
        |ORDER BY pr.query_id""".stripMargin
   }
 
@@ -5094,6 +5134,9 @@ object SparkEntry {
     // levers' recall audits on separable geometry
     "q167_planted_jl_ivf" -> q158OracleSql(planted = true),
     "q168_planted_jl_ivf_pq" -> q161OracleSql(planted = true),
+    // q169: q166's oracle + the exact-rerank CTEs (ADC top-20 re-scored
+    // by exact L2 from dims)
+    "q169_planted_rerank" -> q162OracleSql(planted = true, rerank = 20),
     // q163: signup-day cohorts x purchase-day offsets, dense grid with
     // emitted zeros, retention in exact per-mille.
     "q163_cohort_retention" ->

@@ -1320,9 +1320,20 @@ object Similarity {
   def q162ResidualMultiprobe(t: T): DataFrame =
     ivfPqResidualMultiprobe(t.embeddings, 10, 3, 4, 8, 2, 2, 5)
 
+  /** rerank > 0 adds FAISS's exact re-ranking stage (the `k_factor`
+    * refinement of `IndexRefineFlat` / the standard IVFPQ serving
+    * recipe): the top-`rerank` candidates by ADC are re-scored with the
+    * EXACT squared-L2 against the stored full vectors and the top-k of
+    * THAT ranking is audited beside the raw ADC top-k
+    * (n_match_rerank / rerank_fp columns). Cost shape: `rerank` rows
+    * per query join back to the vector store by id — bounded, never
+    * corpus-sized — which is why a 100 TB deployment always runs this
+    * stage when recall matters (q166's measured finding: post-ADC
+    * recall is not monotone and 12-bit codes cannot rank near-ties;
+    * the shortlist+exact-rerank recovers what the codes lose, q169). */
   def ivfPqResidualMultiprobe(embeddings: DataFrame, kCoarse: Int,
       coarseIters: Int, m: Int, ksub: Int, subIters: Int, nprobe: Int,
-      topk: Int): DataFrame = {
+      topk: Int, rerank: Int = 0): DataFrame = {
     val qframe = quantized(embeddings).localCheckpoint(false)
     val (ca, _, d) = lloydCore(qframe, kCoarse, coarseIters, seedTag = 143)
     val sub = d / m
@@ -1426,17 +1437,52 @@ object Similarity {
       .groupBy("query_id")
       .agg(count("hit").as("n_match"), sum("vec_id").as("adc_fp"))
     val tf = truth.groupBy("query_id").agg(sum("vec_id").as("truth_fp"))
-    probes0.select(col("query_id") ::
+    val base = probes0.select(col("query_id") ::
       (1 to nprobe).map(i => col(s"probe$i")).toList: _*)
       .join(nCand, Seq("query_id"), "left")
       .join(rec, Seq("query_id"), "left")
       .join(tf, Seq("query_id"))
-      .select(col("query_id") ::
+    if (rerank <= 0)
+      base.select(col("query_id") ::
         (1 to nprobe).map(i => col(s"probe$i")).toList :::
         List(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           coalesce(col("n_match"), lit(0L)).as("n_match"),
           col("adc_fp"), col("truth_fp")): _*)
-      .smallSort("query_id")
+        .smallSort("query_id")
+    else {
+      // exact re-rank: the ADC top-`rerank` shortlist fetches its full
+      // vectors by id (broadcast the bounded shortlist into the store
+      // join — `rerank` rows per query, never corpus-sized) and the
+      // exact squared-L2 reorders it; top-k of that is the served set
+      val short = cand
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+        .filter(col("rk") <= rerank)
+        .select("query_id", "vec_id")
+      val rrTop = assigned.select("vec_id", "qd", "qq")
+        .join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(probes0.select("query_id", "pqd", "pqq")),
+          Seq("query_id"))
+        .withColumn("l2",
+          expr("CAST(qq + pqq - 2 * vec_dot(qd, pqd) AS BIGINT)"))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("l2").asc, col("vec_id").asc)))
+        .filter(col("rk") <= topk)
+        .select("query_id", "vec_id")
+      val recR = rrTop
+        .join(truth.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count("hit").as("n_match_rerank"), sum("vec_id").as("rerank_fp"))
+      base
+        .join(recR, Seq("query_id"), "left")
+        .select(col("query_id") ::
+          (1 to nprobe).map(i => col(s"probe$i")).toList :::
+          List(coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_match"), lit(0L)).as("n_match"),
+            coalesce(col("n_match_rerank"), lit(0L)).as("n_match_rerank"),
+            col("adc_fp"), col("rerank_fp"), col("truth_fp")): _*)
+        .smallSort("query_id")
+    }
   }
 
   /** PLANTED-NEIGHBOR evaluation corpus for the ANN recall audits
@@ -1565,6 +1611,20 @@ object Similarity {
     * in composed stacks too. */
   def q168PlantedJlIvfPq(t: T): DataFrame =
     jlIvfPq(plantedEmbeddings(t.embeddings), 16, 10, 3, 2, 4, 8, 2, 5)
+
+  /** q169 — EXACT RE-RANKING of the ADC shortlist (q166's pipeline with
+    * rerank = 20): the stage q166's two findings demand — 12-bit codes
+    * cannot rank near-ties and post-ADC recall is not monotone in
+    * nprobe, so production IVFPQ serving re-scores a bounded ADC
+    * shortlist with exact distances (FAISS `IndexRefineFlat` /
+    * `k_factor`). The n_match vs n_match_rerank columns measure
+    * per-query what the refinement buys on the same trained model and
+    * candidate stream; the shortlist join back to the vector store is
+    * `rerank` rows per query by id — the bounded cost that makes this
+    * the default at 100 TB. */
+  def q169PlantedRerank(t: T): DataFrame =
+    ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings),
+      10, 3, 4, 8, 2, 2, 5, rerank = 20)
 
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with

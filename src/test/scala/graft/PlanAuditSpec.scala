@@ -136,9 +136,11 @@ class PlanAuditSpec extends SparkSpec {
     // offline recall-audit legs broadcast the 10-row query slice (r16)
     "q164_planted_ivf_pq", "q165_planted_residual_pq",
     "q166_planted_multiprobe",
-    // q167/q168: q158/q161's plan shapes on the planted corpus — same
-    // adjudication (r16)
-    "q167_planted_jl_ivf", "q168_planted_jl_ivf_pq")
+    // q167/q168/q169: q158/q161/q162's plan shapes on the planted
+    // corpus — same adjudication; q169's rerank leg joins the bounded
+    // ADC shortlist back to the store by id (broadcast equi-join) (r16)
+    "q167_planted_jl_ivf", "q168_planted_jl_ivf_pq",
+    "q169_planted_rerank")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq

@@ -92,5 +92,13 @@ class PlantedRecallSpec extends SparkSpec {
     assert(res >= 2 * raw, s"residual ($res) should dominate raw ($raw)")
     assert(multi >= res, s"multiprobe ($multi) beats single-probe ($res) " +
       "at this corpus size (deterministic — see note above)")
+    // the q169 stage: exact re-ranking of the ADC top-20 shortlist must
+    // recover what 12-bit codes cannot rank (measured 22 → 44 of 50 at
+    // 500 ids; 11 → 27 at sf0.1) — the refinement's whole point
+    val rerank = Similarity
+      .ivfPqResidualMultiprobe(planted500, 10, 3, 4, 8, 2, 2, 5, rerank = 20)
+      .agg(sum("n_match_rerank")).head().getLong(0)
+    assert(rerank >= multi + 10,
+      s"exact rerank ($rerank) should clearly lift ADC top-5 ($multi)")
   }
 }
