@@ -27,6 +27,9 @@ object ScaleCurve {
     "q143_ivf_learned", "q147_ivf_multiprobe", "q150_ivf_incremental",
     "q157_ivf_pq", "q158_jl_ivf", "q160_residual_pq", "q161_jl_ivf_pq",
     "q162_residual_multiprobe",
+    // planted-corpus serving stack (corpus derives from vec_id, so it
+    // scales with the SF dir; q169 carries the exact-rerank stage)
+    "q164_planted_ivf_pq", "q169_planted_rerank",
     // dedup: banded/bucketed candidate generation
     "q27_minhash_neardup", "q84_span_dedup", "q109_incremental_dedup",
     // corpus pipelines

@@ -287,4 +287,29 @@ class SessionsSpec extends SparkSpec {
         .select("user_id", "event_id", "ts", "event_type", "value"),
       gap = Sessions.SessionGapSeconds, bucketHours = 24)
   }
+
+  test("bucketed sessionize: randomized equivalence across gaps/widths") {
+    // seeded random logs sweeping the parameter space: short/long gaps,
+    // fine/coarse buckets, timestamps dense enough that sessions
+    // regularly straddle bucket edges and sparse enough that empty
+    // buckets appear — every (gap, width) pair must reproduce plain
+    // sessionize exactly
+    val rnd = new scala.util.Random(42)
+    import spark.implicits._
+    for (round <- 1 to 10) {
+      val gap = Seq(3600L, 28800L, 90000L)(rnd.nextInt(3))
+      val bucketH = Seq(24, 72, 168)(rnd.nextInt(3))
+      val rows = (1 to 60).map { i =>
+        val u = 1L + rnd.nextInt(4)
+        val t = new Timestamp(1704067200000L + // 2024-01-01
+          rnd.nextInt(12 * 24 * 3600) * 1000L)
+        (u, i.toLong, t, if (rnd.nextBoolean()) "view" else "purchase",
+          math.round(rnd.nextDouble() * 10000) / 100.0)
+      }
+      val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      withClue(s"round $round gap=$gap bucketH=$bucketH: ") {
+        assertBucketedMatches(df, gap, bucketH)
+      }
+    }
+  }
 }
