@@ -249,6 +249,10 @@ object SparkEntry {
     "q168_planted_jl_ivf_pq" -> ((s, d) =>
       Similarity.q168PlantedJlIvfPq(T(s, d))),
     "q169_planted_rerank" -> ((s, d) => Similarity.q169PlantedRerank(T(s, d))),
+    // q170: the q86 semantics through the skew-resistant bucketed plan
+    // (SCALE.md skew section) — one oracle, two implementations.
+    "q170_bucketed_sessions" -> ((s, d) =>
+      Sessions.q170BucketedSessions(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -269,6 +273,28 @@ object SparkEntry {
        |  SELECT vec_id, cluster, dist FROM (SELECT vec_id, cluster, dist,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
        |      AS rn FROM s$r) WHERE rn = 1)""".stripMargin
+
+  /** q86's oracle, shared verbatim with q170 (the bucketed skew
+    * mitigation — same answer, different plan). */
+  private val q86SessionizeOracleSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(28800 AS BIGINT) * 1000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM f)
+      |SELECT user_id, session_seq,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  (max(us) - min(us)) // 1000000 AS duration_s,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+      |  round(sum(value), 2) AS total_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The default dims CTE: milli-unit quantization of the real
     * embedding column (the established FROM-embeddings form). The
@@ -3325,25 +3351,12 @@ object SparkEntry {
     // q86: 8h-gap sessionization; gap and duration arithmetic on
     // microsecond integers (epoch_us ≡ Spark's unix_micros), never float
     // epochs, so the session split is bit-identical.
-    "q86_sessionize" ->
-      """WITH f AS (
-        |  SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(28800 AS BIGINT) * 1000000
-        |         THEN 1 ELSE 0 END AS ns
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM f)
-        |SELECT user_id, session_seq,
-        |  count(*) AS n_events,
-        |  min(ts) AS session_start,
-        |  (max(us) - min(us)) // 1000000 AS duration_s,
-        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
-        |  round(sum(value), 2) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q86_sessionize" -> q86SessionizeOracleSql,
+    // q170: the SAME oracle text verbatim — the bucketed form's whole
+    // contract is value-identity with plain sessionize (the skew
+    // mitigation changes the plan, never the answer), so the hash gate
+    // compares both implementations against one oracle.
+    "q170_bucketed_sessions" -> q86SessionizeOracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

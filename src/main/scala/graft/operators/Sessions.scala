@@ -102,6 +102,11 @@ object Sessions {
     * asserts frame equality on the zipf corpus — the one FP hazard is
     * the 2-dp rounding of a re-associated value sum, identical in
     * practice because event values are 2-dp to begin with). */
+  /** q170 — q86's exact semantics through the bucketed plan: the
+    * declared query that puts the skew mitigation through the oracle
+    * hash gate (same oracle text as q86 — one answer, two plans). */
+  def q170BucketedSessions(t: T): DataFrame = sessionizeBucketed(t.events)
+
   def sessionizeBucketed(events: DataFrame,
                          gapSeconds: Long = SessionGapSeconds,
                          bucketHours: Int = 7 * 24): DataFrame = {
