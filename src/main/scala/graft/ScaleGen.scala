@@ -96,27 +96,30 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // zipf(s = 1.2) rank over a key universe U from the portable hash of
-    // `seed`: x ∈ (0,1) uniform, r = ⌊x^−5⌋ ⇒ p(r) ∝ r^−1.2 with
-    // P(r = 1) ≈ 0.13 — the planted hot key. The Pareto tail beyond U
-    // (≈ U^−0.2 of the mass) redraws UNIFORMLY from 1..U off the hash's
-    // high bits — clamping it to U would plant a second, artificial hot
-    // key hotter than r = 1.
-    def zipfKey(seed: String, universe: Long) = expr(
+    // zipf(s = 1.2) rank over a key universe U from the portable hash
+    // of the REMAPPED row id (id·factor + copy — unique per output row
+    // at ANY factor; an earlier draft hardcoded ·10 and collided seeds
+    // above factor 10): x ∈ (0,1) uniform, r = ⌊x^−5⌋ ⇒ p(r) ∝ r^−1.2
+    // with P(r = 1) ≈ 0.13 — the planted hot key. The Pareto tail
+    // beyond U (≈ U^−0.2 of the mass) redraws UNIFORMLY from 1..U off
+    // the hash's high bits — clamping it to U would plant a second,
+    // artificial hot key hotter than r = 1. zipfKey READS the zh/zr0
+    // columns installed by withZipfCols on the same id expression.
+    def zipfKey(universe: Long) = expr(
       s"""CASE WHEN zr0 <= $universe THEN zr0
          |  ELSE 1L + (zh DIV 1000000) % $universe END
          |""".stripMargin.replace("\n", " "))
-    def withZipfCols(df: org.apache.spark.sql.DataFrame, seed: String) = df
+    def withZipfCols(df: org.apache.spark.sql.DataFrame, rowId: String) = df
       .withColumn("zh", expr(
-        s"CAST(conv(substring(md5(CAST($seed AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+        s"CAST(conv(substring(md5(CAST($rowId AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("zr0", expr(
         "greatest(1L, CAST(floor(power((zh % 1000000 + 1) / 1000001.0D, -5.0D)) AS BIGINT))"))
 
     // orders/lineitem: per-copy key remap INCLUDING the graph endpoints
     withZipfCols(spark.read.parquet(s"$base/orders.parquet")
-      .crossJoin(copies), "o_orderkey * 10 + copy")
+      .crossJoin(copies), s"o_orderkey * $factor + copy")
       .select((col("o_orderkey") * factor + col("copy")).as("o_orderkey"),
-        (if (zipf) zipfKey("o_orderkey * 10 + copy", 15000L * factor)
+        (if (zipf) zipfKey(15000L * factor)
          else (col("o_custkey") * factor + col("copy"))).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
@@ -132,10 +135,10 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     withZipfCols(spark.read.parquet(s"$base/events.parquet")
-      .crossJoin(copies), "event_id * 10 + copy")
+      .crossJoin(copies), s"event_id * $factor + copy")
       .select((col("event_id") * factor + col("copy")).as("event_id"),
         col("ts"),
-        (if (zipf) zipfKey("event_id * 10 + copy", 1500L * factor)
+        (if (zipf) zipfKey(1500L * factor)
          else (col("user_id") * factor + col("copy"))).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32)

@@ -102,11 +102,6 @@ object Sessions {
     * asserts frame equality on the zipf corpus — the one FP hazard is
     * the 2-dp rounding of a re-associated value sum, identical in
     * practice because event values are 2-dp to begin with). */
-  /** q170 — q86's exact semantics through the bucketed plan: the
-    * declared query that puts the skew mitigation through the oracle
-    * hash gate (same oracle text as q86 — one answer, two plans). */
-  def q170BucketedSessions(t: T): DataFrame = sessionizeBucketed(t.events)
-
   def sessionizeBucketed(events: DataFrame,
                          gapSeconds: Long = SessionGapSeconds,
                          bucketHours: Int = 7 * 24): DataFrame = {
@@ -148,6 +143,16 @@ object Sessions {
         round(sum(col("sv")), 2).as("total_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** q170 — q86's exact semantics through the bucketed plan: the
+    * declared query that puts the skew mitigation through the oracle
+    * hash gate (same oracle text as q86 — one answer, two plans).
+    * total_value carries the one FP caveat the sessionizeBucketed
+    * scaladoc names (a re-associated double sum under a 2-dp round vs
+    * the oracle's single-pass sum) — the same epsilon class as every
+    * cross-engine double-sum comparison in this suite, and swept green
+    * at all three SFs through the exact-repr gate. */
+  def q170BucketedSessions(t: T): DataFrame = sessionizeBucketed(t.events)
 
   /** q88 — the same 8 h session semantics through Spark's NATIVE
     * `session_window` aggregation (SessionWindowStateStore-backed in
