@@ -763,28 +763,10 @@ object Similarity {
       .localCheckpoint(false)
     // |x_s − c_j|² = x_s·x_s − 2·x_s·c_j + c_j·c_j against the literal
     // codebook slice — every term an exact integer held as a double
-    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
-      val cj = cb.slice((j - 1) * sub, j * sub)
-      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
-        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
-    }
     // ENCODE: per subspace an in-row argmin over the 8 literal
     // centroids (ties to the smallest code — the assignCols device);
     // the checkpointed frame IS the PQ index a store persists
-    val index = codebooks.zipWithIndex.foldLeft(assigned) { case (df, (cb, s)) =>
-      val withSub = df
-        .withColumn("sqd", expr(s"slice(qd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
-        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
-      }
-      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
-      withD
-        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
-          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
-    }
+    val index = pqEncode(assigned, codebooks, sub, ksub, "qd")
       .select(col("vec_id") :: col("cluster") ::
         (0 until m).map(s => col(s"code$s")).toList: _*)
       .localCheckpoint(false)
@@ -797,7 +779,7 @@ object Similarity {
       df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
         .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
         .withColumn(s"dt$s",
-          array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
         .drop("sqd", "sqq")
     }.localCheckpoint(false)
     // serving leg: nprobe=1 list join, ADC = four table lookups summed
@@ -1076,26 +1058,8 @@ object Similarity {
     val codebooks = pqTrainFused(
       rframe.select(col("vec_id"), col("rd").as("qd")),
       m, sub, ksub, subIters, tagBase = 16000)
-    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
-      val cj = cb.slice((j - 1) * sub, j * sub)
-      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
-        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
-    }
     // ENCODE over residual slices (q157's in-row argmin device)
-    val index = codebooks.zipWithIndex.foldLeft(rframe) { case (df, (cb, s)) =>
-      val withSub = df
-        .withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
-        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
-      }
-      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
-      withD
-        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
-          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
-    }
+    val index = pqEncode(rframe, codebooks, sub, ksub, "rd")
       .select(col("vec_id") :: col("cluster") ::
         (0 until m).map(s => col(s"code$s")).toList: _*)
       .localCheckpoint(false)
@@ -1109,7 +1073,7 @@ object Similarity {
         df.withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
           .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
           .withColumn(s"dt$s",
-            array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+            array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
           .drop("sqd", "sqq")
     }.drop("rd").localCheckpoint(false)
     val cand = index
@@ -1191,28 +1155,10 @@ object Similarity {
     val codebooks = pqTrainFused(
       assigned.select(col("vec_id"), col("qd")),
       m, sub, ksub, subIters, tagBase = 16100)
-    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
-      val cj = cb.slice((j - 1) * sub, j * sub)
-      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
-        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
-    }
     // ENCODE the projected vectors; the index keeps qd/qq so the
     // exact-in-list audit leg reads the same frame (a store would
     // persist codes only — the full columns here ARE the audit input)
-    val index = codebooks.zipWithIndex.foldLeft(assigned) { case (df, (cb, s)) =>
-      val withSub = df
-        .withColumn("sqd", expr(s"slice(qd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
-        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
-      }
-      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
-      withD
-        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
-          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
-    }.localCheckpoint(false)
+    val index = pqEncode(assigned, codebooks, sub, ksub, "qd").localCheckpoint(false)
     // per-query nprobe nearest centroids in projected space (q158's
     // in-row struct sort) + the 4×8 ADC tables over the query's slices
     val withDists = (1 to k).foldLeft(pframe.filter(col("vec_id") < 10)) {
@@ -1234,7 +1180,7 @@ object Similarity {
       df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
         .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
         .withColumn(s"dt$s",
-          array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
         .drop("sqd", "sqq")
     }.localCheckpoint(false)
     // the candidate frame both rankings read: union of the probed
@@ -1352,25 +1298,7 @@ object Similarity {
     val codebooks = pqTrainFused(
       rframe.select(col("vec_id"), col("rd").as("qd")),
       m, sub, ksub, subIters, tagBase = 16000)
-    def subDist(cb: Array[Long], j: Int, sqd: String, sqq: String): Column = {
-      val cj = cb.slice((j - 1) * sub, j * sub)
-      val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-      col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
-        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
-    }
-    val index = codebooks.zipWithIndex.foldLeft(rframe) { case (df, (cb, s)) =>
-      val withSub = df
-        .withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
-        f.withColumn(s"t$j", subDist(cb, j, "sqd", "sqq"))
-      }
-      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
-      withD
-        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
-          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
-    }
+    val index = pqEncode(rframe, codebooks, sub, ksub, "rd")
       .select(col("vec_id") :: col("cluster") ::
         (0 until m).map(s => col(s"code$s")).toList: _*)
       .localCheckpoint(false)
@@ -1404,7 +1332,7 @@ object Similarity {
         df.withColumn("sqd", expr(s"slice(rdl, ${s * sub + 1}, $sub)"))
           .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
           .withColumn(s"dt$s",
-            array((1 to ksub).map(j => subDist(cb, j, "sqd", "sqq")): _*))
+            array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
           .drop("sqd", "sqq")
     }
       .select(col("query_id") :: col("cluster") ::
@@ -1625,6 +1553,43 @@ object Similarity {
   def q169PlantedRerank(t: T): DataFrame =
     ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings),
       10, 3, 4, 8, 2, 2, 5, rerank = 20)
+
+  /** |x_s − c_j|² of a sub-vector (column `sqd`, with its precomputed
+    * norm² `sqq`) against codebook `cb`'s j-th centroid riding as
+    * constant-folded literals — every term an exact integer held as a
+    * double. Shared by every PQ encode/ADC-table builder (one
+    * definition so the distance form cannot drift between the raw,
+    * residual and projected pipelines). */
+  private def subDist(cb: Array[Long], j: Int, sub: Int,
+                      sqd: String, sqq: String): Column = {
+    val cj = cb.slice((j - 1) * sub, j * sub)
+    val cc = cj.foldLeft(0L)((a, c) => a + c * c)
+    col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
+      cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+  }
+
+  /** PQ ENCODE: per subspace s an in-row argmin over the ksub literal
+    * centroids of codebook s against the `sub`-wide slice of `src`
+    * (ties to the smallest code — the assignCols device); returns the
+    * frame plus code0..m-1, temporaries dropped. Shared by the raw
+    * (q157/q164: src = qd), residual (q160/q162/q165/q166/q169:
+    * src = rd) and projected (q161/q168: src = qd in projected space)
+    * pipelines. */
+  private def pqEncode(frame: DataFrame, codebooks: Seq[Array[Long]],
+                       sub: Int, ksub: Int, src: String): DataFrame =
+    codebooks.zipWithIndex.foldLeft(frame) { case (df, (cb, s)) =>
+      val withSub = df
+        .withColumn("sqd", expr(s"slice($src, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
+        f.withColumn(s"t$j", subDist(cb, j, sub, "sqd", "sqq"))
+      }
+      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
+      withD
+        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
+          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
+        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+    }
 
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
