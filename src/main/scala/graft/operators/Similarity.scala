@@ -775,13 +775,7 @@ object Similarity {
     val queries = codebooks.zipWithIndex.foldLeft(
       assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster"),
-          col("qd").as("pqd"), col("qq").as("pqq"))) { case (df, (cb, s)) =>
-      df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-        .withColumn(s"dt$s",
-          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
-        .drop("sqd", "sqq")
-    }.localCheckpoint(false)
+          col("qd").as("pqd"), col("qq").as("pqq"))) (adcTablesFold("pqd", sub, ksub)).localCheckpoint(false)
     // serving leg: nprobe=1 list join, ADC = four table lookups summed
     val cand = index
       .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
@@ -1068,14 +1062,7 @@ object Similarity {
     val queries = codebooks.zipWithIndex.foldLeft(
       rframe.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster"),
-          col("qd").as("pqd"), col("qq").as("pqq"), col("rd"))) {
-      case (df, (cb, s)) =>
-        df.withColumn("sqd", expr(s"slice(rd, ${s * sub + 1}, $sub)"))
-          .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-          .withColumn(s"dt$s",
-            array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
-          .drop("sqd", "sqq")
-    }.drop("rd").localCheckpoint(false)
+          col("qd").as("pqd"), col("qq").as("pqq"), col("rd"))) (adcTablesFold("rd", sub, ksub)).drop("rd").localCheckpoint(false)
     val cand = index
       .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
         (0 until m).map(s => col(s"dt$s")).toList: _*)), Seq("cluster"))
@@ -1176,13 +1163,7 @@ object Similarity {
         col("qq").as("pqq") ::
         (0 until nprobe).map(i => expr(s"ps[$i].c").as(s"probe${i + 1}"))
           .toList: _*)
-    val probes = codebooks.zipWithIndex.foldLeft(probes0) { case (df, (cb, s)) =>
-      df.withColumn("sqd", expr(s"slice(pqd, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-        .withColumn(s"dt$s",
-          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
-        .drop("sqd", "sqq")
-    }.localCheckpoint(false)
+    val probes = codebooks.zipWithIndex.foldLeft(probes0) (adcTablesFold("pqd", sub, ksub)).localCheckpoint(false)
     // the candidate frame both rankings read: union of the probed
     // lists, carrying codes (for ADC) and qd/qq (for the exact leg)
     val cand = index
@@ -1327,14 +1308,7 @@ object Similarity {
         explode(array((1 to nprobe).map(i => col(s"probe$i")): _*))
           .as("cluster"))
         .withColumn("rdl", expr(
-          s"zip_with(pqd, element_at($centsLit, cluster), (a, b) -> a - b)"))) {
-      case (df, (cb, s)) =>
-        df.withColumn("sqd", expr(s"slice(rdl, ${s * sub + 1}, $sub)"))
-          .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-          .withColumn(s"dt$s",
-            array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
-          .drop("sqd", "sqq")
-    }
+          s"zip_with(pqd, element_at($centsLit, cluster), (a, b) -> a - b)"))) (adcTablesFold("rdl", sub, ksub))
       .select(col("query_id") :: col("cluster") ::
         (0 until m).map(s => col(s"dt$s")).toList: _*)
       .localCheckpoint(false)
@@ -1566,6 +1540,22 @@ object Similarity {
     val cc = cj.foldLeft(0L)((a, c) => a + c * c)
     col(sqq) - lit(2d) * expr(s"vec_dot($sqd, " +
       cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
+  }
+
+  /** Per-query ADC distance-TABLE builder, as the foldLeft body shared
+    * by every serving pipeline: for subspace s, dt$s = the ksub
+    * distances from the `sub`-wide slice of `src` to codebook s's
+    * centroids (the 4×8 table a query carries into the list join).
+    * Returns the (frame, (codebook, s)) => frame function so call
+    * sites keep their own seed frames and post-steps. */
+  private def adcTablesFold(src: String, sub: Int, ksub: Int)
+      : (DataFrame, (Array[Long], Int)) => DataFrame = {
+    case (df, (cb, s)) =>
+      df.withColumn("sqd", expr(s"slice($src, ${s * sub + 1}, $sub)"))
+        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
+        .withColumn(s"dt$s",
+          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
+        .drop("sqd", "sqq")
   }
 
   /** PQ ENCODE: per subspace s an in-row argmin over the ksub literal
