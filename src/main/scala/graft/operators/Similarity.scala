@@ -410,18 +410,27 @@ object Similarity {
     (ca, caIn, d)
   }
 
-  /** E-step as pure map-side columns: qframe plus (cluster, dist) against
-    * the given centroid array riding as constant-folded literals. Ties
-    * break to the smallest cluster (first CASE arm). */
-  private[graft] def assignCols(qframe: DataFrame, ca: Array[Long],
-                                d: Int, k: Int): DataFrame = {
-    val withDists = (1 to k).foldLeft(qframe) { (df, j) =>
+  /** The k squared-L2 distance columns s1..sk of (qd, qq) rows against
+    * centroid array `ca` riding as constant-folded literals — the
+    * map-side core shared by assignCols' argmin E-step and every
+    * probe-selection in-row sort (one definition so the distance form
+    * cannot drift between training and serving). */
+  private def coarseDistCols(frame: DataFrame, ca: Array[Long],
+                             d: Int, k: Int): DataFrame =
+    (1 to k).foldLeft(frame) { (df, j) =>
       val cj = ca.slice((j - 1) * d, j * d)
       val cc = cj.foldLeft(0L)((a, c) => a + c * c)
       df.withColumn(s"s$j",
         col("qq") - lit(2d) * expr("vec_dot(qd, " +
           cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
     }
+
+  /** E-step as pure map-side columns: qframe plus (cluster, dist) against
+    * the given centroid array riding as constant-folded literals. Ties
+    * break to the smallest cluster (first CASE arm). */
+  private[graft] def assignCols(qframe: DataFrame, ca: Array[Long],
+                                d: Int, k: Int): DataFrame = {
+    val withDists = coarseDistCols(qframe, ca, d, k)
     val ls = s"least(${(1 to k).map(j => s"s$j").mkString(", ")})"
     withDists
       .withColumn("cluster", expr(s"CAST(CASE ${(1 to k)
@@ -507,14 +516,7 @@ object Similarity {
       .localCheckpoint(false)
     // per-query two nearest centroids: the k distance columns again,
     // sorted in-row as (dist, cluster) structs — 10 rows, no shuffle
-    val withDists = (1 to st.k).foldLeft(st.qframe.filter(col("vec_id") < 10)) {
-      (df, j) =>
-        val cj = st.ca.slice((j - 1) * st.d, j * st.d)
-        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-        df.withColumn(s"s$j",
-          col("qq") - lit(2d) * expr("vec_dot(qd, " +
-            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
-    }
+    val withDists = coarseDistCols(st.qframe.filter(col("vec_id") < 10), st.ca, st.d, st.k)
     val probes = withDists
       .withColumn("ps", expr("array_sort(array(" + (1 to st.k)
         .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
@@ -859,14 +861,7 @@ object Similarity {
       .localCheckpoint(false)
     // per-query nprobe nearest centroids in projected space (q147's
     // in-row struct sort — 10 rows, no shuffle)
-    val withDists = (1 to k).foldLeft(pframe.filter(col("vec_id") < 10)) {
-      (df, j) =>
-        val cj = ca.slice((j - 1) * d, j * d)
-        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-        df.withColumn(s"s$j",
-          col("qq") - lit(2d) * expr("vec_dot(qd, " +
-            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
-    }
+    val withDists = coarseDistCols(pframe.filter(col("vec_id") < 10), ca, d, k)
     val probes = withDists
       .withColumn("ps", expr("array_sort(array(" + (1 to k)
         .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
@@ -1148,14 +1143,7 @@ object Similarity {
     val index = pqEncode(assigned, codebooks, sub, ksub, "qd").localCheckpoint(false)
     // per-query nprobe nearest centroids in projected space (q158's
     // in-row struct sort) + the 4×8 ADC tables over the query's slices
-    val withDists = (1 to k).foldLeft(pframe.filter(col("vec_id") < 10)) {
-      (df, j) =>
-        val cj = ca.slice((j - 1) * d, j * d)
-        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-        df.withColumn(s"s$j",
-          col("qq") - lit(2d) * expr("vec_dot(qd, " +
-            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
-    }
+    val withDists = coarseDistCols(pframe.filter(col("vec_id") < 10), ca, d, k)
     val probes0 = withDists
       .withColumn("ps", expr("array_sort(array(" + (1 to k)
         .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
@@ -1285,14 +1273,7 @@ object Similarity {
       .localCheckpoint(false)
     // probe selection: nprobe nearest centroids per query (q147's
     // in-row struct sort against the coarse literals)
-    val withDists = (1 to kCoarse).foldLeft(qframe.filter(col("vec_id") < 10)) {
-      (df, j) =>
-        val cj = ca.slice((j - 1) * d, j * d)
-        val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-        df.withColumn(s"s$j",
-          col("qq") - lit(2d) * expr("vec_dot(qd, " +
-            cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
-    }
+    val withDists = coarseDistCols(qframe.filter(col("vec_id") < 10), ca, d, kCoarse)
     val probes0 = withDists
       .withColumn("ps", expr("array_sort(array(" + (1 to kCoarse)
         .map(j => s"struct(s$j AS d, $j AS c)").mkString(", ") + "))"))
