@@ -112,8 +112,13 @@ object ScaleGen {
     def withZipfCols(df: org.apache.spark.sql.DataFrame, rowId: String) = df
       .withColumn("zh", expr(
         s"CAST(conv(substring(md5(CAST($rowId AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      // the power() reaches ~1e30 at the smallest x; clamp BEFORE the
+      // cast (4e18 < Long.Max, and any clamp above every universe this
+      // tool passes routes the draw into the tail redraw) so the
+      // expression is ANSI-safe — the bare double→long cast relies on
+      // non-ANSI clamping and throws under spark.sql.ansi.enabled=true
       .withColumn("zr0", expr(
-        "greatest(1L, CAST(floor(power((zh % 1000000 + 1) / 1000001.0D, -5.0D)) AS BIGINT))"))
+        "greatest(1L, CAST(floor(least(power((zh % 1000000 + 1) / 1000001.0D, -5.0D), 4.0e18D)) AS BIGINT))"))
 
     // orders/lineitem: per-copy key remap INCLUDING the graph endpoints
     withZipfCols(spark.read.parquet(s"$base/orders.parquet")

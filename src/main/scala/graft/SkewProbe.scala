@@ -96,22 +96,24 @@ object SkewProbe {
         f" zipf/uniform=${ratio}%.2f")
     }
     // the mitigation must be value-identical to the operator it stands
-    // in for — asserted on the zipf corpus, where it matters
-    if (probeQ07) {
-      val diff = q07MaxBy(spark, dirs(1)._2)
-        .except(SparkEntry.queries("q07_latest_event_per_user")(spark, dirs(1)._2))
-        .count()
-      require(diff == 0, s"q07 max_by mitigation diverged: $diff rows")
-      println(s"[skew] q07_maxby_mitigation value-identical to q07 on zipf: ok")
+    // in for — asserted on the zipf corpus, where it matters. BOTH
+    // except directions: one-directional except misses a mitigation
+    // producing a strict subset of the original's rows.
+    def assertSame(name: String, a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame): Unit = {
+      val extra = a.except(b).count()
+      val missing = b.except(a).count()
+      require(extra == 0 && missing == 0,
+        s"$name mitigation diverged: $extra extra, $missing missing rows")
+      println(s"[skew] $name mitigation value-identical on zipf: ok")
     }
-    if (probeQ86) {
-      val diff86 = graft.operators.Sessions
-        .sessionizeBucketed(Tables.T(spark, dirs(1)._2).events)
-        .except(SparkEntry.queries("q86_sessionize")(spark, dirs(1)._2))
-        .count()
-      require(diff86 == 0, s"q86 bucketed mitigation diverged: $diff86 rows")
-      println(s"[skew] q86_bucketed_mitigation value-identical to q86 on zipf: ok")
-    }
+    if (probeQ07) assertSame("q07_maxby",
+      q07MaxBy(spark, dirs(1)._2),
+      SparkEntry.queries("q07_latest_event_per_user")(spark, dirs(1)._2))
+    if (probeQ86) assertSame("q86_bucketed",
+      graft.operators.Sessions
+        .sessionizeBucketed(Tables.T(spark, dirs(1)._2).events),
+      SparkEntry.queries("q86_sessionize")(spark, dirs(1)._2))
     spark.stop()
   }
 }

@@ -99,9 +99,12 @@ object Sessions {
     * Value-identical to [[sessionize]] by construction (within-bucket
     * splits have gap > threshold, so stitching can only re-join true
     * sessions; SessionsSpec pins crafted boundary logs and SkewProbe
-    * asserts frame equality on the zipf corpus — the one FP hazard is
-    * the 2-dp rounding of a re-associated value sum, identical in
-    * practice because event values are 2-dp to begin with). */
+    * asserts frame equality on the zipf corpus). The value total sums
+    * in EXACT INTEGER CENTS inside the partials (values are 2-dp by
+    * construction) and divides once at the end — long addition
+    * associates, so the two-level partial-then-stitch sum carries no
+    * FP re-association hazard against [[sessionize]]'s single-pass
+    * double sum at any SF or bucket width. */
   def sessionizeBucketed(events: DataFrame,
                          gapSeconds: Long = SessionGapSeconds,
                          bucketHours: Int = 7 * 24): DataFrame = {
@@ -123,7 +126,9 @@ object Sessions {
         min(col("us")).as("min_us"), max(col("us")).as("max_us"),
         min(col("ts")).as("min_ts"),
         count(when(col("event_type") === "purchase", 1)).as("np"),
-        sum(col("value")).as("sv"))
+        // exact integer cents: round() recovers the 2-dp decimal the
+        // double cell is the nearest representation of
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
     val wU = Window.partitionBy("user_id")
       .orderBy(col("min_us"), col("bucket"), col("pseq"))
     val stitched = partial
@@ -140,18 +145,21 @@ object Sessions {
         ((max(col("max_us")) - min(col("min_us"))) / lit(1000000L))
           .cast("long").as("duration_s"),
         sum(col("np")).as("n_purchases"),
-        round(sum(col("sv")), 2).as("total_value"))
+        // cents/100 is the correctly-rounded double of the exact 2-dp
+        // decimal — the same value round(double-sum, 2) produces as
+        // long as the single-pass sum's error stays under 0.005, which
+        // session-sized sums guarantee on both engines
+        round(sum(col("sv_cents")) / 100.0, 2).as("total_value"))
       .orderBy("user_id", "session_seq")
   }
 
   /** q170 — q86's exact semantics through the bucketed plan: the
     * declared query that puts the skew mitigation through the oracle
     * hash gate (same oracle text as q86 — one answer, two plans).
-    * total_value carries the one FP caveat the sessionizeBucketed
-    * scaladoc names (a re-associated double sum under a 2-dp round vs
-    * the oracle's single-pass sum) — the same epsilon class as every
-    * cross-engine double-sum comparison in this suite, and swept green
-    * at all three SFs through the exact-repr gate. */
+    * total_value sums in exact integer cents inside the partials (see
+    * [[sessionizeBucketed]]), so the two-level sum carries no FP
+    * re-association hazard against the oracle's single-pass sum —
+    * swept green at all three SFs through the exact-repr gate. */
   def q170BucketedSessions(t: T): DataFrame = sessionizeBucketed(t.events)
 
   /** q88 — the same 8 h session semantics through Spark's NATIVE
