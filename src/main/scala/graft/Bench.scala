@@ -99,7 +99,8 @@ object Bench {
       "q164_planted_ivf_pq", "q165_planted_residual_pq",
       "q166_planted_multiprobe", "q167_planted_jl_ivf",
       "q168_planted_jl_ivf_pq", "q169_planted_rerank",
-      "q152_bpe_train", "q155_bpe_encode", "q97_similarity_join",
+      "q152_bpe_train", "q155_bpe_encode", "q172_lex_bpe_train",
+      "q97_similarity_join",
       "q72_streaming_dedup", "q88_session_window", "q92_streaming_sessions",
       "q96_stateful_runs", "q98_streaming_neardup", "q99_stream_join",
       "q102_streaming_window", "q106_stream_enrich", "q110_streaming_upsert",

@@ -253,6 +253,15 @@ object SparkEntry {
     // (SCALE.md skew section) — one oracle, two implementations.
     "q170_bucketed_sessions" -> ((s, d) =>
       Sessions.q170BucketedSessions(T(s, d))),
+    // q171–q174: the vocabulary-realistic lexicon corpus (operators/
+    // Lexicon.scala — the r16 planted-ANN move applied to the text
+    // families): zipf word ranks over a 30k-word syllable-spelled
+    // lexicon, derived in-query from the portable hash so the oracle
+    // replays the identical corpus.
+    "q171_lex_profile"    -> ((s, d) => Lexicon.q171LexProfile(T(s, d))),
+    "q172_lex_bpe_train"  -> ((s, d) => Lexicon.q172LexBpeTrain(T(s, d))),
+    "q173_lex_bm25"       -> ((s, d) => Lexicon.q173LexBm25(T(s, d))),
+    "q174_lex_rarity"     -> ((s, d) => Lexicon.q174LexRarity(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1467,7 +1476,13 @@ object SparkEntry {
     * '|lhs||rhs|' → '|lhsrhs|' string-replace apply (both engines'
     * replace scan left-to-right non-overlapping — standard BPE greedy),
     * and the weighted symbol total. All exact integers. */
-  private def q152OracleSql: String = {
+  private def q152OracleSql: String = bpeTrainOracleSql("", "documents")
+
+  /** The BPE-training oracle, parameterized by corpus source: q152 runs
+    * it over `documents`; q172 prepends the lexdocs CTE and trains over
+    * the vocabulary-realistic corpus — same rounds, same argmax
+    * tie-break, same symbol accounting. */
+  private def bpeTrainOracleSql(extraCte: String, corpus: String): String = {
     val rounds = 8
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -1491,18 +1506,107 @@ object SparkEntry {
       s"""SELECT $r AS round, m.lhs, m.rhs, m.lhs || m.rhs AS merged,
          |  m.cnt, s.symbols_after FROM m$r m, s$r s""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    s"""WITH ${pre}w0 AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS wc,
        |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> word[i]), '||') || '||</w>|' AS seq
        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
-       |      AS word FROM documents) WHERE word <> ''
+       |      AS word FROM $corpus) WHERE word <> ''
        |    AND NOT contains(word, '|') AND NOT contains(word, chr(92))
        |  GROUP BY word),
        |$steps
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** The BM25 oracle, parameterized by corpus + query terms: q85 runs
+    * the fixed tech-term query over `documents`; q173 prepends the
+    * lexdocs CTE and queries the lexicon terms. Same algebraic tree,
+    * same 4-dp pre-ordering round. */
+  private def bm25OracleSql(extraCte: String, corpus: String,
+                            terms: Seq[String]): String = {
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${pre}docs AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |  FROM $corpus),
+       |d2 AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+       |q AS (SELECT unnest([$termList]) AS term),
+       |tf AS (
+       |  SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf
+       |  FROM d2 CROSS JOIN q
+       |  WHERE len(list_filter(w, x -> x = term)) > 0),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id,
+       |    round(sum(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |        (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |        (tf + CAST(1.2 AS DOUBLE) *
+       |          ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+       |    ), 4) AS score,
+       |    CAST(count(*) AS INT) AS n_terms
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY doc_id)
+       |SELECT doc_id, score, n_terms FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** q171's oracle: the lexdocs derivation (operators/Lexicon.scala —
+    * identical arithmetic, DuckDB renderer), word counts, and the
+    * bit-length band profile. Exact integers throughout. */
+  private def q171OracleSql: String =
+    s"""WITH ${operators.Lexicon.lexDocsCte},
+       |toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+       |    '\\s+'), x -> x <> '')) AS w
+       |  FROM lexdocs),
+       |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1)
+       |SELECT CAST(length(bin(c)) AS INT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(c) AS BIGINT) AS n_occ,
+       |  CAST(min(c) AS BIGINT) AS min_c,
+       |  CAST(max(c) AS BIGINT) AS max_c,
+       |  min(w) AS first_word
+       |FROM counts GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** q174's oracle: the ppm-normalized rarity score over lexdocs —
+    * per-language LM, per-language token mass, integer ppm share, tier
+    * cuts. Bit-identity (no doubles on either side). */
+  private def q174OracleSql: String =
+    s"""WITH ${operators.Lexicon.lexDocsCte},
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+       |      '\\s+'), x -> x <> '')) AS w
+       |  FROM lexdocs),
+       |lm AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS wc
+       |  FROM toks GROUP BY 1, 2),
+       |mass AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+       |  FROM toks GROUP BY 1),
+       |sc AS (
+       |  SELECT t.doc_id, t.lang,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT t.w) AS BIGINT) AS vocab_seen,
+       |    CAST(sum(wc) AS BIGINT) AS sum_freq,
+       |    CAST(min(wc) AS BIGINT) AS min_freq
+       |  FROM toks t JOIN lm ON t.lang = lm.lang AND t.w = lm.w
+       |  GROUP BY 1, 2)
+       |SELECT sc.doc_id, sc.lang, sc.n_tokens, sc.vocab_seen, sc.sum_freq,
+       |  sc.min_freq,
+       |  CAST(sum_freq * 1000000 // (n_tokens * n_lang) AS BIGINT)
+       |    AS freq_ppm,
+       |  CASE WHEN sum_freq * 1000000 // (n_tokens * n_lang)
+       |      < ${operators.Lexicon.RarePpmLt} THEN 'rare'
+       |    WHEN sum_freq * 1000000 // (n_tokens * n_lang)
+       |      < ${operators.Lexicon.MidPpmLt} THEN 'mid'
+       |    ELSE 'common' END AS rarity_tier
+       |FROM sc JOIN mass ON mass.lang = sc.lang
+       |ORDER BY sc.doc_id""".stripMargin
 
   /** q156's oracle: base-graph PageRank (5 unrolled supersteps over
     * orders before the cutoff) feeding the warm start — 2 more unrolled
@@ -3322,32 +3426,7 @@ object SparkEntry {
     // q85: BM25 top-20 for the fixed query; same algebraic tree as the
     // Spark expression (ln form, double literals) and scores rounded to 4
     // decimals BEFORE ordering so the cut is FP-stable.
-    "q85_bm25" ->
-      """WITH docs AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |  FROM documents),
-        |d2 AS (SELECT doc_id, w, CAST(len(w) AS DOUBLE) AS dl FROM docs),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
-        |q AS (SELECT unnest(['spark', 'stream', 'window', 'hash']) AS term),
-        |tf AS (
-        |  SELECT doc_id, dl, term,
-        |    CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf
-        |  FROM d2 CROSS JOIN q
-        |  WHERE len(list_filter(w, x -> x = term)) > 0),
-        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT doc_id,
-        |    round(sum(
-        |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |        (tf * (CAST(1.2 AS DOUBLE) + 1)) /
-        |        (tf + CAST(1.2 AS DOUBLE) *
-        |          ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
-        |    ), 4) AS score,
-        |    CAST(count(*) AS INT) AS n_terms
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-        |  GROUP BY doc_id)
-        |SELECT doc_id, score, n_terms FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q85_bm25" -> bm25OracleSql("", "documents", Retrieval.QueryTerms),
     // q86: 8h-gap sessionization; gap and duration arithmetic on
     // microsecond integers (epoch_us ≡ Spark's unix_micros), never float
     // epochs, so the session split is bit-identical.
@@ -3357,6 +3436,16 @@ object SparkEntry {
     // mitigation changes the plan, never the answer), so the hash gate
     // compares both implementations against one oracle.
     "q170_bucketed_sessions" -> q86SessionizeOracleSql,
+    // q171–q174: every lex oracle opens with the lexdocs CTE — the ONE
+    // corpus arithmetic (operators/Lexicon.textSql) through the DuckDB
+    // renderer, so the synthetic heavy-tailed corpus replays exactly.
+    "q171_lex_profile" -> q171OracleSql,
+    "q172_lex_bpe_train" ->
+      bpeTrainOracleSql(operators.Lexicon.lexDocsCte, "lexdocs"),
+    "q173_lex_bm25" ->
+      bm25OracleSql(operators.Lexicon.lexDocsCte, "lexdocs",
+        operators.Lexicon.LexQueryTerms),
+    "q174_lex_rarity" -> q174OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

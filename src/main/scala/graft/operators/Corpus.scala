@@ -122,6 +122,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The corpus-normalized rarity core (q174): q76's learn-then-apply
+    * pipeline with the score expressed as an exact per-million share of
+    * the language's token mass — freq_ppm = Σ(n_occ·wc)·10^6 DIV
+    * (n_tokens·N_lang). Scale-free where q76's absolute thresholds are
+    * corpus-size-bound (E[freq_ppm] ≈ Σ_r p_r² · 10^6 at any SF), and
+    * integer-exact end to end: no doubles anywhere, so the oracle
+    * replay is bit-identity, not epsilon-identity.
+    *
+    * 100 TB shape: q76's exactly — ONE corpus-wide (doc, term, n_occ)
+    * shuffle feeding both the per-language LM re-aggregate and the
+    * apply join (AQE broadcast when the vocabulary fits), plus a
+    * languages-sized (≤ a handful of rows) mass join. Overflow bound:
+    * sum_freq ≤ n_tokens·max_wc and the ·10^6 product stays under 2^63
+    * for any corpus where one language's token mass is < ~3·10^9 per
+    * max doc length 500 — beyond that, rescale to per-mille. */
+  def rarityScorePpm(documents: DataFrame,
+                     rarePpmLt: Long, midPpmLt: Long): DataFrame = {
+    val dw = documents
+      .select(col("doc_id"), col("lang"),
+        explode(expr("token_counts(text)")).as(Seq("w", "n_occ")))
+      .localCheckpoint(false) // feeds the LM, the mass row, AND the probe
+    val lm = dw.groupBy("lang", "w").agg(sum("n_occ").as("wc"))
+    val mass = dw.groupBy("lang").agg(sum("n_occ").as("n_lang"))
+    dw
+      .join(lm, Seq("lang", "w"))
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum("n_occ").as("n_tokens"),
+        count(lit(1)).as("vocab_seen"),
+        sum(col("n_occ") * col("wc")).as("sum_freq"),
+        min("wc").as("min_freq"))
+      .join(broadcast(mass), Seq("lang"))
+      .withColumn("freq_ppm",
+        expr("sum_freq * 1000000L DIV (n_tokens * n_lang)"))
+      .withColumn("rarity_tier",
+        when(col("freq_ppm") < rarePpmLt, "rare")
+          .when(col("freq_ppm") < midPpmLt, "mid")
+          .otherwise("common"))
+      .select("doc_id", "lang", "n_tokens", "vocab_seen", "sum_freq",
+        "min_freq", "freq_ppm", "rarity_tier")
+      .orderBy("doc_id")
+  }
+
   /** Per-source document cap (q78). */
   val SourceCap = 40
   /** Salt fan-out for the two-phase top-k (q78). */

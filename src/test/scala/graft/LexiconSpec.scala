@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Lexicon
+import org.apache.spark.sql.functions._
+
+/** The vocabulary-realistic lexicon corpus: determinism, the rank→word
+  * spelling against a Scala reference implementation, the zipf shape
+  * claims (top-word share, band coverage, length/frequency
+  * anti-correlation), and the doc-length spread. The cross-engine
+  * replay itself is pinned by the q171–q174 oracle gate; these tests
+  * pin the REALISM claims the corpus exists to provide. */
+class LexiconSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seedDocs(n: Int) =
+    (0L until n.toLong).map(i => (i, "en", "s"))
+      .toDF("doc_id", "lang", "source")
+
+  private lazy val corpus = Lexicon.lexDocuments(seedDocs(400)).cache()
+
+  /** Scala reference of the base-16 syllable spelling. */
+  private def wordRef(r: Long): String = {
+    def syl(d: Long) = Lexicon.SylTab.substring(2 * d.toInt, 2 * d.toInt + 2)
+    if (r < 16) syl(r)
+    else if (r < 256) syl(r / 16) + syl(r % 16)
+    else if (r < 4096) syl(r / 256) + syl((r / 16) % 16) + syl(r % 16)
+    else syl(r / 4096) + syl((r / 256) % 16) + syl((r / 16) % 16) + syl(r % 16)
+  }
+
+  test("deterministic: two derivations are frame-identical") {
+    val a = Lexicon.lexDocuments(seedDocs(50))
+    val b = Lexicon.lexDocuments(seedDocs(50))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("every token is a valid rank spelling; ranks stay in [1, V]") {
+    // invert each distinct word through the reference spelling of all
+    // plausible lengths: a token must be SOME rank's spelling ≤ V
+    val spellings = (1L to Lexicon.V).map(wordRef).toSet
+    val words = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect()
+    val bad = words.filterNot(spellings.contains)
+    assert(bad.isEmpty, s"tokens that spell no rank ≤ V: ${bad.take(5).mkString(",")}")
+  }
+
+  test("zipf shape: top-word share ~16%, every low band populated, " +
+    "frequency anti-correlates with word length") {
+    val counts = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .cache()
+    val total = counts.agg(sum("c")).as[Long].head()
+    val top = counts.orderBy(col("c").desc).limit(1)
+      .select("w", "c").as[(String, Long)].head()
+    // rank 1 spells "de"; share P(r=1) = 1 − ((K/2)^(1/4))/M ≈ 0.159
+    assert(top._1 == wordRef(1L))
+    val share = top._2.toDouble / total
+    assert(share > 0.12 && share < 0.20, s"top-word share $share")
+    // the mean length of the 10 most frequent words must be well below
+    // the mean length of the 10 least frequent (Zipf abbreviation)
+    val byFreq = counts.orderBy(col("c").desc, col("w")).as[(String, Long)]
+      .collect()
+    val headLen = byFreq.take(10).map(_._1.length).sum / 10.0
+    val tailLen = byFreq.takeRight(10).map(_._1.length).sum / 10.0
+    assert(headLen < tailLen - 2, s"head $headLen vs tail $tailLen")
+    // df bands: a zipf corpus fills every count band from hapax up to
+    // the top word's band contiguously
+    val bands = counts.select(length(expr("bin(c)")).as("band"))
+      .distinct().as[Int].collect().sorted
+    assert(bands.head == 1 && bands.toSeq == (1 to bands.max).toSeq,
+      s"bands not contiguous from 1: ${bands.mkString(",")}")
+    counts.unpersist()
+  }
+
+  test("doc lengths: min ≥ 8, heavy tail present, mean near 64") {
+    val lens = corpus.select(size(split(col("text"), " ")).as("n"))
+      .as[Int].collect()
+    assert(lens.min >= 8)
+    assert(lens.max > 150, s"no heavy tail: max ${lens.max}")
+    val mean = lens.sum.toDouble / lens.length
+    assert(mean > 50 && mean < 80, s"mean length $mean")
+  }
+
+  test("vocabulary grows with the corpus (Heaps), unlike the shipped " +
+    "generator's 31-word cap") {
+    def vocab(n: Int): Long = Lexicon.lexDocuments(seedDocs(n))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().count()
+    val v100 = vocab(100)
+    val v800 = vocab(800)
+    assert(v100 > 1000, s"v100 = $v100")
+    assert(v800 > v100 * 2, s"no growth: $v100 → $v800")
+    assert(v800 < Lexicon.V, s"saturated already: $v800")
+  }
+
+  test("ppm rarity: integer score is scale-free across corpus sizes") {
+    def meanPpm(n: Int): Double = {
+      val r = graft.operators.Corpus.rarityScorePpm(
+        Lexicon.lexDocuments(seedDocs(n)), Lexicon.RarePpmLt, Lexicon.MidPpmLt)
+      r.agg(avg("freq_ppm")).as[Double].head()
+    }
+    val small = meanPpm(100)
+    val big = meanPpm(800)
+    // E[freq_ppm] = 10^6·Σp² — the same mass point at any corpus size
+    assert(math.abs(small - big) / big < 0.15, s"$small vs $big")
+  }
+}

@@ -140,7 +140,11 @@ class PlanAuditSpec extends SparkSpec {
     // corpus — same adjudication; q169's rerank leg joins the bounded
     // ADC shortlist back to the store by id (broadcast equi-join) (r16)
     "q167_planted_jl_ivf", "q168_planted_jl_ivf_pq",
-    "q169_planted_rerank")
+    "q169_planted_rerank",
+    // q173: q85's BM25 shape on the lexicon corpus — the only
+    // non-equi broadcast is the 1-row (N, avgdl) corpus-stats frame
+    // (q85's standing adjudication)
+    "q173_lex_bm25")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
