@@ -5236,9 +5236,12 @@ object SparkEntry {
     // levers' recall audits on separable geometry
     "q167_planted_jl_ivf" -> q158OracleSql(planted = true),
     "q168_planted_jl_ivf_pq" -> q161OracleSql(planted = true),
-    // q169: q166's oracle + the exact-rerank CTEs (ADC top-20 re-scored
-    // by exact L2 from dims)
-    "q169_planted_rerank" -> q162OracleSql(planted = true, rerank = 20),
+    // q169: q166's oracle + the exact-rerank CTEs (the ADC
+    // k_factor×topk shortlist re-scored by exact L2 from dims — the
+    // declared knee of the RerankSweep curve, in lockstep with
+    // Similarity.RerankKFactor)
+    "q169_planted_rerank" -> q162OracleSql(planted = true,
+      rerank = Similarity.RerankKFactor * 5),
     // q163: signup-day cohorts x purchase-day offsets, dense grid with
     // emitted zeros, retention in exact per-mille.
     "q163_cohort_retention" ->

@@ -1495,19 +1495,33 @@ object Similarity {
   def q168PlantedJlIvfPq(t: T): DataFrame =
     jlIvfPq(plantedEmbeddings(t.embeddings), 16, 10, 3, 2, 4, 8, 2, 5)
 
+  /** FAISS `k_factor` for the exact-refinement stage: the served
+    * shortlist is k_factor × topk ADC candidates. The rule (RerankSweep,
+    * measured): 12-bit codes cannot rank within the ambiguity set they
+    * collapse, so the shortlist must scale with the probed lists'
+    * code-tie mass, not with topk alone — at shortlist = topk (the
+    * no-refinement point) sf0.1 recall is 11/50, at 4×topk 27/50, at
+    * 10×topk 35/50 (the knee — sf0.01 is already perfect 50/50 there),
+    * at 20×topk 45/50 with twice the exact-distance work. k_factor = 10
+    * is the declared knee; PlantedRecallSpec pins the 35/50 floor at
+    * the sf0.1 corpus so a retune cannot silently degrade it. */
+  val RerankKFactor = 10
+
   /** q169 — EXACT RE-RANKING of the ADC shortlist (q166's pipeline with
-    * rerank = 20): the stage q166's two findings demand — 12-bit codes
-    * cannot rank near-ties and post-ADC recall is not monotone in
-    * nprobe, so production IVFPQ serving re-scores a bounded ADC
-    * shortlist with exact distances (FAISS `IndexRefineFlat` /
-    * `k_factor`). The n_match vs n_match_rerank columns measure
-    * per-query what the refinement buys on the same trained model and
-    * candidate stream; the shortlist join back to the vector store is
-    * `rerank` rows per query by id — the bounded cost that makes this
-    * the default at 100 TB. */
-  def q169PlantedRerank(t: T): DataFrame =
+    * rerank = [[RerankKFactor]] × topk): the stage q166's two findings
+    * demand — 12-bit codes cannot rank near-ties and post-ADC recall is
+    * not monotone in nprobe, so production IVFPQ serving re-scores a
+    * bounded ADC shortlist with exact distances (FAISS
+    * `IndexRefineFlat` / `k_factor`). The n_match vs n_match_rerank
+    * columns measure per-query what the refinement buys on the same
+    * trained model and candidate stream; the shortlist join back to
+    * the vector store is `rerank` rows per query by id — the bounded
+    * cost that makes this the default at 100 TB. */
+  def q169PlantedRerank(t: T): DataFrame = {
+    val topk = 5
     ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings),
-      10, 3, 4, 8, 2, 2, 5, rerank = 20)
+      10, 3, 4, 8, 2, 2, topk, rerank = RerankKFactor * topk)
+  }
 
   /** |x_s − c_j|² of a sub-vector (column `sqd`, with its precomputed
     * norm² `sqq`) against codebook `cb`'s j-th centroid riding as

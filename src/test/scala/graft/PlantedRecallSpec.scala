@@ -101,4 +101,26 @@ class PlantedRecallSpec extends SparkSpec {
     assert(rerank >= multi + 10,
       s"exact rerank ($rerank) should clearly lift ADC top-5 ($multi)")
   }
+
+  test("declared k_factor operating point holds the recall floor at the " +
+    "sf0.1 corpus") {
+    // q169's EXACT pipeline and parameters on the 2000-id planted
+    // corpus (the sf0.1 id set — these are the driver-gate numbers):
+    // the RerankSweep knee (shortlist = k_factor × topk = 50) must
+    // recover ≥ 35/50 where the unrefined ADC top-5 reads 11/50. A
+    // k_factor retune that silently degrades the serving recall fails
+    // here, not in a probe nobody re-runs. (At 5000 ids the same
+    // shortlist reads 14/50 — list occupancy 2.5×, ambiguity mass
+    // 2.5×, exactly the scaling the k_factor rule predicts: the
+    // shortlist budget must follow the probed-list size.)
+    val topk = 5
+    val rerank = Similarity
+      .ivfPqResidualMultiprobe(Similarity.plantedEmbeddings(ids(2000)),
+        10, 3, 4, 8, 2, 2, topk,
+        rerank = Similarity.RerankKFactor * topk)
+      .agg(sum("n_match_rerank")).head().getLong(0)
+    assert(rerank >= 35,
+      s"k_factor=${Similarity.RerankKFactor} shortlist must hold the " +
+        s"measured 35/50 sf0.1 floor, got $rerank")
+  }
 }
