@@ -99,4 +99,77 @@ object SqlEntry {
     registerViews(t)
     t.spark.sql(q23StandingsSql)
   }
+
+  /** daily_poll_averages (dbt_project/models/marts/aggregates/
+    * daily_poll_averages.sql:60-88) as ANSI SQL — the W1/W2/W3
+    * ROWS-frame showcase: per-(party, day) aggregate with the
+    * sample-size-weighted mean, then lag, the 7-row rolling average
+    * and the 30-row rolling volatility over named windows.
+    * SqlEntrySpec asserts frame equality against a Window-API twin
+    * built from the same staged view — proving the named-WINDOW +
+    * frame-spec SQL surface computes exactly what the DataFrame core
+    * does. */
+  val dailyAveragesSql: String =
+    """WITH daily AS (
+      |  SELECT party, poll_date,
+      |    count(1) AS poll_count,
+      |    round(avg(pct), 4) AS avg_pct,
+      |    round(sum(pct * surveyed) / sum(surveyed), 4) AS weighted_avg,
+      |    CAST(sum(surveyed) AS BIGINT) AS total_surveyed,
+      |    count(DISTINCT institute_id) AS unique_institutes
+      |  FROM stg_poll_results
+      |  GROUP BY party, poll_date)
+      |SELECT party, poll_date, poll_count, avg_pct, weighted_avg,
+      |  total_surveyed, unique_institutes,
+      |  lag(weighted_avg, 1) OVER w AS previous_day_value,
+      |  lag(poll_date, 1) OVER w AS previous_poll_date,
+      |  round(avg(weighted_avg) OVER w7, 4) AS rolling_7day_avg,
+      |  round(stddev_pop(weighted_avg) OVER w30, 4)
+      |    AS rolling_30day_volatility
+      |FROM daily
+      |WINDOW
+      |  w AS (PARTITION BY party ORDER BY poll_date),
+      |  w7 AS (PARTITION BY party ORDER BY poll_date
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  w30 AS (PARTITION BY party ORDER BY poll_date
+      |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY party, poll_date""".stripMargin
+
+  def dailyAveragesViaSql(t: T): DataFrame = {
+    registerViews(t)
+    t.spark.sql(dailyAveragesSql)
+  }
+
+  /** P8 through the SQL surface — the q45 pipe-alternative search
+    * (storage/postgres.py:884-919) with the caller's search terms
+    * entering as BIND PARAMETERS (`:alt0`…), never interpolated into
+    * the SQL text: the parameterized-`spark.sql` analogue of the
+    * reference's psycopg parameter binding, and the second half of the
+    * P11 story (identifiers validated, values bound). Shape matches
+    * the DataFrame twin: per-alternative filter legs, UNION ALL,
+    * identity-tuple dedup with first-alternative retention. */
+  val searchAltsSql: String =
+    """WITH hits AS (
+      |  SELECT p_partkey, p_name, 0 AS alt_idx, :alt0 AS alt
+      |  FROM part WHERE contains(lower(p_name), :alt0)
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, 1 AS alt_idx, :alt1 AS alt
+      |  FROM part WHERE contains(lower(p_name), :alt1)
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, 2 AS alt_idx, :alt2 AS alt
+      |  FROM part WHERE contains(lower(p_name), :alt2))
+      |SELECT p_partkey, p_name,
+      |  min(alt_idx) AS first_alt,
+      |  count(1) AS n_alts,
+      |  array_join(sort_array(collect_set(alt)), ',') AS alts_matched
+      |FROM hits
+      |GROUP BY p_partkey, p_name
+      |ORDER BY p_partkey""".stripMargin
+
+  def searchViaSql(t: T, alts: Seq[String]): DataFrame = {
+    require(alts.length == 3, "the declared query binds three alternatives")
+    registerViews(t)
+    t.spark.sql(searchAltsSql,
+      Map("alt0" -> alts(0), "alt1" -> alts(1), "alt2" -> alts(2)))
+  }
 }

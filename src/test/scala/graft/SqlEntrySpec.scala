@@ -25,6 +25,61 @@ class SqlEntrySpec extends SparkSpec {
     a.zip(b).foreach { case (ra, rb) => assert(ra == rb, s"$ra != $rb") }
   }
 
+  private def assertFrameEqual(a: org.apache.spark.sql.DataFrame,
+                               b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq,
+      s"column drift: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val ra = a.collect().map(_.toSeq).sortBy(_.toString)
+    val rb = b.collect().map(_.toSeq).sortBy(_.toString)
+    assert(ra.length == rb.length && ra.length > 0,
+      s"${ra.length} vs ${rb.length} rows")
+    ra.zip(rb).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
+
+  test("spark.sql daily_poll_averages matches a Window-API twin " +
+    "frame-level (W1/W2/W3 through the SQL surface)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val viaSql = SqlEntry.dailyAveragesViaSql(t)
+    val daily = Polls.stgPollResultsTable(t)
+      .groupBy("party", "poll_date")
+      .agg(count(lit(1)).as("poll_count"),
+        round(avg("pct"), 4).as("avg_pct"),
+        round(sum(col("pct") * col("surveyed")) / sum("surveyed"), 4)
+          .as("weighted_avg"),
+        sum("surveyed").cast("long").as("total_surveyed"),
+        countDistinct("institute_id").as("unique_institutes"))
+    val w = Window.partitionBy("party").orderBy("poll_date")
+    val viaDf = daily
+      .withColumn("previous_day_value", lag("weighted_avg", 1).over(w))
+      .withColumn("previous_poll_date", lag("poll_date", 1).over(w))
+      .withColumn("rolling_7day_avg",
+        round(avg("weighted_avg").over(w.rowsBetween(-6, 0)), 4))
+      .withColumn("rolling_30day_volatility",
+        round(stddev_pop("weighted_avg").over(w.rowsBetween(-29, 0)), 4))
+      .orderBy("party", "poll_date")
+    assertFrameEqual(viaSql, viaDf)
+  }
+
+  test("parameterized spark.sql search matches the q45 DataFrame twin " +
+    "(P8: values bound, never spliced)") {
+    val viaSql = SqlEntry.searchViaSql(t, Seq("red", "blue", "small"))
+    val viaDf = graft.operators.Scalars.q45SearchPipeAlts(t)
+    assertFrameEqual(viaSql, viaDf)
+  }
+
+  test("bound parameters are data: an injection-shaped term matches " +
+    "nothing instead of escaping the literal") {
+    // the whole point of binding: this term reaches contains() as a
+    // VALUE; were it spliced into the text it would be a syntax error
+    // (or worse, valid SQL)
+    val df = SqlEntry.searchViaSql(t,
+      Seq("red' OR '1'='1", "x); DROP TABLE part;--", "small"))
+    val matched = df.collect()
+    assert(matched.nonEmpty) // 'small' still matches
+    assert(matched.forall(_.getString(4) == "small"))
+  }
+
   test("registered views are queryable through the guarded accessor") {
     SqlEntry.registerViews(t)
     assert(SqlEntry.queryView(spark, "stg_poll_results", 5).count() == 5)
