@@ -44,11 +44,19 @@ object ScaleTechniques {
     salted.join(smallSalted, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Partitioned + sorted write (partition pruning + row-group skipping). */
+  /** Partitioned + sorted write (partition pruning + row-group
+    * skipping). `options` reach the parquet writer — the deployment
+    * knobs ride here, e.g. `parquet.bloom.filter.enabled#<col>` for a
+    * bloom on the hot lookup key and `parquet.block.size` to size row
+    * groups so the sort's min/max stats prune at sub-file granularity
+    * (IoPruneProbe measures both against the flat layout; SCALE.md
+    * I/O section has the cells). */
   def writePartitionedSorted(df: DataFrame, path: String,
-                             partCol: String, sortCols: Seq[String]): Unit =
+                             partCol: String, sortCols: Seq[String],
+                             options: Map[String, String] = Map.empty): Unit =
     df.sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite")
+      .options(options)
       .partitionBy(partCol)
       .parquet(path)
 
