@@ -48,7 +48,14 @@ object StreamStateProbe {
     // rejected by withWatermark (the Tables.load discipline)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
-    for ((tag, dir) <- Seq("uniform" -> root, "zipf" -> s"${root}z")) {
+    // third axis: RocksDB CHANGELOG checkpointing — the knob the
+    // rewrite-per-batch finding points at (commit uploads the delta
+    // log instead of snapshotting the store; snapshots move to async
+    // maintenance) — measured on the same corpora as a third leg
+    val legs = Seq(
+      ("uniform", root, false), ("zipf", s"${root}z", false),
+      ("zipf+changelog", s"${root}z", true))
+    for ((tag, dir, changelog) <- legs) {
       val events = spark.read.parquet(s"$dir/events.parquet")
         .select("user_id", "event_id", "ts", "event_type", "value")
         .withColumn("ts", col("ts").cast("timestamp"))
@@ -63,6 +70,9 @@ object StreamStateProbe {
       s2.conf.set("spark.sql.shuffle.partitions", "8")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (changelog) s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       val stream = s2.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "3").parquet(inDir)
       val agg = stream
