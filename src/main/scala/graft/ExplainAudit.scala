@@ -11,12 +11,27 @@ object ExplainAudit {
     val defaults = Seq("q03_top_customers", "q21_poll_unpivot",
       "q25_ann_cosine_topk", "q27_minhash_neardup", "q48_topic_scoring")
     for (name <- if (args.nonEmpty) args.toSeq else defaults) {
-      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      // EXECUTE before reading the plan: under AQE the pre-execution
+      // string is the unfinalised adaptive skeleton — codegen spans,
+      // chosen join strategies and reused exchanges only appear in the
+      // final plan (an earlier version audited the skeleton and read
+      // codegenSpans=0 for everything)
+      val df = SparkEntry.queries(name)(spark, sf)
+      // drive THIS frame's QueryExecution (df.write would plan a fresh
+      // one and leave the audited plan untouched); toRdd.foreach runs
+      // it fully distributed with nothing collected
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
       val broadcasts = "BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop".r.findAllIn(plan).length
       val cartesian = "CartesianProduct".r.findAllIn(plan).length
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+      // toString marks codegen stages with "*(id)" prefixes, not a
+      // WholeStageCodegen node name — count DISTINCT stage ids
+      val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
       val scans = plan.split("\n").filter(_.contains("ReadSchema")).map(_.trim.take(160))
-      println(s"== $name: broadcasts=$broadcasts cartesian=$cartesian codegenSpans=$codegen")
+      println(s"== $name: broadcasts=$broadcasts cartesian=$cartesian " +
+        s"codegenSpans=$codegen shuffles=$shuffles")
       scans.foreach(s => println("   " + s))
     }
     spark.stop()
