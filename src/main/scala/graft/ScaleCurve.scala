@@ -34,6 +34,11 @@ object ScaleCurve {
     "q27_minhash_neardup", "q84_span_dedup", "q109_incremental_dedup",
     // corpus pipelines
     "q133_corpus_pipeline", "q152_bpe_train",
+    // lexicon family (r17): corpus derives from doc_id, so the draws
+    // are honestly fresh at every SF — the vocabulary-bound (q172) vs
+    // corpus-bound (q173/q174) cost split is the claim under test
+    "q171_lex_profile", "q172_lex_bpe_train", "q173_lex_bm25",
+    "q174_lex_rarity",
     // merge/upsert: full-outer joins + per-key argmaxes — the nightly
     // 100 TB merge shapes (r15 verdict item 4)
     "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",
