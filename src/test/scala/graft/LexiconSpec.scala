@@ -27,6 +27,39 @@ class LexiconSpec extends SparkSpec {
     else syl(r / 4096) + syl((r / 256) % 16) + syl((r / 16) % 16) + syl(r % 16)
   }
 
+  /** Pure-JVM reference of the WHOLE derivation — md5 through
+    * MessageDigest, rank draw, tail redraw, length draw — sharing NO
+    * code with either SQL renderer. The oracle gate proves Spark ≡
+    * DuckDB; this proves both ≡ the specified arithmetic (a mistake
+    * shared by the two renderers would pass the gate). */
+  private def h60Ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+  private def textRef(docId: Long): String = {
+    val hl = h60Ref(s"171:$docId")
+    val tail = if ((hl / 128) % 20 == 0) (hl / 4096) % 400 else 0L
+    val n = 8 + hl % 93 + tail
+    (0L until n).map { p =>
+      val hw = h60Ref(s"1710:$docId:$p")
+      val m = 1 + hw % Lexicon.M
+      val rr = Lexicon.K / (m * m * m * m)
+      val r = if (rr <= Lexicon.V) rr else 1 + (hw / 65536) % Lexicon.V
+      wordRef(r)
+    }.mkString(" ")
+  }
+
+  test("the Spark renderer reproduces an independent pure-JVM " +
+    "reference of the construction, doc for doc") {
+    val got = Lexicon.lexDocuments(seedDocs(25))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    (0L until 25L).foreach { id =>
+      assert(got(id) == textRef(id), s"doc $id diverges from reference")
+    }
+  }
+
   test("deterministic: two derivations are frame-identical") {
     val a = Lexicon.lexDocuments(seedDocs(50))
     val b = Lexicon.lexDocuments(seedDocs(50))
