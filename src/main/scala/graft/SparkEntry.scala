@@ -262,6 +262,7 @@ object SparkEntry {
     "q172_lex_bpe_train"  -> ((s, d) => Lexicon.q172LexBpeTrain(T(s, d))),
     "q173_lex_bm25"       -> ((s, d) => Lexicon.q173LexBm25(T(s, d))),
     "q174_lex_rarity"     -> ((s, d) => Lexicon.q174LexRarity(T(s, d))),
+    "q175_lex_heaps"      -> ((s, d) => Lexicon.q175LexHeaps(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1607,6 +1608,43 @@ object SparkEntry {
        |    ELSE 'common' END AS rarity_tier
        |FROM sc JOIN mass ON mass.lang = sc.lang
        |ORDER BY sc.doc_id""".stripMargin
+
+  /** q175's oracle: the same two collapses (word → min bucket,
+    * doc → token count) and the three nested-fraction rows. All
+    * exact integers. */
+  private def q175OracleSql: String =
+    s"""WITH ${operators.Lexicon.lexDocsCte},
+       |toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(concat('175:', CAST(doc_id AS VARCHAR))),
+       |      1, 15))::BIGINT % 100 AS b,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+       |      '\\s+'), x -> x <> '')) AS w
+       |  FROM lexdocs),
+       |wmin AS (SELECT w, min(b) AS mb FROM toks GROUP BY 1),
+       |vv AS (SELECT
+       |  CAST(count(*) FILTER (WHERE mb < 1) AS BIGINT) AS v1,
+       |  CAST(count(*) FILTER (WHERE mb < 10) AS BIGINT) AS v10,
+       |  CAST(count(*) AS BIGINT) AS v100 FROM wmin),
+       |dl AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nt
+       |  FROM toks GROUP BY 1, 2),
+       |dd AS (SELECT
+       |  CAST(count(*) FILTER (WHERE b < 1) AS BIGINT) AS d1,
+       |  CAST(count(*) FILTER (WHERE b < 10) AS BIGINT) AS d10,
+       |  CAST(count(*) AS BIGINT) AS d100,
+       |  CAST(coalesce(sum(nt) FILTER (WHERE b < 1), 0) AS BIGINT) AS t1,
+       |  CAST(coalesce(sum(nt) FILTER (WHERE b < 10), 0) AS BIGINT) AS t10,
+       |  CAST(sum(nt) AS BIGINT) AS t100 FROM dl)
+       |SELECT 1 AS pct, d1 AS n_docs, t1 AS n_tokens, v1 AS vocab,
+       |  CAST(t1 * 1000 // v1 AS BIGINT) AS tokens_per_type_pm
+       |FROM dd, vv
+       |UNION ALL
+       |SELECT 10, d10, t10, v10, CAST(t10 * 1000 // v10 AS BIGINT)
+       |FROM dd, vv
+       |UNION ALL
+       |SELECT 100, d100, t100, v100, CAST(t100 * 1000 // v100 AS BIGINT)
+       |FROM dd, vv
+       |ORDER BY pct""".stripMargin
 
   /** q156's oracle: base-graph PageRank (5 unrolled supersteps over
     * orders before the cutoff) feeding the warm start — 2 more unrolled
@@ -3446,6 +3484,7 @@ object SparkEntry {
       bm25OracleSql(operators.Lexicon.lexDocsCte, "lexdocs",
         operators.Lexicon.LexQueryTerms),
     "q174_lex_rarity" -> q174OracleSql,
+    "q175_lex_heaps" -> q175OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

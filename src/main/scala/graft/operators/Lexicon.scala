@@ -215,4 +215,53 @@ object Lexicon {
     * measured) — rare ≈ bottom quartile, common ≈ top quartile. */
   val RarePpmLt = 36000L
   val MidPpmLt = 45000L
+
+  /** q175 — HEAPS-LAW type-token curve: the vocabulary at three NESTED
+    * deterministic sample fractions of the corpus (1% / 10% / 100% by
+    * the replayable doc-hash bucket, the q51/q75 sampling device) in
+    * one pass — the type-token growth report a corpus-curation
+    * pipeline ships with every crawl snapshot (is the vocabulary still
+    * growing, i.e. is more data still buying new types?). Emits one
+    * row per fraction: docs, running tokens, distinct types, and
+    * tokens-per-type in exact per-mille.
+    *
+    * 100 TB shape: NO per-fraction rescan and no distinct-expand —
+    * the corpus collapses once to (word → min sample bucket) and once
+    * to (doc → token count); a word is IN fraction f's vocabulary iff
+    * its minimum containing-doc bucket clears f, so the three
+    * vocabularies are three conditional counts over the WORD-sized
+    * aggregate and the three token totals three conditional sums over
+    * the DOC-sized one. The two 1-row summaries join on a literal key
+    * (hash join, no nested loop) and explode into the three rows. */
+  def q175LexHeaps(t: T): DataFrame = {
+    val dw = lexDocuments(t.documents)
+      .withColumn("b", expr(
+        s"${TextDedup.h60(175, "CAST(doc_id AS STRING)")} % 100"))
+      .select(col("doc_id"), col("b"),
+        explode(expr("token_counts(text)")).as(Seq("w", "n_occ")))
+      .localCheckpoint(false) // feeds the word-level AND doc-level collapse
+    val wmin = dw.groupBy("w").agg(min("b").as("mb"))
+      .agg(count_if(col("mb") < 1).as("v1"),
+        count_if(col("mb") < 10).as("v10"),
+        count(lit(1)).as("v100"))
+    val dl = dw.groupBy("doc_id", "b").agg(sum("n_occ").as("nt"))
+      .agg(count_if(col("b") < 1).as("d1"),
+        count_if(col("b") < 10).as("d10"),
+        count(lit(1)).as("d100"),
+        sum(when(col("b") < 1, col("nt")).otherwise(0L)).as("t1"),
+        sum(when(col("b") < 10, col("nt")).otherwise(0L)).as("t10"),
+        sum("nt").as("t100"))
+    dl.withColumn("k", lit(1))
+      .join(wmin.withColumn("k", lit(1)), Seq("k"))
+      .select(explode(expr(
+        """array(
+          |  struct(1 AS pct, d1 AS n_docs, t1 AS n_tokens, v1 AS vocab),
+          |  struct(10 AS pct, d10 AS n_docs, t10 AS n_tokens, v10 AS vocab),
+          |  struct(100 AS pct, d100 AS n_docs, t100 AS n_tokens,
+          |    v100 AS vocab))""".stripMargin)).as("s"))
+      .select(col("s.pct").as("pct"), col("s.n_docs").as("n_docs"),
+        col("s.n_tokens").as("n_tokens"), col("s.vocab").as("vocab"),
+        expr("s.n_tokens * 1000L DIV s.vocab").as("tokens_per_type_pm"))
+      .orderBy("pct")
+  }
 }

@@ -144,7 +144,12 @@ class PlanAuditSpec extends SparkSpec {
     // q173: q85's BM25 shape on the lexicon corpus — the only
     // non-equi broadcast is the 1-row (N, avgdl) corpus-stats frame
     // (q85's standing adjudication)
-    "q173_lex_bm25")
+    "q173_lex_bm25",
+    // q175: the word-level and doc-level 1-ROW summary frames combine
+    // for the output explode; Catalyst constant-folds the literal join
+    // key away, so the 1×1 combine plans as a nested loop — bounded by
+    // construction (both sides are single-row aggregates)
+    "q175_lex_heaps")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
