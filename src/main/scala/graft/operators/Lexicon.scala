@@ -135,16 +135,17 @@ object Lexicon {
     val t2 = s"1 + ((hh ${d.div} 65536) ${d.div} ${d.L(V)}) % ${d.L(V)}"
     val pairs = d.map(hashes, "hh", d.struct3(rr, t1, t2))
     val dv = d.div
+    // fixed four syllables, leading zeros kept — the compound-half form
+    def spell4(r: String) =
+      s"${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
+        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}"
+    // variable length (Zipf abbreviation); the 4-digit branch IS spell4
     def spell(r: String) =
       s"CASE WHEN $r < 16 THEN ${syl(r)}" +
         s" WHEN $r < 256 THEN ${syl(s"$r $dv 16")} || ${syl(s"$r % 16")}" +
         s" WHEN $r < 4096 THEN ${syl(s"$r $dv 256")} ||" +
         s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}" +
-        s" ELSE ${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
-        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")} END"
-    def spell4(r: String) =
-      s"${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
-        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}"
+        s" ELSE ${spell4(r)} END"
     val word =
       s"CASE WHEN s.rr <= ${d.L(V)} THEN ${spell("s.rr")}" +
         s" ELSE ${spell4("s.t1")} || ${spell4("s.t2")} END"
