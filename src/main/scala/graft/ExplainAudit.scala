@@ -28,7 +28,13 @@ object ExplainAudit {
       // WholeStageCodegen node name — count DISTINCT stage ids
       val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
-      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // count Exchange NODES (hash + range): a ReusedExchange line
+      // embeds the referenced exchange's description, so a plain
+      // substring count double-counts every reuse
+      val shuffles = plan.split("\n").count(l =>
+        !l.contains("ReusedExchange") &&
+          ("Exchange hashpartitioning".r.findFirstIn(l).isDefined ||
+            "Exchange rangepartitioning".r.findFirstIn(l).isDefined))
       val scans = plan.split("\n").filter(_.contains("ReadSchema")).map(_.trim.take(160))
       println(s"== $name: broadcasts=$broadcasts cartesian=$cartesian " +
         s"codegenSpans=$codegen shuffles=$shuffles")

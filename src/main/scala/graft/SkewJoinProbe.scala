@@ -111,21 +111,23 @@ object SkewJoinProbe {
       ("plain/skewjoin-off", false, plainJoin _),
       ("plain/skewjoin-on", true, plainJoin _),
       ("salted/skewjoin-off", false, saltedForm _))
-    val results = collection.mutable.Map.empty[(String, String), DataFrame]
+    val results =
+      collection.mutable.Map.empty[(String, String), Array[org.apache.spark.sql.Row]]
     for ((tag, dir) <- Seq("uniform" -> root, "zipf" -> s"${root}z");
          (leg, skewOn, mk) <- legs) {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
       val (best, df) = time(() => mk(dir))
-      results((tag, leg)) = df
       // execute THIS frame's own QueryExecution so the AQE metrics
-      // read from its finalized plan, not a lazy copy
-      df.collect()
+      // read from its finalized plan, not a lazy copy — and KEEP the
+      // rows: the value-identity compare below reuses them instead of
+      // re-running the whole join a seventh time per leg
+      results((tag, leg)) = df.collect()
       println(f"[skewjoin] $tag%-8s $leg%-20s ${best}%.2fs ${skewMetrics(df)}")
     }
     // value identity across legs on the zipf corpus: counts exact,
     // price to the cent (double sums re-associate across plans)
-    def asMap(df: DataFrame): Map[String, (Long, Double, Long)] = df.collect()
-      .map(r => r.get(0).toString ->
+    def asMap(rows: Array[org.apache.spark.sql.Row]): Map[String, (Long, Double, Long)] =
+      rows.map(r => r.get(0).toString ->
         (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     val base = asMap(results(("zipf", "plain/skewjoin-off")))
     for (leg <- Seq("plain/skewjoin-on", "salted/skewjoin-off")) {

@@ -97,14 +97,17 @@ object SkewProbe {
     }
     // the mitigation must be value-identical to the operator it stands
     // in for — asserted on the zipf corpus, where it matters. BOTH
-    // except directions: one-directional except misses a mitigation
-    // producing a strict subset of the original's rows.
+    // except directions (one-directional misses a strict subset) AND
+    // a cardinality compare (set-based except is blind to a duplicated
+    // row that exists on both sides).
     def assertSame(name: String, a: org.apache.spark.sql.DataFrame,
                    b: org.apache.spark.sql.DataFrame): Unit = {
+      val (na, nb) = (a.count(), b.count())
       val extra = a.except(b).count()
       val missing = b.except(a).count()
-      require(extra == 0 && missing == 0,
-        s"$name mitigation diverged: $extra extra, $missing missing rows")
+      require(na == nb && extra == 0 && missing == 0,
+        s"$name mitigation diverged: $na vs $nb rows, " +
+          s"$extra extra, $missing missing")
       println(s"[skew] $name mitigation value-identical on zipf: ok")
     }
     if (probeQ07) assertSame("q07_maxby",

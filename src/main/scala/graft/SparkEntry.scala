@@ -1636,13 +1636,17 @@ object SparkEntry {
        |  CAST(coalesce(sum(nt) FILTER (WHERE b < 10), 0) AS BIGINT) AS t10,
        |  CAST(sum(nt) AS BIGINT) AS t100 FROM dl)
        |SELECT 1 AS pct, d1 AS n_docs, t1 AS n_tokens, v1 AS vocab,
-       |  CAST(t1 * 1000 // v1 AS BIGINT) AS tokens_per_type_pm
+       |  CAST(CASE WHEN v1 = 0 THEN 0 ELSE t1 * 1000 // v1 END AS BIGINT)
+       |    AS tokens_per_type_pm
        |FROM dd, vv
        |UNION ALL
-       |SELECT 10, d10, t10, v10, CAST(t10 * 1000 // v10 AS BIGINT)
+       |SELECT 10, d10, t10, v10,
+       |  CAST(CASE WHEN v10 = 0 THEN 0 ELSE t10 * 1000 // v10 END AS BIGINT)
        |FROM dd, vv
        |UNION ALL
-       |SELECT 100, d100, t100, v100, CAST(t100 * 1000 // v100 AS BIGINT)
+       |SELECT 100, d100, t100, v100,
+       |  CAST(CASE WHEN v100 = 0 THEN 0 ELSE t100 * 1000 // v100 END
+       |    AS BIGINT)
        |FROM dd, vv
        |ORDER BY pct""".stripMargin
 
@@ -5280,7 +5284,7 @@ object SparkEntry {
     // declared knee of the RerankSweep curve, in lockstep with
     // Similarity.RerankKFactor)
     "q169_planted_rerank" -> q162OracleSql(planted = true,
-      rerank = Similarity.RerankKFactor * 5),
+      rerank = Similarity.RerankKFactor * Similarity.RerankTopK),
     // q163: signup-day cohorts x purchase-day offsets, dense grid with
     // emitted zeros, retention in exact per-mille.
     "q163_cohort_retention" ->

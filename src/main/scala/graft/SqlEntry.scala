@@ -147,17 +147,20 @@ object SqlEntry {
     * reference's psycopg parameter binding, and the second half of the
     * P11 story (identifiers validated, values bound). Shape matches
     * the DataFrame twin: per-alternative filter legs, UNION ALL,
-    * identity-tuple dedup with first-alternative retention. */
+    * identity-tuple dedup with first-alternative retention. Both
+    * SIDES of the match fold case (the reference's ILIKE is
+    * case-insensitive; a caller's "Red" must match like "red"),
+    * while the emitted `alt` column carries the caller's spelling. */
   val searchAltsSql: String =
     """WITH hits AS (
       |  SELECT p_partkey, p_name, 0 AS alt_idx, :alt0 AS alt
-      |  FROM part WHERE contains(lower(p_name), :alt0)
+      |  FROM part WHERE contains(lower(p_name), lower(:alt0))
       |  UNION ALL
       |  SELECT p_partkey, p_name, 1 AS alt_idx, :alt1 AS alt
-      |  FROM part WHERE contains(lower(p_name), :alt1)
+      |  FROM part WHERE contains(lower(p_name), lower(:alt1))
       |  UNION ALL
       |  SELECT p_partkey, p_name, 2 AS alt_idx, :alt2 AS alt
-      |  FROM part WHERE contains(lower(p_name), :alt2))
+      |  FROM part WHERE contains(lower(p_name), lower(:alt2)))
       |SELECT p_partkey, p_name,
       |  min(alt_idx) AS first_alt,
       |  count(1) AS n_alts,

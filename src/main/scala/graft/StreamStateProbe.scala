@@ -62,8 +62,9 @@ object StreamStateProbe {
       val tmp = TmpDirs.fresh("graft_sstate_", tag)
       val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val outDir = s"$tmp/out"
       // 12 time-ranged files → 4 data batches of 3 files each: state
-      // grows across batches and the watermark (24 h behind max ts
-      // seen) evicts closed sessions batch over batch
+      // grows across batches; the 45-day watermark (> corpus span, see
+      // the header scaladoc) means nothing drops and nothing evicts —
+      // growth is what these cells meter
       events.repartitionByRange(12, col("ts"))
         .write.mode("overwrite").parquet(inDir)
       val s2 = spark.newSession()

@@ -282,7 +282,13 @@ object Lexicon {
           |    v100 AS vocab))""".stripMargin)).as("s"))
       .select(col("s.pct").as("pct"), col("s.n_docs").as("n_docs"),
         col("s.n_tokens").as("n_tokens"), col("s.vocab").as("vocab"),
-        expr("s.n_tokens * 1000L DIV s.vocab").as("tokens_per_type_pm"))
+        // zero guard: an empty sample bucket is a DEFINED 0 row — the
+        // engines disagree on integer division by zero (Spark NULLs,
+        // DuckDB throws), so the guard is what keeps the oracle gate
+        // engine-symmetric on tiny or filtered corpora
+        expr("CASE WHEN s.vocab = 0 THEN 0L" +
+          " ELSE s.n_tokens * 1000L DIV s.vocab END")
+          .as("tokens_per_type_pm"))
       .orderBy("pct")
   }
 }

@@ -1507,6 +1507,11 @@ object Similarity {
     * the sf0.1 corpus so a retune cannot silently degrade it. */
   val RerankKFactor = 10
 
+  /** q169's served k — beside the k_factor so the operator and its
+    * oracle derive the shortlist from the SAME two constants (a bare
+    * literal on either side could drift silently). */
+  val RerankTopK = 5
+
   /** q169 — EXACT RE-RANKING of the ADC shortlist (q166's pipeline with
     * rerank = [[RerankKFactor]] × topk): the stage q166's two findings
     * demand — 12-bit codes cannot rank near-ties and post-ADC recall is
@@ -1517,11 +1522,9 @@ object Similarity {
     * trained model and candidate stream; the shortlist join back to
     * the vector store is `rerank` rows per query by id — the bounded
     * cost that makes this the default at 100 TB. */
-  def q169PlantedRerank(t: T): DataFrame = {
-    val topk = 5
+  def q169PlantedRerank(t: T): DataFrame =
     ivfPqResidualMultiprobe(plantedEmbeddings(t.embeddings),
-      10, 3, 4, 8, 2, 2, topk, rerank = RerankKFactor * topk)
-  }
+      10, 3, 4, 8, 2, 2, RerankTopK, rerank = RerankKFactor * RerankTopK)
 
   /** |x_s − c_j|² of a sub-vector (column `sqd`, with its precomputed
     * norm² `sqq`) against codebook `cb`'s j-th centroid riding as

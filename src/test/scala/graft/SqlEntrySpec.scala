@@ -68,6 +68,15 @@ class SqlEntrySpec extends SparkSpec {
     assertFrameEqual(viaSql, viaDf)
   }
 
+  test("the bound term folds case like the reference's ILIKE") {
+    val mixed = SqlEntry.searchViaSql(t, Seq("ReD", "BLUE", "small"))
+      .select("p_partkey", "first_alt", "n_alts")
+    val lower = SqlEntry.searchViaSql(t, Seq("red", "blue", "small"))
+      .select("p_partkey", "first_alt", "n_alts")
+    assert(mixed.except(lower).count() == 0 &&
+      lower.except(mixed).count() == 0 && lower.count() > 0)
+  }
+
   test("bound parameters are data: an injection-shaped term matches " +
     "nothing instead of escaping the literal") {
     // the whole point of binding: this term reaches contains() as a
