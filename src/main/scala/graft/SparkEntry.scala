@@ -263,6 +263,8 @@ object SparkEntry {
     "q173_lex_bm25"       -> ((s, d) => Lexicon.q173LexBm25(T(s, d))),
     "q174_lex_rarity"     -> ((s, d) => Lexicon.q174LexRarity(T(s, d))),
     "q175_lex_heaps"      -> ((s, d) => Lexicon.q175LexHeaps(T(s, d))),
+    "q176_lex_langid"     -> ((s, d) => Lexicon.q176LexLangid(T(s, d))),
+    "q177_lex_gopher"     -> ((s, d) => Lexicon.q177LexGopherAudit(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1608,6 +1610,104 @@ object SparkEntry {
        |    ELSE 'common' END AS rarity_tier
        |FROM sc JOIN mass ON mass.lang = sc.lang
        |ORDER BY sc.doc_id""".stripMargin
+
+  /** q176's oracle: the multi-language lexdocs derivation (same
+    * arithmetic, DuckDB renderer, per-row syllable table off `lang`),
+    * the five stop-hit counts (multiplicity counted, q30's form), the
+    * same fixed-tie-order argmax, and the confusion-matrix group-by.
+    * Stop lists render from the SAME Scala definition
+    * (operators/Lexicon.topWords) as the Spark side. */
+  private def q176OracleSql: String = {
+    val hits = operators.Lexicon.MultiLangs.zipWithIndex.map {
+      case (l, i) =>
+        val lits = operators.Lexicon.topWords(i, operators.Lexicon.LangidK)
+          .map(w => s"'$w'").mkString(", ")
+        s"""    CAST(len(list_filter(w, x -> list_contains([$lits], x)))
+           |      AS INT) AS s_$l""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${operators.Lexicon.multiLexDocsCte},
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS w
+       |  FROM mlexdocs),
+       |sc AS (
+       |  SELECT doc_id, lang, CAST(len(w) AS INT) AS n_words,
+       |$hits
+       |  FROM tok),
+       |p AS (
+       |  SELECT lang, n_words,
+       |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang,
+       |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_hits
+       |  FROM sc)
+       |SELECT lang AS true_lang, predicted_lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |  CAST(sum(best_hits) AS BIGINT) AS sum_hits
+       |FROM p GROUP BY 1, 2
+       |ORDER BY true_lang, predicted_lang""".stripMargin
+  }
+
+  /** q177's oracle: q121's rule replay (same list HOFs, same
+    * int/int IEEE ratios) over lexdocs with the [[operators.Lexicon
+    * .LexStops]] list, aggregated to the per-rule failure report —
+    * one UNION ALL branch per rule, exact-integer per-mille. */
+  private def q177OracleSql: String = {
+    val stops = operators.Lexicon.LexStops.map(w => s"'$w'").mkString(", ")
+    val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
+    val branches = rules.map { r =>
+      s"""SELECT '$r' AS rule, n_docs, f_$r AS n_fail,
+         |  CAST(CASE WHEN n_docs = 0 THEN 0
+         |    ELSE f_$r * 1000 // n_docs END AS BIGINT) AS fail_pm
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${operators.Lexicon.lexDocsCte},
+       |d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS w
+       |  FROM lexdocs),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |    len(list_filter(w, x -> contains(x, '#')
+       |      OR contains(x, '...'))) AS n_sym,
+       |    CAST(len(list_intersect(w, [$stops])) AS INT) AS n_stop_distinct
+       |  FROM d),
+       |r AS (
+       |  SELECT
+       |    (n_words >= 50 AND n_words <= 100000) AS r_wc,
+       |    (CASE WHEN n_words > 0
+       |        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 3
+       |      AND CASE WHEN n_words > 0
+       |        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 10)
+       |      AS r_mwl,
+       |    (CASE WHEN n_words > 0
+       |        THEN n_sym * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 0.1)
+       |      AS r_sym,
+       |    (CASE WHEN n_words > 0
+       |        THEN n_alpha * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 0.8)
+       |      AS r_alpha,
+       |    (n_stop_distinct >= 2) AS r_stop
+       |  FROM m),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(*) FILTER (WHERE NOT r_wc) AS BIGINT) AS f_r_wc,
+       |    CAST(count(*) FILTER (WHERE NOT r_mwl) AS BIGINT) AS f_r_mwl,
+       |    CAST(count(*) FILTER (WHERE NOT r_sym) AS BIGINT) AS f_r_sym,
+       |    CAST(count(*) FILTER (WHERE NOT r_alpha) AS BIGINT) AS f_r_alpha,
+       |    CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT) AS f_r_stop,
+       |    CAST(count(*) FILTER (WHERE NOT (r_wc AND r_mwl AND r_sym
+       |      AND r_alpha AND r_stop)) AS BIGINT) AS f_keep
+       |  FROM r)
+       |$branches
+       |ORDER BY rule""".stripMargin
+  }
 
   /** q175's oracle: the same two collapses (word → min bucket,
     * doc → token count) and the three nested-fraction rows. All
@@ -3489,6 +3589,8 @@ object SparkEntry {
         operators.Lexicon.LexQueryTerms),
     "q174_lex_rarity" -> q174OracleSql,
     "q175_lex_heaps" -> q175OracleSql,
+    "q176_lex_langid" -> q176OracleSql,
+    "q177_lex_gopher" -> q177OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

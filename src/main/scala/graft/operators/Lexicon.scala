@@ -102,16 +102,19 @@ object Lexicon {
     (rr, t1, t2) => s"struct_pack(rr := $rr, t1 := $t1, t2 := $t2)")
 
   /** Doc length in words: 8 + (h mod 93) base, plus a 5% tail of up to
-    * 399 extra — seeds 171 (length) / 1710 (per-position word). */
-  private def nWordsSql(d: Dialect): String = {
-    val hl = d.hash(s"concat('171:', ${d.str("doc_id")})")
+    * 399 extra — seeds 171 (length) / 1710 (per-position word) for the
+    * single-language corpus, 176/1760 for the multi-language one. */
+  private def nWordsSql(d: Dialect, seedLen: Int): String = {
+    val hl = d.hash(s"concat('$seedLen:', ${d.str("doc_id")})")
     s"(8 + $hl % 93 + (CASE WHEN ($hl ${d.div} 128) % 20 = 0" +
       s" THEN ($hl ${d.div} 4096) % 400 ELSE 0 END))"
   }
 
-  /** One base-16 digit → one syllable. */
-  private def syl(e: String): String =
-    s"substring('$SylTab', CAST(1 + 2 * ($e) AS INT), 2)"
+  /** One base-16 digit → one syllable of the given table expression
+    * (a literal for the single-language corpus, a per-row CASE over
+    * `lang` for the multi-language one). */
+  private def syl(tab: String, e: String): String =
+    s"substring($tab, CAST(1 + 2 * ($e) AS INT), 2)"
 
   /** The document text — ONE definition of the whole derivation,
     * rendered per engine: positions → hashes → (pareto rank, two tail
@@ -125,26 +128,28 @@ object Lexicon {
     * Heaps-growing at ANY corpus scale instead of saturating at V —
     * real vocabularies do not saturate, and the tail compounds are
     * the hapax legomena a real corpus is half made of. */
-  private def textSql(d: Dialect): String = {
+  private def textSql(d: Dialect, tab: String = s"'$SylTab'",
+                      seedLen: Int = 171, seedTok: Int = 1710): String = {
     val hw = d.hash(
-      s"concat('1710:', ${d.str("doc_id")}, ':', ${d.str("p")})")
-    val hashes = d.map(d.list0(nWordsSql(d)), "p", hw)
+      s"concat('$seedTok:', ${d.str("doc_id")}, ':', ${d.str("p")})")
+    val hashes = d.map(d.list0(nWordsSql(d, seedLen)), "p", hw)
     val m = s"(1 + hh % ${d.L(M)})"
     val rr = s"${d.L(K)} ${d.div} ($m * $m * $m * $m)"
     val t1 = s"1 + (hh ${d.div} 65536) % ${d.L(V)}"
     val t2 = s"1 + ((hh ${d.div} 65536) ${d.div} ${d.L(V)}) % ${d.L(V)}"
     val pairs = d.map(hashes, "hh", d.struct3(rr, t1, t2))
     val dv = d.div
+    def sy(e: String) = syl(tab, e)
     // fixed four syllables, leading zeros kept — the compound-half form
     def spell4(r: String) =
-      s"${syl(s"$r $dv 4096")} || ${syl(s"($r $dv 256) % 16")} ||" +
-        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}"
+      s"${sy(s"$r $dv 4096")} || ${sy(s"($r $dv 256) % 16")} ||" +
+        s" ${sy(s"($r $dv 16) % 16")} || ${sy(s"$r % 16")}"
     // variable length (Zipf abbreviation); the 4-digit branch IS spell4
     def spell(r: String) =
-      s"CASE WHEN $r < 16 THEN ${syl(r)}" +
-        s" WHEN $r < 256 THEN ${syl(s"$r $dv 16")} || ${syl(s"$r % 16")}" +
-        s" WHEN $r < 4096 THEN ${syl(s"$r $dv 256")} ||" +
-        s" ${syl(s"($r $dv 16) % 16")} || ${syl(s"$r % 16")}" +
+      s"CASE WHEN $r < 16 THEN ${sy(r)}" +
+        s" WHEN $r < 256 THEN ${sy(s"$r $dv 16")} || ${sy(s"$r % 16")}" +
+        s" WHEN $r < 4096 THEN ${sy(s"$r $dv 256")} ||" +
+        s" ${sy(s"($r $dv 16) % 16")} || ${sy(s"$r % 16")}" +
         s" ELSE ${spell4(r)} END"
     val word =
       s"CASE WHEN s.rr <= ${d.L(V)} THEN ${spell("s.rr")}" +
@@ -290,5 +295,160 @@ object Lexicon {
           " ELSE s.n_tokens * 1000L DIV s.vocab END")
           .as("tokens_per_type_pm"))
       .orderBy("pct")
+  }
+
+  // ── the MULTI-LANGUAGE corpus (q176/q177) ──────────────────────────
+
+  /** 16 consonants × 5 vowels: language i spells base-16 digit c with
+    * syllable cons(c) + vowel((c + i) mod 5), so the five 16-syllable
+    * inventories are pairwise DISJOINT (the same consonant carries a
+    * different vowel in every language) while each language still mixes
+    * all five vowels. Disjoint inventories mean no word FORM can belong
+    * to two languages — so whatever confusion the langid audit reports
+    * is purely the coverage failure mode (a document containing none of
+    * a language's frequent words), the honest residual a stopword
+    * classifier has on short documents, not form collisions the corpus
+    * planted by accident. */
+  val MultiCons = "bdfghklmnprstvwz"
+  val MultiVowels = "aeiou"
+
+  /** The documents table's language values, in the fixed tie-break
+    * order the langid argmax uses (q30's device). */
+  val MultiLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Language i's 32-char syllable table. */
+  def sylTabFor(i: Int): String =
+    (0 until 16).map(c =>
+      s"${MultiCons(c)}${MultiVowels((c + i) % 5)}").mkString
+
+  /** Language i's k most frequent word forms (ranks 1..k ≤ 15 are
+    * single syllables) — the per-language stopword lists the langid
+    * scores against. Rank 0 never occurs (ranks start at 1). */
+  def topWords(i: Int, k: Int): Seq[String] = {
+    val tab = sylTabFor(i)
+    (1 to k).map(r => tab.substring(2 * r, 2 * r + 2))
+  }
+
+  /** Per-row syllable-table selector — plain CASE, identical SQL on
+    * both engines. */
+  private val multiTab: String =
+    "(CASE " + MultiLangs.zipWithIndex.map { case (l, i) =>
+      s"WHEN lang = '$l' THEN '${sylTabFor(i)}'"
+    }.mkString(" ") + s" ELSE '${sylTabFor(0)}' END)"
+
+  /** The multi-language corpus: the [[lexDocuments]] derivation with
+    * the syllable table selected by the document's OWN lang column
+    * (fresh seeds 176/1760, so the draws are independent of the
+    * single-language corpus). Same zipf ranks, same doc-length spread,
+    * same compound tail — only the spelling differs per language,
+    * which is exactly the structure an n-gram/stopword language
+    * identifier keys on. Pure map-side derivation like every planted
+    * corpus. */
+  def multiLexDocuments(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("text", expr(textSql(spark, multiTab, 176, 1760)))
+      .withColumn("n_chars", length(col("text")))
+
+  /** The identical multi-language corpus as a DuckDB CTE. */
+  val multiLexDocsCte: String =
+    s"""mlexdocs AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, text, length(text) AS n_chars
+       |  FROM (SELECT doc_id, lang, source,
+       |      ${textSql(duck, multiTab, 176, 1760)} AS text
+       |    FROM documents))""".stripMargin
+
+  /** How many of language i's top-[[LangidK]] words appear in `words`
+    * (multiplicity counted — q30's stopHits form). */
+  val LangidK = 10
+
+  /** q176 — stopword-overlap LANGUAGE ID on a corpus where it can
+    * finally discriminate (the r16-verdict text-realism item, applied
+    * to q30's langid: on the shipped 31-word generator every language
+    * reads the same text, so the predicted-language column measured
+    * only the tie-break). Each document scores its token stream
+    * against the five languages' top-10 word lists and predicts the
+    * argmax with q30's fixed de>en>es>fr>zh tie order; the output is
+    * the CONFUSION MATRIX — (true_lang, predicted_lang, n_docs,
+    * sum_words, sum_hits) — the audit a langid stage ships. With
+    * disjoint inventories a wrong language never scores a hit, so the
+    * off-diagonal rows are exactly the zero-hit ties (short documents
+    * whose words are all rarer than rank 10) landing on 'de' — the
+    * honest coverage-failure residual, measurable per language.
+    *
+    * 100 TB shape: map-side scoring (array HOFs over each row's
+    * tokens), one partially-aggregated 25-cell group-by — the same
+    * scan-bound profile as q30. */
+  def q176LexLangid(t: T): DataFrame =
+    q176LexLangidOver(multiLexDocuments(t.documents))
+
+  /** The scoring + matrix core over any derived (doc_id, lang, text)
+    * corpus frame — public for the spec's Scala-recomputed matrix. */
+  def q176LexLangidOver(mdocs: DataFrame): DataFrame = {
+    val hitCols = MultiLangs.zipWithIndex.map { case (l, i) =>
+      val lits = topWords(i, LangidK).map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(words, w -> w IN ($lits)))").as(s"s_$l")
+    }
+    val scored = mdocs
+      .withColumn("words", TextDedup.tokens(col("text")))
+      .select(col("doc_id") +: col("lang") +:
+        size(col("words")).as("n_words") +: hitCols: _*)
+    val best = greatest(MultiLangs.map(l => col(s"s_$l")): _*)
+    val predicted =
+      when(col("s_de") >= greatest(col("s_en"), col("s_es"),
+        col("s_fr"), col("s_zh")), "de")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr"),
+          col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("best_hits", best)
+      .groupBy(col("lang").as("true_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        sum("best_hits").as("sum_hits"))
+      .orderBy("true_lang", "predicted_lang")
+  }
+
+  /** q177's stop list: the single-language lexicon's top-8 word forms
+    * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
+    * own frequent words, exactly how the rule ports to a non-English
+    * corpus (Rae et al. 2021 use English function words because their
+    * corpus is English). */
+  val LexStops: Seq[String] =
+    (1 to 8).map(r => SylTab.substring(2 * r, 2 * r + 2))
+
+  /** q177 — the GOPHER RULE AUDIT on the vocabulary-realistic corpus:
+    * q121's rule battery (TextAnalysis.gopherRules — same thresholds,
+    * same rule set) with the stop list re-grounded in [[LexStops]],
+    * aggregated to the per-rule failure report a curation pipeline
+    * reviews before committing a filter config — one row per rule with
+    * its failure count and exact per-mille failure rate, plus the
+    * composite keep row. On the 31-word corpus the battery was
+    * untestable end-to-end (r_stop rejected everything — q133 had to
+    * drop it); here every rule reads a real distribution: the
+    * doc-length spread fails r_wc at its natural rate, the
+    * length-vs-frequency spelling moves mean word length across the
+    * r_mwl band, and r_stop passes exactly the documents that contain
+    * ≥2 of the corpus's own frequent words.
+    *
+    * 100 TB shape: q121's map-side rules collapsed into ONE global
+    * partial aggregate (six counters per partition) — the cheapest
+    * query in the family. */
+  def q177LexGopherAudit(t: T): DataFrame = {
+    val per = TextAnalysis.gopherRules(lexDocuments(t.documents), LexStops)
+    val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
+    val aggs = count(lit(1)).as("n_docs") +: rules.map(r =>
+      count_if(!col(r)).as(s"f_$r"))
+    val one = per.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map(r =>
+      s"struct('$r' AS rule, f_$r AS n_fail," +
+        s" CASE WHEN n_docs = 0 THEN 0L" +
+        s" ELSE f_$r * 1000L DIV n_docs END AS fail_pm)").mkString(", ")
+    one.select(col("n_docs"), explode(expr(s"array($rows)")).as("s"))
+      .select(col("s.rule").as("rule"), col("n_docs"),
+        col("s.n_fail").as("n_fail"), col("s.fail_pm").as("fail_pm"))
+      .orderBy("rule")
   }
 }

@@ -378,13 +378,18 @@ object TextAnalysis {
     * 100 TB shape: every rule is a per-row higher-order array function —
     * zero shuffle, whole-stage codegen, linear in input splits; ratios
     * are int/int IEEE divisions, exact in both engines. */
-  def q121GopherRules(t: T): DataFrame = gopherRules(t.documents)
+  def q121GopherRules(t: T): DataFrame =
+    gopherRules(t.documents).orderBy("doc_id")
 
   /** The rule core over any (doc_id, text) frame — public for the spec's
-    * hand corpus. */
-  def gopherRules(documents: DataFrame): DataFrame = {
+    * hand corpus and parameterized on the stop list (q121 uses the Gopher
+    * English function words; q177 re-grounds the rule in the lexicon
+    * corpus's own frequent words). Unsorted — callers add their serving
+    * sort or aggregate on top. */
+  def gopherRules(documents: DataFrame,
+                  stops: Seq[String] = GopherStops): DataFrame = {
     val words = TextDedup.tokens(col("text"))
-    val stopLits = array(GopherStops.map(lit): _*)
+    val stopLits = array(stops.map(lit): _*)
     documents
       .select(col("doc_id"), words.as("w"))
       .select(
@@ -413,7 +418,6 @@ object TextAnalysis {
         col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") && col("r_stop"))
       .select("doc_id", "n_words", "mean_word_len", "alpha_frac", "sym_frac",
         "n_stop_distinct", "r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
-      .orderBy("doc_id")
   }
 
   /** DSIR feature-hash bucket count (q119). */

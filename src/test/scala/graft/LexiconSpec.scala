@@ -147,6 +147,110 @@ class LexiconSpec extends SparkSpec {
     assert(Lexicon.V * Lexicon.V > 100000000L)
   }
 
+  // ── multi-language corpus (q176/q177) ─────────────────────────────
+
+  private def mWordRef(tab: String, r: Long): String = {
+    def syl(d: Long) = tab.substring(2 * d.toInt, 2 * d.toInt + 2)
+    if (r < 16) syl(r)
+    else if (r < 256) syl(r / 16) + syl(r % 16)
+    else if (r < 4096) syl(r / 256) + syl((r / 16) % 16) + syl(r % 16)
+    else syl(r / 4096) + syl((r / 256) % 16) + syl((r / 16) % 16) + syl(r % 16)
+  }
+  private def mWord4Ref(tab: String, r: Long): String = {
+    def syl(d: Long) = tab.substring(2 * d.toInt, 2 * d.toInt + 2)
+    syl(r / 4096) + syl((r / 256) % 16) + syl((r / 16) % 16) + syl(r % 16)
+  }
+  /** Pure-JVM reference of the multi-language derivation (seeds
+    * 176/1760, per-language syllable table) — shares no code with
+    * either SQL renderer. */
+  private def mTextRef(docId: Long, lang: String): String = {
+    val tab = Lexicon.sylTabFor(Lexicon.MultiLangs.indexOf(lang))
+    val hl = h60Ref(s"176:$docId")
+    val tail = if ((hl / 128) % 20 == 0) (hl / 4096) % 400 else 0L
+    val n = 8 + hl % 93 + tail
+    (0L until n).map { p =>
+      val hw = h60Ref(s"1760:$docId:$p")
+      val m = 1 + hw % Lexicon.M
+      val rr = Lexicon.K / (m * m * m * m)
+      if (rr <= Lexicon.V) mWordRef(tab, rr)
+      else {
+        val t1 = 1 + (hw / 65536) % Lexicon.V
+        val t2 = 1 + ((hw / 65536) / Lexicon.V) % Lexicon.V
+        mWord4Ref(tab, t1) + mWord4Ref(tab, t2)
+      }
+    }.mkString(" ")
+  }
+
+  private def multiSeedDocs(n: Int) =
+    (0L until n.toLong).map(i =>
+      (i, Lexicon.MultiLangs((i % 5).toInt), "s"))
+      .toDF("doc_id", "lang", "source")
+
+  test("multi-language: the five syllable inventories are pairwise " +
+    "disjoint, so no word form can belong to two languages") {
+    val tabs = Lexicon.MultiLangs.indices.map(Lexicon.sylTabFor)
+    val invs = tabs.map(t => t.grouped(2).toSet)
+    assert(invs.forall(_.size == 16))
+    for (i <- invs.indices; j <- invs.indices if i < j)
+      assert(invs(i).intersect(invs(j)).isEmpty, s"tables $i,$j collide")
+    // and hence the top-10 stop lists are pairwise disjoint too
+    val lists = Lexicon.MultiLangs.indices
+      .map(i => Lexicon.topWords(i, Lexicon.LangidK).toSet)
+    for (i <- lists.indices; j <- lists.indices if i < j)
+      assert(lists(i).intersect(lists(j)).isEmpty)
+  }
+
+  test("multi-language: the Spark renderer reproduces the pure-JVM " +
+    "reference per language, doc for doc") {
+    val got = Lexicon.multiLexDocuments(multiSeedDocs(25))
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    assert(got.length == 25 && got.map(_._2).distinct.length == 5)
+    got.foreach { case (id, lang, text) =>
+      assert(text == mTextRef(id, lang), s"doc $id ($lang) diverges")
+    }
+  }
+
+  test("multi-language: every token of a language's text spells from " +
+    "that language's inventory — the disjointness the langid relies on") {
+    val inv = Lexicon.MultiLangs.indices
+      .map(i => Lexicon.MultiLangs(i) -> Lexicon.sylTabFor(i).grouped(2).toSet)
+      .toMap
+    val rows = Lexicon.multiLexDocuments(multiSeedDocs(60))
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .distinct().as[(String, String)].collect()
+    rows.foreach { case (lang, w) =>
+      val syls = w.grouped(2).toSeq
+      assert(syls.forall(inv(lang).contains),
+        s"$lang token $w uses foreign syllables")
+    }
+  }
+
+  test("langid confusion matrix: diagonal whenever a doc has any " +
+    "top-10 hit; zero-hit docs tie to 'de' (the fixed tie order)") {
+    // recompute hits in plain Scala and compare the matrix cells
+    val docs = Lexicon.multiLexDocuments(multiSeedDocs(200))
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect()
+    val lists = Lexicon.MultiLangs.indices
+      .map(i => Lexicon.topWords(i, Lexicon.LangidK).toSet)
+    val expected = docs.map { case (_, lang, text) =>
+      val words = text.split(" ")
+      val hits = lists.map(l => words.count(l.contains))
+      val pred = // the q30 >= chain in tie order de,en,es,fr,zh
+        Lexicon.MultiLangs(hits.indices.minBy(i => (-hits(i), i)))
+      (lang, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    // drive q176's scoring core over the same frame by swapping the
+    // documents table: build a tiny T-like call through the public API
+    val got = Lexicon.q176LexLangidOver(
+      Lexicon.multiLexDocuments(multiSeedDocs(200)))
+      .select("true_lang", "predicted_lang", "n_docs")
+      .as[(String, String, Long)].collect()
+      .map { case (t, p, n) => (t, p) -> n }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("ppm rarity: integer score is scale-free across corpus sizes") {
     def meanPpm(n: Int): Double = {
       val r = graft.operators.Corpus.rarityScorePpm(
