@@ -265,6 +265,7 @@ object SparkEntry {
     "q175_lex_heaps"      -> ((s, d) => Lexicon.q175LexHeaps(T(s, d))),
     "q176_lex_langid"     -> ((s, d) => Lexicon.q176LexLangid(T(s, d))),
     "q177_lex_gopher"     -> ((s, d) => Lexicon.q177LexGopherAudit(T(s, d))),
+    "q178_lex_pipeline"   -> ((s, d) => Lexicon.q178LexPipeline(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1610,6 +1611,92 @@ object SparkEntry {
        |    ELSE 'common' END AS rarity_tier
        |FROM sc JOIN mass ON mass.lang = sc.lang
        |ORDER BY sc.doc_id""".stripMargin
+
+  /** The composed-pipeline oracle (q133/q178), parameterized by corpus
+    * source and an optional stop rule: the sha256 canonicalizer, the
+    * rule battery (with r_stop only when `stops` is given — q133's
+    * corpus makes it degenerate, q178's lexicon corpus restores it),
+    * the 7-gram decontamination semi-join, the ppm-hash mixture device
+    * and the survivor shard hash. */
+  private def corpusPipelineOracleSql(extraCte: String, corpus: String,
+                                      stops: Option[Seq[String]]): String = {
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    val stopCol = stops.map(s =>
+      ",\n    CAST(len(list_intersect(w, [" +
+        s.map(w => s"'$w'").mkString(", ") +
+        "])) AS INT) AS n_stop").getOrElse("")
+    val stopTerm =
+      if (stops.isDefined) "\n      AND (n_stop >= 2)" else ""
+    val keepCase =
+      """(CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+        |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
+        |    ELSE 250 END)""".stripMargin
+    s"""WITH ${pre}canon AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+       |  FROM $corpus),
+       |qd AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS w
+       |  FROM $corpus),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
+       |      AS n_sym$stopCol
+       |  FROM qd),
+       |quality AS (
+       |  SELECT doc_id, n_words,
+       |    ((n_words >= 50 AND n_words <= 100000)
+       |      AND (CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
+       |        / n_words ELSE 0 END >= 3
+       |        AND CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
+       |        / n_words ELSE 0 END <= 10)
+       |      AND (CASE WHEN n_words > 0 THEN n_sym * CAST(1 AS DOUBLE)
+       |        / n_words ELSE 0 END <= 0.1)
+       |      AND (CASE WHEN n_words > 0 THEN n_alpha * CAST(1 AS DOUBLE)
+       |        / n_words ELSE 0 END >= 0.8)$stopTerm) AS quality_pass
+       |  FROM qm),
+       |words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM $corpus),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 5),
+       |    i -> ('0x' || substr(md5(concat('79:',
+       |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+       |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
+       |      ::BIGINT))) AS gram
+       |  FROM words WHERE len(w) >= 7),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT DISTINCT g.doc_id FROM g
+       |  JOIN ev ON ev.gram = g.gram
+       |  WHERE g.doc_id % 97 != 0),
+       |mix AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(concat(133, ':', CAST(doc_id AS VARCHAR))),
+       |      1, 15))::BIGINT % 1000 AS bucket
+       |  FROM $corpus WHERE doc_id % 97 != 0)
+       |SELECT m.doc_id, m.lang, q.n_words, c.is_dup, q.quality_pass,
+       |  (ct.doc_id IS NOT NULL) AS contaminated,
+       |  m.bucket < $keepCase AS mixture_keep,
+       |  (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
+       |    AND m.bucket < $keepCase) AS survives,
+       |  CASE WHEN (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
+       |    AND m.bucket < $keepCase)
+       |    THEN ('0x' || substr(md5(concat(134, ':',
+       |      CAST(m.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
+       |    ELSE NULL END AS shard
+       |FROM mix m
+       |JOIN canon c ON c.doc_id = m.doc_id
+       |JOIN quality q ON q.doc_id = m.doc_id
+       |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
 
   /** q176's oracle: the multi-language lexdocs derivation (same
     * arithmetic, DuckDB renderer, per-row syllable table off `lang`),
@@ -3591,6 +3678,9 @@ object SparkEntry {
     "q175_lex_heaps" -> q175OracleSql,
     "q176_lex_langid" -> q176OracleSql,
     "q177_lex_gopher" -> q177OracleSql,
+    "q178_lex_pipeline" -> corpusPipelineOracleSql(
+      operators.Lexicon.lexDocsCte, "lexdocs",
+      Some(operators.Lexicon.LexStops)),
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->
@@ -4719,79 +4809,10 @@ object SparkEntry {
     // operator scaladoc), q79's gram semi-join, q75's ppm-hash mixture
     // device (seed 133), and the survivor shard hash (seed 134). Every
     // stage verdict is a boolean on exact integers / int-division
-    // doubles.
+    // doubles. (Shared builder — q178 replays the same pipeline over
+    // lexdocs with the full five-rule battery.)
     "q133_corpus_pipeline" ->
-      """WITH canon AS (
-        |  SELECT doc_id,
-        |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
-        |  FROM documents),
-        |qd AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |      x -> x <> '') AS w
-        |  FROM documents),
-        |qm AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS INT) AS n_words,
-        |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
-        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-        |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
-        |      AS n_sym
-        |  FROM qd),
-        |quality AS (
-        |  SELECT doc_id, n_words,
-        |    ((n_words >= 50 AND n_words <= 100000)
-        |      AND (CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
-        |        / n_words ELSE 0 END >= 3
-        |        AND CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
-        |        / n_words ELSE 0 END <= 10)
-        |      AND (CASE WHEN n_words > 0 THEN n_sym * CAST(1 AS DOUBLE)
-        |        / n_words ELSE 0 END <= 0.1)
-        |      AND (CASE WHEN n_words > 0 THEN n_alpha * CAST(1 AS DOUBLE)
-        |        / n_words ELSE 0 END >= 0.8)) AS quality_pass
-        |  FROM qm),
-        |words AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 5),
-        |    i -> ('0x' || substr(md5(concat('79:',
-        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
-        |      ::BIGINT))) AS gram
-        |  FROM words WHERE len(w) >= 7),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |contam AS (
-        |  SELECT DISTINCT g.doc_id FROM g
-        |  JOIN ev ON ev.gram = g.gram
-        |  WHERE g.doc_id % 97 != 0),
-        |mix AS (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(concat(133, ':', CAST(doc_id AS VARCHAR))),
-        |      1, 15))::BIGINT % 1000 AS bucket
-        |  FROM documents WHERE doc_id % 97 != 0)
-        |SELECT m.doc_id, m.lang, q.n_words, c.is_dup, q.quality_pass,
-        |  (ct.doc_id IS NOT NULL) AS contaminated,
-        |  m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
-        |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
-        |    ELSE 250 END) AS mixture_keep,
-        |  (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
-        |    AND m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
-        |      WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
-        |      ELSE 250 END)) AS survives,
-        |  CASE WHEN (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
-        |    AND m.bucket < (CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
-        |      WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
-        |      ELSE 250 END))
-        |    THEN ('0x' || substr(md5(concat(134, ':',
-        |      CAST(m.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
-        |    ELSE NULL END AS shard
-        |FROM mix m
-        |JOIN canon c ON c.doc_id = m.doc_id
-        |JOIN quality q ON q.doc_id = m.doc_id
-        |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
-        |ORDER BY m.doc_id""".stripMargin,
+      corpusPipelineOracleSql("", "documents", None),
     // q134: the streaming HLL replayed as batch registers per
     // epoch-aligned 24h bucket (q129's register arithmetic keyed by
     // window) plus q102's append-mode flush rule (win_end ≤ max event

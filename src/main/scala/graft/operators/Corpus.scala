@@ -788,15 +788,23 @@ object Corpus {
     * have not already audited. */
   def q133CorpusPipeline(t: T): DataFrame = corpusPipeline(t.documents)
 
-  def corpusPipeline(docs: DataFrame): DataFrame = {
+  /** The composed pipeline, parameterized on the quality stage's stop
+    * rule: q133 runs WITHOUT r_stop (degenerate on the shipped 31-word
+    * vocabulary — see the scaladoc above); q178 passes the lexicon
+    * corpus's own stop list and runs the FULL five-rule battery. */
+  def corpusPipeline(docs: DataFrame,
+                     stops: Option[Seq[String]] = None): DataFrame = {
     val canon = docs
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("canon_id",
         min("doc_id").over(Window.partitionBy("content_hash")))
       .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
-    val quality = TextAnalysis.gopherRules(docs)
+    val baseRules =
+      col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha")
+    val quality = TextAnalysis
+      .gopherRules(docs, stops.getOrElse(TextAnalysis.GopherStops))
       .select(col("doc_id"), col("n_words"),
-        (col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha"))
+        (if (stops.isDefined) baseRules && col("r_stop") else baseRules)
           .as("quality_pass"))
     val grams = probeGrams(docs)
     val evalG = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()

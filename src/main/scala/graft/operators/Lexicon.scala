@@ -436,6 +436,21 @@ object Lexicon {
     * 100 TB shape: q121's map-side rules collapsed into ONE global
     * partial aggregate (six counters per partition) — the cheapest
     * query in the family. */
+  /** q178 — the END-TO-END corpus pipeline (q133's operator —
+    * dedup → quality → decontamination → mixture → sharding, per-doc
+    * audit log) on the vocabulary-realistic corpus with the FULL
+    * five-rule Gopher battery: q133 had to DROP r_stop because the
+    * 31-word vocabulary made it reject every document; on the lexicon
+    * corpus the rule reads a real distribution (q177 measures it at
+    * ~0.2% fail), so the pipeline finally composes all five rules the
+    * way a production corpus build does. Same stages, same seeds
+    * (133/134 mixture/shard, 79 grams), same output schema — only the
+    * corpus and the stop list differ.
+    *
+    * 100 TB shape: q133's — union of its stages' shapes, nothing new. */
+  def q178LexPipeline(t: T): DataFrame =
+    Corpus.corpusPipeline(lexDocuments(t.documents), Some(LexStops))
+
   def q177LexGopherAudit(t: T): DataFrame = {
     val per = TextAnalysis.gopherRules(lexDocuments(t.documents), LexStops)
     val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")

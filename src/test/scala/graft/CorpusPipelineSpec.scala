@@ -52,6 +52,25 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("stop-list parameter (q178): with stops given, quality_pass " +
+    "requires >= 2 of them; without, the stop rule is skipped") {
+    // clean("a") interleaves the eight GOPHER stopwords — so with a
+    // CUSTOM list it contains none of them, and the full battery must
+    // reject it while the default four-rule battery accepts it.
+    val docs = Seq(
+      (1L, "en", clean("a")),
+      (2L, "en", clean("b") + " zkq1 zkq2") // carries 2 custom stops
+    ).toDF("doc_id", "lang", "text").withColumn("n_chars", length(col("text")))
+    val custom = Some(Seq("zkq1", "zkq2"))
+    val withStop = Corpus.corpusPipeline(docs, custom)
+      .select("doc_id", "quality_pass").as[(Long, Boolean)].collect().toMap
+    assert(!withStop(1L), "no custom stop words -> full battery rejects")
+    assert(withStop(2L), "2 custom stops -> full battery accepts")
+    val without = Corpus.corpusPipeline(docs)
+      .select("doc_id", "quality_pass").as[(Long, Boolean)].collect().toMap
+    assert(without(1L) && without(2L), "four-rule battery accepts both")
+  }
+
   test("whole-log invariants on the real table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val log = Corpus.corpusPipeline(docs).cache()
