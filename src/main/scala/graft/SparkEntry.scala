@@ -266,6 +266,7 @@ object SparkEntry {
     "q176_lex_langid"     -> ((s, d) => Lexicon.q176LexLangid(T(s, d))),
     "q177_lex_gopher"     -> ((s, d) => Lexicon.q177LexGopherAudit(T(s, d))),
     "q178_lex_pipeline"   -> ((s, d) => Lexicon.q178LexPipeline(T(s, d))),
+    "q179_lex_drift"      -> ((s, d) => Lexicon.q179LexDrift(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1697,6 +1698,45 @@ object SparkEntry {
        |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
        |ORDER BY m.doc_id""".stripMargin
   }
+
+  /** q179's oracle: the base/delta split, the two-conditional-sum word
+    * collapse, the base-count band re-aggregate (band 0 = new types),
+    * the totals cross, and the exact ppm shares + signed drift. */
+  private def q179OracleSql: String =
+    s"""WITH ${operators.Lexicon.lexDocsCte},
+       |toks AS (
+       |  SELECT doc_id % 10 = 0 AS is_delta,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+       |      '\\s+'), x -> x <> '')) AS w
+       |  FROM lexdocs),
+       |counts AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb,
+       |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS cd
+       |  FROM toks GROUP BY 1),
+       |banded AS (
+       |  SELECT CAST(CASE WHEN cb = 0 THEN 0 ELSE length(bin(cb)) END
+       |      AS INT) AS band,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(cb) AS BIGINT) AS occ_base,
+       |    CAST(sum(cd) AS BIGINT) AS occ_delta,
+       |    min(w) AS first_word
+       |  FROM counts GROUP BY 1),
+       |tot AS (SELECT CAST(sum(occ_base) AS BIGINT) AS tb,
+       |    CAST(sum(occ_delta) AS BIGINT) AS td FROM banded)
+       |SELECT band, n_types, occ_base, occ_delta,
+       |  CAST(CASE WHEN tb = 0 THEN 0
+       |    ELSE occ_base * 1000000 // tb END AS BIGINT) AS share_base_ppm,
+       |  CAST(CASE WHEN td = 0 THEN 0
+       |    ELSE occ_delta * 1000000 // td END AS BIGINT) AS share_delta_ppm,
+       |  first_word,
+       |  CAST(CASE WHEN td = 0 THEN 0
+       |      ELSE occ_delta * 1000000 // td END -
+       |    CASE WHEN tb = 0 THEN 0
+       |      ELSE occ_base * 1000000 // tb END AS BIGINT) AS drift_ppm
+       |FROM banded, tot
+       |ORDER BY band""".stripMargin
 
   /** q176's oracle: the multi-language lexdocs derivation (same
     * arithmetic, DuckDB renderer, per-row syllable table off `lang`),
@@ -3681,6 +3721,7 @@ object SparkEntry {
     "q178_lex_pipeline" -> corpusPipelineOracleSql(
       operators.Lexicon.lexDocsCte, "lexdocs",
       Some(operators.Lexicon.LexStops)),
+    "q179_lex_drift" -> q179OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

@@ -451,6 +451,54 @@ object Lexicon {
   def q178LexPipeline(t: T): DataFrame =
     Corpus.corpusPipeline(lexDocuments(t.documents), Some(LexStops))
 
+  /** q179 — CROSS-SNAPSHOT CORPUS DRIFT: yesterday's corpus (doc_id %
+    * 10 ≠ 0, the q150/q159 base convention) vs today's batch (doc_id %
+    * 10 = 0), compared as df-band profiles — per band of the BASE
+    * count (band 0 = types the base has never seen), the type count,
+    * both occurrence masses, each side's share of its own token stream
+    * in exact ppm, and the signed drift. This is the
+    * distribution-shift alarm a recurring crawl ships before training:
+    * mass drifting into band 0 / low bands = vocabulary churn or
+    * corpus rot, mass drifting into the top band = boilerplate flood.
+    * The incremental-family member for corpus statistics (q109 dedup,
+    * q150 IVF, q156 PageRank, q159 CC maintain artifacts; this
+    * monitors the distribution those jobs ingest).
+    *
+    * 100 TB shape: ONE partially-aggregated (word) collapse carrying
+    * two conditional sums, a band-sized re-aggregate, and the totals
+    * joined back on a literal key (q175's device — hash join, no
+    * nested loop). All exact integers. */
+  def q179LexDrift(t: T): DataFrame =
+    q179LexDriftOver(lexDocuments(t.documents))
+
+  /** The drift core over any derived (doc_id, text) corpus frame —
+    * public for the spec's independently-recomputed profile. */
+  def q179LexDriftOver(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select((col("doc_id") % 10 === 0).as("is_delta"),
+        explode(TextDedup.tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("cb"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("cd"))
+    val banded = counts
+      .groupBy(when(col("cb") === 0L, 0)
+        .otherwise(length(expr("bin(cb)"))).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_types"),
+        sum("cb").as("occ_base"), sum("cd").as("occ_delta"),
+        min("w").as("first_word"))
+    val tot = banded.agg(sum("occ_base").as("tb"), sum("occ_delta").as("td"))
+    banded.withColumn("k", lit(1))
+      .join(tot.withColumn("k", lit(1)), Seq("k"))
+      .select(col("band"), col("n_types"), col("occ_base"), col("occ_delta"),
+        expr("CASE WHEN tb = 0 THEN 0L ELSE occ_base * 1000000L DIV tb END")
+          .as("share_base_ppm"),
+        expr("CASE WHEN td = 0 THEN 0L ELSE occ_delta * 1000000L DIV td END")
+          .as("share_delta_ppm"),
+        col("first_word"))
+      .withColumn("drift_ppm", col("share_delta_ppm") - col("share_base_ppm"))
+      .orderBy("band")
+  }
+
   def q177LexGopherAudit(t: T): DataFrame = {
     val per = TextAnalysis.gopherRules(lexDocuments(t.documents), LexStops)
     val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")

@@ -251,6 +251,32 @@ class LexiconSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("drift report (q179): masses partition the token stream, band 0 " +
+    "is exactly the delta-only vocabulary, shares sum to ~1e6") {
+    val docs = Lexicon.lexDocuments(seedDocs(300))
+    val out = Lexicon.q179LexDriftOver(docs)
+      .select("band", "n_types", "occ_base", "occ_delta",
+        "share_base_ppm", "share_delta_ppm")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    // independent recompute of the split and the band-0 contract
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .as[(Long, String)].collect()
+    val base = toks.filter(_._1 % 10 != 0).map(_._2)
+    val delta = toks.filter(_._1 % 10 == 0).map(_._2)
+    assert(out.map(_._3).sum == base.length, "base mass partitions")
+    assert(out.map(_._4).sum == delta.length, "delta mass partitions")
+    val band0 = out.find(_._1 == 0).get
+    val newTypes = (delta.toSet -- base.toSet).size
+    assert(band0._2 == newTypes, s"band-0 types ${band0._2} vs $newTypes")
+    assert(band0._3 == 0L, "band 0 carries no base occurrences")
+    // integer-floor shares: each side sums into (1e6 - nBands, 1e6]
+    val sb = out.map(_._5).sum
+    val sd = out.map(_._6).sum
+    assert(sb > 1000000L - out.length && sb <= 1000000L, s"sb=$sb")
+    assert(sd > 1000000L - out.length && sd <= 1000000L, s"sd=$sd")
+  }
+
   test("ppm rarity: integer score is scale-free across corpus sizes") {
     def meanPpm(n: Int): Double = {
       val r = graft.operators.Corpus.rarityScorePpm(
