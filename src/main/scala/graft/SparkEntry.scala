@@ -267,6 +267,7 @@ object SparkEntry {
     "q177_lex_gopher"     -> ((s, d) => Lexicon.q177LexGopherAudit(T(s, d))),
     "q178_lex_pipeline"   -> ((s, d) => Lexicon.q178LexPipeline(T(s, d))),
     "q179_lex_drift"      -> ((s, d) => Lexicon.q179LexDrift(T(s, d))),
+    "q180_lex_bpe_bylang" -> ((s, d) => Lexicon.q180LexBpeByLang(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1523,6 +1524,56 @@ object SparkEntry {
        |$steps
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** q180's oracle: the per-language BPE rounds unrolled — the keyed
+    * vocabulary once, then per round a (lang, pair) count, the
+    * per-language (cnt DESC, lhs, rhs) argmax via row_number, the
+    * LEFT-JOIN apply (a language with no pairs left falls through
+    * unchanged, matching the operator's CASE), and per-language symbol
+    * totals. All exact integers. */
+  private def bpeTrainByLangOracleSql(extraCte: String, corpus: String,
+                                      rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT lang, p.lhs, p.rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT lang, wc, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(lhs := syms[i], rhs := syms[i + 1]))) AS p
+         |    FROM (SELECT lang, wc,
+         |        string_split(seq[2:-2], '||') AS syms FROM w${r - 1}))
+         |  GROUP BY 1, 2, 3),
+         |m$r AS MATERIALIZED (
+         |  SELECT lang, lhs, rhs, cnt FROM (
+         |    SELECT lang, lhs, rhs, cnt, row_number() OVER (
+         |      PARTITION BY lang ORDER BY cnt DESC, lhs, rhs) AS rn
+         |    FROM p$r) WHERE rn = 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.lang, w.wc,
+         |    CASE WHEN m.lang IS NULL THEN w.seq
+         |      ELSE replace(w.seq, '|' || m.lhs || '||' || m.rhs || '|',
+         |        '|' || m.lhs || m.rhs || '|') END AS seq
+         |  FROM w${r - 1} w LEFT JOIN m$r m ON m.lang = w.lang),
+         |s$r AS (SELECT lang, CAST(sum(wc * (length(seq) -
+         |    length(replace(seq, '||', '|')) + 1)) AS BIGINT)
+         |    AS symbols_after FROM w$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"""SELECT m.lang, $r AS round, m.lhs, m.rhs,
+         |  m.lhs || m.rhs AS merged, m.cnt, s.symbols_after
+         |FROM m$r m JOIN s$r s ON s.lang = m.lang""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    s"""WITH ${pre}w0 AS MATERIALIZED (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS wc,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)),
+       |      '\\s+')) AS word FROM $corpus) WHERE word <> ''
+       |    AND NOT contains(word, '|') AND NOT contains(word, chr(92))
+       |  GROUP BY lang, word),
+       |$steps
+       |$out
+       |ORDER BY lang, round""".stripMargin
   }
 
   /** The BM25 oracle, parameterized by corpus + query terms: q85 runs
@@ -3722,6 +3773,8 @@ object SparkEntry {
       operators.Lexicon.lexDocsCte, "lexdocs",
       Some(operators.Lexicon.LexStops)),
     "q179_lex_drift" -> q179OracleSql,
+    "q180_lex_bpe_bylang" -> bpeTrainByLangOracleSql(
+      operators.Lexicon.multiLexDocsCte, "mlexdocs", 8),
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

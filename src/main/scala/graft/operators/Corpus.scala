@@ -634,25 +634,35 @@ object Corpus {
     * `word` rides along inert (column pruning drops it from the pair
     * counts) so the encode path (q155) can read per-word token counts
     * straight off the final state with no second vocabulary scan. */
-  private def bpeTrainCore(documents: DataFrame, rounds: Int)
-  : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = {
-    // the one corpus pass: word counts, then the wrapped initial
-    // character sequence '|c||h||a||r||</w>|'. Contract: the '|'-wrapped
-    // sequence encoding reserves '|' as the symbol delimiter, and the
-    // merge-apply interpolates learned symbols into a Spark SQL string
-    // literal where '\' is an escape char — so words containing either
-    // byte are excluded from the vocabulary ON BOTH ENGINES (the oracle
-    // applies the same filter). Zero occurrences in the shipped corpora;
-    // the filter pins the general operator's behavior.
-    var vocab = documents
-      .select(explode(TextDedup.tokens(col("text"))).as("word"))
+  /** The one corpus pass both trainers share: word counts (optionally
+    * per language) and the '|'-wrapped initial character sequence
+    * '|c||h||a||r||</w>|'. Contract: the sequence encoding reserves '|'
+    * as the symbol delimiter, and the merge-apply interpolates learned
+    * symbols into a Spark SQL string literal where '\' is an escape
+    * char — so words containing either byte are excluded from the
+    * vocabulary ON BOTH ENGINES (the oracles apply the same filter).
+    * Zero occurrences in the shipped corpora; the filter pins the
+    * general operator's behavior. */
+  private def bpeVocab0(documents: DataFrame, withLang: Boolean): DataFrame = {
+    val keyCols = if (withLang) Seq(col("lang"), col("word")) else Seq(col("word"))
+    val base =
+      if (withLang)
+        documents.select(col("lang"),
+          explode(TextDedup.tokens(col("text"))).as("word"))
+      else documents.select(explode(TextDedup.tokens(col("text"))).as("word"))
+    base
       .where(!col("word").contains("|") && !col("word").contains("\\"))
-      .groupBy("word").agg(count(lit(1)).as("wc"))
-      .select(col("word"), col("wc"), concat(lit("|"),
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("wc"))
+      .select(keyCols ++ Seq(col("wc"), concat(lit("|"),
         expr("""array_join(transform(sequence(1, char_length(word)),
               |  i -> substring(word, i, 1)), '||')""".stripMargin),
-        lit("||</w>|")).as("seq"))
+        lit("||</w>|")).as("seq")): _*)
       .localCheckpoint(false)
+  }
+
+  private def bpeTrainCore(documents: DataFrame, rounds: Int)
+  : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = {
+    var vocab = bpeVocab0(documents, withLang = false)
     val merges = collection.mutable.Buffer.empty[(Int, String, String, Long)]
     val states = collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -708,6 +718,86 @@ object Corpus {
         (r, lhs, rhs, lhs + rhs, cnt, symbolsByRound(r)) }
       .toDF("round", "lhs", "rhs", "merged", "cnt", "symbols_after")
       .orderBy("round")
+  }
+
+  /** FUSED PER-LANGUAGE BPE TRAINING (q180): one job trains one merge
+    * table per language — the q142-family tagged-union trick (one
+    * aggregate advances every model per round) applied to tokenizers.
+    * Per round: ONE (lang, lhs, rhs) pair-count aggregate over the
+    * keyed vocabulary, a per-language argmax (row_number window on a
+    * pair-count-sized frame, ≤ |langs| rows crossing to the driver —
+    * still the model-parameter contract), and the merges applied in a
+    * single literal CASE over `lang` so the whole apply stays one
+    * codegen'd projection. A language with no pairs left in a round
+    * falls through the CASE unchanged and simply stops learning.
+    *
+    * Per-language training is INDEPENDENT by construction — the keyed
+    * run restricted to a language is bit-identical to [[bpeTrain]] on
+    * that language's documents alone (CorpusSpec pins the equivalence)
+    * — which is exactly why fusing is free: at 100 TB this trains all
+    * per-domain tokenizers in one corpus collapse + 8 vocab-sized
+    * rounds instead of |langs| separate corpus passes. */
+  def bpeTrainByLang(documents: DataFrame, rounds: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    var vocab = bpeVocab0(documents, withLang = true)
+    val merges =
+      collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    val states = collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val tops = vocab
+        .select(col("lang"), col("wc"),
+          expr("split(substring(seq, 2, length(seq) - 2), '\\\\|\\\\|')")
+            .as("syms"))
+        .where(size(col("syms")) >= 2) // one-symbol words contribute no pairs
+        .select(col("lang"), col("wc"), explode(expr(
+          """transform(sequence(0, size(syms) - 2), i -> struct(
+            |  element_at(syms, i + 1) AS lhs,
+            |  element_at(syms, i + 2) AS rhs))""".stripMargin)).as("p"))
+        .groupBy(col("lang"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("wc").as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))))
+        .where(col("rn") === 1)
+        .select("lang", "lhs", "rhs", "cnt")
+        .collect() // ≤ |langs| rows — per-language model parameters
+      if (tops.nonEmpty) { // every language exhausted -> nothing to apply
+        val caseExpr = "CASE " + tops.map { t =>
+          val (lg, lhs, rhs) =
+            (sqlEsc(t.getString(0)), sqlEsc(t.getString(1)), sqlEsc(t.getString(2)))
+          s"WHEN lang = '$lg' THEN replace(seq, '|$lhs||$rhs|', '|$lhs$rhs|')"
+        }.mkString(" ") + " ELSE seq END"
+        vocab = vocab.select(col("lang"), col("word"), col("wc"),
+          expr(caseExpr).as("seq"))
+          // UNLIKE q152's single-replace chain (linear lineage, cheaper
+          // re-evaluated than materialized — its scaladoc measures it),
+          // the keyed CASE references `seq` once per language branch, so
+          // unchecked lineage grows |langs|^rounds expression nodes
+          // (5^8 ≈ 4·10^5 here — Catalyst planning, not execution, was
+          // the wall). The lazy per-round checkpoint caps the tree at
+          // one round deep; the materialization piggybacks on the jobs
+          // the next argmax/trace run anyway.
+          .localCheckpoint(false)
+      }
+      tops.foreach(t => merges +=
+        ((r, t.getString(0), t.getString(1), t.getString(2), t.getLong(3))))
+      states += vocab.select(lit(r).as("round"), col("lang"), col("wc"),
+        col("seq"))
+    }
+    // ONE job for every (round, lang) compression-trace point
+    val symbolsAfter = states.reduce(_ unionByName _)
+      .groupBy("round", "lang")
+      .agg(sum(col("wc") *
+        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1))
+        .as("symbols_after"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    merges.toSeq
+      .map { case (r, lg, lhs, rhs, cnt) =>
+        (lg, r, lhs, rhs, lhs + rhs, cnt, symbolsAfter((r, lg))) }
+      .toDF("lang", "round", "lhs", "rhs", "merged", "cnt", "symbols_after")
+      .orderBy("lang", "round")
   }
 
   /** Escapes a learned symbol for interpolation into a Spark SQL string

@@ -411,6 +411,20 @@ object Lexicon {
       .orderBy("true_lang", "predicted_lang")
   }
 
+  /** q180 — FUSED PER-LANGUAGE BPE TRAINING on the multi-language
+    * corpus: one job, five tokenizers (`Corpus.bpeTrainByLang` — the
+    * fused-Lloyd tagged-union discipline applied to BPE: one keyed
+    * pair-count aggregate advances every language's model per round,
+    * ≤5 argmax rows of driver state). On disjoint syllable inventories
+    * the learned merge tables CANNOT coincide — each language learns
+    * its own planted syllables (the per-domain-tokenizer claim,
+    * measurable per row), while q172's single-table trainer would
+    * average them away. 100 TB shape: |langs| tokenizers for one
+    * corpus collapse + 8 vocab-sized rounds instead of |langs|
+    * corpus passes. */
+  def q180LexBpeByLang(t: T): DataFrame =
+    Corpus.bpeTrainByLang(multiLexDocuments(t.documents), 8)
+
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
     * own frequent words, exactly how the rule ports to a non-English

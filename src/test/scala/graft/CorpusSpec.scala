@@ -211,6 +211,30 @@ class CorpusSpec extends SparkSpec {
       (3, "ab", "</w>", "ab</w>", 5L, 8L)))
   }
 
+  test("q180 keyed bpe training: the fused per-language run restricted " +
+    "to one language equals bpeTrain on that language's docs alone, " +
+    "and the two languages learn different merges") {
+    val de = ((1 to 3).map(i => (i.toLong, "de", "aaab")) ++
+      Seq((4L, "de", "ab"), (5L, "de", "ab"))).toSeq
+    val en = ((6 to 9).map(i => (i.toLong, "en", "xyz")) ++
+      Seq((10L, "en", "xy"))).toSeq
+    val docs = (de ++ en).toDF("doc_id", "lang", "text")
+    val keyed = Corpus.bpeTrainByLang(docs, 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+    for (lg <- Seq("de", "en")) {
+      val alone = Corpus.bpeTrain(
+        docs.filter(col("lang") === lg).select("doc_id", "text"), 3)
+        .collect().map(r => (lg, r.getInt(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      assert(keyed.filter(_._1 == lg).toList == alone.toList,
+        s"keyed $lg diverges from the standalone trainer")
+    }
+    // disjoint alphabets -> disjoint merge tables
+    assert(keyed.filter(_._1 == "de").map(_._5).toSet
+      .intersect(keyed.filter(_._1 == "en").map(_._5).toSet).isEmpty)
+  }
+
   test("q155 bpe encode: per-source token accounting matches the " +
     "hand-trained tokenizer") {
     // same corpus as the training test, split across two sources; after
