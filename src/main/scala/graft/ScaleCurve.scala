@@ -39,7 +39,8 @@ object ScaleCurve {
     // corpus-bound (q173/q174) cost split is the claim under test
     "q171_lex_profile", "q172_lex_bpe_train", "q173_lex_bm25",
     "q174_lex_rarity", "q175_lex_heaps", "q176_lex_langid",
-    "q177_lex_gopher",
+    "q177_lex_gopher", "q178_lex_pipeline", "q179_lex_drift",
+    "q180_lex_bpe_bylang",
     // merge/upsert: full-outer joins + per-key argmaxes — the nightly
     // 100 TB merge shapes (r15 verdict item 4)
     "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",

@@ -268,6 +268,7 @@ object SparkEntry {
     "q178_lex_pipeline"   -> ((s, d) => Lexicon.q178LexPipeline(T(s, d))),
     "q179_lex_drift"      -> ((s, d) => Lexicon.q179LexDrift(T(s, d))),
     "q180_lex_bpe_bylang" -> ((s, d) => Lexicon.q180LexBpeByLang(T(s, d))),
+    "q181_lex_bpe_encode" -> ((s, d) => Lexicon.q181LexBpeEncodeByLang(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1532,8 +1533,14 @@ object SparkEntry {
     * LEFT-JOIN apply (a language with no pairs left falls through
     * unchanged, matching the operator's CASE), and per-language symbol
     * totals. All exact integers. */
-  private def bpeTrainByLangOracleSql(extraCte: String, corpus: String,
-                                      rounds: Int): String = {
+  /** The keyed BPE round CTEs both per-language oracles share: the
+    * (lang, word) vocabulary, then per round the keyed pair count, the
+    * per-language row_number argmax, the LEFT-JOIN apply (a language
+    * with no pairs left falls through unchanged, matching the
+    * operator's CASE), and per-language symbol totals. `word` rides
+    * the chain inert so the encode oracle reads token counts off the
+    * final state (the q152→q155 device, keyed). */
+  private def bpeByLangStepsSql(corpus: String, rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""p$r AS (
          |  SELECT lang, p.lhs, p.rhs, CAST(sum(wc) AS BIGINT) AS cnt
@@ -1548,7 +1555,7 @@ object SparkEntry {
          |      PARTITION BY lang ORDER BY cnt DESC, lhs, rhs) AS rn
          |    FROM p$r) WHERE rn = 1),
          |w$r AS MATERIALIZED (
-         |  SELECT w.lang, w.wc,
+         |  SELECT w.lang, w.word, w.wc,
          |    CASE WHEN m.lang IS NULL THEN w.seq
          |      ELSE replace(w.seq, '|' || m.lhs || '||' || m.rhs || '|',
          |        '|' || m.lhs || m.rhs || '|') END AS seq
@@ -1557,23 +1564,52 @@ object SparkEntry {
          |    length(replace(seq, '||', '|')) + 1)) AS BIGINT)
          |    AS symbols_after FROM w$r GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { r =>
-      s"""SELECT m.lang, $r AS round, m.lhs, m.rhs,
-         |  m.lhs || m.rhs AS merged, m.cnt, s.symbols_after
-         |FROM m$r m JOIN s$r s ON s.lang = m.lang""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
-    s"""WITH ${pre}w0 AS MATERIALIZED (
-       |  SELECT lang, CAST(count(*) AS BIGINT) AS wc,
+    s"""w0 AS MATERIALIZED (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS wc,
        |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> word[i]), '||') || '||</w>|' AS seq
        |  FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)),
        |      '\\s+')) AS word FROM $corpus) WHERE word <> ''
        |    AND NOT contains(word, '|') AND NOT contains(word, chr(92))
        |  GROUP BY lang, word),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def bpeTrainByLangOracleSql(extraCte: String, corpus: String,
+                                      rounds: Int): String = {
+    val out = (1 to rounds).map { r =>
+      s"""SELECT m.lang, $r AS round, m.lhs, m.rhs,
+         |  m.lhs || m.rhs AS merged, m.cnt, s.symbols_after
+         |FROM m$r m JOIN s$r s ON s.lang = m.lang""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    s"""WITH $pre${bpeByLangStepsSql(corpus, rounds)}
        |$out
        |ORDER BY lang, round""".stripMargin
+  }
+
+  /** q181's oracle: the keyed rounds, token counts off the final
+    * state, and the per-(lang, source) accounting join — each
+    * document's words joined against ITS language's dictionary. */
+  private def bpeEncodeByLangOracleSql(extraCte: String, corpus: String,
+                                       rounds: Int): String = {
+    val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
+    s"""WITH $pre${bpeByLangStepsSql(corpus, rounds)},
+       |vt AS (SELECT lang, word, length(seq) -
+       |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),
+       |dw AS (
+       |  SELECT doc_id, lang, source, w AS word FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM $corpus) WHERE w <> '')
+       |SELECT dw.lang, dw.source,
+       |  CAST(count(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(vt.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(vt.n_tokens) AS BIGINT) * 1000)
+       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS tokens_per_word_pm
+       |FROM dw JOIN vt ON vt.lang = dw.lang AND vt.word = dw.word
+       |GROUP BY 1, 2 ORDER BY dw.lang, dw.source""".stripMargin
   }
 
   /** The BM25 oracle, parameterized by corpus + query terms: q85 runs
@@ -3774,6 +3810,8 @@ object SparkEntry {
       Some(operators.Lexicon.LexStops)),
     "q179_lex_drift" -> q179OracleSql,
     "q180_lex_bpe_bylang" -> bpeTrainByLangOracleSql(
+      operators.Lexicon.multiLexDocsCte, "mlexdocs", 8),
+    "q181_lex_bpe_encode" -> bpeEncodeByLangOracleSql(
       operators.Lexicon.multiLexDocsCte, "mlexdocs", 8),
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.

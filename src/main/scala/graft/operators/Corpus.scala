@@ -739,8 +739,26 @@ object Corpus {
     * rounds instead of |langs| separate corpus passes. */
   def bpeTrainByLang(documents: DataFrame, rounds: Int): DataFrame = {
     val spark = documents.sparkSession
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
+    val (merges, states, _) = bpeTrainByLangCore(documents, rounds)
+    // ONE job for every (round, lang) compression-trace point
+    val symbolsAfter = states.reduce(_ unionByName _)
+      .groupBy("round", "lang")
+      .agg(sum(col("wc") *
+        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1))
+        .as("symbols_after"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    merges
+      .map { case (r, lg, lhs, rhs, cnt) =>
+        (lg, r, lhs, rhs, lhs + rhs, cnt, symbolsAfter((r, lg))) }
+      .toDF("lang", "round", "lhs", "rhs", "merged", "cnt", "symbols_after")
+      .orderBy("lang", "round")
+  }
+
+  private def bpeTrainByLangCore(documents: DataFrame, rounds: Int)
+  : (Seq[(Int, String, String, String, Long)], Seq[DataFrame], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     var vocab = bpeVocab0(documents, withLang = true)
     val merges =
       collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
@@ -785,19 +803,37 @@ object Corpus {
       states += vocab.select(lit(r).as("round"), col("lang"), col("wc"),
         col("seq"))
     }
-    // ONE job for every (round, lang) compression-trace point
-    val symbolsAfter = states.reduce(_ unionByName _)
-      .groupBy("round", "lang")
-      .agg(sum(col("wc") *
-        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1))
-        .as("symbols_after"))
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    merges.toSeq
-      .map { case (r, lg, lhs, rhs, cnt) =>
-        (lg, r, lhs, rhs, lhs + rhs, cnt, symbolsAfter((r, lg))) }
-      .toDF("lang", "round", "lhs", "rhs", "merged", "cnt", "symbols_after")
-      .orderBy("lang", "round")
+    (merges.toSeq, states.toSeq, vocab)
+  }
+
+  /** PER-LANGUAGE BPE ENCODE (q181) — the train→apply pair for
+    * [[bpeTrainByLang]], mirroring q155 for q152: the keyed final
+    * training state already carries every language's merges applied in
+    * learned order, so per-(lang, word) token counts come straight off
+    * it and the corpus pass is one explode + broadcast-dictionary join
+    * ON (lang, word) + partially-aggregated sums. A document tokenizes
+    * under ITS OWN language's tokenizer — the serving contract of a
+    * per-domain tokenizer fleet. Output: per-(lang, source) token
+    * accounting (documents, words, BPE tokens, tokens-per-word in
+    * exact per-mille). */
+  def bpeEncodeByLang(documents: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (_, _, finalVocab) = bpeTrainByLangCore(documents, rounds)
+    val vocabTokens = finalVocab
+      .select(col("lang"), col("word"),
+        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)
+          .as("n_tokens"))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextDedup.tokens(col("text"))).as("word"))
+      .join(broadcast(vocabTokens), Seq("lang", "word"))
+      .groupBy("lang", "source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("tokens_per_word_pm",
+        expr("(n_tokens * 1000L) DIV n_words"))
+      .orderBy("lang", "source")
   }
 
   /** Escapes a learned symbol for interpolation into a Spark SQL string

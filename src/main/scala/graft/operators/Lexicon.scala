@@ -425,6 +425,17 @@ object Lexicon {
   def q180LexBpeByLang(t: T): DataFrame =
     Corpus.bpeTrainByLang(multiLexDocuments(t.documents), 8)
 
+  /** q181 — PER-LANGUAGE BPE ENCODE: q180's trained tokenizers applied
+    * corpus-wide (`Corpus.bpeEncodeByLang` — the q152→q155 train→apply
+    * pair, keyed): each document tokenizes under ITS OWN language's
+    * merge table via one explode + broadcast-dictionary join on
+    * (lang, word), and the output is the per-(lang, source) token
+    * accounting a multilingual corpus recipe budgets from. 100 TB
+    * shape: q155's — dictionary-as-broadcast-state, one
+    * partially-aggregated corpus pass. */
+  def q181LexBpeEncodeByLang(t: T): DataFrame =
+    Corpus.bpeEncodeByLang(multiLexDocuments(t.documents), 8)
+
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
     * own frequent words, exactly how the rule ports to a non-English

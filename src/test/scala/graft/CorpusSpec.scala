@@ -235,6 +235,26 @@ class CorpusSpec extends SparkSpec {
       .intersect(keyed.filter(_._1 == "en").map(_._5).toSet).isEmpty)
   }
 
+  test("q181 keyed bpe encode: per-(lang, source) accounting equals " +
+    "bpeEncode run on each language's documents alone") {
+    val docs = Seq(
+      (1L, "de", "aaab", "s1"), (2L, "de", "aaab", "s1"),
+      (3L, "de", "aaab ab", "s2"), (4L, "de", "ab", "s2"),
+      (5L, "en", "xyz", "s1"), (6L, "en", "xyz", "s1"),
+      (7L, "en", "xy", "s2")).toDF("doc_id", "lang", "text", "source")
+    val keyed = Corpus.bpeEncodeByLang(docs, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    for (lg <- Seq("de", "en")) {
+      val alone = Corpus.bpeEncode(
+        docs.filter(col("lang") === lg).select("doc_id", "text", "source"), 3)
+        .collect().map(r => (lg, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(keyed.filter(_._1 == lg).toList == alone.toList,
+        s"keyed encode for $lg diverges from the standalone encoder")
+    }
+  }
+
   test("q155 bpe encode: per-source token accounting matches the " +
     "hand-trained tokenizer") {
     // same corpus as the training test, split across two sources; after
