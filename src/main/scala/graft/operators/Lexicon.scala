@@ -511,9 +511,16 @@ object Lexicon {
       .agg(count(lit(1)).as("n_types"),
         sum("cb").as("occ_base"), sum("cd").as("occ_delta"),
         min("w").as("first_word"))
-    val tot = banded.agg(sum("occ_base").as("tb"), sum("occ_delta").as("td"))
-    banded.withColumn("k", lit(1))
-      .join(tot.withColumn("k", lit(1)), Seq("k"))
+    // totals as unpartitioned window sums over the BAND-sized frame
+    // (≤ 64 rows by construction — the single partition is free, and
+    // unlike a literal-key join to a 1-row aggregate it cannot
+    // constant-fold into a nested-loop plan, so the PlanAuditSpec ban
+    // holds with no allowlist entry)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    banded
+      .withColumn("tb", sum("occ_base").over(w))
+      .withColumn("td", sum("occ_delta").over(w))
       .select(col("band"), col("n_types"), col("occ_base"), col("occ_delta"),
         expr("CASE WHEN tb = 0 THEN 0L ELSE occ_base * 1000000L DIV tb END")
           .as("share_base_ppm"),

@@ -149,7 +149,11 @@ class PlanAuditSpec extends SparkSpec {
     // for the output explode; Catalyst constant-folds the literal join
     // key away, so the 1×1 combine plans as a nested loop — bounded by
     // construction (both sides are single-row aggregates)
-    "q175_lex_heaps")
+    "q175_lex_heaps",
+    // q178: q133's pipeline verbatim on the lexicon corpus — the same
+    // 1-row bloom-filter broadcast in front of the decontamination
+    // equi-join (q133's standing adjudication)
+    "q178_lex_pipeline")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
