@@ -21,6 +21,14 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // SPARK_GRAFT_CODEGEN=off forces the INTERPRETED paths everywhere —
+    // whole-stage codegen off and the expression factory pinned to
+    // NO_CODEGEN, so every native Expression's eval() (not doGenCode)
+    // serves the whole suite. A codegen/eval divergence in any of the
+    // 20 custom expressions would hash-mismatch; the sweep is the
+    // end-to-end version of ExpressionPropertySpec's per-expression
+    // parity checks.
+    val interp = sys.env.get("SPARK_GRAFT_CODEGEN").contains("off")
     // same harness-floor tuning as Bench (HarnessTuning) — the gate then
     // verifies the exact plans the bench times, shuffled-hash joins and
     // serialized shuffle writer included
@@ -30,6 +38,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.wholeStage", (!interp).toString)
+      .config("spark.sql.codegen.factoryMode",
+        if (interp) "NO_CODEGEN" else "FALLBACK")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
