@@ -175,4 +175,53 @@ object SqlEntry {
     t.spark.sql(searchAltsSql,
       Map("alt0" -> alts(0), "alt1" -> alts(1), "alt2" -> alts(2)))
   }
+
+  /** The q176 langid confusion matrix as ONE `spark.sql` statement —
+    * the fourth parity model, chosen because it exercises the surface
+    * area the first three don't: higher-order array lambdas (filter
+    * with `IN`, a λ inside an aggregate input) and the whole planted
+    * in-query corpus derivation (transform/sequence/named_struct
+    * chains) through the SQL PARSER rather than `expr()` fragments.
+    * Built from the same Scala definitions (Lexicon.multiLexTextSparkSql,
+    * topWords) as the operator and its oracle, so the three renderings
+    * cannot drift independently; SqlEntrySpec asserts frame equality
+    * with Lexicon.q176LexLangid. */
+  def langidSql: String = {
+    import operators.Lexicon
+    val hits = Lexicon.MultiLangs.zipWithIndex.map { case (l, i) =>
+      val lits = Lexicon.topWords(i, Lexicon.LangidK)
+        .map(w => s"'$w'").mkString(", ")
+      s"    size(filter(words, w -> w IN ($lits))) AS s_$l"
+    }.mkString(",\n")
+    s"""WITH mlex AS (
+       |  SELECT doc_id, lang, ${Lexicon.multiLexTextSparkSql} AS text
+       |  FROM documents),
+       |tok AS (
+       |  SELECT lang,
+       |    filter(split(lower(trim(text)), '\\\\s+'), x -> x != '') AS words
+       |  FROM mlex),
+       |sc AS (
+       |  SELECT lang, size(words) AS n_words,
+       |$hits
+       |  FROM tok),
+       |p AS (
+       |  SELECT lang, n_words,
+       |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang,
+       |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_hits
+       |  FROM sc)
+       |SELECT lang AS true_lang, predicted_lang,
+       |  count(1) AS n_docs,
+       |  sum(n_words) AS sum_words,
+       |  sum(best_hits) AS sum_hits
+       |FROM p GROUP BY true_lang, predicted_lang
+       |ORDER BY true_lang, predicted_lang""".stripMargin
+  }
+
+  def langidViaSql(t: T): DataFrame = {
+    registerViews(t)
+    t.spark.sql(langidSql)
+  }
 }

@@ -349,6 +349,12 @@ object Lexicon {
       .withColumn("text", expr(textSql(spark, multiTab, 176, 1760)))
       .withColumn("n_chars", length(col("text")))
 
+  /** The multi-language text derivation through the SPARK renderer —
+    * for the SQL entry point's langid model (SqlEntry.langidSql), so
+    * the `spark.sql` surface replays the identical corpus the
+    * DataFrame operator derives. */
+  def multiLexTextSparkSql: String = textSql(spark, multiTab, 176, 1760)
+
   /** The identical multi-language corpus as a DuckDB CTE. */
   val multiLexDocsCte: String =
     s"""mlexdocs AS MATERIALIZED (

@@ -89,6 +89,12 @@ class SqlEntrySpec extends SparkSpec {
     assert(matched.forall(_.getString(4) == "small"))
   }
 
+  test("spark.sql langid matches the q176 DataFrame twin frame-level " +
+    "(HOF lambdas + the planted corpus derivation through the parser)") {
+    assertFrameEqual(SqlEntry.langidViaSql(t),
+      graft.operators.Lexicon.q176LexLangid(t))
+  }
+
   test("registered views are queryable through the guarded accessor") {
     SqlEntry.registerViews(t)
     assert(SqlEntry.queryView(spark, "stg_poll_results", 5).count() == 5)
