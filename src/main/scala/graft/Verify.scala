@@ -29,6 +29,13 @@ object Verify {
     // end-to-end version of ExpressionPropertySpec's per-expression
     // parity checks.
     val interp = sys.env.get("SPARK_GRAFT_CODEGEN").contains("off")
+    // SPARK_GRAFT_ANSI=off runs the suite under legacy (non-ANSI)
+    // semantics — overflow/cast clamp and error-to-NULL instead of
+    // throwing. Every query is written to be TOTAL (guarded divisions,
+    // try_element_at, bounded arithmetic), so the flag must not change
+    // a single value; the sweep proves the suite carries no hidden
+    // dependence on either dialect.
+    val ansi = !sys.env.get("SPARK_GRAFT_ANSI").contains("off")
     // same harness-floor tuning as Bench (HarnessTuning) — the gate then
     // verifies the exact plans the bench times, shuffled-hash joins and
     // serialized shuffle writer included
@@ -41,6 +48,7 @@ object Verify {
       .config("spark.sql.codegen.wholeStage", (!interp).toString)
       .config("spark.sql.codegen.factoryMode",
         if (interp) "NO_CODEGEN" else "FALLBACK")
+      .config("spark.sql.ansi.enabled", ansi.toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
