@@ -1527,12 +1527,6 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
-  /** q180's oracle: the per-language BPE rounds unrolled — the keyed
-    * vocabulary once, then per round a (lang, pair) count, the
-    * per-language (cnt DESC, lhs, rhs) argmax via row_number, the
-    * LEFT-JOIN apply (a language with no pairs left falls through
-    * unchanged, matching the operator's CASE), and per-language symbol
-    * totals. All exact integers. */
   /** The keyed BPE round CTEs both per-language oracles share: the
     * (lang, word) vocabulary, then per round the keyed pair count, the
     * per-language row_number argmax, the LEFT-JOIN apply (a language
@@ -1575,6 +1569,8 @@ object SparkEntry {
        |$steps""".stripMargin
   }
 
+  /** q180's oracle: the keyed rounds + per-round (lang, merge,
+    * symbols_after) output union. All exact integers. */
   private def bpeTrainByLangOracleSql(extraCte: String, corpus: String,
                                       rounds: Int): String = {
     val out = (1 to rounds).map { r =>
@@ -1700,6 +1696,47 @@ object SparkEntry {
        |FROM sc JOIN mass ON mass.lang = sc.lang
        |ORDER BY sc.doc_id""".stripMargin
 
+  /** The Gopher measure CTEs (d + m) shared by the q177 audit and the
+    * q133/q178 pipeline oracles: tokenized words plus the per-doc
+    * counts every rule predicate reads (n_stop included when a stop
+    * list is given). q121's per-doc audit oracle keeps its own text —
+    * its OUTPUT schema is the named ratio columns, not just the rule
+    * verdicts. */
+  private def gopherMeasureCtes(corpus: String,
+                                stops: Option[Seq[String]]): String = {
+    val stopCol = stops.map(s =>
+      ",\n    CAST(len(list_intersect(w, [" +
+        s.map(w => s"'$w'").mkString(", ") +
+        "])) AS INT) AS n_stop").getOrElse("")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> x <> '') AS w
+       |  FROM $corpus),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS INT) AS n_words,
+       |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
+       |      AS n_sym$stopCol
+       |  FROM d)""".stripMargin
+  }
+
+  /** The Gopher rule predicates over m's columns — ONE definition of
+    * the thresholds for every oracle built from [[gopherMeasureCtes]]. */
+  private val gopherRulePreds: Seq[(String, String)] = Seq(
+    "r_wc" -> "(n_words >= 50 AND n_words <= 100000)",
+    "r_mwl" -> ("(CASE WHEN n_words > 0\n" +
+      "        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 3\n" +
+      "      AND CASE WHEN n_words > 0\n" +
+      "        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 10)"),
+    "r_sym" -> ("(CASE WHEN n_words > 0\n" +
+      "        THEN n_sym * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 0.1)"),
+    "r_alpha" -> ("(CASE WHEN n_words > 0\n" +
+      "        THEN n_alpha * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 0.8)"))
+  private val gopherStopPred = "(n_stop >= 2)"
+
   /** The composed-pipeline oracle (q133/q178), parameterized by corpus
     * source and an optional stop rule: the sha256 canonicalizer, the
     * rule battery (with r_stop only when `stops` is given — q133's
@@ -1709,12 +1746,8 @@ object SparkEntry {
   private def corpusPipelineOracleSql(extraCte: String, corpus: String,
                                       stops: Option[Seq[String]]): String = {
     val pre = if (extraCte.isEmpty) "" else s"$extraCte,\n"
-    val stopCol = stops.map(s =>
-      ",\n    CAST(len(list_intersect(w, [" +
-        s.map(w => s"'$w'").mkString(", ") +
-        "])) AS INT) AS n_stop").getOrElse("")
-    val stopTerm =
-      if (stops.isDefined) "\n      AND (n_stop >= 2)" else ""
+    val conj = (gopherRulePreds.map(_._2) ++
+      stops.map(_ => gopherStopPred).toSeq).mkString("\n      AND ")
     val keepCase =
       """(CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
         |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
@@ -1723,31 +1756,11 @@ object SparkEntry {
        |  SELECT doc_id,
        |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
        |  FROM $corpus),
-       |qd AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |      x -> x <> '') AS w
-       |  FROM $corpus),
-       |qm AS (
-       |  SELECT doc_id,
-       |    CAST(len(w) AS INT) AS n_words,
-       |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
-       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-       |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...')))
-       |      AS n_sym$stopCol
-       |  FROM qd),
+       |${gopherMeasureCtes(corpus, stops)},
        |quality AS (
        |  SELECT doc_id, n_words,
-       |    ((n_words >= 50 AND n_words <= 100000)
-       |      AND (CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
-       |        / n_words ELSE 0 END >= 3
-       |        AND CASE WHEN n_words > 0 THEN n_chars_w * CAST(1 AS DOUBLE)
-       |        / n_words ELSE 0 END <= 10)
-       |      AND (CASE WHEN n_words > 0 THEN n_sym * CAST(1 AS DOUBLE)
-       |        / n_words ELSE 0 END <= 0.1)
-       |      AND (CASE WHEN n_words > 0 THEN n_alpha * CAST(1 AS DOUBLE)
-       |        / n_words ELSE 0 END >= 0.8)$stopTerm) AS quality_pass
-       |  FROM qm),
+       |    ($conj) AS quality_pass
+       |  FROM m),
        |words AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM $corpus),
@@ -1870,7 +1883,6 @@ object SparkEntry {
     * .LexStops]] list, aggregated to the per-rule failure report —
     * one UNION ALL branch per rule, exact-integer per-mille. */
   private def q177OracleSql: String = {
-    val stops = operators.Lexicon.LexStops.map(w => s"'$w'").mkString(", ")
     val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
     val branches = rules.map { r =>
       s"""SELECT '$r' AS rule, n_docs, f_$r AS n_fail,
@@ -1878,36 +1890,13 @@ object SparkEntry {
          |    ELSE f_$r * 1000 // n_docs END AS BIGINT) AS fail_pm
          |FROM a""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val ruleCols = (gopherRulePreds :+ ("r_stop" -> gopherStopPred))
+      .map { case (n, p) => s"    $p AS $n" }.mkString(",\n")
     s"""WITH ${operators.Lexicon.lexDocsCte},
-       |d AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |      x -> x <> '') AS w
-       |  FROM lexdocs),
-       |m AS (
-       |  SELECT doc_id,
-       |    CAST(len(w) AS INT) AS n_words,
-       |    list_sum(list_transform(w, x -> len(x))) AS n_chars_w,
-       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-       |    len(list_filter(w, x -> contains(x, '#')
-       |      OR contains(x, '...'))) AS n_sym,
-       |    CAST(len(list_intersect(w, [$stops])) AS INT) AS n_stop_distinct
-       |  FROM d),
+       |${gopherMeasureCtes("lexdocs", Some(operators.Lexicon.LexStops))},
        |r AS (
        |  SELECT
-       |    (n_words >= 50 AND n_words <= 100000) AS r_wc,
-       |    (CASE WHEN n_words > 0
-       |        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 3
-       |      AND CASE WHEN n_words > 0
-       |        THEN n_chars_w * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 10)
-       |      AS r_mwl,
-       |    (CASE WHEN n_words > 0
-       |        THEN n_sym * CAST(1 AS DOUBLE) / n_words ELSE 0 END <= 0.1)
-       |      AS r_sym,
-       |    (CASE WHEN n_words > 0
-       |        THEN n_alpha * CAST(1 AS DOUBLE) / n_words ELSE 0 END >= 0.8)
-       |      AS r_alpha,
-       |    (n_stop_distinct >= 2) AS r_stop
+       |$ruleCols
        |  FROM m),
        |a AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,

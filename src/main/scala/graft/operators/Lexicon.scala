@@ -313,7 +313,8 @@ object Lexicon {
   val MultiVowels = "aeiou"
 
   /** The documents table's language values, in the fixed tie-break
-    * order the langid argmax uses (q30's device). */
+    * order q176's langid argmax uses (the same >=-chain DEVICE as
+    * q30's langid; q30's own four-language order is en>de>es>fr). */
   val MultiLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
 
   /** Language i's 32-char syllable table. */
@@ -373,7 +374,8 @@ object Lexicon {
     * reads the same text, so the predicted-language column measured
     * only the tie-break). Each document scores its token stream
     * against the five languages' top-10 word lists and predicts the
-    * argmax with q30's fixed de>en>es>fr>zh tie order; the output is
+    * argmax with a fixed de>en>es>fr>zh tie order (q30's >=-chain
+    * device; q30's own order is en>de>es>fr); the output is
     * the CONFUSION MATRIX — (true_lang, predicted_lang, n_docs,
     * sum_words, sum_hits) — the audit a langid stage ships. With
     * disjoint inventories a wrong language never scores a hit, so the
@@ -450,23 +452,6 @@ object Lexicon {
   val LexStops: Seq[String] =
     (1 to 8).map(r => SylTab.substring(2 * r, 2 * r + 2))
 
-  /** q177 — the GOPHER RULE AUDIT on the vocabulary-realistic corpus:
-    * q121's rule battery (TextAnalysis.gopherRules — same thresholds,
-    * same rule set) with the stop list re-grounded in [[LexStops]],
-    * aggregated to the per-rule failure report a curation pipeline
-    * reviews before committing a filter config — one row per rule with
-    * its failure count and exact per-mille failure rate, plus the
-    * composite keep row. On the 31-word corpus the battery was
-    * untestable end-to-end (r_stop rejected everything — q133 had to
-    * drop it); here every rule reads a real distribution: the
-    * doc-length spread fails r_wc at its natural rate, the
-    * length-vs-frequency spelling moves mean word length across the
-    * r_mwl band, and r_stop passes exactly the documents that contain
-    * ≥2 of the corpus's own frequent words.
-    *
-    * 100 TB shape: q121's map-side rules collapsed into ONE global
-    * partial aggregate (six counters per partition) — the cheapest
-    * query in the family. */
   /** q178 — the END-TO-END corpus pipeline (q133's operator —
     * dedup → quality → decontamination → mixture → sharding, per-doc
     * audit log) on the vocabulary-realistic corpus with the FULL
@@ -497,8 +482,10 @@ object Lexicon {
     *
     * 100 TB shape: ONE partially-aggregated (word) collapse carrying
     * two conditional sums, a band-sized re-aggregate, and the totals
-    * joined back on a literal key (q175's device — hash join, no
-    * nested loop). All exact integers. */
+    * as unpartitioned window sums over that ≤64-row band frame (see
+    * the inline note — a literal-key join to the 1-row totals frame
+    * constant-folds into the nested-loop plan PlanAuditSpec bans).
+    * All exact integers. */
   def q179LexDrift(t: T): DataFrame =
     q179LexDriftOver(lexDocuments(t.documents))
 
@@ -537,6 +524,23 @@ object Lexicon {
       .orderBy("band")
   }
 
+  /** q177 — the GOPHER RULE AUDIT on the vocabulary-realistic corpus:
+    * q121's rule battery (TextAnalysis.gopherRules — same thresholds,
+    * same rule set) with the stop list re-grounded in [[LexStops]],
+    * aggregated to the per-rule failure report a curation pipeline
+    * reviews before committing a filter config — one row per rule with
+    * its failure count and exact per-mille failure rate, plus the
+    * composite keep row. On the 31-word corpus the battery was
+    * untestable end-to-end (r_stop rejected everything — q133 had to
+    * drop it); here every rule reads a real distribution: the
+    * doc-length spread fails r_wc at its natural rate, the
+    * length-vs-frequency spelling moves mean word length across the
+    * r_mwl band, and r_stop passes exactly the documents that contain
+    * ≥2 of the corpus's own frequent words.
+    *
+    * 100 TB shape: q121's map-side rules collapsed into ONE global
+    * partial aggregate (six counters per partition) — the cheapest
+    * query in the family. */
   def q177LexGopherAudit(t: T): DataFrame = {
     val per = TextAnalysis.gopherRules(lexDocuments(t.documents), LexStops)
     val rules = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop", "keep")
