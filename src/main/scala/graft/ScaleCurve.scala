@@ -40,7 +40,7 @@ object ScaleCurve {
     "q171_lex_profile", "q172_lex_bpe_train", "q173_lex_bm25",
     "q174_lex_rarity", "q175_lex_heaps", "q176_lex_langid",
     "q177_lex_gopher", "q178_lex_pipeline", "q179_lex_drift",
-    "q180_lex_bpe_bylang",
+    "q180_lex_bpe_bylang", "q181_lex_bpe_encode",
     // merge/upsert: full-outer joins + per-key argmaxes — the nightly
     // 100 TB merge shapes (r15 verdict item 4)
     "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",

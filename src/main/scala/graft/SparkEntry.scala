@@ -269,6 +269,17 @@ object SparkEntry {
     "q179_lex_drift"      -> ((s, d) => Lexicon.q179LexDrift(T(s, d))),
     "q180_lex_bpe_bylang" -> ((s, d) => Lexicon.q180LexBpeByLang(T(s, d))),
     "q181_lex_bpe_encode" -> ((s, d) => Lexicon.q181LexBpeEncodeByLang(T(s, d))),
+    // q182/q183: the tokenizer-artifact lifecycle (r17 verdict item 1) —
+    // train the per-language store on yesterday's corpus, encode today's
+    // batch against it without retraining (OOV via merge application).
+    "q182_lex_bpe_store"  -> ((s, d) => Lexicon.q182LexBpeStore(T(s, d))),
+    "q183_lex_bpe_encode_store" ->
+      ((s, d) => Lexicon.q183LexBpeEncodeStore(T(s, d))),
+    // q184: multilingual token-budget mixture + per-language packing
+    // (r17 verdict item 2); q185: the langid abstain path (item 3).
+    "q184_lex_mix_pack"   -> ((s, d) => Lexicon.q184LexMixPack(T(s, d))),
+    "q185_lex_langid_abstain" ->
+      ((s, d) => Lexicon.q185LexLangidAbstain(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1608,6 +1619,159 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY dw.lang, dw.source""".stripMargin
   }
 
+  /** q183's oracle: the keyed training rounds over the BASE corpus
+    * (the store), today's batch tokenized, the batch VOCABULARY pushed
+    * through the stored merges round by round (e0..eN — the same
+    * LEFT-JOIN apply as training, so a language with no stored merge
+    * in a round passes through), the dictionary-first/chain-fallback
+    * coalesce, and the per-(lang, source) accounting with OOV and
+    * skipped counts. */
+  private def bpeEncodeFromStoreOracleSql(baseCte: String, batchCte: String,
+                                          baseName: String, batchName: String,
+                                          rounds: Int): String = {
+    val encSteps = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT e.lang, e.word,
+         |    CASE WHEN m.lang IS NULL THEN e.seq
+         |      ELSE replace(e.seq, '|' || m.lhs || '||' || m.rhs || '|',
+         |        '|' || m.lhs || m.rhs || '|') END AS seq
+         |  FROM e${r - 1} e LEFT JOIN m$r m ON m.lang = e.lang)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCte,
+       |$batchCte,
+       |${bpeByLangStepsSql(baseName, rounds)},
+       |vt AS (SELECT lang, word, length(seq) -
+       |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),
+       |bw AS (
+       |  SELECT doc_id, lang, source, w AS word FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM $batchName) WHERE w <> ''),
+       |sk AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_skipped
+       |  FROM bw WHERE contains(word, '|') OR contains(word, chr(92))
+       |  GROUP BY 1, 2),
+       |cw AS (SELECT * FROM bw
+       |  WHERE NOT contains(word, '|') AND NOT contains(word, chr(92))),
+       |e0 AS (
+       |  SELECT lang, word,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT DISTINCT lang, word FROM cw)),
+       |$encSteps,
+       |enc AS (
+       |  SELECT e.lang, e.word,
+       |    COALESCE(vt.n_tokens,
+       |      length(e.seq) - length(replace(e.seq, '||', '|')) + 1)
+       |      AS n_tokens,
+       |    vt.word IS NULL AS is_oov
+       |  FROM e$rounds e
+       |  LEFT JOIN vt ON vt.lang = e.lang AND vt.word = e.word)
+       |SELECT cw.lang, cw.source,
+       |  CAST(count(DISTINCT cw.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN enc.is_oov THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov_words,
+       |  CAST(coalesce(any_value(sk.n_skipped), 0) AS BIGINT)
+       |    AS n_skipped_words,
+       |  CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(enc.n_tokens) AS BIGINT) * 1000)
+       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS tokens_per_word_pm
+       |FROM cw
+       |JOIN enc ON enc.lang = cw.lang AND enc.word = cw.word
+       |LEFT JOIN sk ON sk.lang = cw.lang AND sk.source = cw.source
+       |GROUP BY 1, 2 ORDER BY cw.lang, cw.source""".stripMargin
+  }
+
+  /** q184's oracle: the (doc, lang, source, n_tokens, h) collapse, the
+    * two-level α = 0.5 temperature plan with the double sums on ORDERED
+    * whole-frame windows (matching the Spark side's accumulation
+    * order), the one-level per-cell cumulative cutoff in hash order
+    * (Spark computes the identical values with the q83 two-phase
+    * device), the per-language packing cumulative sum in doc order,
+    * and the audit join. */
+  private def q184OracleSql: String =
+    s"""WITH ${operators.Lexicon.multiLexDocsCte},
+       |d AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ('0x' || substr(md5(concat(184, ':', CAST(doc_id AS VARCHAR))),
+       |      1, 15))::BIGINT AS h
+       |  FROM mlexdocs),
+       |mls AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS mass_tokens
+       |  FROM d GROUP BY 1, 2),
+       |ml AS (
+       |  SELECT lang, CAST(sum(mass_tokens) AS BIGINT) AS lang_mass
+       |  FROM mls GROUP BY 1),
+       |ml2 AS (
+       |  SELECT lang,
+       |    CAST(sum(lang_mass) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS total_mass,
+       |    power(CAST(lang_mass AS DOUBLE), ${operators.Corpus.MixAlpha})
+       |      AS w_l,
+       |    sum(power(CAST(lang_mass AS DOUBLE), ${operators.Corpus.MixAlpha}))
+       |      OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        UNBOUNDED FOLLOWING) AS w_sum
+       |  FROM ml),
+       |mlb AS (
+       |  SELECT lang,
+       |    CAST(round(round(total_mass * ${operators.Corpus.MixBudgetFrac},
+       |      0) * (w_l / w_sum), 0) AS BIGINT) AS budget_tokens
+       |  FROM ml2),
+       |plan AS (
+       |  SELECT mls.lang, mls.source, mls.n_docs, mls.mass_tokens,
+       |    mlb.budget_tokens,
+       |    CAST(round(mlb.budget_tokens * (
+       |      power(CAST(mls.mass_tokens AS DOUBLE),
+       |        ${operators.Corpus.MixAlpha}) /
+       |      sum(power(CAST(mls.mass_tokens AS DOUBLE),
+       |        ${operators.Corpus.MixAlpha})) OVER (PARTITION BY mls.lang
+       |        ORDER BY mls.source ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        UNBOUNDED FOLLOWING)), 0) AS BIGINT) AS target_tokens
+       |  FROM mls JOIN mlb ON mlb.lang = mls.lang),
+       |cum AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, source
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM d),
+       |kept AS (
+       |  SELECT c.doc_id, c.lang, c.source, c.n_tokens
+       |  FROM cum c JOIN plan p ON p.lang = c.lang AND p.source = c.source
+       |  WHERE c.cum_before < p.target_tokens),
+       |pk AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS seq_offset
+       |  FROM kept),
+       |pk2 AS (
+       |  SELECT lang, source, n_tokens,
+       |    seq_offset // ${operators.Corpus.SeqTokens} AS first_seq,
+       |    (seq_offset + n_tokens - 1) // ${operators.Corpus.SeqTokens}
+       |      AS last_seq
+       |  FROM pk),
+       |audit AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       |    CAST(sum(last_seq - first_seq + 1) AS BIGINT) AS n_seqs,
+       |    CAST(max(last_seq) AS BIGINT) AS max_last_seq
+       |  FROM pk2 GROUP BY 1, 2)
+       |SELECT p.lang, p.source, p.n_docs, p.mass_tokens, p.budget_tokens,
+       |  p.target_tokens,
+       |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  CAST(coalesce(a.n_seqs, 0) AS BIGINT) AS n_seqs,
+       |  CAST(coalesce(a.max_last_seq, -1) AS BIGINT) AS max_last_seq
+       |FROM plan p
+       |LEFT JOIN audit a ON a.lang = p.lang AND a.source = p.source
+       |ORDER BY p.lang, p.source""".stripMargin
+
   /** The BM25 oracle, parameterized by corpus + query terms: q85 runs
     * the fixed tech-term query over `documents`; q173 prepends the
     * lexdocs CTE and queries the lexicon terms. Same algebraic tree,
@@ -1749,7 +1913,7 @@ object SparkEntry {
     val conj = (gopherRulePreds.map(_._2) ++
       stops.map(_ => gopherStopPred).toSeq).mkString("\n      AND ")
     val keepCase =
-      """(CASE m.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
+      """(CASE mx.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
         |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
         |    ELSE 250 END)""".stripMargin
     s"""WITH ${pre}canon AS (
@@ -1782,21 +1946,21 @@ object SparkEntry {
        |    ('0x' || substr(md5(concat(133, ':', CAST(doc_id AS VARCHAR))),
        |      1, 15))::BIGINT % 1000 AS bucket
        |  FROM $corpus WHERE doc_id % 97 != 0)
-       |SELECT m.doc_id, m.lang, q.n_words, c.is_dup, q.quality_pass,
+       |SELECT mx.doc_id, mx.lang, q.n_words, c.is_dup, q.quality_pass,
        |  (ct.doc_id IS NOT NULL) AS contaminated,
-       |  m.bucket < $keepCase AS mixture_keep,
+       |  mx.bucket < $keepCase AS mixture_keep,
        |  (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
-       |    AND m.bucket < $keepCase) AS survives,
+       |    AND mx.bucket < $keepCase) AS survives,
        |  CASE WHEN (NOT c.is_dup AND q.quality_pass AND ct.doc_id IS NULL
-       |    AND m.bucket < $keepCase)
+       |    AND mx.bucket < $keepCase)
        |    THEN ('0x' || substr(md5(concat(134, ':',
-       |      CAST(m.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
+       |      CAST(mx.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
        |    ELSE NULL END AS shard
-       |FROM mix m
-       |JOIN canon c ON c.doc_id = m.doc_id
-       |JOIN quality q ON q.doc_id = m.doc_id
-       |LEFT JOIN contam ct ON ct.doc_id = m.doc_id
-       |ORDER BY m.doc_id""".stripMargin
+       |FROM mix mx
+       |JOIN canon c ON c.doc_id = mx.doc_id
+       |JOIN quality q ON q.doc_id = mx.doc_id
+       |LEFT JOIN contam ct ON ct.doc_id = mx.doc_id
+       |ORDER BY mx.doc_id""".stripMargin
   }
 
   /** q179's oracle: the base/delta split, the two-conditional-sum word
@@ -1844,7 +2008,7 @@ object SparkEntry {
     * same fixed-tie-order argmax, and the confusion-matrix group-by.
     * Stop lists render from the SAME Scala definition
     * (operators/Lexicon.topWords) as the Spark side. */
-  private def q176OracleSql: String = {
+  private def q176OracleSql(abstain: Boolean = false): String = {
     val hits = operators.Lexicon.MultiLangs.zipWithIndex.map {
       case (l, i) =>
         val lits = operators.Lexicon.topWords(i, operators.Lexicon.LangidK)
@@ -1852,6 +2016,12 @@ object SparkEntry {
         s"""    CAST(len(list_filter(w, x -> list_contains([$lits], x)))
            |      AS INT) AS s_$l""".stripMargin
     }.mkString(",\n")
+    // q185's abstain branch sits AHEAD of the tie chain, like the
+    // operator's `when`: zero-hit documents are coverage failures, not
+    // 'de' evidence
+    val und = if (abstain)
+      "CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'\n" +
+        "      " else "CASE "
     s"""WITH ${operators.Lexicon.multiLexDocsCte},
        |tok AS (
        |  SELECT doc_id, lang,
@@ -1864,7 +2034,7 @@ object SparkEntry {
        |  FROM tok),
        |p AS (
        |  SELECT lang, n_words,
-       |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |    ${und}WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
        |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
        |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
        |      WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted_lang,
@@ -3792,7 +3962,7 @@ object SparkEntry {
         operators.Lexicon.LexQueryTerms),
     "q174_lex_rarity" -> q174OracleSql,
     "q175_lex_heaps" -> q175OracleSql,
-    "q176_lex_langid" -> q176OracleSql,
+    "q176_lex_langid" -> q176OracleSql(),
     "q177_lex_gopher" -> q177OracleSql,
     "q178_lex_pipeline" -> corpusPipelineOracleSql(
       operators.Lexicon.lexDocsCte, "lexdocs",
@@ -3802,6 +3972,18 @@ object SparkEntry {
       operators.Lexicon.multiLexDocsCte, "mlexdocs", 8),
     "q181_lex_bpe_encode" -> bpeEncodeByLangOracleSql(
       operators.Lexicon.multiLexDocsCte, "mlexdocs", 8),
+    // q182/q183: the tokenizer-artifact lifecycle — train on the base
+    // split, encode today's batch against the stored model (q183's
+    // encode chain replays the stored merges on the batch vocabulary).
+    "q182_lex_bpe_store" -> bpeTrainByLangOracleSql(
+      operators.Lexicon.multiLexDocsCteNamed("mbase", "doc_id % 10 != 0"),
+      "mbase", 8),
+    "q183_lex_bpe_encode_store" -> bpeEncodeFromStoreOracleSql(
+      operators.Lexicon.multiLexDocsCteNamed("mbase", "doc_id % 10 != 0"),
+      operators.Lexicon.multiLexDocsCteNamed("mdelta", "doc_id % 10 = 0"),
+      "mbase", "mdelta", 8),
+    "q184_lex_mix_pack" -> q184OracleSql,
+    "q185_lex_langid_abstain" -> q176OracleSql(abstain = true),
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

@@ -815,7 +815,16 @@ object Corpus {
     * under ITS OWN language's tokenizer — the serving contract of a
     * per-domain tokenizer fleet. Output: per-(lang, source) token
     * accounting (documents, words, BPE tokens, tokens-per-word in
-    * exact per-mille). */
+    * exact per-mille).
+    *
+    * Dropped-word contract (inherited from [[bpeVocab0]]): words
+    * containing '|' or '\' are excluded from the trained vocabulary on
+    * both engines, so the inner dictionary join silently drops them
+    * from n_words/n_tokens here too — zero occurrences in the shipped
+    * corpora, but on arbitrary input the per-source totals undercount
+    * by exactly those words. [[bpeEncodeFromStore]] is the general
+    * encoder: it counts them explicitly (n_skipped_words) and encodes
+    * OOV words by merge application instead of dropping them. */
   def bpeEncodeByLang(documents: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val (_, _, finalVocab) = bpeTrainByLangCore(documents, rounds)
@@ -843,6 +852,146 @@ object Corpus {
     * already excludes '\'-bearing words, so this is defense in depth. */
   private def sqlEsc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "''")
+
+  // ── tokenizer-artifact lifecycle (q182/q183): train once, store, ──
+  // ── encode every later batch against the stored model            ──
+
+  /** The TOKENIZER STORE: train [[bpeTrainByLang]]'s per-language merge
+    * tables on the base corpus ONCE and hand back the two frames a
+    * tokenizer fleet persists — the merge table (the model: ≤
+    * |langs|·rounds driver rows, already collected by the training
+    * loop's model-parameter contract) and the trained vocabulary state
+    * (the serving DICTIONARY: per-(lang, word) symbol sequences with
+    * every merge applied in learned order — the q143/q150 stored-index
+    * discipline applied to tokenizers; the checkpointed frame IS the
+    * artifact, standing in for the parquet table a deployment writes).
+    * Every later encode job reads these; NOTHING here rescans a corpus
+    * at encode time. */
+  def bpeStore(base: DataFrame, rounds: Int)
+  : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (merges, _, finalVocab) = bpeTrainByLangCore(base, rounds)
+    (merges, finalVocab)
+  }
+
+  /** The initial '|c||h||</w>|' character sequence of `word` as a SQL
+    * fragment — the SAME encoding [[bpeVocab0]] gives training words,
+    * so stored merges apply to unseen words identically. */
+  private val charSeqSql: String =
+    "concat('|', array_join(transform(sequence(1, char_length(word)), " +
+      "i -> substring(word, i, 1)), '||'), '||</w>|')"
+
+  /** The stored merges applied to `word` as ONE literal expression:
+    * per language the learned replaces compose in LEARNED ORDER (the
+    * order is the algorithm), and one top-level CASE on `lang` picks
+    * the language's chain — linear expression size (|langs| branches ×
+    * `rounds` nested replaces), unlike the per-round CASE the trainer
+    * uses (whose lineage the trainer must checkpoint). A language with
+    * no stored merges falls through to the raw character sequence. */
+  private def applyStoreSql(
+      merges: Seq[(Int, String, String, String, Long)]): String = {
+    val byLang = merges.groupBy(_._2).toSeq.sortBy(_._1)
+    if (byLang.isEmpty) charSeqSql
+    else "CASE " + byLang.map { case (lg, ms) =>
+      val chain = ms.sortBy(_._1).foldLeft(charSeqSql) { case (acc, m) =>
+        val (lhs, rhs) = (sqlEsc(m._3), sqlEsc(m._4))
+        s"replace($acc, '|$lhs||$rhs|', '|$lhs$rhs|')"
+      }
+      s"WHEN lang = '${sqlEsc(lg)}' THEN $chain"
+    }.mkString(" ") + s" ELSE $charSeqSql END"
+  }
+
+  /** Words the seq encoding cannot carry (the [[bpeVocab0]] contract:
+    * '|' is the symbol delimiter, '\' a Spark literal escape). The
+    * general encoder COUNTS these instead of silently dropping them. */
+  private val seqUnencodable: Column =
+    col("word").contains("|") || col("word").contains("\\")
+
+  /** Per-word ENCODE TABLE against the stored tokenizer: one row per
+    * distinct (lang, word) of the batch with the dictionary lookup
+    * (`dict_tokens` — the stored vocabulary state, NULL when the word
+    * was never seen in training), the merge-application fallback
+    * (`chain_tokens` — the stored merges applied to the raw character
+    * sequence; BPE is deterministic, so for seen words this EQUALS the
+    * dictionary value — CorpusSpec pins the agreement), the served
+    * count (`n_tokens` = dictionary-first, chain-fallback: the
+    * production encoder's cache discipline) and the OOV flag. Public
+    * so the spec audits the dict/chain agreement row by row. */
+  def bpeEncodeWordTable(merges: Seq[(Int, String, String, String, Long)],
+                         dict: DataFrame, batchVocab: DataFrame): DataFrame =
+    batchVocab
+      .withColumn("enc_seq", expr(applyStoreSql(merges)))
+      .withColumn("chain_tokens",
+        length(col("enc_seq")) - length(expr("replace(enc_seq, '||', '|')")) + 1)
+      // no broadcast hint: both sides are vocabulary-class frames — AQE
+      // broadcasts the smaller when it fits (the q76 LM discipline)
+      .join(dict.select(col("lang"), col("word"),
+        (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)
+          .as("dict_tokens")), Seq("lang", "word"), "left")
+      .select(col("lang"), col("word"), col("dict_tokens"), col("chain_tokens"),
+        coalesce(col("dict_tokens"), col("chain_tokens")).as("n_tokens"),
+        col("dict_tokens").isNull.as("is_oov"))
+
+  /** ENCODE a batch against an already-built store — the serving leg a
+    * tokenizer fleet runs per crawl batch: ONE batch-sized pass
+    * (explode + per-word broadcast join + partial aggregation) plus a
+    * batch-VOCABULARY-sized merge application for OOV words. No
+    * training anywhere. Output: per-(lang, source) token accounting —
+    * documents, encodable words, OOV word occurrences (words absent
+    * from the stored vocabulary, tokenized by merge application),
+    * explicitly-counted unencodable words ('|'/'\' — the
+    * [[bpeEncodeByLang]] dropped-word contract made visible), BPE
+    * tokens, and exact per-mille tokens-per-word. A (lang, source)
+    * cell ALL of whose words are unencodable has nothing to account
+    * and emits no row.
+    *
+    * 100 TB shape: the store is model state (vocabulary-sized by
+    * q120's 10^4× word-collapse argument); the batch pass is
+    * partially-aggregated scan work; encode cost tracks the BATCH, not
+    * the corpus the model was trained on — TokStoreProbe measures the
+    * split (SCALE.md). */
+  def bpeEncodeAgainstStore(merges: Seq[(Int, String, String, String, Long)],
+                            dict: DataFrame, batch: DataFrame): DataFrame = {
+    val words = batch
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextDedup.tokens(col("text"))).as("word"))
+      .localCheckpoint(false) // feeds the skipped census AND the accounting
+    val skipped = words.where(seqUnencodable)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_skipped_words"))
+    val clean = words.where(!seqUnencodable)
+    val enc = bpeEncodeWordTable(merges, dict,
+      clean.select("lang", "word").distinct())
+    clean
+      // the served word table is vocabulary-sized model+dictionary state
+      // (the q155/q181 broadcast adjudication)
+      .join(broadcast(enc.select("lang", "word", "n_tokens", "is_oov")),
+        Seq("lang", "word"))
+      .groupBy("lang", "source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov_words"),
+        sum("n_tokens").as("n_tokens"))
+      .join(skipped, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_oov_words"),
+        coalesce(col("n_skipped_words"), lit(0L)).as("n_skipped_words"),
+        col("n_tokens"),
+        expr("(n_tokens * 1000L) DIV n_words").as("tokens_per_word_pm"))
+      .orderBy("lang", "source")
+  }
+
+  /** ENCODE-FROM-STORE (q183): the self-contained declared pair of the
+    * store build — trains the store on `base` (exactly [[bpeStore]],
+    * so the q182 artifact and this query's internal model are the same
+    * frames), then runs the pure serving pass over `batch`. The
+    * train→apply seam q181 lacks: q181 re-trains inside the encode
+    * query; here the batch pass NEVER touches the base corpus — at
+    * deployment the store build runs once and every later batch pays
+    * only [[bpeEncodeAgainstStore]]. */
+  def bpeEncodeFromStore(base: DataFrame, batch: DataFrame,
+                         rounds: Int): DataFrame = {
+    val (merges, dict) = bpeStore(base, rounds)
+    bpeEncodeAgainstStore(merges, dict, batch)
+  }
 
   /** q155 — BPE ENCODE: apply q152's trained merge table to the corpus
     * — the train→apply pair tokenization actually is (the q142→q143
@@ -889,6 +1038,116 @@ object Corpus {
       .orderBy("source")
   }
 
+
+  // ── multilingual mixture + packing (q184): per-language token ──
+  // ── budgets realized doc-by-doc, survivors packed per language ──
+
+  /** q184's core — the MULTILINGUAL corpus recipe's last composition:
+    * token-denominated temperature mixture per (lang, source) against
+    * per-LANGUAGE budgets, realized by a replayable cumulative cutoff,
+    * with the survivors sequence-packed per language (q77 keyed). Two
+    * temperature levels, both q91's arithmetic in token currency (the
+    * budgets consume the q181/q183 accounting's token-mass grain
+    * rather than doc counts): the global budget (MixBudgetFrac of the
+    * corpus token mass) splits across languages ∝ mass^α — α = 0.5
+    * UPSAMPLES low-resource languages relative to raw share, the
+    * multilingual-recipe trick — and each language's budget splits
+    * across its sources ∝ mass^α again. Realization is NOT q91's
+    * per-doc hash threshold (in-expectation adherence): documents lay
+    * out in the replayable md5-hash order and keep while the tokens
+    * BEFORE them are under the cell target — the q83 cumulative
+    * device — so each cell's kept token mass lands within ONE document
+    * of its target whenever supply suffices (the spec pins it), and an
+    * under-supplied cell keeps everything it has. Survivors pack per
+    * language through [[packOffsets]] verbatim, in doc_id order (the
+    * selection order is fairness's; the layout order is locality's —
+    * both replayable). Output: the per-(lang, source) audit log —
+    * masses, budgets, targets, realized kept docs/tokens, and the
+    * packing footprint (sequence count + highest sequence index).
+    *
+    * 100 TB shape: one corpus collapse to (doc, lang, source,
+    * n_tokens, h) feeding a band-sized plan aggregate (window sums
+    * over ≤ |langs|·|sources| rows — no 1-row literal joins), the
+    * q83 two-phase bounded-window cumulative sum keyed by cell, and
+    * q77's two-phase packer. Every window partition is bounded; the
+    * plan side is band-sized throughout. Token currency here is the
+    * packer's native whitespace count (q77/q83's); swapping in BPE
+    * tokens is one extra broadcast join against the q182 store. */
+  def mixPack(docs: DataFrame, seqTokens: Int, chunkDocs: Int,
+              seed: Int): DataFrame = {
+    val wAll = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLang = Window.partitionBy("lang").orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("h", expr(TextDedup.h60(seed, "CAST(doc_id AS STRING)")))
+      .localCheckpoint(false) // feeds the plan aggregate AND the keep pass
+    val mls = d.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("mass_tokens"))
+    // per-language budgets over the ≤|langs|-row aggregate; the double
+    // sums ride ORDERED whole-frame windows so both engines accumulate
+    // in the same (lang) order — FP addition is order-sensitive, and an
+    // unordered 1-row aggregate would leave the order to the planner
+    val ml = mls.groupBy("lang").agg(sum("mass_tokens").as("lang_mass"))
+      .withColumn("total_mass", sum("lang_mass").over(wAll))
+      .withColumn("w_l", pow(col("lang_mass").cast("double"), MixAlpha))
+      .withColumn("w_sum", sum("w_l").over(wAll))
+      .withColumn("budget_tokens",
+        round(round(col("total_mass") * lit(MixBudgetFrac), 0) *
+          (col("w_l") / col("w_sum")), 0).cast("long"))
+      .select("lang", "budget_tokens")
+    val plan = mls
+      .withColumn("w_s", pow(col("mass_tokens").cast("double"), MixAlpha))
+      .withColumn("ws_sum", sum("w_s").over(wLang))
+      .join(ml, Seq("lang")) // band-sized ⋈ ≤|langs| rows
+      .withColumn("target_tokens",
+        round(col("budget_tokens") * (col("w_s") / col("ws_sum")), 0)
+          .cast("long"))
+      .select("lang", "source", "n_docs", "mass_tokens", "budget_tokens",
+        "target_tokens")
+    // the keep pass: q83's two-phase cumulative sum keyed by cell —
+    // bounded within-bucket windows + a ≤4096-row bucket-offset prefix
+    // per cell; the oracle replays the one-level window (same values)
+    val bucketed = d.withColumn("bucket", expr(s"h div ${1L << ShardBucketShift}"))
+    val wB = Window.partitionBy("lang", "source", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinPrev = bucketed
+      .withColumn("within_prev", coalesce(sum("n_tokens").over(wB), lit(0L)))
+    val wS = Window.partitionBy("lang", "source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOffsets = bucketed.groupBy("lang", "source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum("bucket_tokens").over(wS), lit(0L)))
+      .select("lang", "source", "bucket", "bucket_offset")
+    val kept = withinPrev
+      .join(bOffsets, Seq("lang", "source", "bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("within_prev"))
+      // the plan is band-sized BY CONSTRUCTION (one row per (lang,
+      // source) cell) — broadcast is safe at any corpus scale
+      .join(broadcast(plan.select("lang", "source", "target_tokens")),
+        Seq("lang", "source"))
+      .where(col("cum_before") < col("target_tokens"))
+      .select("doc_id", "lang", "source", "n_tokens")
+    val packed = packOffsets(kept.select("doc_id", "lang", "n_tokens"),
+      seqTokens, chunkDocs)
+    val audit = kept
+      .join(packed.select("doc_id", "n_seqs", "last_seq"), Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"),
+        sum("n_seqs").as("n_seqs"), max("last_seq").as("max_last_seq"))
+    plan.join(audit, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("mass_tokens"),
+        col("budget_tokens"), col("target_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("max_last_seq"), lit(-1L)).as("max_last_seq"))
+      .orderBy("lang", "source")
+  }
 
   /** q133 — the END-TO-END corpus build: the pipeline a data recipe
     * actually runs, composed from this engine's own stages in their

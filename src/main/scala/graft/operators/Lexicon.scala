@@ -364,6 +364,28 @@ object Lexicon {
        |      ${textSql(duck, multiTab, 176, 1760)} AS text
        |    FROM documents))""".stripMargin
 
+  /** A named, row-filtered rendering of the same CTE — the q182/q183
+    * oracles derive the base corpus (`doc_id % 10 != 0`) and today's
+    * batch (`= 0`) without materializing the rows the predicate drops
+    * (the filter sits UNDER the text derivation, matching the Spark
+    * side's pushed-down doc_id predicate). */
+  def multiLexDocsCteNamed(name: String, pred: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, text, length(text) AS n_chars
+       |  FROM (SELECT doc_id, lang, source,
+       |      ${textSql(duck, multiTab, 176, 1760)} AS text
+       |    FROM documents WHERE $pred))""".stripMargin
+
+  /** Yesterday's corpus / today's batch split of the multi-language
+    * corpus — the q150/q159/q179 store convention (doc_id % 10). The
+    * doc_id predicate sits on the SCAN side of the text derivation
+    * (Catalyst pushes it through the deterministic projection), so the
+    * dropped rows never pay text synthesis. */
+  def multiLexBase(documents: DataFrame): DataFrame =
+    multiLexDocuments(documents).where(col("doc_id") % 10 =!= 0)
+  def multiLexDelta(documents: DataFrame): DataFrame =
+    multiLexDocuments(documents).where(col("doc_id") % 10 === 0)
+
   /** How many of language i's top-[[LangidK]] words appear in `words`
     * (multiplicity counted — q30's stopHits form). */
   val LangidK = 10
@@ -390,8 +412,16 @@ object Lexicon {
     q176LexLangidOver(multiLexDocuments(t.documents))
 
   /** The scoring + matrix core over any derived (doc_id, lang, text)
-    * corpus frame — public for the spec's Scala-recomputed matrix. */
-  def q176LexLangidOver(mdocs: DataFrame): DataFrame = {
+    * corpus frame — public for the spec's Scala-recomputed matrix.
+    * With `abstain` the classifier emits 'und' for zero-hit documents
+    * (one `when` ahead of the tie chain) instead of letting the fixed
+    * tie order assign them to 'de' — the production contract (q185):
+    * a document containing NONE of any language's frequent words is a
+    * coverage failure, not evidence for the tie-break's first entry,
+    * and the matrix gives that residual its own predicted_lang row
+    * ('und' rows have sum_hits = 0 by construction). */
+  def q176LexLangidOver(mdocs: DataFrame,
+                        abstain: Boolean = false): DataFrame = {
     val hitCols = MultiLangs.zipWithIndex.map { case (l, i) =>
       val lits = topWords(i, LangidK).map(w => s"'$w'").mkString(", ")
       expr(s"size(filter(words, w -> w IN ($lits)))").as(s"s_$l")
@@ -401,7 +431,7 @@ object Lexicon {
       .select(col("doc_id") +: col("lang") +:
         size(col("words")).as("n_words") +: hitCols: _*)
     val best = greatest(MultiLangs.map(l => col(s"s_$l")): _*)
-    val predicted =
+    val tieChain =
       when(col("s_de") >= greatest(col("s_en"), col("s_es"),
         col("s_fr"), col("s_zh")), "de")
         .when(col("s_en") >= greatest(col("s_es"), col("s_fr"),
@@ -409,6 +439,8 @@ object Lexicon {
         .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
         .when(col("s_fr") >= col("s_zh"), "fr")
         .otherwise("zh")
+    val predicted =
+      if (abstain) when(best === 0, "und").otherwise(tieChain) else tieChain
     scored
       .withColumn("predicted_lang", predicted)
       .withColumn("best_hits", best)
@@ -418,6 +450,15 @@ object Lexicon {
         sum("best_hits").as("sum_hits"))
       .orderBy("true_lang", "predicted_lang")
   }
+
+  /** q185 — q176's langid with the ABSTAIN path (r17 verdict item 3):
+    * predicted_lang = 'und' when best_hits = 0, same matrix shape, so
+    * the zero-hit coverage failures (measured 140 ppm at the 30×
+    * corpus) report as their own row per true language instead of
+    * polluting the 'de' column. Same map-side scoring, same 25(+5)-cell
+    * partial aggregate. */
+  def q185LexLangidAbstain(t: T): DataFrame =
+    q176LexLangidOver(multiLexDocuments(t.documents), abstain = true)
 
   /** q180 — FUSED PER-LANGUAGE BPE TRAINING on the multi-language
     * corpus: one job, five tokenizers (`Corpus.bpeTrainByLang` — the
@@ -443,6 +484,46 @@ object Lexicon {
     * partially-aggregated corpus pass. */
   def q181LexBpeEncodeByLang(t: T): DataFrame =
     Corpus.bpeEncodeByLang(multiLexDocuments(t.documents), 8)
+
+  /** q182 — the TOKENIZER STORE BUILD (r17 verdict item 1): q180's
+    * fused per-language trainer on YESTERDAY'S corpus only (doc_id %
+    * 10 ≠ 0 — the q150/q159 store convention). The output rows ARE the
+    * persisted artifact — the per-language merge tables in learned
+    * order, with each merge's selection-time count and the
+    * post-merge compression trace; [[q183LexBpeEncodeStore]] is the
+    * serving pair that encodes today's batch against exactly this
+    * model without retraining. Same plan shape as q180 on 90% of the
+    * rows. */
+  def q182LexBpeStore(t: T): DataFrame =
+    Corpus.bpeTrainByLang(multiLexBase(t.documents), 8)
+
+  /** q183 — ENCODE-FROM-STORE: today's batch (doc_id % 10 = 0)
+    * tokenized against the q182 store (`Corpus.bpeEncodeFromStore`:
+    * the store build runs once inside this self-contained query; the
+    * BATCH pass never touches the base corpus). Seen words read the
+    * stored dictionary; unseen words — the lexicon's compound hapax
+    * tail guarantees a real OOV population in every batch — apply the
+    * stored merges to their character sequence (standard BPE serving);
+    * '|'/'\' words are counted, not dropped. Output: the per-(lang,
+    * source) accounting with the OOV and skipped columns a serving
+    * fleet monitors. TokStoreProbe measures the seam this declares:
+    * encode wall tracks the batch while the retrain leg grows with
+    * the vocabulary (SCALE.md). */
+  def q183LexBpeEncodeStore(t: T): DataFrame =
+    Corpus.bpeEncodeFromStore(multiLexBase(t.documents),
+      multiLexDelta(t.documents), 8)
+
+  /** q184 — MULTILINGUAL MIXTURE + PACKING (r17 verdict item 2): the
+    * per-language token-budget recipe over the multi-language corpus —
+    * `Corpus.mixPack` with q77's sequence size and the corpus's own
+    * (lang, source) strata. Low-resource languages upsample under the
+    * α = 0.5 temperature, each cell's kept token mass lands within one
+    * document of its target (LexiconSpec pins it), and the survivors'
+    * per-language packing footprint closes the recipe: this row set is
+    * the audit log a multilingual corpus build ships. */
+  def q184LexMixPack(t: T): DataFrame =
+    Corpus.mixPack(multiLexDocuments(t.documents), Corpus.SeqTokens,
+      Corpus.ChunkDocs, seed = 184)
 
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's

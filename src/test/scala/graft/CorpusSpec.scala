@@ -294,6 +294,133 @@ class CorpusSpec extends SparkSpec {
       (3, "ab", "</w>", 1L)))
   }
 
+  test("q183 encode-from-store: seen words read the dictionary, unseen " +
+    "words apply the stored merges, unencodable words are counted") {
+    // store trained on the q152 hand corpus (de): merges (a,a), (a,b),
+    // (ab,</w>) — dict: aaab → 2 tokens, ab → 1 token
+    val base = ((1 to 3).map(i => (i.toLong, "de", "aaab", "s0")) ++
+      Seq((4L, "de", "ab", "s0"), (5L, "de", "ab", "s0")))
+      .toDF("doc_id", "lang", "text", "source")
+    // batch: two seen words, one UNSEEN (aab — merge application gives
+    // (aa)(b)(</w>) = 3), one unencodable ('x|y'), plus an 'en' doc the
+    // store never trained (falls through to raw character sequences)
+    val batch = Seq(
+      (100L, "de", "aaab ab aab x|y", "s1"),
+      (101L, "en", "ab", "s1")).toDF("doc_id", "lang", "text", "source")
+    val got = Corpus.bpeEncodeFromStore(base, batch, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toList
+    assert(got == List(
+      // de/s1: 3 encodable words (2+1+3 = 6 tokens), 1 OOV, 1 skipped
+      ("de", "s1", 1L, 3L, 1L, 1L, 6L, 2000L),
+      // en/s1: no stored merges -> char-level (a)(b)(</w>) = 3 tokens
+      ("en", "s1", 1L, 1L, 1L, 0L, 3L, 3000L)))
+  }
+
+  test("q183 word table: dictionary and merge-application token counts " +
+    "agree on every seen word (BPE determinism)") {
+    val base = ((1 to 3).map(i => (i.toLong, "de", "aaab", "s0")) ++
+      Seq((4L, "de", "ab", "s0"), (5L, "de", "ab aaab b", "s0")))
+      .toDF("doc_id", "lang", "text", "source")
+    val (merges, dict) = Corpus.bpeStore(base, 3)
+    // re-encode the TRAINING vocabulary itself: every word is seen, so
+    // dict_tokens must be non-null and equal chain_tokens row by row
+    val rows = Corpus.bpeEncodeWordTable(merges, dict,
+      dict.select("lang", "word")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dict_tokens")))
+      assert(r.getAs[Int]("dict_tokens") == r.getAs[Int]("chain_tokens"),
+        s"dict/chain diverge on ${r.getAs[String]("word")}")
+      assert(!r.getAs[Boolean]("is_oov"))
+    }
+  }
+
+  test("q184 mixPack: audit equals a local replay — budgets, targets, " +
+    "one-document adherence and packing footprint") {
+    // deterministic synthetic corpus: 2 languages with unequal mass (the
+    // α = 0.5 temperature must upsample the small one), 3 sources each
+    val rnd = new scala.util.Random(184)
+    val docs = (0L until 400L).map { id =>
+      val lang = if (id % 10 < 8) "big" else "sml"
+      val src = s"s${rnd.nextInt(3)}"
+      val n = 1 + rnd.nextInt(30)
+      (id, lang, src, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "source", "text")
+    val got = Corpus.mixPack(docs, 16, 7, seed = 184)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    // local replay with the same arithmetic (sums in the same sorted
+    // order, HALF_UP rounding like Spark/DuckDB round())
+    def rnd0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    // regenerate the corpus with the SAME rng sequence
+    val rnd2 = new scala.util.Random(184)
+    val rows = (0L until 400L).map { id =>
+      val lang = if (id % 10 < 8) "big" else "sml"
+      val src = s"s${rnd2.nextInt(3)}"
+      val n = 1L + rnd2.nextInt(30)
+      (id, lang, src, n, h60(s"184:$id"))
+    }
+    val masses = rows.groupBy(r => (r._2, r._3)).view
+      .mapValues(rs => (rs.size.toLong, rs.map(_._4).sum)).toMap
+    val langMass = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val langs = langMass.keys.toSeq.sorted
+    val totalMass = langs.map(langMass).sum
+    val wSum = langs.map(l => math.pow(langMass(l).toDouble, 0.5)).sum
+    val budget = langs.map { l =>
+      l -> rnd0(rnd0(totalMass * 0.4) *
+        (math.pow(langMass(l).toDouble, 0.5) / wSum))
+    }.toMap
+    val targets = masses.keys.toSeq.sorted.map { case (l, s) =>
+      val wsSum = masses.keys.filter(_._1 == l).toSeq.sorted
+        .map(k => math.pow(masses(k)._2.toDouble, 0.5)).sum
+      (l, s) -> rnd0(budget(l) *
+        (math.pow(masses((l, s))._2.toDouble, 0.5) / wsSum))
+    }.toMap
+    val keptDocs = rows.groupBy(r => (r._2, r._3)).flatMap { case (k, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (r._5, r._1)).takeWhile { r =>
+        val in = cum < targets(k); cum += r._4; in }
+    }.toSeq
+    val packed = keptDocs.groupBy(_._2).flatMap { case (_, rs) =>
+      var off = 0L
+      rs.sortBy(_._1).map { r =>
+        val (first, last) = (off / 16, (off + r._4 - 1) / 16)
+        off += r._4
+        (r._1, r._2, r._3, r._4, first, last)
+      }
+    }
+    val localAudit = masses.keys.map { k =>
+      val ks = packed.filter(p => (p._2, p._3) == k).toSeq
+      k -> (masses(k)._1, masses(k)._2, budget(k._1), targets(k),
+        ks.size.toLong, ks.map(_._4).sum,
+        ks.map(p => p._6 - p._5 + 1).sum,
+        if (ks.isEmpty) -1L else ks.map(_._6).max)
+    }.toMap
+    assert(got.keySet == localAudit.keySet)
+    for (k <- got.keySet) assert(got(k) == localAudit(k), s"cell $k")
+    // the declared adherence contract: every supplied cell lands within
+    // one document of its target; upsampling favors the small language
+    for (k <- got.keySet) {
+      val (_, mass, _, target, _, keptTokens, _, _) = got(k)
+      if (mass <= target) assert(keptTokens == mass)
+      else {
+        assert(keptTokens >= target, s"$k under target with supply")
+        assert(keptTokens - target < 30, s"$k overshoots by a document+")
+      }
+    }
+    val keepRate = langs.map(l => l ->
+      (budget(l).toDouble / langMass(l))).toMap
+    assert(keepRate("sml") > keepRate("big"))
+  }
+
   test("bpe vocabulary excludes words carrying the reserved '|' and '\\' " +
     "bytes (delimiter/escape contract)") {
     // '|' would corrupt symbol boundaries; '\' would diverge between

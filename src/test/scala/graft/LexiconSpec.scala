@@ -251,6 +251,44 @@ class LexiconSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("langid abstain (q185): a zero-hit document predicts 'und', not " +
+    "the tie order's first entry; scored documents are unaffected") {
+    // hand frame through the public scoring core: one zh doc whose words
+    // are all rarer than any top-10 list (zero hits everywhere), one de
+    // doc containing de's rank-1 word
+    val deTop = Lexicon.topWords(0, 1).head
+    val docs = Seq(
+      (1L, "zh", "zzzz qqqq"),
+      (2L, "de", s"$deTop zzzz")).toDF("doc_id", "lang", "text")
+    val abstain = Lexicon.q176LexLangidOver(docs, abstain = true)
+      .select("true_lang", "predicted_lang", "sum_hits")
+      .as[(String, String, Long)].collect().toSet
+    assert(abstain == Set(("zh", "und", 0L), ("de", "de", 1L)))
+    // without abstain the zero-hit doc lands on 'de' (q176's residual)
+    val tied = Lexicon.q176LexLangidOver(docs)
+      .select("true_lang", "predicted_lang")
+      .as[(String, String)].collect().toSet
+    assert(tied == Set(("zh", "de"), ("de", "de")))
+  }
+
+  test("q182/q183 store split: the base-trained store differs from the " +
+    "full-corpus q180 model only through the withheld batch, and the " +
+    "batch itself carries genuine OOV words") {
+    // the lexicon's compound hapax tail guarantees today's batch brings
+    // unseen types — the OOV column must be nonzero somewhere, and every
+    // cell's OOV count stays below its word count (the head is shared)
+    val t = graft.Tables.T(spark, "/root/testdata/sf0.001")
+    val out = Lexicon.q183LexBpeEncodeStore(t)
+      .select("n_words", "n_oov_words", "n_skipped_words")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum > 0, "no OOV words — the tail claim broke")
+    out.foreach { case (w, o, s) =>
+      assert(o < w, "a cell is ALL OOV — the shared head vanished")
+      assert(s == 0L, "the lexicon corpus plants no '|'/'\\' words")
+    }
+  }
+
   test("drift report (q179): masses partition the token stream, band 0 " +
     "is exactly the delta-only vocabulary, shares sum to ~1e6") {
     val docs = Lexicon.lexDocuments(seedDocs(300))
