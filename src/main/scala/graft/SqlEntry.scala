@@ -61,9 +61,11 @@ object SqlEntry {
     * recency window keys on the staged watermark (computed in-query
     * here; q23 folds the staging-time scalar — same value by
     * construction), share-of-total among majors over an empty window
-    * frame, global rank. */
-  val q23StandingsSql: String =
-    """WITH wm AS (SELECT max(poll_date) AS d FROM stg_poll_results),
+    * frame, global rank. Parameterized on the staging table so the
+    * mart CHAIN (martChainViaSql) can point the same model at its own
+    * SQL-built staging view. */
+  def standingsSqlOver(stg: String): String =
+    s"""WITH wm AS (SELECT max(poll_date) AS d FROM ${requireIdentifier(stg)}),
       |agg AS (
       |  SELECT party,
       |    max2(struct(poll_date, poll_id, pct)) AS m12,
@@ -75,7 +77,7 @@ object SqlEntry {
       |        THEN 1 END) AS avg_180d,
       |    round(stddev_pop(CASE WHEN poll_date >= wm.d - INTERVAL 180 DAYS
       |        THEN pct END), 4) AS volatility_180d
-      |  FROM stg_poll_results CROSS JOIN wm
+      |  FROM ${requireIdentifier(stg)} CROSS JOIN wm
       |  GROUP BY party),
       |pp AS (
       |  SELECT party,
@@ -94,6 +96,8 @@ object SqlEntry {
       |FROM pp
       |ORDER BY rank""".stripMargin
 
+  val q23StandingsSql: String = standingsSqlOver("stg_poll_results")
+
   /** Run the translated model: register views, execute the SQL. */
   def q23ViaSql(t: T): DataFrame = {
     registerViews(t)
@@ -108,16 +112,17 @@ object SqlEntry {
     * SqlEntrySpec asserts frame equality against a Window-API twin
     * built from the same staged view — proving the named-WINDOW +
     * frame-spec SQL surface computes exactly what the DataFrame core
-    * does. */
-  val dailyAveragesSql: String =
-    """WITH daily AS (
+    * does. Parameterized on the staging table like
+    * [[standingsSqlOver]]. */
+  def dailyAveragesSqlOver(stg: String): String =
+    s"""WITH daily AS (
       |  SELECT party, poll_date,
       |    count(1) AS poll_count,
       |    round(avg(pct), 4) AS avg_pct,
       |    round(sum(pct * surveyed) / sum(surveyed), 4) AS weighted_avg,
       |    CAST(sum(surveyed) AS BIGINT) AS total_surveyed,
       |    count(DISTINCT institute_id) AS unique_institutes
-      |  FROM stg_poll_results
+      |  FROM ${requireIdentifier(stg)}
       |  GROUP BY party, poll_date)
       |SELECT party, poll_date, poll_count, avg_pct, weighted_avg,
       |  total_surveyed, unique_institutes,
@@ -135,9 +140,100 @@ object SqlEntry {
       |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
       |ORDER BY party, poll_date""".stripMargin
 
+  val dailyAveragesSql: String = dailyAveragesSqlOver("stg_poll_results")
+
   def dailyAveragesViaSql(t: T): DataFrame = {
     registerViews(t)
     t.spark.sql(dailyAveragesSql)
+  }
+
+  // ── the FULL dbt mart chain through the parser (r17 verdict item 4) ──
+
+  /** raw_dawum_polls as SQL over the lake views — the reference's raw
+    * model (dbt_project/models/staging: projection + validity
+    * predicates over the ingested poll documents), building the SAME
+    * JSON `results` payload Polls.rawPolls derives: per-(poll, party)
+    * summed pcts, sort_array for deterministic map key order, one JSON
+    * object per poll. */
+  val rawDawumPollsViewSql: String =
+    """CREATE OR REPLACE TEMPORARY VIEW raw_dawum_polls AS
+      |WITH per_party AS (
+      |  SELECT l_orderkey, concat('p', l_linenumber) AS party,
+      |    sum(l_quantity) AS pct
+      |  FROM lineitem GROUP BY l_orderkey, concat('p', l_linenumber)),
+      |results AS (
+      |  SELECT l_orderkey, to_json(map_from_entries(sort_array(
+      |    collect_list(struct(party, pct))))) AS results
+      |  FROM per_party GROUP BY l_orderkey)
+      |SELECT o_orderkey AS poll_id, o_custkey AS institute_id,
+      |  o_orderdate AS poll_date, o_totalprice AS surveyed, results
+      |FROM orders JOIN results ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IS NOT NULL AND results != ''""".stripMargin
+
+  /** stg_dawum_polls as SQL over raw_dawum_polls — the staging model
+    * (stg_dawum_polls.sql:29-115): JSON map parse + validity filter,
+    * the map unpivot, quality flags, and the deterministic row hash
+    * (pct scaled to an integer before hashing — the 2-dp money
+    * semantics Polls.stgPollResults uses, so the two surfaces hash
+    * identical text). */
+  val stgDawumPollsViewSql: String =
+    """CREATE OR REPLACE TEMPORARY VIEW stg_dawum_polls AS
+      |SELECT poll_id, institute_id, poll_date, surveyed,
+      |  entry.key AS party, entry.value AS pct,
+      |  entry.value >= 0 AND entry.value <= 100 AS pct_valid,
+      |  CASE WHEN entry.value < 10 THEN 'fringe'
+      |    WHEN entry.value < 25 THEN 'minor'
+      |    WHEN entry.value < 45 THEN 'major'
+      |    ELSE 'landslide' END AS quality_tier,
+      |  sha2(concat_ws('|', poll_id, entry.key,
+      |    CAST(round(entry.value * 100, 0) AS BIGINT)), 256) AS row_hash
+      |FROM (
+      |  SELECT poll_id, institute_id, poll_date, surveyed,
+      |    explode(map_entries(rmap)) AS entry
+      |  FROM (SELECT *, from_json(results, 'map<string,double>') AS rmap
+      |        FROM raw_dawum_polls)
+      |  WHERE rmap IS NOT NULL)""".stripMargin
+
+  /** fact_polls as SQL over stg_dawum_polls + the institute dim — the
+    * fact model (fact_polls.sql:50-102): dim join, lag/moving-average
+    * trend windows over named WINDOW clauses, direction bucketing.
+    * Semantically identical to Polls.q22PollTrends. */
+  val factPollsViewSql: String =
+    """CREATE OR REPLACE TEMPORARY VIEW fact_polls AS
+      |SELECT poll_id, party, c_name AS institute_name,
+      |  c_mktsegment AS institute_group, pct,
+      |  lag(pct, 1) OVER w AS prev_pct,
+      |  round(pct - lag(pct, 1) OVER w, 2) AS delta,
+      |  round(sum(pct) OVER w3, 2) / count(1) OVER w3 AS ma3,
+      |  CASE WHEN lag(pct, 1) OVER w IS NULL THEN 'new'
+      |    WHEN pct - lag(pct, 1) OVER w > 2.0D THEN 'up'
+      |    WHEN pct - lag(pct, 1) OVER w < -2.0D THEN 'down'
+      |    ELSE 'stable' END AS trend
+      |FROM stg_dawum_polls JOIN customer ON institute_id = c_custkey
+      |WINDOW
+      |  w AS (PARTITION BY party, institute_id ORDER BY poll_date, poll_id),
+      |  w3 AS (PARTITION BY party, institute_id ORDER BY poll_date, poll_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** The WHOLE reference mart chain (raw_dawum_polls → stg_dawum_polls
+    * → fact_polls → both aggregate marts) as CONSECUTIVE `spark.sql`
+    * statements over temp views — multi-statement view-on-view
+    * resolution through the parser, the one SQL-surface shape the
+    * single-statement parity models don't exercise. Returns (fact,
+    * standings, daily) — each frame-equal to its DataFrame twin
+    * (q22PollTrends / q23PollStandings / the q22-family daily model;
+    * SqlEntrySpec pins all three). Views are lazy (each consumer
+    * re-resolves the chain — dbt would materialize each layer; the
+    * staging-table cost discipline lives in Polls.stgPollResultsTable,
+    * this chain proves the SURFACE). */
+  def martChainViaSql(t: T): (DataFrame, DataFrame, DataFrame) = {
+    registerViews(t)
+    t.spark.sql(rawDawumPollsViewSql)
+    t.spark.sql(stgDawumPollsViewSql)
+    t.spark.sql(factPollsViewSql)
+    (t.spark.table("fact_polls"),
+      t.spark.sql(standingsSqlOver("stg_dawum_polls")),
+      t.spark.sql(dailyAveragesSqlOver("stg_dawum_polls")))
   }
 
   /** P8 through the SQL surface — the q45 pipe-alternative search

@@ -95,6 +95,19 @@ class SqlEntrySpec extends SparkSpec {
       graft.operators.Lexicon.q176LexLangid(t))
   }
 
+  test("the full dbt mart chain through the parser: raw → stg → fact → " +
+    "both aggregate marts as consecutive spark.sql statements, each " +
+    "layer frame-equal to its DataFrame twin") {
+    val (fact, standings, daily) = SqlEntry.martChainViaSql(t)
+    // fact layer ≡ q22 (dim join + trend windows through view-on-view
+    // resolution: fact_polls reads stg_dawum_polls reads raw_dawum_polls)
+    assertFrameEqual(fact, Polls.q22PollTrends(t))
+    // serving marts read the CHAIN's staging view, not the checkpointed
+    // staging table — same values by construction
+    assertFrameEqual(standings, Polls.q23PollStandings(t))
+    assertFrameEqual(daily, SqlEntry.dailyAveragesViaSql(t))
+  }
+
   test("registered views are queryable through the guarded accessor") {
     SqlEntry.registerViews(t)
     assert(SqlEntry.queryView(spark, "stg_poll_results", 5).count() == 5)
