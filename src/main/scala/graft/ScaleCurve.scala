@@ -41,6 +41,10 @@ object ScaleCurve {
     "q174_lex_rarity", "q175_lex_heaps", "q176_lex_langid",
     "q177_lex_gopher", "q178_lex_pipeline", "q179_lex_drift",
     "q180_lex_bpe_bylang", "q181_lex_bpe_encode",
+    // r18: the tokenizer-store pair (train split + encode-from-store),
+    // the multilingual mixture+packing and the abstain langid
+    "q182_lex_bpe_store", "q183_lex_bpe_encode_store",
+    "q184_lex_mix_pack", "q185_lex_langid_abstain",
     // merge/upsert: full-outer joins + per-key argmaxes — the nightly
     // 100 TB merge shapes (r15 verdict item 4)
     "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",

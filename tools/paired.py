@@ -17,15 +17,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main():
     sf, out, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
+    # bound the spill so a super-linear replay reports DNF instead of
+    # filling the disk (the q139-at-30x finding)
+    con.execute("SET max_temp_directory_size = '40GiB'")
     for t in TABLES:
+        # ScaleGen writes Spark-style DIRECTORIES named <table>.parquet;
+        # the driver testdata ships plain files — accept both
+        import os
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     for name in names:
         best = None
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             n = len(con.execute(oracle[name]).fetchall())
             dt = time.time() - t0
