@@ -102,6 +102,7 @@ object Bench {
       "q152_bpe_train", "q155_bpe_encode", "q172_lex_bpe_train",
       "q180_lex_bpe_bylang", "q181_lex_bpe_encode",
       "q182_lex_bpe_store", "q183_lex_bpe_encode_store",
+      "q186_lex_mix_pack_bpe",
       "q97_similarity_join",
       "q72_streaming_dedup", "q88_session_window", "q92_streaming_sessions",
       "q96_stateful_runs", "q98_streaming_neardup", "q99_stream_join",

@@ -280,6 +280,11 @@ object SparkEntry {
     "q184_lex_mix_pack"   -> ((s, d) => Lexicon.q184LexMixPack(T(s, d))),
     "q185_lex_langid_abstain" ->
       ((s, d) => Lexicon.q185LexLangidAbstain(T(s, d))),
+    // q186: q184's recipe in MODEL-TOKEN currency — budgets and packing
+    // denominated in BPE tokens from the q182 store (the production
+    // form: a training budget is a model-token budget).
+    "q186_lex_mix_pack_bpe" ->
+      ((s, d) => Lexicon.q186LexMixPackBpe(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1690,15 +1695,71 @@ object SparkEntry {
     * (Spark computes the identical values with the q83 two-phase
     * device), the per-language packing cumulative sum in doc order,
     * and the audit join. */
-  private def q184OracleSql: String =
-    s"""WITH ${operators.Lexicon.multiLexDocsCte},
+  private def q184OracleSql: String = mixPackOracleSql(
+    s"""${operators.Lexicon.multiLexDocsCte},
        |d AS (
        |  SELECT doc_id, lang, source,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
        |      AS n_tokens,
        |    ('0x' || substr(md5(concat(184, ':', CAST(doc_id AS VARCHAR))),
        |      1, 15))::BIGINT AS h
-       |  FROM mlexdocs),
+       |  FROM mlexdocs)""".stripMargin)
+
+  /** q186's oracle: the q184 mixture/packing body with `d` swapped to
+    * BPE-token counts — base-trained keyed rounds (the store), the
+    * full corpus's vocabulary pushed through the stored merges (the
+    * q183 encode chain), per-document token sums, seed 186. */
+  private def q186OracleSql: String = {
+    val rounds = 8
+    val encSteps = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT e.lang, e.word,
+         |    CASE WHEN m.lang IS NULL THEN e.seq
+         |      ELSE replace(e.seq, '|' || m.lhs || '||' || m.rhs || '|',
+         |        '|' || m.lhs || m.rhs || '|') END AS seq
+         |  FROM e${r - 1} e LEFT JOIN m$r m ON m.lang = e.lang)""".stripMargin
+    }.mkString(",\n")
+    mixPackOracleSql(
+      s"""${operators.Lexicon.multiLexDocsCteNamed("mbase", "doc_id % 10 != 0")},
+         |${operators.Lexicon.multiLexDocsCte},
+         |${bpeByLangStepsSql("mbase", rounds)},
+         |vt AS (SELECT lang, word, length(seq) -
+         |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),
+         |bw AS (
+         |  SELECT doc_id, lang, source, w AS word FROM (
+         |    SELECT doc_id, lang, source,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM mlexdocs) WHERE w <> ''
+         |    AND NOT contains(w, '|') AND NOT contains(w, chr(92))),
+         |e0 AS (
+         |  SELECT lang, word,
+         |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> word[i]), '||') || '||</w>|' AS seq
+         |  FROM (SELECT DISTINCT lang, word FROM bw)),
+         |$encSteps,
+         |enc AS (
+         |  SELECT e.lang, e.word,
+         |    COALESCE(vt.n_tokens,
+         |      length(e.seq) - length(replace(e.seq, '||', '|')) + 1)
+         |      AS n_tokens
+         |  FROM e$rounds e
+         |  LEFT JOIN vt ON vt.lang = e.lang AND vt.word = e.word),
+         |d AS (
+         |  SELECT bw.doc_id, bw.lang, bw.source,
+         |    CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+         |    ('0x' || substr(md5(concat(186, ':',
+         |      CAST(bw.doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
+         |  FROM bw JOIN enc ON enc.lang = bw.lang AND enc.word = bw.word
+         |  GROUP BY 1, 2, 3)""".stripMargin)
+  }
+
+  /** The shared mixture+packing oracle BODY (q184/q186): expects the
+    * given CTE block to define `d` with (doc_id, lang, source,
+    * n_tokens, h); renders the two-level ordered-window temperature
+    * plan, the per-cell cumulative cutoff, the per-language packing
+    * cumsum and the audit join. */
+  private def mixPackOracleSql(preCtes: String): String =
+    s"""WITH $preCtes,
        |mls AS (
        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(n_tokens) AS BIGINT) AS mass_tokens
@@ -3984,6 +4045,7 @@ object SparkEntry {
       "mbase", "mdelta", 8),
     "q184_lex_mix_pack" -> q184OracleSql,
     "q185_lex_langid_abstain" -> q176OracleSql(abstain = true),
+    "q186_lex_mix_pack_bpe" -> q186OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

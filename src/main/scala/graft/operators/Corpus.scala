@@ -979,6 +979,30 @@ object Corpus {
       .orderBy("lang", "source")
   }
 
+  /** Per-DOCUMENT token counts against a stored tokenizer — q183's
+    * word table aggregated to the document grain, the frame a
+    * token-budgeted recipe stage consumes ([[mixPackOver]]/q186).
+    * Unencodable ('|'/'\') words contribute nothing; a document with
+    * NO encodable words is dropped entirely (inner join — it has no
+    * token mass to budget or pack, and emitting 0 would break the
+    * packer's n_tokens ≥ 1 contract). One corpus pass (explode +
+    * broadcast word table + partial-aggregated doc sums). */
+  def bpeDocTokens(merges: Seq[(Int, String, String, String, Long)],
+                   dict: DataFrame, docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextDedup.tokens(col("text"))).as("word"))
+      .where(!seqUnencodable)
+    val enc = bpeEncodeWordTable(merges, dict,
+      clean.select("lang", "word").distinct())
+    clean
+      .join(broadcast(enc.select("lang", "word", "n_tokens")),
+        Seq("lang", "word"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum("n_tokens").as("n_tokens"))
+      .select("doc_id", "lang", "source", "n_tokens")
+  }
+
   /** ENCODE-FROM-STORE (q183): the self-contained declared pair of the
     * store build — trains the store on `base` (exactly [[bpeStore]],
     * so the q182 artifact and this query's internal model are the same
@@ -1074,14 +1098,28 @@ object Corpus {
     * packer's native whitespace count (q77/q83's); swapping in BPE
     * tokens is one extra broadcast join against the q182 store. */
   def mixPack(docs: DataFrame, seqTokens: Int, chunkDocs: Int,
-              seed: Int): DataFrame = {
+              seed: Int): DataFrame =
+    mixPackOver(
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      seqTokens, chunkDocs, seed)
+
+  /** [[mixPack]] over a PRE-COMPUTED per-document token frame (doc_id,
+    * lang, source, n_tokens) — the currency seam: q184 passes the
+    * packer's native whitespace counts; q186 passes BPE tokens from
+    * the stored tokenizer ([[bpeDocTokens]] — the budgets then consume
+    * exactly the accounting q181/q183 report). Contract: n_tokens ≥ 1
+    * per row (a 0-token doc would make the packer's last_seq
+    * expression go negative, where the engines' integer divisions
+    * disagree — truncate vs floor; [[bpeDocTokens]] upholds it by
+    * dropping docs with nothing encodable). */
+  def mixPackOver(docTokens: DataFrame, seqTokens: Int, chunkDocs: Int,
+                  seed: Int): DataFrame = {
     val wAll = Window.orderBy("lang")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wLang = Window.partitionBy("lang").orderBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val d = docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val d = docTokens
       .withColumn("h", expr(TextDedup.h60(seed, "CAST(doc_id AS STRING)")))
       .localCheckpoint(false) // feeds the plan aggregate AND the keep pass
     val mls = d.groupBy("lang", "source")

@@ -525,6 +525,23 @@ object Lexicon {
     Corpus.mixPack(multiLexDocuments(t.documents), Corpus.SeqTokens,
       Corpus.ChunkDocs, seed = 184)
 
+  /** q186 — the mixture+packing recipe in MODEL-TOKEN currency: q184's
+    * audit with every mass/budget/target/offset denominated in BPE
+    * tokens from the q182 store (`Corpus.bpeDocTokens` — per-document
+    * counts via the stored dictionary + OOV merge application) instead
+    * of whitespace words. This is the production form — a training
+    * budget is a model-token budget — and the composition the store
+    * exists for: train once (base split), then EVERY downstream stage
+    * (q183's accounting, this recipe's budgets, q77's packing grid)
+    * reads the same artifact. One extra corpus pass vs q184 (the
+    * encode join); everything downstream identical. */
+  def q186LexMixPackBpe(t: T): DataFrame = {
+    val (merges, dict) = Corpus.bpeStore(multiLexBase(t.documents), 8)
+    Corpus.mixPackOver(
+      Corpus.bpeDocTokens(merges, dict, multiLexDocuments(t.documents)),
+      Corpus.SeqTokens, Corpus.ChunkDocs, seed = 186)
+  }
+
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
     * own frequent words, exactly how the rule ports to a non-English

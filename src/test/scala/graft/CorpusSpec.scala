@@ -337,6 +337,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q186 bpeDocTokens: per-document counts off the stored tokenizer, " +
+    "unencodable-only docs dropped (the packer's n_tokens >= 1 contract)") {
+    // q183's hand store: de merges (a,a),(a,b),(ab,</w>) — aaab = 2,
+    // ab = 1, unseen aab = 3 (merge application)
+    val base = ((1 to 3).map(i => (i.toLong, "de", "aaab", "s0")) ++
+      Seq((4L, "de", "ab", "s0"), (5L, "de", "ab", "s0")))
+      .toDF("doc_id", "lang", "text", "source")
+    val docs = Seq(
+      (100L, "de", "aaab ab aab", "s1"), // 2+1+3 = 6 tokens
+      (101L, "de", "ab ab", "s1"),       // 2
+      (102L, "de", "x|y c\\d", "s1"),    // nothing encodable -> dropped
+      (103L, "en", "ab", "s2")           // no en merges -> char-level 3
+    ).toDF("doc_id", "lang", "text", "source")
+    val (merges, dict) = Corpus.bpeStore(base, 3)
+    val got = Corpus.bpeDocTokens(merges, dict, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (100L, "de", "s1", 6L), (101L, "de", "s1", 2L),
+      (103L, "en", "s2", 3L)))
+  }
+
   test("q184 mixPack: audit equals a local replay — budgets, targets, " +
     "one-document adherence and packing footprint") {
     // deterministic synthetic corpus: 2 languages with unequal mass (the
