@@ -359,6 +359,33 @@ class CorpusSpec extends SparkSpec {
       (103L, "en", "s2", 3L)))
   }
 
+  test("the tokenizer store survives a parquet round-trip: encode " +
+    "against the re-read artifact equals direct encode (the persisted-" +
+    "artifact lifecycle, end to end)") {
+    // the deployment shape: merges + dictionary land as parquet, a
+    // LATER job reads them back and serves — values must be identical
+    val base = ((1 to 3).map(i => (i.toLong, "de", "aaab", "s0")) ++
+      Seq((4L, "de", "ab", "s0"), (5L, "de", "ab aaab b", "s0")))
+      .toDF("doc_id", "lang", "text", "source")
+    val batch = Seq((100L, "de", "aaab ab aab", "s1"))
+      .toDF("doc_id", "lang", "text", "source")
+    val (merges, dict) = Corpus.bpeStore(base, 3)
+    val dir = java.nio.file.Files.createTempDirectory("tokstore").toString
+    merges.toDF("round", "lang", "lhs", "rhs", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    dict.write.mode("overwrite").parquet(s"$dir/dict")
+    val merges2 = spark.read.parquet(s"$dir/merges")
+      .orderBy("lang", "round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val dict2 = spark.read.parquet(s"$dir/dict")
+    val direct = Corpus.bpeEncodeAgainstStore(merges, dict, batch)
+      .collect().map(_.toSeq).toSeq
+    val fromDisk = Corpus.bpeEncodeAgainstStore(merges2, dict2, batch)
+      .collect().map(_.toSeq).toSeq
+    assert(direct == fromDisk && direct.nonEmpty)
+  }
+
   test("q184 mixPack: audit equals a local replay — budgets, targets, " +
     "one-document adherence and packing footprint") {
     // deterministic synthetic corpus: 2 languages with unequal mass (the

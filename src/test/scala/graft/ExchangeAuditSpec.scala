@@ -53,6 +53,46 @@ class ExchangeAuditSpec extends SparkSpec {
     // sort (TakeOrdered, no range exchange).
     ("q85_bm25", 4, "tf collapse + df agg + score agg plumbing"))
 
+  test("the tokenizer store's SERVING pass stays a batch-pass plan: " +
+    "construction runs ZERO jobs and the executed exchange set is pinned") {
+    // Training leaks into the serving path as eager CONSTRUCTION jobs
+    // (the trainer's per-round argmax collects block at build time),
+    // not as plan nodes — so the no-retrain pin counts jobs submitted
+    // while the encode frame is CONSTRUCTED from a prebuilt store
+    // (must be zero: all model state arrives as inputs), and the
+    // executed plan's exchange count is pinned as the shape regression
+    // guard (delta-vocab distinct + skipped census + dict join pair +
+    // accounting agg + census join + serving sort = 9 at sf0.001's
+    // no-broadcast sizes).
+    import graft.operators.{Corpus, Lexicon}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (merges, dict) = Corpus.bpeStore(Lexicon.multiLexBase(docs), 8)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val d = Corpus.bpeEncodeAgainstStore(merges, dict,
+          Lexicon.multiLexDelta(docs))
+        Thread.sleep(1000) // listener bus is async; give events time
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0,
+      s"encode-against-store construction submitted $jobs job(s) — " +
+        "training state must arrive as inputs, never be recomputed")
+    df.queryExecution.toRdd.foreach(_ => ())
+    val n = df.queryExecution.executedPlan.toString.split("\n").count(l =>
+      !l.contains("ReusedExchange") &&
+        (l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange rangepartitioning")))
+    assert(n == 9, s"serving pass plans $n exchanges (pinned 9) — " +
+      "the batch-pass shape changed")
+  }
+
   test("executed adaptive plans keep their pinned exchange counts " +
     "(one-corpus-shuffle claims stay one corpus shuffle)") {
     val got = pins.map { case (name, want, why) =>
