@@ -1631,10 +1631,13 @@ object SparkEntry {
     * in a round passes through), the dictionary-first/chain-fallback
     * coalesce, and the per-(lang, source) accounting with OOV and
     * skipped counts. */
-  private def bpeEncodeFromStoreOracleSql(baseCte: String, batchCte: String,
-                                          baseName: String, batchName: String,
-                                          rounds: Int): String = {
-    val encSteps = (1 to rounds).map { r =>
+  /** The e1..eN encode-chain CTEs shared by the q183 and q186 oracles:
+    * the batch vocabulary's segmentation pushed through the STORED
+    * per-language merges round by round — the same LEFT-JOIN apply as
+    * training, so a language with no stored merge in a round passes
+    * through. One definition, so the two oracles cannot drift. */
+  private def encChainSql(rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""e$r AS (
          |  SELECT e.lang, e.word,
          |    CASE WHEN m.lang IS NULL THEN e.seq
@@ -1642,6 +1645,11 @@ object SparkEntry {
          |        '|' || m.lhs || m.rhs || '|') END AS seq
          |  FROM e${r - 1} e LEFT JOIN m$r m ON m.lang = e.lang)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeEncodeFromStoreOracleSql(baseCte: String, batchCte: String,
+                                          baseName: String, batchName: String,
+                                          rounds: Int): String = {
+    val encSteps = encChainSql(rounds)
     s"""WITH $baseCte,
        |$batchCte,
        |${bpeByLangStepsSql(baseName, rounds)},
@@ -1711,17 +1719,15 @@ object SparkEntry {
     * q183 encode chain), per-document token sums, seed 186. */
   private def q186OracleSql: String = {
     val rounds = 8
-    val encSteps = (1 to rounds).map { r =>
-      s"""e$r AS (
-         |  SELECT e.lang, e.word,
-         |    CASE WHEN m.lang IS NULL THEN e.seq
-         |      ELSE replace(e.seq, '|' || m.lhs || '||' || m.rhs || '|',
-         |        '|' || m.lhs || m.rhs || '|') END AS seq
-         |  FROM e${r - 1} e LEFT JOIN m$r m ON m.lang = e.lang)""".stripMargin
-    }.mkString(",\n")
+    val encSteps = encChainSql(rounds)
+    // The full corpus materializes ONCE (mlexdocs); the training base
+    // filters it rather than re-deriving the text synthesis a second
+    // time — q182/q183 keep the filtered-derivation form because their
+    // two splits PARTITION the corpus, but here mlexdocs is needed
+    // whole for the encode side anyway.
     mixPackOracleSql(
-      s"""${operators.Lexicon.multiLexDocsCteNamed("mbase", "doc_id % 10 != 0")},
-         |${operators.Lexicon.multiLexDocsCte},
+      s"""${operators.Lexicon.multiLexDocsCte},
+         |mbase AS (SELECT * FROM mlexdocs WHERE doc_id % 10 != 0),
          |${bpeByLangStepsSql("mbase", rounds)},
          |vt AS (SELECT lang, word, length(seq) -
          |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),

@@ -993,6 +993,7 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(TextDedup.tokens(col("text"))).as("word"))
       .where(!seqUnencodable)
+      .localCheckpoint(false) // feeds the vocab distinct AND the doc sums
     val enc = bpeEncodeWordTable(merges, dict,
       clean.select("lang", "word").distinct())
     clean

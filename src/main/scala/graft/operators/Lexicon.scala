@@ -356,13 +356,11 @@ object Lexicon {
     * DataFrame operator derives. */
   def multiLexTextSparkSql: String = textSql(spark, multiTab, 176, 1760)
 
-  /** The identical multi-language corpus as a DuckDB CTE. */
-  val multiLexDocsCte: String =
-    s"""mlexdocs AS MATERIALIZED (
-       |  SELECT doc_id, lang, source, text, length(text) AS n_chars
-       |  FROM (SELECT doc_id, lang, source,
-       |      ${textSql(duck, multiTab, 176, 1760)} AS text
-       |    FROM documents))""".stripMargin
+  /** The identical multi-language corpus as a DuckDB CTE — the
+    * unfiltered rendering of [[multiLexDocsCteNamed]], so the corpus
+    * derivation has exactly ONE definition and the q182/q183/q186
+    * oracles cannot silently diverge from q176–q181's. */
+  val multiLexDocsCte: String = multiLexDocsCteNamed("mlexdocs", "TRUE")
 
   /** A named, row-filtered rendering of the same CTE — the q182/q183
     * oracles derive the base corpus (`doc_id % 10 != 0`) and today's

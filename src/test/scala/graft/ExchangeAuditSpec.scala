@@ -67,11 +67,16 @@ class ExchangeAuditSpec extends SparkSpec {
     import graft.operators.{Corpus, Lexicon}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (merges, dict) = Corpus.bpeStore(Lexicon.multiLexBase(docs), 8)
+    // The async listener bus may still hold queued JobStart events from
+    // the training collects above when the listener attaches — count
+    // only jobs that STARTED after this point, so a slow bus can't
+    // leak training jobs into the construction census.
+    val attachedAt = System.currentTimeMillis()
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (js.time >= attachedAt) jobs += 1
     }
     spark.sparkContext.addSparkListener(listener)
     val df =

@@ -18,6 +18,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main():
     sf, out, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    if reps < 1:
+        sys.exit("reps must be >= 1")
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     # bound the spill so a super-linear replay reports DNF instead of
