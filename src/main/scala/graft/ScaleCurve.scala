@@ -45,7 +45,7 @@ object ScaleCurve {
     // the multilingual mixture+packing and the abstain langid
     "q182_lex_bpe_store", "q183_lex_bpe_encode_store",
     "q184_lex_mix_pack", "q185_lex_langid_abstain",
-    "q186_lex_mix_pack_bpe",
+    "q186_lex_mix_pack_bpe", "q187_multilex_pipeline",
     // merge/upsert: full-outer joins + per-key argmaxes — the nightly
     // 100 TB merge shapes (r15 verdict item 4)
     "q33_sticky_merge", "q34_title_dedup", "q35_findings_dedup",

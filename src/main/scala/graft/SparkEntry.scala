@@ -285,6 +285,12 @@ object SparkEntry {
     // form: a training budget is a model-token budget).
     "q186_lex_mix_pack_bpe" ->
       ((s, d) => Lexicon.q186LexMixPackBpe(T(s, d))),
+    // q187: the multilingual END-TO-END recipe in model-token
+    // currency — the q133/q178 gate battery (per-language stop rule)
+    // followed by the token-budget mixture realized over the gate
+    // SURVIVORS, every stage reading the q182 store's accounting.
+    "q187_multilex_pipeline" ->
+      ((s, d) => Lexicon.q187MultilexPipeline(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1717,46 +1723,112 @@ object SparkEntry {
     * BPE-token counts — base-trained keyed rounds (the store), the
     * full corpus's vocabulary pushed through the stored merges (the
     * q183 encode chain), per-document token sums, seed 186. */
-  private def q186OracleSql: String = {
-    val rounds = 8
+  /** The per-document BPE-token CTE chain shared by the q186 and q187
+    * oracles: the full corpus materializes ONCE (mlexdocs) — the
+    * training base filters it rather than re-deriving the text
+    * synthesis a second time (q182/q183 keep the filtered-derivation
+    * form because their two splits PARTITION the corpus) — then the
+    * keyed training rounds over the base, the whole corpus's
+    * vocabulary pushed through the stored merges (the q183 encode
+    * chain), and the document-grain token sums as `dtok(doc_id, lang,
+    * source, n_tokens)`. */
+  private def bpeDocTokenCtes(rounds: Int): String = {
     val encSteps = encChainSql(rounds)
-    // The full corpus materializes ONCE (mlexdocs); the training base
-    // filters it rather than re-deriving the text synthesis a second
-    // time — q182/q183 keep the filtered-derivation form because their
-    // two splits PARTITION the corpus, but here mlexdocs is needed
-    // whole for the encode side anyway.
+    s"""${operators.Lexicon.multiLexDocsCte},
+       |mbase AS (SELECT * FROM mlexdocs WHERE doc_id % 10 != 0),
+       |${bpeByLangStepsSql("mbase", rounds)},
+       |vt AS (SELECT lang, word, length(seq) -
+       |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),
+       |bw AS (
+       |  SELECT doc_id, lang, source, w AS word FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM mlexdocs) WHERE w <> ''
+       |    AND NOT contains(w, '|') AND NOT contains(w, chr(92))),
+       |e0 AS (
+       |  SELECT lang, word,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT DISTINCT lang, word FROM bw)),
+       |$encSteps,
+       |enc AS (
+       |  SELECT e.lang, e.word,
+       |    COALESCE(vt.n_tokens,
+       |      length(e.seq) - length(replace(e.seq, '||', '|')) + 1)
+       |      AS n_tokens
+       |  FROM e$rounds e
+       |  LEFT JOIN vt ON vt.lang = e.lang AND vt.word = e.word),
+       |dtok AS (
+       |  SELECT bw.doc_id, bw.lang, bw.source,
+       |    CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM bw JOIN enc ON enc.lang = bw.lang AND enc.word = bw.word
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private def q186OracleSql: String =
     mixPackOracleSql(
-      s"""${operators.Lexicon.multiLexDocsCte},
-         |mbase AS (SELECT * FROM mlexdocs WHERE doc_id % 10 != 0),
-         |${bpeByLangStepsSql("mbase", rounds)},
-         |vt AS (SELECT lang, word, length(seq) -
-         |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM w$rounds),
-         |bw AS (
-         |  SELECT doc_id, lang, source, w AS word FROM (
-         |    SELECT doc_id, lang, source,
-         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-         |    FROM mlexdocs) WHERE w <> ''
-         |    AND NOT contains(w, '|') AND NOT contains(w, chr(92))),
-         |e0 AS (
-         |  SELECT lang, word,
-         |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
-         |      i -> word[i]), '||') || '||</w>|' AS seq
-         |  FROM (SELECT DISTINCT lang, word FROM bw)),
-         |$encSteps,
-         |enc AS (
-         |  SELECT e.lang, e.word,
-         |    COALESCE(vt.n_tokens,
-         |      length(e.seq) - length(replace(e.seq, '||', '|')) + 1)
-         |      AS n_tokens
-         |  FROM e$rounds e
-         |  LEFT JOIN vt ON vt.lang = e.lang AND vt.word = e.word),
+      s"""${bpeDocTokenCtes(8)},
          |d AS (
-         |  SELECT bw.doc_id, bw.lang, bw.source,
-         |    CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+         |  SELECT doc_id, lang, source, n_tokens,
          |    ('0x' || substr(md5(concat(186, ':',
-         |      CAST(bw.doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
-         |  FROM bw JOIN enc ON enc.lang = bw.lang AND enc.word = bw.word
-         |  GROUP BY 1, 2, 3)""".stripMargin)
+         |      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
+         |  FROM dtok)""".stripMargin)
+
+  /** q187's oracle: the per-doc BPE-token chain ([[bpeDocTokenCtes]]),
+    * the sha256 canonicalizer, the five-rule battery with the stop
+    * rule keyed by the document's own language, the 7-gram
+    * decontamination, then the token-budget plan and cumulative
+    * cutoff ([[mixPlanCumCtes]]) REALIZED OVER THE GATE SURVIVORS, and
+    * the doc-grain audit log with the survivor shard hash. */
+  private def q187OracleSql: String = {
+    val conj = (gopherRulePreds.map(_._2) :+ gopherStopPred)
+      .mkString("\n      AND ")
+    val survPred = """NOT u.is_dup AND u.quality_pass
+      AND NOT u.contaminated AND coalesce(k.token_keep, FALSE)"""
+    s"""WITH ${bpeDocTokenCtes(8)},
+       |canon AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+       |  FROM mlexdocs),
+       |${gopherMeasureCtes("mlexdocs", None,
+          Some(operators.Lexicon.MultiLexStops))},
+       |quality AS (
+       |  SELECT doc_id, n_words,
+       |    ($conj) AS quality_pass
+       |  FROM m),
+       |${gramDecontamCtes("mlexdocs")},
+       |univ AS (
+       |  SELECT mx.doc_id, mx.lang, mx.source, q.n_words,
+       |    c.is_dup, q.quality_pass,
+       |    (ct.doc_id IS NOT NULL) AS contaminated,
+       |    CAST(coalesce(dt.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, source FROM mlexdocs
+       |    WHERE doc_id % 97 != 0) mx
+       |  JOIN canon c ON c.doc_id = mx.doc_id
+       |  JOIN quality q ON q.doc_id = mx.doc_id
+       |  LEFT JOIN contam ct ON ct.doc_id = mx.doc_id
+       |  LEFT JOIN dtok dt ON dt.doc_id = mx.doc_id),
+       |elig AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    ('0x' || substr(md5(concat(187, ':',
+       |      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
+       |  FROM univ
+       |  WHERE NOT is_dup AND quality_pass AND NOT contaminated
+       |    AND n_tokens > 0),
+       |${mixPlanCumCtes("elig")},
+       |keepf AS (
+       |  SELECT c.doc_id, (c.cum_before < p.target_tokens) AS token_keep
+       |  FROM cum c JOIN plan p ON p.lang = c.lang AND p.source = c.source)
+       |SELECT u.doc_id, u.lang, u.source, u.n_words, u.n_tokens, u.is_dup,
+       |  u.quality_pass, u.contaminated,
+       |  coalesce(k.token_keep, FALSE) AS token_keep,
+       |  ($survPred) AS survives,
+       |  CASE WHEN $survPred
+       |    THEN ('0x' || substr(md5(concat(188, ':',
+       |      CAST(u.doc_id AS VARCHAR))), 1, 15))::BIGINT % 8
+       |    ELSE NULL END AS shard
+       |FROM univ u LEFT JOIN keepf k ON k.doc_id = u.doc_id
+       |ORDER BY u.doc_id""".stripMargin
   }
 
   /** The shared mixture+packing oracle BODY (q184/q186): expects the
@@ -1764,12 +1836,17 @@ object SparkEntry {
     * n_tokens, h); renders the two-level ordered-window temperature
     * plan, the per-cell cumulative cutoff, the per-language packing
     * cumsum and the audit join. */
-  private def mixPackOracleSql(preCtes: String): String =
-    s"""WITH $preCtes,
-       |mls AS (
+  /** The two-level α-temperature budget plan (mls..plan) and the
+    * one-level cumulative-cutoff window (cum) over a named (doc_id,
+    * lang, source, n_tokens, h) CTE — the SQL twin of
+    * Corpus.mixPlan/mixCumBefore, shared by the q184/q186 and q187
+    * oracles. The double sums ride ORDERED whole-frame windows so both
+    * engines accumulate FP in the same order. */
+  private def mixPlanCumCtes(src: String): String =
+    s"""mls AS (
        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(n_tokens) AS BIGINT) AS mass_tokens
-       |  FROM d GROUP BY 1, 2),
+       |  FROM $src GROUP BY 1, 2),
        |ml AS (
        |  SELECT lang, CAST(sum(mass_tokens) AS BIGINT) AS lang_mass
        |  FROM mls GROUP BY 1),
@@ -1805,7 +1882,11 @@ object SparkEntry {
        |      ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS BIGINT) AS cum_before
-       |  FROM d),
+       |  FROM $src)""".stripMargin
+
+  private def mixPackOracleSql(preCtes: String): String =
+    s"""WITH $preCtes,
+       |${mixPlanCumCtes("d")},
        |kept AS (
        |  SELECT c.doc_id, c.lang, c.source, c.n_tokens
        |  FROM cum c JOIN plan p ON p.lang = c.lang AND p.source = c.source
@@ -1934,13 +2015,25 @@ object SparkEntry {
     * its OUTPUT schema is the named ratio columns, not just the rule
     * verdicts. */
   private def gopherMeasureCtes(corpus: String,
-                                stops: Option[Seq[String]]): String = {
-    val stopCol = stops.map(s =>
+                                stops: Option[Seq[String]],
+                                stopsByLang: Option[Map[String, Seq[String]]]
+                                  = None): String = {
+    // per-language stop count (q187): a CASE over the document's OWN
+    // language's literal list — same distinct-member arithmetic as the
+    // flat form, keyed like Corpus.tokenPipeline's fold of `when`s
+    val stopCol = stopsByLang.map { byLang =>
+      val cases = byLang.toSeq.sortBy(_._1).map { case (l, s) =>
+        val lits = s.map(w => s"'$w'").mkString(", ")
+        s"WHEN '$l' THEN CAST(len(list_intersect(w, [$lits])) AS INT)"
+      }.mkString("\n      ")
+      s",\n    (CASE lang\n      $cases\n      ELSE 0 END) AS n_stop"
+    }.orElse(stops.map(s =>
       ",\n    CAST(len(list_intersect(w, [" +
         s.map(w => s"'$w'").mkString(", ") +
-        "])) AS INT) AS n_stop").getOrElse("")
+        "])) AS INT) AS n_stop")).getOrElse("")
+    val langCol = if (stopsByLang.isDefined) ", lang" else ""
     s"""d AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$langCol,
        |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
        |      x -> x <> '') AS w
        |  FROM $corpus),
@@ -1953,6 +2046,29 @@ object SparkEntry {
        |      AS n_sym$stopCol
        |  FROM d)""".stripMargin
   }
+
+  /** The 7-gram decontamination CTE block (words/g/ev/contam) shared
+    * by the q133/q178 and q187 oracles — the SQL twin of
+    * Corpus.gramDecontam (the oracle replays the plain equi-join; the
+    * Spark side's bloom pre-filter is semantics-neutral by the
+    * no-false-negative contract). */
+  private def gramDecontamCtes(corpus: String): String =
+    s"""words AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM $corpus),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 5),
+       |    i -> ('0x' || substr(md5(concat('79:',
+       |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+       |      ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
+       |      ::BIGINT))) AS gram
+       |  FROM words WHERE len(w) >= 7),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT DISTINCT g.doc_id FROM g
+       |  JOIN ev ON ev.gram = g.gram
+       |  WHERE g.doc_id % 97 != 0)""".stripMargin
 
   /** The Gopher rule predicates over m's columns — ONE definition of
     * the thresholds for every oracle built from [[gopherMeasureCtes]]. */
@@ -1992,22 +2108,7 @@ object SparkEntry {
        |  SELECT doc_id, n_words,
        |    ($conj) AS quality_pass
        |  FROM m),
-       |words AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-       |  FROM $corpus),
-       |g AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, len(w) - 5),
-       |    i -> ('0x' || substr(md5(concat('79:',
-       |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-       |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6])), 1, 15))
-       |      ::BIGINT))) AS gram
-       |  FROM words WHERE len(w) >= 7),
-       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-       |contam AS (
-       |  SELECT DISTINCT g.doc_id FROM g
-       |  JOIN ev ON ev.gram = g.gram
-       |  WHERE g.doc_id % 97 != 0),
+       |${gramDecontamCtes(corpus)},
        |mix AS (
        |  SELECT doc_id, lang,
        |    ('0x' || substr(md5(concat(133, ':', CAST(doc_id AS VARCHAR))),
@@ -4052,6 +4153,7 @@ object SparkEntry {
     "q184_lex_mix_pack" -> q184OracleSql,
     "q185_lex_langid_abstain" -> q176OracleSql(abstain = true),
     "q186_lex_mix_pack_bpe" -> q186OracleSql,
+    "q187_multilex_pipeline" -> q187OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

@@ -1114,21 +1114,21 @@ object Corpus {
     * expression go negative, where the engines' integer divisions
     * disagree — truncate vs floor; [[bpeDocTokens]] upholds it by
     * dropping docs with nothing encodable). */
-  def mixPackOver(docTokens: DataFrame, seqTokens: Int, chunkDocs: Int,
-                  seed: Int): DataFrame = {
+  /** The two-level α-temperature budget plan over a (doc_id, lang,
+    * source, n_tokens, h) frame — one row per (lang, source) cell with
+    * masses, per-language budgets and per-cell targets. Shared by
+    * [[mixPackOver]] (q184/q186) and [[tokenPipeline]] (q187). The
+    * double sums ride ORDERED whole-frame windows so both engines
+    * accumulate in the same (lang) order — FP addition is
+    * order-sensitive, and an unordered 1-row aggregate would leave the
+    * order to the planner. */
+  def mixPlan(d: DataFrame): DataFrame = {
     val wAll = Window.orderBy("lang")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wLang = Window.partitionBy("lang").orderBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val d = docTokens
-      .withColumn("h", expr(TextDedup.h60(seed, "CAST(doc_id AS STRING)")))
-      .localCheckpoint(false) // feeds the plan aggregate AND the keep pass
     val mls = d.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("mass_tokens"))
-    // per-language budgets over the ≤|langs|-row aggregate; the double
-    // sums ride ORDERED whole-frame windows so both engines accumulate
-    // in the same (lang) order — FP addition is order-sensitive, and an
-    // unordered 1-row aggregate would leave the order to the planner
     val ml = mls.groupBy("lang").agg(sum("mass_tokens").as("lang_mass"))
       .withColumn("total_mass", sum("lang_mass").over(wAll))
       .withColumn("w_l", pow(col("lang_mass").cast("double"), MixAlpha))
@@ -1137,7 +1137,7 @@ object Corpus {
         round(round(col("total_mass") * lit(MixBudgetFrac), 0) *
           (col("w_l") / col("w_sum")), 0).cast("long"))
       .select("lang", "budget_tokens")
-    val plan = mls
+    mls
       .withColumn("w_s", pow(col("mass_tokens").cast("double"), MixAlpha))
       .withColumn("ws_sum", sum("w_s").over(wLang))
       .join(ml, Seq("lang")) // band-sized ⋈ ≤|langs| rows
@@ -1146,10 +1146,17 @@ object Corpus {
           .cast("long"))
       .select("lang", "source", "n_docs", "mass_tokens", "budget_tokens",
         "target_tokens")
-    // the keep pass: q83's two-phase cumulative sum keyed by cell —
-    // bounded within-bucket windows + a ≤4096-row bucket-offset prefix
-    // per cell; the oracle replays the one-level window (same values)
-    val bucketed = d.withColumn("bucket", expr(s"h div ${1L << ShardBucketShift}"))
+  }
+
+  /** q83's two-phase cumulative device over a (doc_id, lang, source,
+    * n_tokens, h) frame: tokens BEFORE each document in (h, doc_id)
+    * order within its (lang, source) cell — bounded within-bucket
+    * windows + a ≤4096-row bucket-offset prefix per cell; the oracle
+    * replays the one-level window (same values). Shared by
+    * [[mixPackOver]] and [[tokenPipeline]]. */
+  def mixCumBefore(d: DataFrame): DataFrame = {
+    val bucketed = d.withColumn("bucket",
+      expr(s"h div ${1L << ShardBucketShift}"))
     val wB = Window.partitionBy("lang", "source", "bucket")
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1162,9 +1169,18 @@ object Corpus {
       .withColumn("bucket_offset",
         coalesce(sum("bucket_tokens").over(wS), lit(0L)))
       .select("lang", "source", "bucket", "bucket_offset")
-    val kept = withinPrev
+    withinPrev
       .join(bOffsets, Seq("lang", "source", "bucket"))
       .withColumn("cum_before", col("bucket_offset") + col("within_prev"))
+  }
+
+  def mixPackOver(docTokens: DataFrame, seqTokens: Int, chunkDocs: Int,
+                  seed: Int): DataFrame = {
+    val d = docTokens
+      .withColumn("h", expr(TextDedup.h60(seed, "CAST(doc_id AS STRING)")))
+      .localCheckpoint(false) // feeds the plan aggregate AND the keep pass
+    val plan = mixPlan(d)
+    val kept = mixCumBefore(d)
       // the plan is band-sized BY CONSTRUCTION (one row per (lang,
       // source) cell) — broadcast is safe at any corpus scale
       .join(broadcast(plan.select("lang", "source", "target_tokens")),
@@ -1212,6 +1228,28 @@ object Corpus {
     * have not already audited. */
   def q133CorpusPipeline(t: T): DataFrame = corpusPipeline(t.documents)
 
+  /** The 7-gram eval-set decontamination stage shared by
+    * [[corpusPipeline]] (q133/q178) and [[tokenPipeline]] (q187): the
+    * doc_id % 97 = 0 rows are the held-out eval split; returns the
+    * contaminated TRAIN doc ids. Runs q131's bloom pre-filter FOR
+    * REAL: only grams whose three probed bits are set reach the exact
+    * equi-join. Semantics-neutral by the no-false-negative contract
+    * (BloomSpec/q131 pin it), so the oracle replays the plain join —
+    * what the pre-filter buys is the PLAN: the shuffled side shrinks
+    * from every train gram to the ~fill³ candidate sliver (~98% cut
+    * at sf0.1), which is the 100 TB deployment shape. */
+  def gramDecontam(docs: DataFrame): DataFrame = {
+    val grams = probeGrams(docs)
+    val evalG = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
+    val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(bloom))
+      .filter(expr(bloomCandidateSql))
+      .join(evalG, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+  }
+
   /** The composed pipeline, parameterized on the quality stage's stop
     * rule: q133 runs WITHOUT r_stop (degenerate on the shipped 31-word
     * vocabulary — see the scaladoc above); q178 passes the lexicon
@@ -1230,22 +1268,7 @@ object Corpus {
       .select(col("doc_id"), col("n_words"),
         (if (stops.isDefined) baseRules && col("r_stop") else baseRules)
           .as("quality_pass"))
-    val grams = probeGrams(docs)
-    val evalG = grams.filter(col("doc_id") % 97 === 0).select("gram").distinct()
-    // The contamination stage runs q131's bloom pre-filter FOR REAL:
-    // only grams whose three probed bits are set reach the exact
-    // equi-join. Semantics-neutral by the no-false-negative contract
-    // (BloomSpec/q131 pin it), so the oracle replays the plain join —
-    // what the pre-filter buys is the PLAN: the shuffled side shrinks
-    // from every train gram to the ~fill³ candidate sliver (~98% cut
-    // at sf0.1), which is the 100 TB deployment shape.
-    val bloom = evalG.agg(expr("bloom_bits(gram)").as("bf"))
-    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
-      .crossJoin(broadcast(bloom))
-      .filter(expr(bloomCandidateSql))
-      .join(evalG, Seq("gram"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("contaminated", lit(true))
+    val contaminated = gramDecontam(docs)
     docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("lang"))
       .withColumn("bucket",
@@ -1262,6 +1285,95 @@ object Corpus {
         .otherwise(lit(null).cast("long")))
       .select("doc_id", "lang", "n_words", "is_dup", "quality_pass",
         "contaminated", "mixture_keep", "survives", "shard")
+      .orderBy("doc_id")
+  }
+
+  /** q187's core — the MULTILINGUAL end-to-end recipe in MODEL-TOKEN
+    * currency: [[corpusPipeline]]'s gate battery (exact dedup,
+    * five-rule Gopher quality, 7-gram decontamination) with the stop
+    * rule keyed by each document's OWN language list, followed by the
+    * q184/q186 token-budget mixture REALIZED OVER THE GATE SURVIVORS —
+    * masses, per-language α-temperature budgets and the replayable
+    * cumulative cutoff all denominated in BPE tokens from the stored
+    * tokenizer ([[bpeDocTokens]] against the q182 store). This is the
+    * production order of operations: clean first, then budget what
+    * actually survived cleaning (q186 budgets the raw corpus; a recipe
+    * that budgets before cleaning over-counts the mass the gates will
+    * remove). One row per TRAIN doc with every stage's verdict pinned,
+    * like q133/q178's audit log, plus the token grain: n_tokens from
+    * the store, token_keep from the budget cutoff, shard for the
+    * survivors.
+    *
+    * A document with NOTHING encodable against the store (n_tokens =
+    * 0) cannot carry budget mass: it stays in the log with
+    * token_keep = false — visible attrition, not a dropped row.
+    *
+    * 100 TB shape: the union of its parents' shapes — one
+    * content-hash shuffle, map-side quality flags (the per-language
+    * stop list is a CASE over ≤|langs| literal arrays), the
+    * bloom-prefiltered gram equi-join, the store's broadcast-encode
+    * corpus pass, a band-sized budget plan and the q83 bounded-window
+    * cutoff. No stage introduces a plan shape the standalone queries
+    * have not already audited. */
+  def tokenPipeline(docs: DataFrame,
+                    merges: Seq[(Int, String, String, String, Long)],
+                    dict: DataFrame,
+                    stopsByLang: Map[String, Seq[String]],
+                    seed: Int): DataFrame = {
+    val canon = docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("canon_id",
+        min("doc_id").over(Window.partitionBy("content_hash")))
+      .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
+    // four shared base rules off the battery; the stop rule re-keyed
+    // by the document's own language (distinct-member count, q177's
+    // >= 2 threshold)
+    val base = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "n_words", "r_wc", "r_mwl", "r_sym", "r_alpha")
+    val nStopByLang = stopsByLang.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (l, stops)) =>
+        when(col("lang") === l,
+          size(array_intersect(TextDedup.tokens(col("text")),
+            array(stops.map(lit): _*)))).otherwise(acc)
+      }
+    val quality = docs.select(col("doc_id"), nStopByLang.as("n_stop"))
+      .join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
+          col("n_stop") >= 2).as("quality_pass"))
+    val contaminated = gramDecontam(docs)
+    val tok = bpeDocTokens(merges, dict, docs)
+    val univ = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "lang", "source")
+      .join(canon, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .join(tok.select("doc_id", "n_tokens"), Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .localCheckpoint(false) // feeds the budget pool AND the final log
+    val gates =
+      !col("is_dup") && col("quality_pass") && !col("contaminated")
+    val pool = univ.where(gates && col("n_tokens") > 0)
+      .select("doc_id", "lang", "source", "n_tokens")
+      .withColumn("h", expr(TextDedup.h60(seed, "CAST(doc_id AS STRING)")))
+      .localCheckpoint(false) // feeds the plan aggregate AND the cutoff
+    val plan = mixPlan(pool)
+    val keepf = mixCumBefore(pool)
+      // band-sized by construction — broadcast safe at any corpus scale
+      .join(broadcast(plan.select("lang", "source", "target_tokens")),
+        Seq("lang", "source"))
+      .select(col("doc_id"),
+        (col("cum_before") < col("target_tokens")).as("token_keep"))
+    univ
+      .join(keepf, Seq("doc_id"), "left")
+      .withColumn("token_keep", coalesce(col("token_keep"), lit(false)))
+      .withColumn("survives", gates && col("token_keep"))
+      .withColumn("shard", when(col("survives"),
+        expr(s"${TextDedup.h60(seed + 1, "CAST(doc_id AS STRING)")} % 8"))
+        .otherwise(lit(null).cast("long")))
+      .select("doc_id", "lang", "source", "n_words", "n_tokens", "is_dup",
+        "quality_pass", "contaminated", "token_keep", "survives", "shard")
       .orderBy("doc_id")
   }
 }

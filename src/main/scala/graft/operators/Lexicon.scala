@@ -540,6 +540,25 @@ object Lexicon {
       Corpus.SeqTokens, Corpus.ChunkDocs, seed = 186)
   }
 
+  /** Each language's own top-8 stop list (the q177 re-grounding device
+    * applied per language — rank-1..8 word forms of language i's
+    * syllable table). */
+  val MultiLexStops: Map[String, Seq[String]] =
+    MultiLangs.zipWithIndex.map { case (l, i) => l -> topWords(i, 8) }.toMap
+
+  /** q187 — the MULTILINGUAL end-to-end recipe in model-token
+    * currency: [[Corpus.tokenPipeline]] over the multi-language
+    * corpus — the gate battery (dedup, per-language five-rule Gopher,
+    * decontamination) and THEN the q182-store token-budget mixture
+    * over the survivors, one audit row per train doc. The composition
+    * the whole r18 store family points at: every stage reads the same
+    * artifact, and the budgets meter what cleaning actually left. */
+  def q187MultilexPipeline(t: T): DataFrame = {
+    val (merges, dict) = Corpus.bpeStore(multiLexBase(t.documents), 8)
+    Corpus.tokenPipeline(multiLexDocuments(t.documents), merges, dict,
+      MultiLexStops, seed = 187)
+  }
+
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
     * own frequent words, exactly how the rule ports to a non-English

@@ -153,7 +153,10 @@ class PlanAuditSpec extends SparkSpec {
     // q178: q133's pipeline verbatim on the lexicon corpus — the same
     // 1-row bloom-filter broadcast in front of the decontamination
     // equi-join (q133's standing adjudication)
-    "q178_lex_pipeline")
+    "q178_lex_pipeline",
+    // q187: the token-currency pipeline shares q133's decontamination
+    // stage (Corpus.gramDecontam — the identical 1-row bloom broadcast)
+    "q187_multilex_pipeline")
 
   test("no declared query plans a cartesian or nested-loop join") {
     val failures = SparkEntry.queries.toSeq
