@@ -291,6 +291,11 @@ object SparkEntry {
     // SURVIVORS, every stage reading the q182 store's accounting.
     "q187_multilex_pipeline" ->
       ((s, d) => Lexicon.q187MultilexPipeline(T(s, d))),
+    // q188: the store lifecycle's STREAMING leg — ingestion-time token
+    // metering, the stored merges compiled into one stateless map-side
+    // projection (no vocabulary state, no shuffle, no state store).
+    "q188_lex_stream_token_meter" ->
+      ((s, d) => Lexicon.q188StreamTokenMeter(T(s, d))),
   )
 
   /** q142's oracle: three Lloyd rounds UNROLLED as CTEs over the same
@@ -1829,6 +1834,54 @@ object SparkEntry {
        |    ELSE NULL END AS shard
        |FROM univ u LEFT JOIN keepf k ON k.doc_id = u.doc_id
        |ORDER BY u.doc_id""".stripMargin
+  }
+
+  /** q188's oracle: the keyed training rounds over the base split (the
+    * store), today's batch words, the batch vocabulary pushed through
+    * the stored merges (chain-only — the meter applies merges per
+    * occurrence; chain application equals the dictionary lookup for
+    * every trained word since BPE rewriting is deterministic), per-doc
+    * clean/skipped/token sums with LEFT joins so a document with no
+    * encodable words still meters (0, k, 0). */
+  private def q188OracleSql: String = {
+    val rounds = 8
+    s"""WITH ${operators.Lexicon
+            .multiLexDocsCteNamed("mbase", "doc_id % 10 != 0")},
+       |${operators.Lexicon.multiLexDocsCteNamed("mdelta", "doc_id % 10 = 0")},
+       |${bpeByLangStepsSql("mbase", rounds)},
+       |aw AS (
+       |  SELECT doc_id, lang, source, w AS word FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM mdelta) WHERE w <> ''),
+       |sk AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_skipped_words
+       |  FROM aw WHERE contains(word, '|') OR contains(word, chr(92))
+       |  GROUP BY 1),
+       |cw AS (SELECT * FROM aw
+       |  WHERE NOT contains(word, '|') AND NOT contains(word, chr(92))),
+       |e0 AS (
+       |  SELECT lang, word,
+       |    '|' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> word[i]), '||') || '||</w>|' AS seq
+       |  FROM (SELECT DISTINCT lang, word FROM cw)),
+       |${encChainSql(rounds)},
+       |tok AS (
+       |  SELECT lang, word, length(seq) -
+       |    length(replace(seq, '||', '|')) + 1 AS n_tokens FROM e$rounds),
+       |ds AS (
+       |  SELECT cw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(tok.n_tokens) AS BIGINT) AS n_tokens
+       |  FROM cw JOIN tok ON tok.lang = cw.lang AND tok.word = cw.word
+       |  GROUP BY 1)
+       |SELECT md.doc_id, md.lang, md.source,
+       |  CAST(coalesce(ds.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(sk.n_skipped_words, 0) AS BIGINT) AS n_skipped_words,
+       |  CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens
+       |FROM mdelta md
+       |LEFT JOIN ds ON ds.doc_id = md.doc_id
+       |LEFT JOIN sk ON sk.doc_id = md.doc_id
+       |ORDER BY md.doc_id""".stripMargin
   }
 
   /** The shared mixture+packing oracle BODY (q184/q186): expects the
@@ -4154,6 +4207,7 @@ object SparkEntry {
     "q185_lex_langid_abstain" -> q176OracleSql(abstain = true),
     "q186_lex_mix_pack_bpe" -> q186OracleSql,
     "q187_multilex_pipeline" -> q187OracleSql,
+    "q188_lex_stream_token_meter" -> q188OracleSql,
     // q87: strict ordered funnel, each step within 24h of the previous;
     // pure timestamp comparisons at microsecond precision.
     "q87_funnel" ->

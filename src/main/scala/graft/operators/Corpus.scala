@@ -876,9 +876,10 @@ object Corpus {
   /** The initial '|c||h||</w>|' character sequence of `word` as a SQL
     * fragment — the SAME encoding [[bpeVocab0]] gives training words,
     * so stored merges apply to unseen words identically. */
-  private val charSeqSql: String =
-    "concat('|', array_join(transform(sequence(1, char_length(word)), " +
-      "i -> substring(word, i, 1)), '||'), '||</w>|')"
+  private def charSeqSqlFor(ref: String): String =
+    s"concat('|', array_join(transform(sequence(1, char_length($ref)), " +
+      s"i -> substring($ref, i, 1)), '||'), '||</w>|')"
+  private val charSeqSql: String = charSeqSqlFor("word")
 
   /** The stored merges applied to `word` as ONE literal expression:
     * per language the learned replaces compose in LEARNED ORDER (the
@@ -887,18 +888,23 @@ object Corpus {
     * `rounds` nested replaces), unlike the per-round CASE the trainer
     * uses (whose lineage the trainer must checkpoint). A language with
     * no stored merges falls through to the raw character sequence. */
-  private def applyStoreSql(
-      merges: Seq[(Int, String, String, String, Long)]): String = {
+  private def applyStoreSqlFor(
+      merges: Seq[(Int, String, String, String, Long)],
+      ref: String): String = {
     val byLang = merges.groupBy(_._2).toSeq.sortBy(_._1)
-    if (byLang.isEmpty) charSeqSql
+    if (byLang.isEmpty) charSeqSqlFor(ref)
     else "CASE " + byLang.map { case (lg, ms) =>
-      val chain = ms.sortBy(_._1).foldLeft(charSeqSql) { case (acc, m) =>
-        val (lhs, rhs) = (sqlEsc(m._3), sqlEsc(m._4))
-        s"replace($acc, '|$lhs||$rhs|', '|$lhs$rhs|')"
+      val chain = ms.sortBy(_._1).foldLeft(charSeqSqlFor(ref)) {
+        case (acc, m) =>
+          val (lhs, rhs) = (sqlEsc(m._3), sqlEsc(m._4))
+          s"replace($acc, '|$lhs||$rhs|', '|$lhs$rhs|')"
       }
       s"WHEN lang = '${sqlEsc(lg)}' THEN $chain"
-    }.mkString(" ") + s" ELSE $charSeqSql END"
+    }.mkString(" ") + s" ELSE ${charSeqSqlFor(ref)} END"
   }
+  private def applyStoreSql(
+      merges: Seq[(Int, String, String, String, Long)]): String =
+    applyStoreSqlFor(merges, "word")
 
   /** Words the seq encoding cannot carry (the [[bpeVocab0]] contract:
     * '|' is the symbol delimiter, '\' a Spark literal escape). The
@@ -1002,6 +1008,41 @@ object Corpus {
       .groupBy("doc_id", "lang", "source")
       .agg(sum("n_tokens").as("n_tokens"))
       .select("doc_id", "lang", "source", "n_tokens")
+  }
+
+  /** STATELESS ingestion-time token METER against a stored tokenizer
+    * (q188): per-document word/skipped/BPE-token counts computed in
+    * ONE map-side projection — the stored merges ARE the model,
+    * compiled into a literal replace-chain expression applied per word
+    * occurrence inside higher-order lambdas (no explode, no join, no
+    * aggregation, no state store). This is the streaming-serving form
+    * of [[bpeEncodeAgainstStore]]: a batch encode amortizes repeated
+    * words through the vocabulary collapse + broadcast dictionary; a
+    * stream meters rows as they arrive, where the honest constant-state
+    * shape is per-occurrence merge application (chain application
+    * equals the dictionary lookup for every trained word — BPE is
+    * deterministic; CorpusSpec pins the agreement). Usable unchanged
+    * on a batch frame or as a streaming transform (q188 runs it under
+    * AvailableNow through RoundTrip).
+    *
+    * 100 TB shape: zero shuffles, zero state — model state is k·|langs|
+    * merge literals by the q120 contract; cost is per-row CPU, the one
+    * currency a 1000-executor stream scales linearly in. */
+  def bpeTokenMeter(merges: Seq[(Int, String, String, String, Long)],
+                    docs: DataFrame): DataFrame = {
+    val unenc = "contains(w, '|') OR contains(w, chr(92))"
+    val chain = applyStoreSqlFor(merges, "w")
+    val cnt = s"(length($chain) - length(replace($chain, '||', '|')) + 1)"
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextDedup.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"CAST(size(filter(ws, w -> NOT ($unenc))) AS BIGINT)")
+          .as("n_words"),
+        expr(s"CAST(size(filter(ws, w -> $unenc)) AS BIGINT)")
+          .as("n_skipped_words"),
+        expr(s"aggregate(filter(ws, w -> NOT ($unenc)), " +
+          s"CAST(0 AS BIGINT), (acc, w) -> acc + $cnt)").as("n_tokens"))
   }
 
   /** ENCODE-FROM-STORE (q183): the self-contained declared pair of the

@@ -559,6 +559,25 @@ object Lexicon {
       MultiLexStops, seed = 187)
   }
 
+  /** q188 — STREAMING token metering against the stored tokenizer:
+    * today's batch (the q182/q183 delta split) arrives as a stream and
+    * every document is metered at INGESTION TIME by
+    * [[Corpus.bpeTokenMeter]] — the stored merges compiled into one
+    * stateless map-side projection, no vocabulary state, no shuffle,
+    * no state store. The store lifecycle's streaming leg: q182 builds
+    * the artifact, q183 serves it per batch, this serves it per ROW as
+    * data lands (the shape an ingestion pipeline runs to meter token
+    * mass before anything is persisted). */
+  def q188StreamTokenMeter(t: T): DataFrame = {
+    val (merges, _) = Corpus.bpeStore(multiLexBase(t.documents), 8)
+    val delta = multiLexDelta(t.documents)
+      .select("doc_id", "lang", "source", "text")
+    graft.streaming.RoundTrip.run(t.spark, "graft_q188_", Seq(delta),
+      noDataBatches = false) { case Seq(stream) =>
+      Corpus.bpeTokenMeter(merges, stream)
+    }.orderBy("doc_id")
+  }
+
   /** q177's stop list: the single-language lexicon's top-8 word forms
     * (ranks 1..8) — the Gopher stop rule re-grounded in the corpus's
     * own frequent words, exactly how the rule ports to a non-English
