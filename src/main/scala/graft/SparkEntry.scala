@@ -1724,10 +1724,6 @@ object SparkEntry {
        |      1, 15))::BIGINT AS h
        |  FROM mlexdocs)""".stripMargin)
 
-  /** q186's oracle: the q184 mixture/packing body with `d` swapped to
-    * BPE-token counts — base-trained keyed rounds (the store), the
-    * full corpus's vocabulary pushed through the stored merges (the
-    * q183 encode chain), per-document token sums, seed 186. */
   /** The per-document BPE-token CTE chain shared by the q186 and q187
     * oracles: the full corpus materializes ONCE (mlexdocs) — the
     * training base filters it rather than re-deriving the text
@@ -1770,6 +1766,9 @@ object SparkEntry {
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
+  /** q186's oracle: the q184 mixture/packing body with `d` swapped to
+    * BPE-token counts — [[bpeDocTokenCtes]]'s document-grain sums plus
+    * the seed-186 replayable hash. */
   private def q186OracleSql: String =
     mixPackOracleSql(
       s"""${bpeDocTokenCtes(8)},
@@ -1791,10 +1790,7 @@ object SparkEntry {
     val survPred = """NOT u.is_dup AND u.quality_pass
       AND NOT u.contaminated AND coalesce(k.token_keep, FALSE)"""
     s"""WITH ${bpeDocTokenCtes(8)},
-       |canon AS (
-       |  SELECT doc_id,
-       |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
-       |  FROM mlexdocs),
+       |${canonCte("mlexdocs")},
        |${gopherMeasureCtes("mlexdocs", None,
           Some(operators.Lexicon.MultiLexStops))},
        |quality AS (
@@ -1884,11 +1880,6 @@ object SparkEntry {
        |ORDER BY md.doc_id""".stripMargin
   }
 
-  /** The shared mixture+packing oracle BODY (q184/q186): expects the
-    * given CTE block to define `d` with (doc_id, lang, source,
-    * n_tokens, h); renders the two-level ordered-window temperature
-    * plan, the per-cell cumulative cutoff, the per-language packing
-    * cumsum and the audit join. */
   /** The two-level α-temperature budget plan (mls..plan) and the
     * one-level cumulative-cutoff window (cum) over a named (doc_id,
     * lang, source, n_tokens, h) CTE — the SQL twin of
@@ -1937,6 +1928,10 @@ object SparkEntry {
        |      AS BIGINT) AS cum_before
        |  FROM $src)""".stripMargin
 
+  /** The shared mixture+packing oracle BODY (q184/q186): expects the
+    * given CTE block to define `d` with (doc_id, lang, source,
+    * n_tokens, h); renders [[mixPlanCumCtes]]'s budget plan + cutoff,
+    * the per-language packing cumsum and the audit join. */
   private def mixPackOracleSql(preCtes: String): String =
     s"""WITH $preCtes,
        |${mixPlanCumCtes("d")},
@@ -2100,6 +2095,14 @@ object SparkEntry {
        |  FROM d)""".stripMargin
   }
 
+  /** The sha-256 content-canonicalizer CTE shared by the q133/q178 and
+    * q187 oracles — the SQL twin of Corpus.contentDedupFlags. */
+  private def canonCte(corpus: String): String =
+    s"""canon AS (
+       |  SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+       |  FROM $corpus)""".stripMargin
+
   /** The 7-gram decontamination CTE block (words/g/ev/contam) shared
     * by the q133/q178 and q187 oracles — the SQL twin of
     * Corpus.gramDecontam (the oracle replays the plain equi-join; the
@@ -2152,10 +2155,7 @@ object SparkEntry {
       """(CASE mx.lang WHEN 'en' THEN 350 WHEN 'de' THEN 800
         |    WHEN 'es' THEN 600 WHEN 'fr' THEN 500 WHEN 'zh' THEN 900
         |    ELSE 250 END)""".stripMargin
-    s"""WITH ${pre}canon AS (
-       |  SELECT doc_id,
-       |    doc_id <> min(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
-       |  FROM $corpus),
+    s"""WITH $pre${canonCte(corpus)},
        |${gopherMeasureCtes(corpus, stops)},
        |quality AS (
        |  SELECT doc_id, n_words,

@@ -1032,17 +1032,22 @@ object Corpus {
                     docs: DataFrame): DataFrame = {
     val unenc = "contains(w, '|') OR contains(w, chr(92))"
     val chain = applyStoreSqlFor(merges, "w")
-    val cnt = s"(length($chain) - length(replace($chain, '||', '|')) + 1)"
     docs
       .select(col("doc_id"), col("lang"), col("source"),
         TextDedup.tokens(col("text")).as("ws"))
+      // clean words materialize once; the merge chain evaluates ONCE
+      // per occurrence (transform), the token count reads the rewritten
+      // sequence — no per-word double evaluation in the hot path
       .select(col("doc_id"), col("lang"), col("source"),
-        expr(s"CAST(size(filter(ws, w -> NOT ($unenc))) AS BIGINT)")
-          .as("n_words"),
-        expr(s"CAST(size(filter(ws, w -> $unenc)) AS BIGINT)")
+        expr("CAST(size(ws) AS BIGINT)").as("n_all"),
+        expr(s"filter(ws, w -> NOT ($unenc))").as("cws"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(size(cws) AS BIGINT)").as("n_words"),
+        (col("n_all") - expr("CAST(size(cws) AS BIGINT)"))
           .as("n_skipped_words"),
-        expr(s"aggregate(filter(ws, w -> NOT ($unenc)), " +
-          s"CAST(0 AS BIGINT), (acc, w) -> acc + $cnt)").as("n_tokens"))
+        expr(s"aggregate(transform(cws, w -> $chain), CAST(0 AS BIGINT), " +
+          "(acc, s) -> acc + " +
+          "(length(s) - length(replace(s, '||', '|')) + 1))").as("n_tokens"))
   }
 
   /** ENCODE-FROM-STORE (q183): the self-contained declared pair of the
@@ -1146,15 +1151,6 @@ object Corpus {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
       seqTokens, chunkDocs, seed)
 
-  /** [[mixPack]] over a PRE-COMPUTED per-document token frame (doc_id,
-    * lang, source, n_tokens) — the currency seam: q184 passes the
-    * packer's native whitespace counts; q186 passes BPE tokens from
-    * the stored tokenizer ([[bpeDocTokens]] — the budgets then consume
-    * exactly the accounting q181/q183 report). Contract: n_tokens ≥ 1
-    * per row (a 0-token doc would make the packer's last_seq
-    * expression go negative, where the engines' integer divisions
-    * disagree — truncate vs floor; [[bpeDocTokens]] upholds it by
-    * dropping docs with nothing encodable). */
   /** The two-level α-temperature budget plan over a (doc_id, lang,
     * source, n_tokens, h) frame — one row per (lang, source) cell with
     * masses, per-language budgets and per-cell targets. Shared by
@@ -1215,6 +1211,15 @@ object Corpus {
       .withColumn("cum_before", col("bucket_offset") + col("within_prev"))
   }
 
+  /** [[mixPack]] over a PRE-COMPUTED per-document token frame (doc_id,
+    * lang, source, n_tokens) — the currency seam: q184 passes the
+    * packer's native whitespace counts; q186 passes BPE tokens from
+    * the stored tokenizer ([[bpeDocTokens]] — the budgets then consume
+    * exactly the accounting q181/q183 report). Contract: n_tokens ≥ 1
+    * per row (a 0-token doc would make the packer's last_seq
+    * expression go negative, where the engines' integer divisions
+    * disagree — truncate vs floor; [[bpeDocTokens]] upholds it by
+    * dropping docs with nothing encodable). */
   def mixPackOver(docTokens: DataFrame, seqTokens: Int, chunkDocs: Int,
                   seed: Int): DataFrame = {
     val d = docTokens
@@ -1295,13 +1300,20 @@ object Corpus {
     * rule: q133 runs WITHOUT r_stop (degenerate on the shipped 31-word
     * vocabulary — see the scaladoc above); q178 passes the lexicon
     * corpus's own stop list and runs the FULL five-rule battery. */
+  /** The exact-dedup stage shared by [[corpusPipeline]] and
+    * [[tokenPipeline]]: sha-256 content canonicalization with the
+    * min-doc_id tie-break (q24's device) — (doc_id, is_dup). ONE
+    * definition, so the q133/q178 and q187 gates cannot silently
+    * diverge on the canonicalizer. */
+  def contentDedupFlags(docs: DataFrame): DataFrame = docs
+    .withColumn("content_hash", sha2(col("text"), 256))
+    .withColumn("canon_id",
+      min("doc_id").over(Window.partitionBy("content_hash")))
+    .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
+
   def corpusPipeline(docs: DataFrame,
                      stops: Option[Seq[String]] = None): DataFrame = {
-    val canon = docs
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("canon_id",
-        min("doc_id").over(Window.partitionBy("content_hash")))
-      .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
+    val canon = contentDedupFlags(docs)
     val baseRules =
       col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha")
     val quality = TextAnalysis
@@ -1361,27 +1373,15 @@ object Corpus {
                     dict: DataFrame,
                     stopsByLang: Map[String, Seq[String]],
                     seed: Int): DataFrame = {
-    val canon = docs
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("canon_id",
-        min("doc_id").over(Window.partitionBy("content_hash")))
-      .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_dup"))
-    // four shared base rules off the battery; the stop rule re-keyed
+    val canon = contentDedupFlags(docs)
+    // the five-rule battery in ONE map-side pass, the stop rule keyed
     // by the document's own language (distinct-member count, q177's
-    // >= 2 threshold)
-    val base = TextAnalysis.gopherRules(docs)
-      .select("doc_id", "n_words", "r_wc", "r_mwl", "r_sym", "r_alpha")
-    val nStopByLang = stopsByLang.toSeq.sortBy(_._1)
-      .foldLeft(lit(0)) { case (acc, (l, stops)) =>
-        when(col("lang") === l,
-          size(array_intersect(TextDedup.tokens(col("text")),
-            array(stops.map(lit): _*)))).otherwise(acc)
-      }
-    val quality = docs.select(col("doc_id"), nStopByLang.as("n_stop"))
-      .join(base, Seq("doc_id"))
+    // >= 2 threshold — gopherRules' keyed variant)
+    val quality = TextAnalysis
+      .gopherRules(docs, stopsByLang = Some(stopsByLang))
       .select(col("doc_id"), col("n_words"),
         (col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
-          col("n_stop") >= 2).as("quality_pass"))
+          col("r_stop")).as("quality_pass"))
     val contaminated = gramDecontam(docs)
     val tok = bpeDocTokens(merges, dict, docs)
     val univ = docs.filter(col("doc_id") % 97 =!= 0)

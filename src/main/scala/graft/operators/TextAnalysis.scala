@@ -387,11 +387,24 @@ object TextAnalysis {
     * corpus's own frequent words). Unsorted — callers add their serving
     * sort or aggregate on top. */
   def gopherRules(documents: DataFrame,
-                  stops: Seq[String] = GopherStops): DataFrame = {
+                  stops: Seq[String] = GopherStops,
+                  stopsByLang: Option[Map[String, Seq[String]]] = None)
+  : DataFrame = {
     val words = TextDedup.tokens(col("text"))
-    val stopLits = array(stops.map(lit): _*)
+    // q187: the stop count keyed by the document's OWN language — a
+    // fold of `when`s over the per-language literal lists, still ONE
+    // map-side pass (no second projection, no self-join)
+    val nStop = stopsByLang match {
+      case Some(byLang) => byLang.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+        case (acc, (l, s)) => when(col("lang") === l,
+          size(array_intersect(col("w"), array(s.map(lit): _*))))
+          .otherwise(acc)
+      }
+      case None => size(array_intersect(col("w"), array(stops.map(lit): _*)))
+    }
     documents
-      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id") +: (if (stopsByLang.isDefined)
+        Seq(col("lang")) else Seq.empty) :+ words.as("w"): _*)
       .select(
         col("doc_id"),
         size(col("w")).as("n_words"),
@@ -399,7 +412,7 @@ object TextAnalysis {
         size(filter(col("w"), x => x.rlike("[a-z]"))).as("n_alpha"),
         size(filter(col("w"),
           x => x.contains("#") || x.contains("..."))).as("n_sym"),
-        size(array_intersect(col("w"), stopLits)).as("n_stop_distinct"))
+        nStop.as("n_stop_distinct"))
       .withColumn("mean_word_len",
         when(col("n_words") > 0,
           col("n_chars_w") * lit(1.0) / col("n_words")).otherwise(lit(0.0)))

@@ -35,7 +35,11 @@ class PlanAuditSpec extends SparkSpec {
     // q140 is q134's AvailableNow round-trip shape for the quantile
     // sketch — the returned frame is the sink readback; covered by
     // StreamingQuantilesSpec and its oracle row
-    "q140_streaming_quantiles")
+    "q140_streaming_quantiles",
+    // q188 runs store training + the AvailableNow metering round-trip
+    // at construction — the returned frame is the sink readback;
+    // covered by TokenMeterSpec and its oracle row
+    "q188_lex_stream_token_meter")
 
   // Intentional non-equi broadcast joins, each against a frame that is
   // tiny BY CONSTRUCTION — reviewed and allowed by name so a new one
