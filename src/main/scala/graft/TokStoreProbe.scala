@@ -65,8 +65,17 @@ object TokStoreProbe {
       def retrainLeg() = Corpus.bpeEncodeFromStore(base, batch, 8).collect()
       retrainLeg()
       val retrainS = (1 to 2).map(_ => time(retrainLeg())._2).min
+      // q188's stateless per-occurrence meter on the same batch — the
+      // vocab-collapse-vs-chain trade: the batch leg amortizes repeated
+      // words through the dictionary broadcast, the meter pays the
+      // replace chain per occurrence but carries zero state and zero
+      // shuffles (the streaming-serving shape)
+      def meterLeg() = Corpus.bpeTokenMeter(merges, batch).collect()
+      meterLeg()
+      val meterS = (1 to 2).map(_ => time(meterLeg())._2).min
       println(f"[tokstore] $name train=$trainS%.2fs encode=$encodeS%.2fs " +
-        f"retrain+encode=$retrainS%.2fs (batch=$nBatch%d docs)")
+        f"retrain+encode=$retrainS%.2fs meter=$meterS%.2fs " +
+        f"(batch=$nBatch%d docs)")
     }
     spark.stop()
   }
