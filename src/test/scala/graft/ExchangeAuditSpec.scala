@@ -51,7 +51,15 @@ class ExchangeAuditSpec extends SparkSpec {
     // and the df re-aggregate; the corpus stats and query sides ride
     // broadcasts, and the serving top-k is a final single-partition
     // sort (TakeOrdered, no range exchange).
-    ("q85_bm25", 4, "tf collapse + df agg + score agg plumbing"))
+    ("q85_bm25", 4, "tf collapse + df agg + score agg plumbing"),
+    // q187: the union of its parents' audited shapes — the store
+    // training runs at construction (bounded argmax collects, not plan
+    // nodes); the returned plan's exchanges are the content-hash dedup
+    // window, the quality/decontam/token joins on doc_id, the
+    // band-sized budget aggregates + bounded-window cutoff, and the
+    // final doc-order sort. A silent extra corpus shuffle (e.g. the
+    // quality stage regrowing its r18-review self-join) raises this.
+    ("q187_multilex_pipeline", 22, "gates + survivor budgets + audit"))
 
   test("the tokenizer store's SERVING pass stays a batch-pass plan: " +
     "construction runs ZERO jobs and the executed exchange set is pinned") {
