@@ -758,7 +758,6 @@ object Corpus {
 
   private def bpeTrainByLangCore(documents: DataFrame, rounds: Int)
   : (Seq[(Int, String, String, String, Long)], Seq[DataFrame], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     var vocab = bpeVocab0(documents, withLang = true)
     val merges =
       collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
@@ -775,10 +774,18 @@ object Corpus {
             |  element_at(syms, i + 2) AS rhs))""".stripMargin)).as("p"))
         .groupBy(col("lang"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("wc").as("cnt"))
-        .withColumn("rn", row_number().over(Window.partitionBy("lang")
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))))
-        .where(col("rn") === 1)
-        .select("lang", "lhs", "rhs", "cnt")
+        // per-language argmax as a SECOND aggregate, not a window
+        // (r18 optimization round): min(struct(-cnt, lhs, rhs)) realizes
+        // the exact (cnt DESC, lhs, rhs) tie-break — struct ordering is
+        // field-lexicographic — and partial-aggregates map-side, so ≤
+        // |langs| rows cross the exchange instead of the whole
+        // pair-count frame flowing through a per-language sort. Same
+        // argmax row, cheaper plan (no sort, no full-frame window).
+        .groupBy("lang")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lhs"),
+          col("rhs"))).as("m"))
+        .select(col("lang"), col("m.lhs").as("lhs"),
+          col("m.rhs").as("rhs"), (-col("m.nc")).as("cnt"))
         .collect() // ≤ |langs| rows — per-language model parameters
       if (tops.nonEmpty) { // every language exhausted -> nothing to apply
         val caseExpr = "CASE " + tops.map { t =>
