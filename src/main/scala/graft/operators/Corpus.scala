@@ -660,8 +660,27 @@ object Corpus {
       .localCheckpoint(false)
   }
 
+  /** Static planning for the vocab-sized training rounds (r18
+    * optimization round): each BPE round is a tiny 2-exchange aggregate
+    * ending in a ≤|langs|-row collect, and under AQE every round pays
+    * two extra query-stage jobs plus two adaptive re-planning
+    * round-trips — pure driver latency on a frame that is
+    * vocabulary-sized by construction (the q120 10^4× word-collapse
+    * argument). Results are identical (AQE never changes values); a
+    * 100 TB deployment would keep AQE on for the corpus-sized vocab0
+    * collapse and could leave it on for the rounds too — this is the
+    * harness-latency call, scoped exactly like pagerankCore's. The
+    * flip is session-global while the loop runs; the harness constructs
+    * queries single-threaded (bench/verify run one query at a time). */
+  private def withStaticPlan[A](df: DataFrame)(f: => A): A = {
+    val spark = df.sparkSession
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
+
   private def bpeTrainCore(documents: DataFrame, rounds: Int)
-  : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = {
+  : (Seq[(Int, String, String, Long)], Seq[DataFrame], DataFrame) = withStaticPlan(documents) {
     var vocab = bpeVocab0(documents, withLang = false)
     val merges = collection.mutable.Buffer.empty[(Int, String, String, Long)]
     val states = collection.mutable.Buffer.empty[DataFrame]
@@ -757,7 +776,7 @@ object Corpus {
   }
 
   private def bpeTrainByLangCore(documents: DataFrame, rounds: Int)
-  : (Seq[(Int, String, String, String, Long)], Seq[DataFrame], DataFrame) = {
+  : (Seq[(Int, String, String, String, Long)], Seq[DataFrame], DataFrame) = withStaticPlan(documents) {
     var vocab = bpeVocab0(documents, withLang = true)
     val merges =
       collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
