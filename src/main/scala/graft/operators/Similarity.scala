@@ -375,8 +375,26 @@ object Similarity {
     * frame (seedTag 143); q157's product quantizer runs it once per
     * 16-d subspace (seedTags 15700+s). Returns (final centroids,
     * centroids the final E-step assigned against, d). */
+  /** Static planning for the model-sized training jobs (r18
+    * optimization round, the bpeTrainCore discipline): every Lloyd/PQ
+    * round is a small aggregate ending in a ≤k·d-row collect, and under
+    * AQE each round pays extra query-stage jobs plus adaptive
+    * re-planning round-trips — driver latency on frames that are
+    * model-bounded by contract. Values are untouched (AQE never changes
+    * results); the declared query's SERVING plan is constructed after
+    * training returns, outside this scope, so its adaptive plan (and
+    * the PlanAudit/ExchangeAudit pins) are unaffected. Session-global
+    * while a training loop runs — the harness constructs queries
+    * single-threaded. */
+  private def withStaticPlan[A](df: DataFrame)(f: => A): A = {
+    val spark = df.sparkSession
+    val was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
+
   private[graft] def lloydCore(qframe: DataFrame, k: Int, iterations: Int,
-                               seedTag: Int): (Array[Long], Array[Long], Int) = {
+                               seedTag: Int): (Array[Long], Array[Long], Int) = withStaticPlan(qframe) {
     val seedIds = qframe.select(col("vec_id"))
       .withColumn("h", expr(TextDedup.h60(seedTag, "CAST(vec_id AS STRING)")))
       .orderBy("h", "vec_id").limit(k)
@@ -944,7 +962,7 @@ object Similarity {
     * codebooks, d). */
   private[graft] def ivfPqTrainFused(qframe: DataFrame, kCoarse: Int,
       coarseIters: Int, m: Int, ksub: Int,
-      subIters: Int): (Array[Long], Seq[Array[Long]], Int) = {
+      subIters: Int): (Array[Long], Seq[Array[Long]], Int) = withStaticPlan(qframe) {
     val d = qframe.select(expr("size(qd)")).head().getInt(0)
     val sub = d / m
     def slices(s: Int) = qframe
@@ -1587,7 +1605,7 @@ object Similarity {
     * job over a subspace-tagged union. q160 trains residual codebooks
     * through this (tagBase 16000). */
   private[graft] def pqTrainFused(frame: DataFrame, m: Int, sub: Int,
-      ksub: Int, iters: Int, tagBase: Int): Seq[Array[Long]] = {
+      ksub: Int, iters: Int, tagBase: Int): Seq[Array[Long]] = withStaticPlan(frame) {
     def slices(s: Int) = frame
       .select(col("vec_id"), expr(s"slice(qd, ${s * sub + 1}, $sub)").as("qd"))
       .withColumn("qq", expr("vec_dot(qd, qd)"))
