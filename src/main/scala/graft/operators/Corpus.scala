@@ -645,14 +645,25 @@ object Corpus {
     * general operator's behavior. */
   private def bpeVocab0(documents: DataFrame, withLang: Boolean): DataFrame = {
     val keyCols = if (withLang) Seq(col("lang"), col("word")) else Seq(col("word"))
+    // ONE codegen'd pass per document builds the (word → n_occ) histogram
+    // (functions/TokenCounts.scala — the q76 device): the token-occurrence
+    // stream never materializes and the per-occurrence hash-aggregate work
+    // collapses into a per-document map build; sum(n_occ) over the
+    // exploded maps is the identical (lang, word) count the previous
+    // explode(tokens) + count produced. token_counts keeps split()'s
+    // leading/trailing empty tokens that TextDedup.tokens filters — the
+    // explicit word != '' restores the exact multiset (r18 optimization
+    // round; CorpusSpec parity + family oracles pin it).
     val base =
       if (withLang)
         documents.select(col("lang"),
-          explode(TextDedup.tokens(col("text"))).as("word"))
-      else documents.select(explode(TextDedup.tokens(col("text"))).as("word"))
+          explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
+      else documents.select(
+        explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
     base
-      .where(!col("word").contains("|") && !col("word").contains("\\"))
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("wc"))
+      .where(col("word") =!= "" &&
+        !col("word").contains("|") && !col("word").contains("\\"))
+      .groupBy(keyCols: _*).agg(sum("n_occ").as("wc"))
       .select(keyCols ++ Seq(col("wc"), concat(lit("|"),
         expr("""array_join(transform(sequence(1, char_length(word)),
               |  i -> substring(word, i, 1)), '||')""".stripMargin),
