@@ -869,14 +869,21 @@ object Corpus {
       .select(col("lang"), col("word"),
         (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)
           .as("n_tokens"))
+    // per-document histogram instead of the occurrence explode (the
+    // bpeVocab0/q76 device, r18 optimization round): the dictionary
+    // join probes per-doc DISTINCT words and the accounting re-weights
+    // by n_occ — sum(n_occ) ≡ the occurrence count, sum(n_tokens·n_occ)
+    // ≡ the per-occurrence token sum. Empty edge tokens can't match the
+    // dictionary (no empty word trains), so the inner join drops them
+    // exactly like the previous tokenizer's filter did.
     documents
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(TextDedup.tokens(col("text"))).as("word"))
+        explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
       .join(broadcast(vocabTokens), Seq("lang", "word"))
       .groupBy("lang", "source")
       .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_words"),
-        sum("n_tokens").as("n_tokens"))
+        sum("n_occ").as("n_words"),
+        sum(col("n_tokens") * col("n_occ")).as("n_tokens"))
       .withColumn("tokens_per_word_pm",
         expr("(n_tokens * 1000L) DIV n_words"))
       .orderBy("lang", "source")
@@ -994,12 +1001,18 @@ object Corpus {
     * split (SCALE.md). */
   def bpeEncodeAgainstStore(merges: Seq[(Int, String, String, String, Long)],
                             dict: DataFrame, batch: DataFrame): DataFrame = {
+    // per-document histogram, not the occurrence explode (the bpeVocab0
+    // device, r18 optimization round): the dictionary join and both
+    // censuses re-weight by n_occ — identical accounting, per-doc
+    // DISTINCT probe rows. The word != '' filter drops split()'s empty
+    // edge tokens the previous tokenizer never emitted.
     val words = batch
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(TextDedup.tokens(col("text"))).as("word"))
+        explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
+      .where(col("word") =!= "")
       .localCheckpoint(false) // feeds the skipped census AND the accounting
     val skipped = words.where(seqUnencodable)
-      .groupBy("lang", "source").agg(count(lit(1)).as("n_skipped_words"))
+      .groupBy("lang", "source").agg(sum("n_occ").as("n_skipped_words"))
     val clean = words.where(!seqUnencodable)
     val enc = bpeEncodeWordTable(merges, dict,
       clean.select("lang", "word").distinct())
@@ -1010,9 +1023,9 @@ object Corpus {
         Seq("lang", "word"))
       .groupBy("lang", "source")
       .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_words"),
-        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov_words"),
-        sum("n_tokens").as("n_tokens"))
+        sum("n_occ").as("n_words"),
+        sum(when(col("is_oov"), col("n_occ")).otherwise(0L)).as("n_oov_words"),
+        sum(col("n_tokens") * col("n_occ")).as("n_tokens"))
       .join(skipped, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
         col("n_oov_words"),
@@ -1032,10 +1045,12 @@ object Corpus {
     * broadcast word table + partial-aggregated doc sums). */
   def bpeDocTokens(merges: Seq[(Int, String, String, String, Long)],
                    dict: DataFrame, docs: DataFrame): DataFrame = {
+    // per-document histogram (the bpeVocab0 device, r18 optimization
+    // round): n_tokens·n_occ summed per doc ≡ the per-occurrence sum
     val clean = docs
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(TextDedup.tokens(col("text"))).as("word"))
-      .where(!seqUnencodable)
+        explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
+      .where(col("word") =!= "" && !seqUnencodable)
       .localCheckpoint(false) // feeds the vocab distinct AND the doc sums
     val enc = bpeEncodeWordTable(merges, dict,
       clean.select("lang", "word").distinct())
@@ -1043,7 +1058,7 @@ object Corpus {
       .join(broadcast(enc.select("lang", "word", "n_tokens")),
         Seq("lang", "word"))
       .groupBy("doc_id", "lang", "source")
-      .agg(sum("n_tokens").as("n_tokens"))
+      .agg(sum(col("n_tokens") * col("n_occ")).as("n_tokens"))
       .select("doc_id", "lang", "source", "n_tokens")
   }
 
@@ -1133,14 +1148,17 @@ object Corpus {
       .select(col("word"),
         (length(col("seq")) - length(expr("replace(seq, '||', '|')")) + 1)
           .as("n_tokens"))
+    // per-document histogram probe (the bpeVocab0 device, r18
+    // optimization round) — accounting re-weighted by n_occ; empty edge
+    // tokens can't match the dictionary, like bpeEncodeByLang's
     documents
       .select(col("doc_id"), col("source"),
-        explode(TextDedup.tokens(col("text"))).as("word"))
+        explode(expr("token_counts(text)")).as(Seq("word", "n_occ")))
       .join(broadcast(vocabTokens), Seq("word"))
       .groupBy("source")
       .agg(countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_words"),
-        sum("n_tokens").as("n_tokens"))
+        sum("n_occ").as("n_words"),
+        sum(col("n_tokens") * col("n_occ")).as("n_tokens"))
       .withColumn("tokens_per_word_pm",
         expr("(n_tokens * 1000L) DIV n_words"))
       .orderBy("source")
