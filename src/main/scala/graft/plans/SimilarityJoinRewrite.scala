@@ -115,9 +115,13 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Explode-prefix leg for one side: Project(+id, +grams) → Generate. */
+  /** Explode-prefix leg for one side: Project(+id, +grams) →
+    * PosGenerate. The gram's 0-based POSITION rides along for the
+    * positional prune below (PPJoin's filter, Xiao et al. WWW'08) —
+    * slice() takes the array's HEAD, so a prefix position IS the
+    * position in the full sorted gram set. */
   private def prefixed(side: LogicalPlan, strExpr: Expression, t: Double,
-                       tag: String): (LogicalPlan, Attribute, Attribute, Attribute) = {
+                       tag: String): (LogicalPlan, Attribute, Attribute, Attribute, Attribute) = {
     val idAlias = Alias(MonotonicallyIncreasingID(), s"__sjr_${tag}id")()
     val gramsAlias = Alias(TrigramSet(strExpr), s"__sjr_${tag}grams")()
     val proj = Project(side.output ++ Seq(idAlias, gramsAlias), side)
@@ -127,18 +131,19 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val prefLen = Add(
       Subtract(sz, Cast(Ceil(Multiply(Literal(t), Cast(sz, DoubleType))), IntegerType)),
       Literal(1))
+    val posAttr = AttributeReference(s"__sjr_${tag}pos", IntegerType, nullable = false)()
     val gramAttr = AttributeReference(s"__sjr_${tag}gram", StringType, nullable = false)()
-    val gen = Generate(Explode(Slice(gramsAttr, Literal(1), prefLen)),
+    val gen = Generate(PosExplode(Slice(gramsAttr, Literal(1), prefLen)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
-      generatorOutput = Seq(gramAttr), child = proj)
-    (gen, idAlias.toAttribute, gramsAttr, gramAttr)
+      generatorOutput = Seq(posAttr, gramAttr), child = proj)
+    (gen, idAlias.toAttribute, gramsAttr, posAttr, gramAttr)
   }
 
   private def rewrite(j: Join, cond: Expression, conjuncts: Seq[Expression],
                       sim: TrigramSimilarity, t: Double,
                       lStr: Expression, rStr: Expression): LogicalPlan = {
-    val (lGen, lId, lGrams, lGram) = prefixed(j.left, lStr, t, "l")
-    val (rGen, rId, rGrams, rGram) = prefixed(j.right, rStr, t, "r")
+    val (lGen, lId, lGrams, lPos, lGram) = prefixed(j.left, lStr, t, "l")
+    val (rGen, rId, rGrams, rPos, rGram) = prefixed(j.right, rStr, t, "r")
     // candidate key: shared prefix gram + any equality conjuncts the
     // predicate already carries (they shrink the candidate space for free)
     val equis = conjuncts.filter {
@@ -148,8 +153,26 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         (only(a, j.left) && only(b, j.right)) || (only(b, j.left) && only(a, j.right))
       case _ => false
     }
+    // POSITIONAL prune (PPJoin, Xiao et al. WWW'08 §3.2 — exact, not
+    // heuristic; r18 optimization round): J(A,B) ≥ t ⟺ |A∩B| ≥
+    // ⌈t·(|A|+|B|)/(1+t)⌉, and for the FIRST shared gram (positions i, j,
+    // 0-based) every intersection element sits at or after it in both
+    // sorted arrays, so |A∩B| ≤ min(|A|−i, |B|−j). Gram rows failing
+    // min(|A|−i, |B|−j) ≥ ⌈t·(|A|+|B|)/(1+t)⌉ cannot be a qualifying
+    // pair's first shared gram — pruning them loses no pair (the
+    // first-shared-gram row always survives; the id-dedup keeps one row
+    // per pair anyway) and skips the O(|A|+|B|) sorted-merge similarity
+    // for the bulk of spurious gram collisions: a few integer ops
+    // replace the merge. Evaluated BEFORE the re-applied predicate in
+    // the conjunct order, so short-circuit evaluation does the skipping.
+    val szL = Size(lGrams)
+    val szR = Size(rGrams)
+    val reqOverlap = Cast(Ceil(Multiply(Literal(t / (1.0 + t)),
+      Cast(Add(szL, szR), DoubleType))), IntegerType)
+    val posPrune = GreaterThanOrEqual(
+      Least(Seq(Subtract(szL, lPos), Subtract(szR, rPos))), reqOverlap)
     val joined = Join(lGen, rGen, Inner,
-      Some((EqualTo(lGram, rGram) +: equis).reduce(And)), JoinHint.NONE)
+      Some((EqualTo(lGram, rGram) +: equis :+ posPrune).reduce(And)), JoinHint.NONE)
     // Full original predicate on each candidate, with every similarity
     // over this column pair swapped to the sorted-merge form on the
     // already-materialized gram arrays (value-identical; also what keeps
