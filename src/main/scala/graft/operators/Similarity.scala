@@ -434,14 +434,21 @@ object Similarity {
     * probe-selection in-row sort (one definition so the distance form
     * cannot drift between training and serving). */
   private def coarseDistCols(frame: DataFrame, ca: Array[Long],
-                             d: Int, k: Int): DataFrame =
-    (1 to k).foldLeft(frame) { (df, j) =>
+                             d: Int, k: Int): DataFrame = {
+    // ONE select, not k chained withColumns (r18 optimization round):
+    // every withColumn re-analyzes the whole accumulated plan, and with
+    // k literal-heavy vec_dot trees the analyzer passes — not the
+    // executors — were the per-round training wall (TrainJobProbe:
+    // ~0.4 s driver gap per fused round). Identical expressions,
+    // identical column order, one analysis pass.
+    val dists = (1 to k).map { j =>
       val cj = ca.slice((j - 1) * d, j * d)
       val cc = cj.foldLeft(0L)((a, c) => a + c * c)
-      df.withColumn(s"s$j",
-        col("qq") - lit(2d) * expr("vec_dot(qd, " +
-          cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble))
+      (col("qq") - lit(2d) * expr("vec_dot(qd, " +
+        cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)).as(s"s$j")
     }
+    frame.select(frame.columns.map(col) ++ dists: _*)
+  }
 
   /** E-step as pure map-side columns: qframe plus (cluster, dist) against
     * the given centroid array riding as constant-folded literals. Ties
@@ -450,11 +457,14 @@ object Similarity {
                                 d: Int, k: Int): DataFrame = {
     val withDists = coarseDistCols(qframe, ca, d, k)
     val ls = s"least(${(1 to k).map(j => s"s$j").mkString(", ")})"
-    withDists
-      .withColumn("cluster", expr(s"CAST(CASE ${(1 to k)
-        .map(j => s"WHEN s$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-      .withColumn("dist", expr(s"CAST($ls AS BIGINT)"))
-      .drop((1 to k).map(j => s"s$j"): _*)
+    // one select projects cluster/dist and drops s1..sk in the same
+    // analysis pass (same output columns in the same order as the
+    // previous withColumn·2 + drop chain)
+    withDists.select(qframe.columns.map(col) ++ Seq(
+      expr(s"CAST(CASE ${(1 to k)
+        .map(j => s"WHEN s$j = $ls THEN $j").mkString(" ")} END AS INT)")
+        .as("cluster"),
+      expr(s"CAST($ls AS BIGINT)").as("dist")): _*)
   }
 
   /** q143 — IVF ANN over LEARNED centroids (the production upgrade q58's
@@ -792,10 +802,11 @@ object Similarity {
       .localCheckpoint(false)
     // query side: the 4×8 ADC distance tables as array columns — 10
     // rows of driver-bounded model state, broadcast into the list join
-    val queries = codebooks.zipWithIndex.foldLeft(
+    val queries = adcTables(
       assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster"),
-          col("qd").as("pqd"), col("qq").as("pqq"))) (adcTablesFold("pqd", sub, ksub)).localCheckpoint(false)
+          col("qd").as("pqd"), col("qq").as("pqq")),
+      codebooks, "pqd", sub, ksub).localCheckpoint(false)
     // serving leg: nprobe=1 list join, ADC = four table lookups summed
     val cand = index
       .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
@@ -1072,10 +1083,11 @@ object Similarity {
       .localCheckpoint(false)
     // query side: ADC tables over the query's OWN residual (nprobe=1:
     // the probed list is the query's assignment, so q − c_list = rd)
-    val queries = codebooks.zipWithIndex.foldLeft(
+    val queries = adcTables(
       rframe.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("cluster"),
-          col("qd").as("pqd"), col("qq").as("pqq"), col("rd"))) (adcTablesFold("rd", sub, ksub)).drop("rd").localCheckpoint(false)
+          col("qd").as("pqd"), col("qq").as("pqq"), col("rd")),
+      codebooks, "rd", sub, ksub).drop("rd").localCheckpoint(false)
     val cand = index
       .join(broadcast(queries.select(col("query_id") :: col("cluster") ::
         (0 until m).map(s => col(s"dt$s")).toList: _*)), Seq("cluster"))
@@ -1169,7 +1181,8 @@ object Similarity {
         col("qq").as("pqq") ::
         (0 until nprobe).map(i => expr(s"ps[$i].c").as(s"probe${i + 1}"))
           .toList: _*)
-    val probes = codebooks.zipWithIndex.foldLeft(probes0) (adcTablesFold("pqd", sub, ksub)).localCheckpoint(false)
+    val probes = adcTables(probes0, codebooks, "pqd", sub, ksub)
+      .localCheckpoint(false)
     // the candidate frame both rankings read: union of the probed
     // lists, carrying codes (for ADC) and qd/qq (for the exact leg)
     val cand = index
@@ -1302,12 +1315,13 @@ object Similarity {
       .localCheckpoint(false)
     // PER-(query, list) ADC tables: the probe rows explode, each takes
     // the residual against ITS list's centroid, tables ride the row
-    val probesX = codebooks.zipWithIndex.foldLeft(
+    val probesX = adcTables(
       probes0.select(col("query_id"), col("pqd"),
         explode(array((1 to nprobe).map(i => col(s"probe$i")): _*))
           .as("cluster"))
         .withColumn("rdl", expr(
-          s"zip_with(pqd, element_at($centsLit, cluster), (a, b) -> a - b)"))) (adcTablesFold("rdl", sub, ksub))
+          s"zip_with(pqd, element_at($centsLit, cluster), (a, b) -> a - b)")),
+      codebooks, "rdl", sub, ksub)
       .select(col("query_id") :: col("cluster") ::
         (0 until m).map(s => col(s"dt$s")).toList: _*)
       .localCheckpoint(false)
@@ -1558,20 +1572,27 @@ object Similarity {
       cj.mkString("array(", "D, ", "D)") + ")") + lit(cc.toDouble)
   }
 
-  /** Per-query ADC distance-TABLE builder, as the foldLeft body shared
-    * by every serving pipeline: for subspace s, dt$s = the ksub
-    * distances from the `sub`-wide slice of `src` to codebook s's
-    * centroids (the 4×8 table a query carries into the list join).
-    * Returns the (frame, (codebook, s)) => frame function so call
-    * sites keep their own seed frames and post-steps. */
-  private def adcTablesFold(src: String, sub: Int, ksub: Int)
-      : (DataFrame, (Array[Long], Int)) => DataFrame = {
-    case (df, (cb, s)) =>
-      df.withColumn("sqd", expr(s"slice($src, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-        .withColumn(s"dt$s",
-          array((1 to ksub).map(j => subDist(cb, j, sub, "sqd", "sqq")): _*))
-        .drop("sqd", "sqq")
+  /** Per-query ADC distance-TABLE builder: for every subspace s,
+    * dt$s = the ksub distances from the `sub`-wide slice of `src` to
+    * codebook s's centroids (the 4×8 table a query carries into the
+    * list join). ALL subspaces build in three selects (slices → norms →
+    * tables) instead of a per-subspace withColumn chain — the
+    * coarseDistCols analyzer-pass argument (r18 optimization round);
+    * expressions and output column order are unchanged (df.columns ++
+    * dt0..dt{m-1}, temporaries dropped). */
+  private def adcTables(df: DataFrame, codebooks: Seq[Array[Long]],
+                        src: String, sub: Int, ksub: Int): DataFrame = {
+    val m = codebooks.size
+    val withSub = df.select(df.columns.map(col) ++ (0 until m).map(s =>
+      expr(s"slice($src, ${s * sub + 1}, $sub)").as(s"__sqd$s")): _*)
+    val withQq = withSub.select(withSub.columns.map(col) ++
+      (0 until m).map(s =>
+        expr(s"vec_dot(__sqd$s, __sqd$s)").as(s"__sqq$s")): _*)
+    val tables = codebooks.zipWithIndex.map { case (cb, s) =>
+      array((1 to ksub).map(j =>
+        subDist(cb, j, sub, s"__sqd$s", s"__sqq$s")): _*).as(s"dt$s")
+    }
+    withQq.select(df.columns.map(col) ++ tables: _*)
   }
 
   /** PQ ENCODE: per subspace s an in-row argmin over the ksub literal
@@ -1582,20 +1603,31 @@ object Similarity {
     * src = rd) and projected (q161/q168: src = qd in projected space)
     * pipelines. */
   private def pqEncode(frame: DataFrame, codebooks: Seq[Array[Long]],
-                       sub: Int, ksub: Int, src: String): DataFrame =
-    codebooks.zipWithIndex.foldLeft(frame) { case (df, (cb, s)) =>
-      val withSub = df
-        .withColumn("sqd", expr(s"slice($src, ${s * sub + 1}, $sub)"))
-        .withColumn("sqq", expr("vec_dot(sqd, sqd)"))
-      val withD = (1 to ksub).foldLeft(withSub) { (f, j) =>
-        f.withColumn(s"t$j", subDist(cb, j, sub, "sqd", "sqq"))
-      }
-      val ls = s"least(${(1 to ksub).map(j => s"t$j").mkString(", ")})"
-      withD
-        .withColumn(s"code$s", expr(s"CAST(CASE ${(1 to ksub)
-          .map(j => s"WHEN t$j = $ls THEN $j").mkString(" ")} END AS INT)"))
-        .drop("sqd" :: "sqq" :: (1 to ksub).map(j => s"t$j").toList: _*)
+                       sub: Int, ksub: Int, src: String): DataFrame = {
+    // all m subspaces in FOUR selects (slices → norms → distances →
+    // argmin codes) instead of m·(ksub+3) withColumns — the
+    // coarseDistCols analyzer-pass argument (r18 optimization round);
+    // identical expressions, identical output columns (frame.columns ++
+    // code0..m-1), temporaries dropped by the final projection.
+    val m = codebooks.size
+    val withSub = frame.select(frame.columns.map(col) ++ (0 until m).map(s =>
+      expr(s"slice($src, ${s * sub + 1}, $sub)").as(s"__sqd$s")): _*)
+    val withQq = withSub.select(withSub.columns.map(col) ++
+      (0 until m).map(s =>
+        expr(s"vec_dot(__sqd$s, __sqd$s)").as(s"__sqq$s")): _*)
+    val withD = withQq.select(withQq.columns.map(col) ++
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        (1 to ksub).map(j =>
+          subDist(cb, j, sub, s"__sqd$s", s"__sqq$s").as(s"__t${s}_$j"))
+      }: _*)
+    val codes = codebooks.indices.map { s =>
+      val ls = s"least(${(1 to ksub).map(j => s"__t${s}_$j").mkString(", ")})"
+      expr(s"CAST(CASE ${(1 to ksub)
+        .map(j => s"WHEN __t${s}_$j = $ls THEN $j").mkString(" ")} END AS INT)")
+        .as(s"code$s")
     }
+    withD.select(frame.columns.map(col) ++ codes: _*)
+  }
 
   /** The m codebooks trained in lockstep over any (vec_id, qd) frame:
     * per subspace s, the Lloyd recipe over the `sub`-wide slice with
