@@ -191,9 +191,15 @@ object Lexicon {
     * vocabulary collapse every corpus statistic in this family rides —
     * then a band-sized re-aggregate. */
   def q171LexProfile(t: T): DataFrame = {
+    // per-document histogram, not the occurrence explode (the
+    // bpeVocab0/q76 device, r18 optimization round): sum(n_occ) ≡ the
+    // occurrence count; the synthetic corpus never renders an empty
+    // token (every word is ≥1 syllable) but the filter keeps the
+    // operator honest on arbitrary text, matching tokens()' semantics.
     val counts = lexDocuments(t.documents)
-      .select(explode(TextDedup.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(explode(expr("token_counts(text)")).as(Seq("w", "n_occ")))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(sum("n_occ").as("c"))
     counts
       .groupBy(length(expr("bin(c)")).as("band"))
       .agg(count(lit(1)).as("n_words"), sum("c").as("n_occ"),
@@ -649,12 +655,16 @@ object Lexicon {
   /** The drift core over any derived (doc_id, text) corpus frame —
     * public for the spec's independently-recomputed profile. */
   def q179LexDriftOver(docs: DataFrame): DataFrame = {
+    // per-document histogram (the bpeVocab0/q76 device, r18 optimization
+    // round): the conditional masses re-weight by n_occ — identical
+    // (cb, cd) per word; empty edge tokens filtered as in q171.
     val toks = docs
       .select((col("doc_id") % 10 === 0).as("is_delta"),
-        explode(TextDedup.tokens(col("text"))).as("w"))
+        explode(expr("token_counts(text)")).as(Seq("w", "n_occ")))
+      .where(col("w") =!= "")
     val counts = toks.groupBy("w").agg(
-      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("cb"),
-      sum(when(col("is_delta"), 1L).otherwise(0L)).as("cd"))
+      sum(when(!col("is_delta"), col("n_occ")).otherwise(0L)).as("cb"),
+      sum(when(col("is_delta"), col("n_occ")).otherwise(0L)).as("cd"))
     val banded = counts
       .groupBy(when(col("cb") === 0L, 0)
         .otherwise(length(expr("bin(cb)"))).cast("int").as("band"))
