@@ -1082,24 +1082,39 @@ object Corpus {
     * currency a 1000-executor stream scales linearly in. */
   def bpeTokenMeter(merges: Seq[(Int, String, String, String, Long)],
                     docs: DataFrame): DataFrame = {
-    val unenc = "contains(w, '|') OR contains(w, chr(92))"
-    val chain = applyStoreSqlFor(merges, "w")
+    val unenc = "contains(e.key, '|') OR contains(e.key, chr(92))"
+    val chain = applyStoreSqlFor(merges, "e.key")
+    // per-document HISTOGRAM, not the token list (the bpeVocab0 device,
+    // r18 optimization round): the merge chain — the meter's dominant
+    // per-row CPU, |langs|·rounds nested replaces — now evaluates once
+    // per DISTINCT word of the document and re-weights by the word's
+    // count; all three censuses re-weight likewise (Σ e.value ≡ the
+    // occurrence counts). Still one stateless map-side projection —
+    // zero shuffles, zero state — usable unchanged as a streaming
+    // transform. token_counts keeps split()'s empty edge tokens the
+    // previous tokenizer filtered; the e.key <> '' filter restores the
+    // exact censuses (TokenMeterSpec + the q188 oracle pin them).
     docs
       .select(col("doc_id"), col("lang"), col("source"),
-        TextDedup.tokens(col("text")).as("ws"))
-      // clean words materialize once; the merge chain evaluates ONCE
-      // per occurrence (transform), the token count reads the rewritten
-      // sequence — no per-word double evaluation in the hot path
+        expr("filter(map_entries(token_counts(text)), e -> e.key <> '')")
+          .as("ents"))
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("CAST(size(ws) AS BIGINT)").as("n_all"),
-        expr(s"filter(ws, w -> NOT ($unenc))").as("cws"))
+        expr("aggregate(ents, CAST(0 AS BIGINT), (acc, e) -> acc + e.value)")
+          .as("n_all"),
+        expr(s"filter(ents, e -> NOT ($unenc))").as("cents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_all"),
+        expr("aggregate(cents, CAST(0 AS BIGINT), (acc, e) -> acc + e.value)")
+          .as("n_words"),
+        // the chain rewrites each distinct word ONCE (struct transform),
+        // the count reads the rewritten sequence — no double evaluation
+        expr(s"aggregate(transform(cents, e -> struct($chain AS s, " +
+          "e.value AS v)), CAST(0 AS BIGINT), (acc, x) -> acc + " +
+          "(length(x.s) - length(replace(x.s, '||', '|')) + 1) * x.v)")
+          .as("n_tokens"))
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("CAST(size(cws) AS BIGINT)").as("n_words"),
-        (col("n_all") - expr("CAST(size(cws) AS BIGINT)"))
-          .as("n_skipped_words"),
-        expr(s"aggregate(transform(cws, w -> $chain), CAST(0 AS BIGINT), " +
-          "(acc, s) -> acc + " +
-          "(length(s) - length(replace(s, '||', '|')) + 1))").as("n_tokens"))
+        col("n_words"),
+        (col("n_all") - col("n_words")).as("n_skipped_words"),
+        col("n_tokens"))
   }
 
   /** ENCODE-FROM-STORE (q183): the self-contained declared pair of the
