@@ -55,20 +55,6 @@ import org.apache.spark.sql.types._
   * `monotonically_increasing_id` columns added below the explode, never
   * on payload values — two identical input rows still produce two output
   * rows, exactly like the naive join.
-  *
-  * Serving-projection reuse (r18 optimization round, guide §4): when a
-  * `Project` sits directly on the matched join and recomputes
-  * `trigram_similarity` over the same column pair (the natural declared
-  * shape — `SELECT …, trigram_similarity(a, b)` above the predicate),
-  * the sorted-merge value the post-filter evaluates is carried through
-  * the pair dedup as an extra column (functionally dependent on the id
-  * pair — groups unchanged) and substituted into the projection, so the
-  * serving projection stops rebuilding both hash gram sets from the
-  * strings once per surviving pair. Value-identical by the same
-  * `TrigramSimSorted` ≡ `TrigramSimilarity` property the post-filter
-  * already relies on (ExpressionPropertySpec). The substituted Project
-  * sits over an Aggregate, not a Join, so this case cannot re-match its
-  * own output either.
   */
 object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -111,51 +97,19 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  /** An inner join whose condition carries a rewritable similarity
-    * predicate and whose every output column is groupable; yields what
-    * rewrite() needs. */
-  private def matchedJoin(j: Join): Option[(Expression, Seq[Expression],
-      TrigramSimilarity, Double, Expression, Expression)] = j match {
-    case Join(left, right, Inner, Some(cond), _)
-        if j.output.forall(a => groupable(a.dataType)) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      conjuncts.iterator.map {
-        case SimPredicate(sim, t) => oriented(sim, left, right).map((sim, t, _))
-        case _ => None
-      }.collectFirst { case Some((sim, t, (l, r))) => (cond, conjuncts, sim, t, l, r) }
-    case _ => None
-  }
-
-  /** The same column pair as the join's similarity predicate, either
-    * operand order. */
-  private def samePair(s: TrigramSimilarity, lStr: Expression,
-                       rStr: Expression): Boolean =
-    (s.left.semanticEquals(lStr) && s.right.semanticEquals(rStr)) ||
-      (s.left.semanticEquals(rStr) && s.right.semanticEquals(lStr))
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(EnabledKey, "true") != "true") return plan
     plan.transform {
-      // Serving-projection reuse (guide §4, expression work in the hot
-      // path): when the projection directly above the join RECOMPUTES the
-      // similarity it just filtered on (`SELECT …, trigram_similarity(a,b)`
-      // — the natural declared shape), thread the sorted-merge value the
-      // post-filter already evaluates through the pair dedup and substitute
-      // it in the projection, instead of rebuilding both hash gram sets
-      // from the strings once per surviving pair.
-      case Project(plist, j: Join) if matchedJoin(j).exists {
-            case (_, _, _, _, lStr, rStr) =>
-              plist.exists(_.exists {
-                case s: TrigramSimilarity => samePair(s, lStr, rStr)
-                case _ => false
-              })
-          } =>
-        val (cond, conjuncts, sim, t, lStr, rStr) = matchedJoin(j).get
-        rewrite(j, cond, conjuncts, sim, t, lStr, rStr, Some(plist))
-      case j: Join =>
-        matchedJoin(j) match {
-          case Some((cond, conjuncts, sim, t, lStr, rStr)) =>
-            rewrite(j, cond, conjuncts, sim, t, lStr, rStr, None)
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.output.forall(a => groupable(a.dataType)) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val matched = conjuncts.iterator.map {
+          case SimPredicate(sim, t) => oriented(sim, left, right).map((sim, t, _))
+          case _ => None
+        }.collectFirst { case Some(m) => m }
+        matched match {
+          case Some((sim, t, (lStr, rStr))) =>
+            rewrite(j, cond, conjuncts, sim, t, lStr, rStr)
           case None => j
         }
     }
@@ -187,8 +141,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression, conjuncts: Seq[Expression],
                       sim: TrigramSimilarity, t: Double,
-                      lStr: Expression, rStr: Expression,
-                      outerProject: Option[Seq[NamedExpression]]): LogicalPlan = {
+                      lStr: Expression, rStr: Expression): LogicalPlan = {
     val (lGen, lId, lGrams, lPos, lGram) = prefixed(j.left, lStr, t, "l")
     val (rGen, rId, rGrams, rPos, rGram) = prefixed(j.right, rStr, t, "r")
     // candidate key: shared prefix gram + any equality conjuncts the
@@ -226,30 +179,17 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // the fixed-point batch from re-matching this rule's own output).
     val simSorted = TrigramSimSorted(lGrams, rGrams)
     val rewrittenCond = cond.transform {
-      case s: TrigramSimilarity if samePair(s, lStr, rStr) => simSorted
+      case s: TrigramSimilarity
+          if (s.left.semanticEquals(lStr) && s.right.semanticEquals(rStr)) ||
+             (s.left.semanticEquals(rStr) && s.right.semanticEquals(lStr)) =>
+        simSorted
     }
     val filtered = Filter(rewrittenCond, joined)
     // dedup candidates that shared several prefix grams — by row id, so
     // genuinely duplicate input rows keep their multiplicity
     val keep = (j.left.output ++ j.right.output ++ Seq(lId, rId))
       .map(_.asInstanceOf[NamedExpression])
-    outerProject match {
-      case None =>
-        val dedup = Aggregate(keep.map(_.toAttribute), keep, Project(keep, filtered))
-        Project(j.output.map(_.asInstanceOf[NamedExpression]), dedup)
-      case Some(plist) =>
-        // carry the similarity through the dedup — functionally dependent
-        // on the (lId, rId) pair, so the groups are unchanged — and swap it
-        // for every projected trigram_similarity over this column pair
-        val simAlias = Alias(simSorted, "__sjr_sim")()
-        val kept = keep :+ simAlias
-        val keptAttrs = kept.map(_.toAttribute)
-        val dedup = Aggregate(keptAttrs, keptAttrs, Project(kept, filtered))
-        val substituted = plist.map(_.transform {
-          case s: TrigramSimilarity if samePair(s, lStr, rStr) =>
-            simAlias.toAttribute
-        }.asInstanceOf[NamedExpression])
-        Project(substituted, dedup)
-    }
+    val dedup = Aggregate(keep.map(_.toAttribute), keep, Project(keep, filtered))
+    Project(j.output.map(_.asInstanceOf[NamedExpression]), dedup)
   }
 }
